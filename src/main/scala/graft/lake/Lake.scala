@@ -1,0 +1,136 @@
+package graft.lake
+
+import graft.core.CandleSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Partitioned-Parquet candle lake.
+  *
+  * Layout is the Spark-native form of the reference's hive tree
+  * (reference: src/datalake/read/api.py:6, docs/specs/partitioning.md —
+  * data/source=…/market=…/timeframe=…/symbol=…/year=…/month=…/part-*.parquet).
+  * Spark's hive-partition discovery makes the reference's hand-rolled glob +
+  * month enumeration (read/paths.py:4-24, read/reader.py:8-15) unnecessary:
+  * partition-column predicates prune directories natively, and we derive
+  * year/month predicates from the ts range so pruning always fires (the
+  * reference's api.py glob misses month pruning — SURVEY §4 O1).
+  */
+object LakeLayout {
+  val partitionCols: Seq[String] = Seq("source", "market", "timeframe", "symbol", "year", "month")
+  def dataRoot(root: String) = s"$root/data"
+  def aggregatesRoot(root: String) = s"$root/aggregates"
+  def levelsRoot(root: String) = s"$root/levels"
+}
+
+/** Range reads with the global half-open [from, to) contract
+  * (reference: src/datalake/read/api.py:12-74 `read_range_df`; contract
+  * api.py:13-19 "fin EXCLUSIVO"). The legacy closed [from, to] readers
+  * (reader.py:35-37) are expressed as [from, to+1s) per SURVEY §7.5 item 2.
+  */
+object LakeReader {
+
+  /** Partition-pruned range scan: filter on partition columns
+    * (source/timeframe/symbol + derived year/month) reaches the directory
+    * listing; the ts predicate reaches parquet row-group stats
+    * (PushedFilters). Output sorted by ts, deduped keep-first on the key
+    * (reference: api.py:67-72 drop_duplicates keep='first').
+    */
+  def readRange(spark: SparkSession, root: String, source: String, symbol: String,
+                timeframe: String, from: Option[Timestamp], to: Option[Timestamp],
+                columns: Seq[String] = Nil): DataFrame = {
+    val path = LakeLayout.dataRoot(root)
+    var df = spark.read.schema(partitionedSchema).parquet(path)
+      .where(col("source") === source && col("symbol") === symbol && col("timeframe") === timeframe)
+    // derived partition predicates so year/month pruning always fires
+    from.foreach { f =>
+      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(f)
+      val (y, m) = (c.get(java.util.Calendar.YEAR), c.get(java.util.Calendar.MONTH) + 1)
+      df = df.where(col("year") > y || (col("year") === y && col("month") >= m))
+      df = df.where(col("ts") >= lit(f))
+    }
+    to.foreach { t =>
+      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(t)
+      val (y, m) = (c.get(java.util.Calendar.YEAR), c.get(java.util.Calendar.MONTH) + 1)
+      df = df.where(col("year") < y || (col("year") === y && col("month") <= m))
+      df = df.where(col("ts") < lit(t))
+    }
+    val deduped = dedupeKeepFirst(df, Seq("source", "symbol", "timeframe", "ts"))
+    val projected = if (columns.nonEmpty) deduped.select(columns.map(col): _*) else deduped
+    projected.orderBy(col("ts"))
+  }
+
+  private def partitionedSchema = {
+    import org.apache.spark.sql.types._
+    StructType(CandleSchema.schema.fields.toSeq :+
+      StructField("year", IntegerType) :+ StructField("month", IntegerType))
+  }
+
+  /** keep-first dedupe with a deterministic tiebreaker (SURVEY §7.5 item 4:
+    * bare dropDuplicates keeps an arbitrary row).
+    */
+  def dedupeKeepFirst(df: DataFrame, key: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(monotonically_increasing_id())
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+}
+
+/** Idempotent merge-dedupe upsert, the engine's K1/K2/K3
+  * (reference: src/datalake/ingestors/ibkr/writer.py:126-233 `write_month` —
+  * read existing ∪ new, sort ts, drop_duplicates keep='last';
+  * binance/ingest_cli.py:47-80 with composite key;
+  * aggregates/aggregate.py:48-66 atomic month write).
+  *
+  * Spark design: keep-"last" needs an explicit precedence column (new beats
+  * old) because Spark's dropDuplicates keeps an arbitrary row. We read the
+  * affected partitions, union with the new batch tagged at higher precedence,
+  * keep row_number()==1 per key ordered by precedence desc, and rewrite ONLY
+  * the touched partitions via dynamic partition overwrite — the Spark commit
+  * protocol provides the atomic tmp+rename the reference does by hand
+  * (aggregate.py:64). Re-running the same ingest is a no-op (O8 idempotence).
+  */
+object LakeWriter {
+
+  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+    val path = LakeLayout.dataRoot(root)
+    val enforced = CandleSchema.enforce(batch)
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+    val key = Seq("source", "symbol", "timeframe", "ts")
+
+    val existing =
+      try {
+        val cur = spark.read.parquet(path)
+        // restrict to partitions the batch touches (broadcast semi-join on
+        // partition values — partition pruning at 100 TB, not a full scan)
+        val touched = enforced.select(LakeLayout.partitionCols.map(col): _*).distinct()
+        Some(cur.join(broadcast(touched), LakeLayout.partitionCols.toSeq, "left_semi"))
+      } catch { case _: Exception => None } // first write: no existing tree
+
+    val tagged = enforced.withColumn("_prec", lit(1))
+    val merged = existing match {
+      case Some(old) => old.withColumn("_prec", lit(0)).unionByName(tagged, allowMissingColumns = true)
+      case None => tagged
+    }
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec").desc)
+    val deduped = merged.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "_prec")
+
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      deduped
+        .repartition(LakeLayout.partitionCols.map(col): _*)
+        .sortWithinPartitions(col("ts")) // ts-ordered within files (reference O6)
+        .write.mode("overwrite")
+        .partitionBy(LakeLayout.partitionCols: _*)
+        .option("compression", "zstd") // reference: config.py:12 ZSTD
+        .parquet(path)
+    } finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+}

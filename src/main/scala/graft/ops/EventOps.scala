@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators over generic event streams (the driver's `events` table:
+  * event_id, ts, user_id, event_type, value, props).
+  *
+  * `candles` adapts events into the engine's canonical OHLCV shape so the
+  * candle operators (Resample / AsofJoin / OrLevels / Gaps) run on driver
+  * testdata; the aggregation pattern is the same minute-bucket OHLCV the
+  * reference computes over trades (reference: src/datalake/aggregates/
+  * aggregate.py:28-45), with `value` as price and event count as volume.
+  */
+object EventOps {
+
+  /** Bucket events into OHLCV bars of `tfSeconds`. Deterministic: events.ts
+    * is unique, so min_by/max_by have no ties. Bucket label = floor (left
+    * label/closed, matching Resample).
+    */
+  def candles(events: DataFrame, tfSeconds: Long, keys: Seq[String] = Nil): DataFrame = {
+    // order by the exact ns column when present (ties impossible at ns grain)
+    val ord = if (events.columns.contains("ts_ns")) col("ts_ns") else col("ts")
+    val bucket = timestamp_seconds(floor(unix_timestamp(col("ts")) / tfSeconds) * tfSeconds)
+    events
+      .withColumn("_bucket", bucket)
+      .groupBy(("_bucket" +: keys).map(col): _*)
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).cast("double").as("volume"),
+      )
+      .withColumnRenamed("_bucket", "ts")
+  }
+
+  /** Per-hour-of-day completeness histogram, zero-filled over the 0-23 grid
+    * (reference: ingestors/ibkr/ingest_cli.py:681-686 groupby(ts.dt.hour)
+    * .reindex(range(24), fill_value=0)).
+    */
+  def hourHistogram(events: DataFrame): DataFrame = {
+    val counts = events.groupBy(hour(col("ts")).as("hour")).agg(count(lit(1)).as("n"))
+    val grid = events.sparkSession.range(24).select(col("id").cast("int").as("hour"))
+    grid.join(counts, Seq("hour"), "left")
+      .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Sessionization: split each user's event stream at inactivity gaps >
+    * `gapSeconds` (gaps-and-islands over lag). Returns one row per
+    * (user, session) with start/end/count. Scales: window partitions by
+    * user — the natural shuffle key; no global sort.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long, userCol: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("ts"))
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col("ts").cast("long") - col("_prev").cast("long") > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap detection + range compression (reference: src/datalake/tools/gaps.py:40-68
+  * `find_minute_gaps` — full minute grid minus observed ts, then walk +1min
+  * adjacency into contiguous [start,end] ranges; same logic inlined at
+  * ingestors/ibkr/ingest_cli.py:206-226 and tools/check_day.py:60-75).
+  *
+  * Spark mapping: grid = explode(sequence(...)); missing = grid LEFT ANTI JOIN
+  * observed (J2/U2); islands via the classic gaps-and-islands trick — group by
+  * `ts - rn * step`, a constant within each contiguous run (W5).
+  *
+  * Scale: the anti-join shuffles on ts (fine, AQE handles it); the islands
+  * window partitions by `keys` so per-symbol runs sort independently.
+  */
+object Gaps {
+
+  /** Timestamps present in the full `stepSeconds` grid over [gridFrom, gridTo]
+    * but absent from df.ts, per key group.
+    */
+  def missing(df: DataFrame, keys: Seq[String], stepSeconds: Long): DataFrame = {
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col("ts")).as("_from"), max(col("ts")).as("_to"))
+    val grid = bounds.select(keys.map(col) :+
+      explode(sequence(col("_from"), col("_to"), expr(s"INTERVAL $stepSeconds SECONDS"))).as("ts"): _*)
+    grid.join(df.select((keys :+ "ts").map(col): _*), keys :+ "ts", "left_anti")
+  }
+
+  /** Compress a set of grid-aligned timestamps into contiguous
+    * [gap_start, gap_end] ranges (inclusive), one row per island.
+    */
+  def islands(missingTs: DataFrame, keys: Seq[String], stepSeconds: Long): DataFrame = {
+    val w = (if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy())
+      .orderBy(col("ts"))
+    missingTs
+      .withColumn("_island", col("ts").cast("long") - row_number().over(w) * stepSeconds)
+      .groupBy((keys :+ "_island").map(col): _*)
+      .agg(min(col("ts")).as("gap_start"), max(col("ts")).as("gap_end"),
+        count(lit(1)).as("n_missing"))
+      .drop("_island")
+  }
+
+  /** End-to-end: missing minutes compressed to ranges. */
+  def minuteGaps(df: DataFrame, keys: Seq[String] = Nil, stepSeconds: Long = 60L): DataFrame =
+    islands(missing(df, keys, stepSeconds), keys, stepSeconds)
+
+  /** Synthetic gap fill (reference: ingestors/ibkr/ingest_cli.py:229-267
+    * `_synth_fill` — missing minute price = last prior close, else next open,
+    * else 0; flat OHLC bar, volume 0, is_synth=true).
+    */
+  def synthFill(df: DataFrame, keys: Seq[String] = Nil, stepSeconds: Long = 60L): DataFrame = {
+    val miss = missing(df, keys, stepSeconds)
+      .withColumn("_synth", lit(true))
+    val base = df.withColumn("_synth", lit(false))
+    val unioned = base.unionByName(miss, allowMissingColumns = true)
+    val part = if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy()
+    val wBack = part.orderBy(col("ts")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = part.orderBy(col("ts")).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val px = coalesce(
+      last(when(!col("_synth"), col("close")), ignoreNulls = true).over(wBack),
+      first(when(!col("_synth"), col("open")), ignoreNulls = true).over(wFwd),
+      lit(0.0))
+    unioned
+      .withColumn("_px", px)
+      .withColumn("open", when(col("_synth"), col("_px")).otherwise(col("open")))
+      .withColumn("high", when(col("_synth"), col("_px")).otherwise(col("high")))
+      .withColumn("low", when(col("_synth"), col("_px")).otherwise(col("low")))
+      .withColumn("close", when(col("_synth"), col("_px")).otherwise(col("close")))
+      .withColumn("volume", when(col("_synth"), lit(0.0)).otherwise(col("volume")))
+      .withColumn("is_synth", col("_synth"))
+      .drop("_px", "_synth")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Opening-Range levels with breakout/retest detection (reference:
+  * src/datalake/levels/or_levels.py:19-64 `build_or_levels`).
+  *
+  * Per (symbol, local session date):
+  *  - OR window = [or_start, or_end) on the LOCAL clock (tz-aware; profiles in
+  *    reference src/datalake/liquidity_profiles.py:2-8), or_high/or_low = max
+  *    high / min low over the window (or_levels.py:36-39);
+  *  - sessions whose OR slice is empty are dropped (or_levels.py:38);
+  *  - breakout = earliest bar at/after or_end with close > or_high (UP) or
+  *    close < or_low (DOWN); direction = whichever comes first
+  *    (or_levels.py:43-48);
+  *  - retest = earliest bar at/after or_end with low <= or_high (UP) /
+  *    high >= or_low (DOWN) — NOTE the reference scans from or_end, not from
+  *    the break, so a "retest" can precede the break; replicated faithfully
+  *    (or_levels.py:50-54). retest_price = that bar's close.
+  *
+  * Spark-first design: two hash aggregations keyed on (keys, session_date)
+  * joined in between — no per-group iteration, everything stays in
+  * whole-stage codegen. min(struct(ts, close)) gives the deterministic
+  * "first row satisfying cond" (ts is unique per symbol), replacing the
+  * reference's iloc[0] on the sorted frame. Scales: both shuffles key on
+  * (symbol, session_date), high cardinality, no skew.
+  */
+object OrLevels {
+
+  def build(df: DataFrame, tz: String = "UTC", orWindow: String = "00:00-01:00",
+            keys: Seq[String] = Seq("symbol")): DataFrame = {
+    val Array(startHm, endHm) = orWindow.split("-")
+    def hm(s: String): (Int, Int) = { val a = s.split(":"); (a(0).toInt, a(1).toInt) }
+    val (sh, sm) = hm(startHm)
+    val (eh, em) = hm(endHm)
+
+    val local = from_utc_timestamp(col("ts"), tz)
+    val sessionKeys = keys :+ "session_date"
+    val base = df
+      .withColumn("session_date", to_date(local))
+      .withColumn("or_start", to_utc_timestamp(
+        make_timestamp(year(local), month(local), dayofmonth(local), lit(sh), lit(sm), lit(0)), tz))
+      .withColumn("or_end", to_utc_timestamp(
+        make_timestamp(year(local), month(local), dayofmonth(local), lit(eh), lit(em), lit(0)), tz))
+      .withColumn("_local", local)
+
+    val inOr = col("_local") >= make_timestamp(
+      year(col("_local")), month(col("_local")), dayofmonth(col("_local")), lit(sh), lit(sm), lit(0)) &&
+      col("_local") < make_timestamp(
+        year(col("_local")), month(col("_local")), dayofmonth(col("_local")), lit(eh), lit(em), lit(0))
+    val after = col("_local") >= make_timestamp(
+      year(col("_local")), month(col("_local")), dayofmonth(col("_local")), lit(eh), lit(em), lit(0))
+
+    val ranges = base.groupBy(sessionKeys.map(col): _*).agg(
+      min(col("or_start")).as("or_start"),
+      min(col("or_end")).as("or_end"),
+      max(when(inOr, col("high"))).as("or_high"),
+      min(when(inOr, col("low"))).as("or_low"),
+    ).where(col("or_high").isNotNull)
+
+    val withRanges = base
+      .where(after)
+      .select((sessionKeys ++ Seq("ts", "close", "high", "low")).map(col): _*)
+      .join(ranges.select((sessionKeys ++ Seq("or_high", "or_low")).map(col): _*), sessionKeys)
+
+    val events = withRanges.groupBy(sessionKeys.map(col): _*).agg(
+      min(when(col("close") > col("or_high"), col("ts"))).as("_up_ts"),
+      min(when(col("close") < col("or_low"), col("ts"))).as("_dn_ts"),
+      min(when(col("low") <= col("or_high"), struct(col("ts"), col("close")))).as("_rt_up"),
+      min(when(col("high") >= col("or_low"), struct(col("ts"), col("close")))).as("_rt_dn"),
+    )
+
+    val dir = when(col("_up_ts").isNotNull && (col("_dn_ts").isNull || col("_up_ts") <= col("_dn_ts")), "UP")
+      .when(col("_dn_ts").isNotNull, "DOWN")
+      .otherwise("NONE")
+
+    ranges.join(events, sessionKeys.toSeq, "left")
+      .withColumn("break_dir", dir)
+      .withColumn("break_ts",
+        when(col("break_dir") === "UP", col("_up_ts"))
+          .when(col("break_dir") === "DOWN", col("_dn_ts")))
+      .withColumn("retest_ts",
+        when(col("break_dir") === "UP", col("_rt_up.ts"))
+          .when(col("break_dir") === "DOWN", col("_rt_dn.ts")))
+      .withColumn("retest_price",
+        when(col("break_dir") === "UP", col("_rt_up.close"))
+          .when(col("break_dir") === "DOWN", col("_rt_dn.close")))
+      .withColumn("tz", lit(tz))
+      .drop("_up_ts", "_dn_ts", "_rt_up", "_rt_dn")
+      .select((keys ++ Seq("session_date", "tz", "or_start", "or_end", "or_high", "or_low",
+        "break_dir", "break_ts", "retest_ts", "retest_price")).map(col): _*)
+  }
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local dev harness mirroring the driver's correctness gate: run each
+oracle SQL in DuckDB against the sf parquet tables and diff against the
+Verify.scala parquet dumps. Dev-only — the engine itself is pure Scala/Spark.
+
+Usage: python3 tools/local_check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_bad += 1
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            n_bad += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            n_bad += 1
+            continue
+        # order-insensitive value compare (driver sorts cols by name then hashes)
+        ev = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+        gv = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        diffs = []
+        for c in ev.columns:
+            a, b = ev[c], gv[c].astype(ev[c].dtype) if str(ev[c].dtype) != str(gv[c].dtype) else gv[c]
+            neq = ~((a == b) | (a.isna() & b.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                diffs.append(f"col {c} ({neq.sum()} diffs, first@{i}: exp={a[i]!r} got={b[i]!r})")
+        if diffs:
+            print(f"FAIL {name}: " + "; ".join(diffs))
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(exp)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
