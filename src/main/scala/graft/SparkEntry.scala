@@ -158,6 +158,62 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // text-analysis profile: token counts, quality, fingerprint (graft.ops.TextAnalysis)
+    "q08_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        round(TextAnalysis.meanWordLen(t), 4).as("mean_word_len"),
+        round(TextAnalysis.punctRatio(t), 4).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"),
+        TextAnalysis.qualityScore(t).as("quality_score"),
+        TextAnalysis.fingerprint(t).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // marker-based language-ID heuristic (graft.ops.TextAnalysis)
+    "q09_lang_id" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        col("lang"),
+        (TextAnalysis.langId(col("text")) === col("lang")).as("hit"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact brute-force cosine top-10 for 5 query vectors (graft.ops.Similarity)
+    "q14_sim_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.topKJoin(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // exact embedding near-dup pairs, cosine >= 0.35 (graft.ops.Similarity)
+    "q15_embedding_near_dup" -> ((s, dir) => {
+      Similarity.nearDupPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs via inverted-index join (graft.ops.Dedup)
+    "q16_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", 3, 0.1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH near-dup candidates, k=16 sigs in 4 bands (graft.ops.Dedup)
+    "q17_minhash_candidates" -> ((s, dir) => {
+      Dedup.minhashCandidates(tbl(s, dir, "documents"), "doc_id", "text", 3, 16, 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // 32-bit SimHash signatures (graft.ops.Dedup)
+    "q18_simhash" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // multi-join star query: revenue per market segment (broadcast dims)
     "q13_segment_revenue" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -186,7 +242,93 @@ object SparkEntry {
          | arg_min(open, ts_sec) AS open, max(high) AS high, min(low) AS low,
          | arg_max(close, ts_sec) AS close, sum(volume) AS volume
          |FROM ($m1Sql) m1 GROUP BY 1""".stripMargin
+    // portable polynomial char hash (matches TextAnalysis.fingerprint exactly)
+    def fpSql(c: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c,''), c->ascii(c)::BIGINT)), (a,b)->(a*31+b)%1000000007)"
+    val wsSql =
+      """SELECT doc_id, text, lang, string_split_regex(trim(lower(text)),'\s+') AS l FROM documents"""
+    val shingleSql =
+      s"""WITH ws AS ($wsSql),
+         | tok AS (SELECT doc_id, unnest(l) AS w, unnest(generate_series(1,len(l))) AS pos FROM ws),
+         | sh0 AS (SELECT doc_id, w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle,
+         |                lead(w,2) OVER win AS w2 FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+         |SELECT DISTINCT doc_id, shingle FROM sh0 WHERE w2 IS NOT NULL""".stripMargin
+    val meanWlSql = "CASE WHEN len(l)>0 THEN list_sum(list_transform(l, w->length(w)))::DOUBLE/len(l) ELSE 0 END"
+    val punctSql = "CASE WHEN length(text)>0 THEN length(regexp_replace(text,'[^.!?,;:]','','g'))::DOUBLE/length(text) ELSE 0 END"
+    val cosSql = "round(list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),6)"
     Map(
+      "q08_text_stats" ->
+        s"""WITH ws AS ($wsSql)
+           |SELECT doc_id, len(l)::BIGINT AS n_tokens,
+           | round($meanWlSql, 4) AS mean_word_len,
+           | round($punctSql, 4) AS punct_ratio,
+           | round(CASE WHEN len(l)>0 THEN len(list_filter(l, w->list_contains(['the','a','an','and','of','to','in','is','it','for'], w)))::DOUBLE/len(l) ELSE 0 END, 4) AS stopword_ratio,
+           | round((least(length(text)::DOUBLE/200.0, 1.0)
+           |   + CASE WHEN ($meanWlSql) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+           |   + 1.0 - least(($punctSql)*5.0, 1.0))/3.0, 4) AS quality_score,
+           | ${fpSql("text")} AS fingerprint
+           |FROM ws ORDER BY doc_id""".stripMargin,
+      "q09_lang_id" ->
+        s"""WITH ws AS ($wsSql),
+           | sc AS (SELECT doc_id, lang,
+           |   len(list_filter(l, w->list_contains(['the','and','of','is','a'], w))) AS s_en,
+           |   len(list_filter(l, w->list_contains(['el','la','los','que','y'], w))) AS s_es,
+           |   len(list_filter(l, w->list_contains(['der','die','das','und','ist'], w))) AS s_de,
+           |   len(list_filter(l, w->list_contains(['le','la','les','et','est'], w))) AS s_fr,
+           |   len(list_filter(l, w->list_contains(['的','是','了','在','和'], w))) AS s_zh
+           |  FROM ws),
+           | g AS (SELECT doc_id, lang, CASE
+           |   WHEN greatest(s_en,s_es,s_de,s_fr,s_zh) <= 0 THEN 'unknown'
+           |   WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'en'
+           |   WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'es'
+           |   WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'de'
+           |   WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'fr'
+           |   WHEN s_zh = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'zh'
+           |   ELSE 'unknown' END AS lang_guess FROM sc)
+           |SELECT doc_id, lang_guess, lang, lang_guess = lang AS hit
+           |FROM g ORDER BY doc_id""".stripMargin,
+      "q14_sim_topk" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           | s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+           |       FROM e a JOIN e b ON a.vec_id <> b.vec_id WHERE a.vec_id < 5),
+           | r AS (SELECT query_id, neighbor_id, cosine,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+           |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin,
+      "q15_embedding_near_dup" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           | s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cosine
+           |       FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+      "q16_jaccard_pairs" ->
+        s"""WITH sh AS ($shingleSql),
+           | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |           FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+           | j AS (SELECT id_a, id_b, inter,
+           |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
+           |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+           |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q17_minhash_candidates" ->
+        s"""WITH sh AS ($shingleSql),
+           | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),
+           | sig AS (SELECT doc_id, t.i AS i,
+           |          min((hv*(2*t.i+3) + ((1442695040888963407%1000000007)*(t.i+1))%1000000007) % 1000000007) AS m
+           |         FROM h, range(0,16) t(i) GROUP BY 1,2),
+           | band AS (SELECT doc_id, (i//4)::INT AS band,
+           |           list_reduce(list_prepend(0::BIGINT, list(m ORDER BY i)), (a,b)->(a*31 + b%1000000007)%1000000007) AS band_sig
+           |          FROM sig GROUP BY 1,2),
+           | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |           FROM band a JOIN band b USING (band, band_sig) WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b FROM pairs ORDER BY 1,2""".stripMargin,
+      "q18_simhash" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
+           | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
+           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
+           |          FROM wh, range(0,32) t(j) GROUP BY 1,2)
+           |SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS simhash
+           |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
       "q01_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           | sum(CAST(round(l_quantity,4) AS DECIMAL(28,4)))::DOUBLE AS sum_qty,

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: exact hash dedup,
+  * word-shingle Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design:
+  *  - exact dedup = one hash-aggregate on the content hash (shuffle on a
+  *    high-cardinality key; no skew);
+  *  - shingle/minhash/simhash signatures are per-row scalar expression work
+  *    (codegen'd, no shuffle);
+  *  - candidate generation goes through LSH band buckets, so the join is an
+  *    equi-join on (band, band_signature) — pairs are only materialized
+  *    inside buckets, never the O(n²) cross product. At 100 TB the bucket
+  *    join shuffles on band keys; bucket skew (a degenerate band value
+  *    shared by millions of docs) is the known failure mode, mitigated by
+  *    capping bucket width upstream (filter on bucket count) + AQE skew
+  *    handling.
+  *
+  * Hashes are portable polynomial hashes (same arithmetic expressible in
+  * any engine / the DuckDB oracle) rather than engine-internal xxhash64.
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+
+  /** Deterministic per-function mixing constants for k hash functions. */
+  def mixConsts(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 3L, 1442695040888963407L % P * (i + 1) % P))
+
+  /** Distinct word n-gram shingles per doc: (id, shingle) rows.
+    * Built relationally (posexplode + lead window) so it works at any doc
+    * length without per-row quadratic arrays.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val exploded = docs
+      .select(col(idCol), posexplode(TextAnalysis.words(col(textCol))).as(Seq("_pos", "_w")))
+    val withNext = (1 until n).foldLeft(exploded) { (d, i) =>
+      d.withColumn(s"_w$i", lead(col("_w"), i).over(w))
+    }
+    val parts = col("_w") +: (1 until n).map(i => col(s"_w$i"))
+    withNext
+      .where(parts.last.isNotNull)
+      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Polynomial hash of a shingle string (portable). */
+  def shingleHash(c: Column): Column = TextAnalysis.fingerprint(c)
+
+  /** MinHash signatures: (id, i, minhash) for i in 0..k-1.
+    * One aggregate over the shingle table — sig element i is
+    * min((h*a_i + b_i) mod P) over the doc's shingles.
+    */
+  def minhashSignature(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val consts = mixConsts(k)
+    val perm = sh.withColumn("_h", shingleHash(col("shingle")))
+    val hashed = perm.select(
+      col(idCol) +:
+        explode(array(consts.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(i).as("i"), ((col("_h") * a + b) % P).as("v"))
+        }: _*)).as("_hv") +: Nil: _*)
+    hashed
+      .select(col(idCol), col("_hv.i").as("i"), col("_hv.v").as("v"))
+      .groupBy(col(idCol), col("i"))
+      .agg(min(col("v")).as("minhash"))
+  }
+
+  /** LSH candidate pairs: docs sharing at least one identical band of the
+    * MinHash signature (k hashes, `bands` bands of k/bands rows). Pair
+    * output is (id_a < id_b) distinct.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignature(shingles(docs, idCol, textCol, n), idCol, k)
+    val banded = sig
+      .withColumn("band", (col("i") / rows).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(sort_array(collect_list(struct(col("i"), col("minhash")))).as("_s"))
+      // order-stable band signature: fold the sorted (i, minhash) pairs
+      .withColumn("band_sig",
+        aggregate(col("_s"), lit(0L), (acc, x) => (acc * 31L + x.getField("minhash") % P) % P))
+      .select(col(idCol), col("band"), col("band_sig"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard similarity for all pairs sharing >= 1
+    * shingle (inverted-index join — never the cross product).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle").where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over word hashes: bit j of the signature is the sign of
+    * sum over words of (2*bit_j(hash(word)) - 1). Portable arithmetic
+    * (polynomial word hash + div/mod bit extraction, no engine intrinsics).
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val ws = TextAnalysis.words(text)
+    val hashes = transform(ws, w => TextAnalysis.fingerprint(w))
+    val bitCols = (0 until bits).map { j =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1L) * 2L - 1L))
+      when(contrib > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on 8-bit chunks of the signature
+    * (two docs within hamming distance <= chunks-1 share at least one exact
+    * chunk), then verify with the true hamming distance.
+    */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val withSig = docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    val chunks = 4
+    val chunked = withSig.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
+      .select(col(idCol), col("simhash"), col("_c.chunk"), col("_c.v"))
+    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("v"))
+    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("v"))
+    a.join(b, Seq("chunk", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: exact brute-force cosine top-k (one pass over the corpus per
+  * query — the correct answer, O(n·d)). Scale path: random-hyperplane LSH
+  * bucketing — embeddings are assigned sign-bit bucket keys; queries probe
+  * only their own bucket, turning the scan into an equi-join that shuffles
+  * on bucket keys. Recall < 1 by construction; multi-probe widens recall.
+  *
+  * Dot products are `aggregate(zip_with(...))` over doubles — sequential
+  * per-row folds inside codegen, deterministic and portable (the DuckDB
+  * oracle's list_dot_product evaluates the same sequence).
+  */
+object Similarity {
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors of ONE query vector (given as a literal array),
+    * brute force. For a batch of queries prefer [[topKJoin]].
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    corpus
+      .withColumn("cosine", round(cosine(toDouble(col(vecCol)), q), 6))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact top-k per query row via join + window rank. `queries` and
+    * `corpus` both carry (id, vec). The cross join is the exact-answer
+    * cost; use [[lshTopK]] when approximate is acceptable.
+    */
+  def topKJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * derived from a portable integer hash, mapped to [-1, 1).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { j =>
+        val h = (seed * 6364136223846793005L + (p.toLong * dim + j) * 1442695040888963407L)
+        ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+    }
+
+  /** Random-hyperplane LSH bucket key: sign bits of dot(v, plane_p). */
+  def lshKey(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val pl = array(plane.map(lit): _*)
+      when(dot(vec, pl) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket corpus and queries by LSH key, rank within
+    * the shared bucket only. Equi-join on the bucket key — scales as a
+    * shuffle on bucket keys instead of a cross product.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+      .withColumn("bucket", lshKey(col("_qv"), planes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+      .withColumn("bucket", lshKey(col("_cv"), planes))
+    val scored = q.join(c, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** All pairs with cosine >= threshold (embedding near-dup detection),
+    * exact. Pair generation is the brute-force cross product here; the LSH
+    * variant is [[lshNearDup]].
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("_va"))
+    val b = corpus.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("_vb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** LSH-bucketed near-dup pairs (approximate; scale path). */
+  def lshNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val keyed = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("_v"))
+      .withColumn("bucket", lshKey(col("_v"), planes))
+    val a = keyed.select(col("id").as("id_a"), col("_v").as("_va"), col("bucket"))
+    val b = keyed.select(col("id").as("id_b"), col("_v").as("_vb"), col("bucket"))
+    a.join(b, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
+}
