@@ -132,5 +132,8 @@ object LakeWriter {
         .option("compression", "zstd") // reference: config.py:12 ZSTD
         .parquet(path)
     } finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // the session caches the file listing for this path; the overwrite just
+    // replaced those files, so readers in the same session must re-list
+    spark.catalog.refreshByPath(path)
   }
 }

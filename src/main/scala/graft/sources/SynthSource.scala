@@ -22,8 +22,11 @@ object SynthSource {
   private def u01(cols: org.apache.spark.sql.Column*) =
     (pmod(xxhash64(cols: _*), lit(1L << 52)).cast("double")) / lit((1L << 52).toDouble)
 
-  /** Generate M1 bars for [dayFrom, dayTo] inclusive UTC days. ts is bar END
-    * (first bar of a day = 00:01, reference normalize.py:11 semantics).
+  /** Generate M1 bars for [dayFrom, dayTo] inclusive UTC days. Bars are
+    * stamped 00:00..23:59 like the reference's generator (synth_gen.py:18-20
+    * date_range inclusive-left) — i.e. bar-START stamps; the bar-end shift
+    * (reference normalize.py:11) is the separate [[barEndShift]] applied at
+    * ingest.
     */
   def m1(spark: SparkSession, symbol: String, dayFrom: String, dayTo: String,
          seed: Long = 42L): DataFrame = {
@@ -43,7 +46,7 @@ object SynthSource {
     idx
       .withColumn("_step", step)
       .withColumn("_px", lit(100000.0) + sum(col("_step")).over(w))
-      .withColumn("ts", timestamp_seconds(lit(startEpoch) + (col("id") + 1) * 60L))
+      .withColumn("ts", timestamp_seconds(lit(startEpoch) + col("id") * 60L))
       .withColumn("open", col("_px"))
       .withColumn("close", col("_px") + (u01(lit(seed), col("id"), lit(3)) - lit(0.5)) * lit(4.0))
       .withColumn("high", greatest(col("open"), col("close")) + u01(lit(seed), col("id"), lit(4)) * lit(5.0))
@@ -56,4 +59,11 @@ object SynthSource {
       .drop("id", "_step", "_px")
       .transform(CandleSchema.enforce)
   }
+
+  /** bar-start -> bar-end stamp shift: ts += 1 minute (reference:
+    * src/datalake/ingestors/ibkr/normalize.py:6-18, shift at line 11; the
+    * canonical contract is ts = bar END).
+    */
+  def barEndShift(df: DataFrame): DataFrame =
+    df.withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
 }

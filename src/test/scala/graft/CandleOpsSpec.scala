@@ -1,0 +1,127 @@
+package graft
+
+import graft.core.{CandleSchema, Timeframe}
+import graft.ops._
+import graft.sources.SynthSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's test invariants (SURVEY §5):
+  * resample counts/labels/idempotence (tests/test_resample_offline.py),
+  * as-of join shape (tests/test_join_mtf_shapes.py), bar-end shift
+  * (tests/test_contracts_and_norm.py).
+  */
+class CandleOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val day = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01").cache()
+
+  test("synth day has 1440 M1 bars, canonical schema, high>=low") {
+    assert(day.count() === 1440)
+    assert(day.columns.toSeq.startsWith(CandleSchema.canonicalOrder))
+    assert(day.where(col("high") < col("low")).count() === 0)
+    assert(day.where(col("high") < greatest(col("open"), col("close"))).count() === 0)
+  }
+
+  test("synth generation is deterministic regardless of partitioning") {
+    val a = day.orderBy("ts").collect()
+    val b = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+      .repartition(7).orderBy("ts").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("resample counts: M1 1440 -> M5 288, M15 96, H1 24, D1 1") {
+    assert(Resample.ohlcv(day, Timeframe.M5).count() === 288)
+    assert(Resample.ohlcv(day, Timeframe.M15).count() === 96)
+    assert(Resample.ohlcv(day, Timeframe.H1).count() === 24)
+    assert(Resample.ohlcv(day, Timeframe.D1).count() === 1)
+  }
+
+  test("resample labels are left: first M5 00:00, last 23:55; M15 23:45; H1 23:00") {
+    def lastLabel(tf: Timeframe) =
+      Resample.ohlcv(day, tf).agg(max(col("ts"))).head.getTimestamp(0).toString
+    def firstLabel(tf: Timeframe) =
+      Resample.ohlcv(day, tf).agg(min(col("ts"))).head.getTimestamp(0).toString
+    assert(firstLabel(Timeframe.M5) === "2025-08-01 00:00:00.0")
+    assert(lastLabel(Timeframe.M5) === "2025-08-01 23:55:00.0")
+    assert(lastLabel(Timeframe.M15) === "2025-08-01 23:45:00.0")
+    assert(lastLabel(Timeframe.H1) === "2025-08-01 23:00:00.0")
+  }
+
+  test("resample is idempotent: resample(resample(m1, M5), M5) == resample(m1, M5)") {
+    val m5 = Resample.ohlcv(day, Timeframe.M5)
+    val again = Resample.ohlcv(m5, Timeframe.M5)
+    assert(m5.orderBy("ts").collect().sameElements(again.orderBy("ts").collect()))
+  }
+
+  test("resample semantics: M5 open is the first bar's open, volume the sum") {
+    val first5 = day.orderBy("ts").limit(5).collect()
+    val m5head = Resample.ohlcv(day, Timeframe.M5).orderBy("ts").limit(1).head
+    assert(m5head.getAs[Double]("open") === first5.head.getAs[Double]("open"))
+    assert(m5head.getAs[Double]("close") === first5.last.getAs[Double]("close"))
+    assert(m5head.getAs[Double]("high") === first5.map(_.getAs[Double]("high")).max)
+    assert(math.abs(m5head.getAs[Double]("volume") - first5.map(_.getAs[Double]("volume")).sum) < 1e-9)
+  }
+
+  test("ffill resample fills empty buckets with prior OHLC and volume 0") {
+    // remove minutes 05..09 -> M5 bucket 00:05 empty
+    val gappy = day.where(!(col("ts") >= lit("2025-08-01 00:05:00") &&
+      col("ts") < lit("2025-08-01 00:10:00")))
+    val plain = Resample.ohlcv(gappy, Timeframe.M5)
+    assert(plain.where(col("ts") === lit("2025-08-01 00:05:00")).count() === 0)
+    val filled = Resample.ohlcvFfill(gappy, Timeframe.M5)
+    assert(filled.count() === 288)
+    val hole = filled.where(col("ts") === lit("2025-08-01 00:05:00")).head
+    val prior = filled.where(col("ts") === lit("2025-08-01 00:00:00")).head
+    assert(hole.getAs[Double]("close") === prior.getAs[Double]("close"))
+    assert(hole.getAs[Double]("volume") === 0.0)
+  }
+
+  test("as-of join keeps exec row count and sees ctx rows at equal ts") {
+    val m5 = Resample.ohlcv(day, Timeframe.M5)
+    val joined = AsofJoin.backward(
+      day.select(col("ts"), col("close")),
+      m5.select(col("ts"), col("close").as("close_m5")))
+    assert(joined.count() === 1440)
+    // exec bar at 00:05 must see the M5 bar labeled 00:05 (tie included)
+    val at = joined.where(col("ts") === lit("2025-08-01 00:05:00")).head
+    val m5at = m5.where(col("ts") === lit("2025-08-01 00:05:00")).head
+    assert(at.getAs[Double]("close_m5") === m5at.getAs[Double]("close"))
+    // no nulls after the first ctx ts
+    assert(joined.where(col("close_m5").isNull).count() === 0)
+  }
+
+  test("mtf join suffixes ctx columns and preserves exec grain") {
+    val ctx = Map(
+      "M5" -> Resample.ohlcv(day, Timeframe.M5),
+      "M15" -> Resample.ohlcv(day, Timeframe.M15))
+    val out = AsofJoin.mtf(day.select("ts", "open", "high", "low", "close", "volume"), ctx)
+    assert(out.count() === 1440)
+    for (c <- Seq("open", "high", "low", "close", "volume"); tf <- Seq("M5", "M15"))
+      assert(out.columns.contains(s"${c}_$tf"), s"missing ${c}_$tf")
+  }
+
+  test("bucketJoin equals general backward asof on grid-aligned data") {
+    val m5 = Resample.ohlcv(day, Timeframe.M5).select(col("ts"), col("close").as("close_m5"))
+    val general = AsofJoin.backward(day.select("ts", "close"), m5)
+      .orderBy("ts").collect()
+    val bucketed = AsofJoin.bucketJoin(day.select("ts", "close"), m5, Timeframe.M5)
+      .select("ts", "close", "close_m5").orderBy("ts").collect()
+    assert(general.sameElements(bucketed))
+  }
+
+  test("bar-end shift moves 00:00 to 00:01 (reference normalize.py)") {
+    val shifted = SynthSource.barEndShift(day)
+    assert(shifted.agg(min(col("ts"))).head.getTimestamp(0).toString === "2025-08-01 00:01:00.0")
+    assert(shifted.count() === 1440)
+  }
+
+  test("timeframe aliases normalize (reference provider._norm_tf)") {
+    assert(Timeframe("1 min") === Timeframe.M1)
+    assert(Timeframe("5 mins") === Timeframe.M5)
+    assert(Timeframe("1 hour") === Timeframe.H1)
+    assert(Timeframe("1 day") === Timeframe.D1)
+    assert(Timeframe("m15") === Timeframe.M15)
+    assertThrows[IllegalArgumentException](Timeframe("M7"))
+  }
+}

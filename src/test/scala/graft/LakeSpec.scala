@@ -1,0 +1,112 @@
+package graft
+
+import graft.core.Timeframe
+import graft.lake.{LakeReader, LakeWriter}
+import graft.ops.{Gaps, OrLevels}
+import graft.sources.SynthSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Lake round-trip + upsert idempotence (reference K1/K2 semantics,
+  * README "Reingesta es idempotente"), gap detection/fill, OR levels.
+  */
+class LakeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("upsert + readRange round-trip honors the half-open [from,to) contract") {
+    val root = Files.createTempDirectory("lake").toString
+    val bars = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-03")
+    LakeWriter.upsert(spark, root, bars)
+    val day1 = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1",
+      Some(ts("2025-08-01 00:00:00")), Some(ts("2025-08-02 00:00:00")))
+    assert(day1.count() === 1440)
+    // open upper bound: nothing from 08-02 included
+    assert(day1.agg(max(col("ts"))).head.getTimestamp(0).before(ts("2025-08-02 00:00:00")))
+    // re-upsert the same batch: idempotent (O8); re-read from the fresh listing
+    LakeWriter.upsert(spark, root, bars)
+    val again = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1",
+      Some(ts("2025-08-01 00:00:00")), Some(ts("2025-08-02 00:00:00")))
+    assert(again.count() === 1440)
+  }
+
+  test("upsert keep-last: a re-ingested bar overwrites the old row") {
+    val root = Files.createTempDirectory("lake").toString
+    val bars = SynthSource.m1(spark, "ETH-USD", "2025-08-01", "2025-08-01")
+    LakeWriter.upsert(spark, root, bars)
+    val patched = bars.where(col("ts") === lit("2025-08-01 10:00:00"))
+      .withColumn("close", lit(123456.0))
+    LakeWriter.upsert(spark, root, patched)
+    val readBack = LakeReader.readRange(spark, root, "synth", "ETH-USD", "M1",
+      Some(ts("2025-08-01 00:00:00")), Some(ts("2025-08-02 00:00:00")))
+    assert(readBack.count() === 1440) // no duplicate introduced
+    val row = readBack.where(col("ts") === lit("2025-08-01 10:00:00")).head
+    assert(row.getAs[Double]("close") === 123456.0)
+  }
+
+  test("gap detection finds removed minutes as islands; synthFill repairs them") {
+    val day = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+    val gappy = day.where(!(col("ts") >= lit("2025-08-01 03:00:00") &&
+      col("ts") < lit("2025-08-01 03:10:00")) &&
+      col("ts") =!= lit("2025-08-01 07:30:00"))
+    val gaps = Gaps.minuteGaps(gappy).orderBy("gap_start").collect()
+    assert(gaps.length === 2)
+    assert(gaps(0).getAs[Long]("n_missing") === 10)
+    assert(gaps(0).getAs[Timestamp]("gap_start").toString === "2025-08-01 03:00:00.0")
+    assert(gaps(0).getAs[Timestamp]("gap_end").toString === "2025-08-01 03:09:00.0")
+    assert(gaps(1).getAs[Long]("n_missing") === 1)
+
+    val filled = Gaps.synthFill(gappy)
+    assert(filled.count() === 1440)
+    assert(filled.where(col("is_synth")).count() === 11)
+    val prior = gappy.where(col("ts") === lit("2025-08-01 02:59:00")).head.getAs[Double]("close")
+    val synth = filled.where(col("ts") === lit("2025-08-01 03:05:00")).head
+    assert(synth.getAs[Double]("close") === prior)
+    assert(synth.getAs[Double]("volume") === 0.0)
+  }
+
+  test("OR levels: known breakout is detected with direction and first-break ts") {
+    import spark.implicits._
+    // OR window 00:00-01:00 over values in [10, 20]; break UP at 01:05
+    val rows = (0 until 60).map { i =>
+      (Timestamp.valueOf(f"2025-08-01 00:$i%02d:00"), 15.0, if (i == 30) 20.0 else 16.0,
+        if (i == 10) 10.0 else 14.0, 15.0, 1.0, "T")
+    } ++ Seq(
+      (ts("2025-08-01 01:00:00"), 15.0, 16.0, 14.0, 15.0, 1.0, "T"),
+      (ts("2025-08-01 01:05:00"), 15.0, 25.0, 15.0, 21.0, 1.0, "T"), // close 21 > or_high 20 -> UP
+      (ts("2025-08-01 01:10:00"), 21.0, 22.0, 19.0, 20.5, 1.0, "T"), // low 19 <= 20 -> retest
+    )
+    val df = rows.toDF("ts", "open", "high", "low", "close", "volume", "symbol")
+    val levels = OrLevels.build(df, "UTC", "00:00-01:00").collect()
+    assert(levels.length === 1)
+    val r = levels.head
+    assert(r.getAs[Double]("or_high") === 20.0)
+    assert(r.getAs[Double]("or_low") === 10.0)
+    assert(r.getAs[String]("break_dir") === "UP")
+    assert(r.getAs[Timestamp]("break_ts").toString === "2025-08-01 01:05:00.0")
+    // reference semantics: retest scans from or_end (NOT from the break), so
+    // the 01:00 bar (low 14 <= or_high 20) is already the first retest
+    assert(r.getAs[Timestamp]("retest_ts").toString === "2025-08-01 01:00:00.0")
+    assert(r.getAs[Double]("retest_price") === 15.0)
+  }
+
+  test("OR levels: session grouping respects a non-UTC tz") {
+    import spark.implicits._
+    // 23:30 UTC = 09:30 Tokyo next day: lands in the Tokyo session of 08-02
+    val df = Seq(
+      (ts("2025-08-01 23:30:00"), 1.0, 2.0, 0.5, 1.5, 1.0, "T"),
+      (ts("2025-08-01 23:45:00"), 1.0, 2.5, 0.8, 1.2, 1.0, "T"),
+    ).toDF("ts", "open", "high", "low", "close", "volume", "symbol")
+    val levels = OrLevels.build(df, "Asia/Tokyo", "08:00-09:00")
+    // both bars are 08:30/08:45 local on 08-02 -> one session, inside OR window
+    val r = levels.collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[java.sql.Date]("session_date").toString === "2025-08-02")
+    assert(r.head.getAs[Double]("or_high") === 2.5)
+    assert(r.head.getAs[String]("break_dir") === "NONE")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fingerprint matches the portable polynomial value") {
+    val fp = Seq("hello world abc").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).head.getLong(0)
+    assert(fp === 88643107L) // independently computed: ((...*31+c)%1e9+7)
+  }
+
+  test("identical texts collide on every dedupe signal; different texts do not") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated words about spark catalyst execution engines"),
+    ).toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).collect()
+    assert(jac.length === 1)
+    assert(jac.head.getAs[Long]("id_a") === 1L && jac.head.getAs[Long]("id_b") === 2L)
+    assert(jac.head.getAs[Double]("jaccard") === 1.0)
+    val mh = Dedup.minhashCandidates(docs, "doc_id", "text").collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("language id picks marker-matching language deterministically") {
+    val got = Seq(
+      (1, "the cat and the dog is a friend of mine"),
+      (2, "el gato y la casa que tengo"),
+      (3, "xyzzy plugh"),
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.langId(col("text")).as("g"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) === "en")
+    assert(got(2) === "es")
+    assert(got(3) === "unknown")
+  }
+
+  test("cosine similarity: exact values and top-k ordering") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // identical -> cos 1
+      (2L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal -> cos 0
+      (3L, Seq(-1.0f, 0.0f, 0.0f)),  // opposite -> cos -1
+    ).toDF("vec_id", "embedding")
+    val topk = Similarity.topKJoin(vecs.where(col("vec_id") === 0), vecs, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(topk.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(topk.map(_.getAs[Double]("cosine")).toSeq === Seq(1.0, 0.0, -1.0))
+  }
+
+  test("LSH near-dup finds identical vectors (same bucket by construction)") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, (0 until 8).map(j => if (i % 2 == 0) j.toFloat else -j.toFloat - 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.999, nPlanes = 4, dim = 8)
+    // all even ids identical to each other, all odd ids identical to each other
+    assert(pairs.count() === 2 * (10 * 9 / 2))
+  }
+
+  test("quality score is bounded and favors clean text") {
+    val scored = Seq(
+      (1, "a perfectly reasonable sentence with a number of ordinary words in it repeated " * 3),
+      (2, ";;;;!!!.... ,,,, ;;; !!!"),
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(scored(1) > scored(2))
+    assert(scored.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
