@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text expressions for the dedup/text-analysis hot paths.
+  *
+  * These are per-row scalar kernels: at 100 TB they are the inner loop of
+  * shingling/fingerprinting every document, so they must stay in compiled
+  * code (Spark's split/transform/aggregate higher-order pipeline is
+  * CodegenFallback — interpreted per element) and must not force a shuffle
+  * (the relational shingle construction needed a posexplode + per-doc
+  * window + distinct; [[WordShingles]] produces the deduped shingle array
+  * in a single map).
+  *
+  * Codegen strategy: one static call per row into compiled Scala — keeps the
+  * surrounding operators inside whole-stage codegen while the string loop
+  * runs as ordinary JIT'd bytecode.
+  */
+object TextKernels {
+
+  /** Lowercase, trim, split on whitespace runs, emit DISTINCT space-joined
+    * word n-grams (first-occurrence order). Matches
+    * array_distinct(ngrams(split(trim(lower(text)), "\\s+"))) exactly.
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    // exactly split(trim(lower(text)), "\\s+") in Spark semantics:
+    // trim strips U+0020 only (not \t\n), lower is locale-independent
+    val lowered = text.toLowerCase.toString
+    var from = 0
+    var to = lowered.length
+    while (from < to && lowered.charAt(from) == ' ') from += 1
+    while (to > from && lowered.charAt(to - 1) == ' ') to -= 1
+    val words = lowered.substring(from, to).split("\\s+")
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** h = (h*31 + codepoint) mod 1e9+7 over the string's code points —
+    * bit-identical to TextAnalysis.fingerprint's HOF form and to the DuckDB
+    * oracle's list_reduce over string_split + ascii.
+    */
+  def polyHash(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** array<string> of distinct word n-gram shingles of `child`. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"WordShingles needs string, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.wordShingles(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Portable polynomial hash of a string (mod 1e9+7). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"PolyHash needs string, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.polyHash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.polyHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  private def expr(c: Column): Expression = GraftColumnBridge.toExpression(c)
+
+  def wordShingles(text: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(WordShingles(expr(text), n))
+
+  def polyHash(text: Column): Column =
+    GraftColumnBridge.toColumn(PolyHash(expr(text)))
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for embedding math.
+  *
+  * Why not `aggregate(zip_with(...))`: Spark's higher-order functions are
+  * CodegenFallback — every element evaluation goes through interpreted lambda
+  * closures and per-element allocations. For similarity search that cost sits
+  * inside an O(n·m) pair loop, so it dominates the query (measured 30+ s for
+  * 125k pairs × 64 dims at sf0.1). This expression generates a tight primitive
+  * loop inside whole-stage codegen instead (<1 s for the same work), reading
+  * float32 or float64 arrays directly — no up-front cast pass.
+  *
+  * Result is bit-identical to the sequential fold (same left-to-right IEEE
+  * double adds), so DuckDB's list_dot_product oracle still matches exactly.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case other => throw new IllegalArgumentException(s"DotProduct needs arrays, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"DotProduct requires array<float>/array<double>, got ${left.dataType} and ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val getL = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $getL * $getR; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  private def expr(c: Column): Expression = GraftColumnBridge.toExpression(c)
+
+  /** Codegen'd dot product over array<float>/array<double>. */
+  def dotNative(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(DotProduct(expr(a), expr(b)))
+
+  def normNative(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotNative(a, a))
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (normNative(a) * normNative(b))
+}

@@ -31,43 +31,31 @@ object Dedup {
   def mixConsts(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 3L, 1442695040888963407L % P * (i + 1) % P))
 
-  /** Distinct word n-gram shingles per doc: (id, shingle) rows.
-    * Built relationally (posexplode + lead window) so it works at any doc
-    * length without per-row quadratic arrays.
+  /** Distinct word n-gram shingles per doc: (id, shingle) rows. Produced by
+    * the native [[graft.functions.WordShingles]] kernel — per-row map work,
+    * NO shuffle (an earlier relational form needed posexplode + a per-doc
+    * window + distinct, i.e. a sort and a shuffle of every token at scale).
     */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val exploded = docs
-      .select(col(idCol), posexplode(TextAnalysis.words(col(textCol))).as(Seq("_pos", "_w")))
-    val withNext = (1 until n).foldLeft(exploded) { (d, i) =>
-      d.withColumn(s"_w$i", lead(col("_w"), i).over(w))
-    }
-    val parts = col("_w") +: (1 until n).map(i => col(s"_w$i"))
-    withNext
-      .where(parts.last.isNotNull)
-      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"))
-      .distinct()
-  }
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
   /** Polynomial hash of a shingle string (portable). */
   def shingleHash(c: Column): Column = TextAnalysis.fingerprint(c)
 
-  /** MinHash signatures: (id, i, minhash) for i in 0..k-1.
-    * One aggregate over the shingle table — sig element i is
-    * min((h*a_i + b_i) mod P) over the doc's shingles.
+  /** MinHash signatures, wide form: (id, sig array<long> of length k).
+    * sig(i) = min((h*a_i + b_i) mod P) over the doc's shingles — computed as
+    * k min-aggregates in ONE hash aggregation keyed on id (no k-way row
+    * explosion; partial aggregation runs map-side).
     */
   def minhashSignature(sh: DataFrame, idCol: String, k: Int): DataFrame = {
     val consts = mixConsts(k)
-    val perm = sh.withColumn("_h", shingleHash(col("shingle")))
-    val hashed = perm.select(
-      col(idCol) +:
-        explode(array(consts.zipWithIndex.map { case ((a, b), i) =>
-          struct(lit(i).as("i"), ((col("_h") * a + b) % P).as("v"))
-        }: _*)).as("_hv") +: Nil: _*)
-    hashed
-      .select(col(idCol), col("_hv.i").as("i"), col("_hv.v").as("v"))
-      .groupBy(col(idCol), col("i"))
-      .agg(min(col("v")).as("minhash"))
+    val hashed = sh.withColumn("_h", shingleHash(col("shingle")))
+    val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
+      min((col("_h") * a + b) % P).as(s"_m$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: docs sharing at least one identical band of the
@@ -78,14 +66,16 @@ object Dedup {
                         n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
     val sig = minhashSignature(shingles(docs, idCol, textCol, n), idCol, k)
-    val banded = sig
-      .withColumn("band", (col("i") / rows).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(sort_array(collect_list(struct(col("i"), col("minhash")))).as("_s"))
-      // order-stable band signature: fold the sorted (i, minhash) pairs
-      .withColumn("band_sig",
-        aggregate(col("_s"), lit(0L), (acc, x) => (acc * 31L + x.getField("minhash") % P) % P))
-      .select(col(idCol), col("band"), col("band_sig"))
+    // band signature: ordered fold over the band's slice of the signature —
+    // per-row expression work, no extra shuffle
+    val banded = sig.select(
+      col(idCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          aggregate(slice(col("sig"), b * rows + 1, rows), lit(0L),
+            (acc, m) => (acc * 31L + m % P) % P).as("band_sig"))): _*)).as("_b"))
+      .select(col(idCol), col("_b.band").as("band"), col("_b.band_sig").as("band_sig"))
+      .cache() // self-joined below: avoid recomputing the signature aggregation
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
@@ -99,8 +89,11 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val arr = docs.select(col(idCol),
+      graft.functions.TextFunctions.wordShingles(col(textCol), n).as("_arr"))
+    val sh = arr.select(col(idCol), explode(col("_arr")).as("shingle"))
+    // per-doc shingle counts come straight off the array: no shuffle
+    val sizes = arr.select(col(idCol), size(col("_arr")).cast("long").as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     val inter = a.join(b, "shingle").where(col("id_a") < col("id_b"))

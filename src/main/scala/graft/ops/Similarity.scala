@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{cosineNative, dotNative}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -12,9 +13,13 @@ import org.apache.spark.sql.functions._
   * only their own bucket, turning the scan into an equi-join that shuffles
   * on bucket keys. Recall < 1 by construction; multi-probe widens recall.
   *
-  * Dot products are `aggregate(zip_with(...))` over doubles — sequential
-  * per-row folds inside codegen, deterministic and portable (the DuckDB
-  * oracle's list_dot_product evaluates the same sequence).
+  * Dot products use [[graft.functions.DotProduct]], a custom Catalyst
+  * expression with whole-stage codegen (a tight primitive loop), because
+  * Spark's higher-order functions are CodegenFallback and interpreted
+  * per-element evaluation dominates pairwise similarity. Results are the
+  * same sequential IEEE fold DuckDB's list_dot_product computes, so oracle
+  * parity is exact. The `dot`/`cosine` HOF forms below are kept as the
+  * portable reference implementation.
   */
 object Similarity {
 
@@ -34,7 +39,7 @@ object Similarity {
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     corpus
-      .withColumn("cosine", round(cosine(toDouble(col(vecCol)), q), 6))
+      .withColumn("cosine", round(cosineNative(col(vecCol), q), 6))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -46,11 +51,11 @@ object Similarity {
     */
   def topKJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("_qv"), col("_cv")), 6))
+      .withColumn("cosine", round(cosineNative(col("_qv"), col("_cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -73,7 +78,7 @@ object Similarity {
   def lshKey(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
       val pl = array(plane.map(lit): _*)
-      when(dot(vec, pl) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotNative(vec, pl) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -85,13 +90,13 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("bucket", lshKey(col("_qv"), planes))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("bucket", lshKey(col("_cv"), planes))
     val scored = q.join(c, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("_qv"), col("_cv")), 6))
+      .withColumn("cosine", round(cosineNative(col("_qv"), col("_cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -105,11 +110,11 @@ object Similarity {
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("_va"))
-    val b = corpus.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("_vb"))
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+      .withColumn("cosine", round(cosineNative(col("_va"), col("_vb")), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -118,13 +123,13 @@ object Similarity {
   def lshNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val keyed = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("_v"))
+    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
       .withColumn("bucket", lshKey(col("_v"), planes))
     val a = keyed.select(col("id").as("id_a"), col("_v").as("_va"), col("bucket"))
     val b = keyed.select(col("id").as("id_b"), col("_v").as("_vb"), col("bucket"))
     a.join(b, "bucket")
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+      .withColumn("cosine", round(cosineNative(col("_va"), col("_vb")), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()

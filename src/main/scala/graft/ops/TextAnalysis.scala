@@ -96,7 +96,10 @@ object TextAnalysis {
     * expressible in any engine (the DuckDB oracle uses list_reduce), unlike
     * xxhash64/md5-of-engine internals. Used as the document fingerprint.
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = graft.functions.TextFunctions.polyHash(text)
+
+  /** HOF reference form of [[fingerprint]] (kept for kernel equivalence tests). */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),

@@ -14,6 +14,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fp === 88643107L) // independently computed: ((...*31+c)%1e9+7)
   }
 
+  test("native kernels match their HOF reference forms on edge cases") {
+    val samples = Seq("hello world abc def", "  leading spaces\tand tabs ",
+      "one", "", "a b", "ab的 中文 words here 的 test", "x " * 50)
+    val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    // fingerprint: native PolyHash vs interpreted fold
+    val fps = df.select(TextAnalysis.fingerprint(col("text")).as("a"),
+      TextAnalysis.fingerprintHof(col("text")).as("b")).collect()
+    fps.foreach(r => assert(r.getLong(0) === r.getLong(1), samples))
+    // shingles: native kernel vs relational spec (ngram over split words)
+    val kernel = graft.functions.TextFunctions.wordShingles(col("text"), 3)
+    val spec = array_distinct(filter(
+      transform(TextAnalysis.words(col("text")),
+        (_, i) => when(i <= size(TextAnalysis.words(col("text"))) - 3,
+          concat_ws(" ",
+            element_at(TextAnalysis.words(col("text")), i + 1),
+            element_at(TextAnalysis.words(col("text")), i + 2),
+            element_at(TextAnalysis.words(col("text")), i + 3)))),
+      x => x.isNotNull))
+    val sh = df.select(kernel.as("a"), spec.as("b")).collect()
+    sh.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("identical texts collide on every dedupe signal; different texts do not") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
