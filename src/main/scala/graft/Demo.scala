@@ -53,6 +53,21 @@ object Demo {
     val gaps = Gaps.minuteGaps(m1)
     println(s"[demo] gaps in day 1: ${gaps.count()} (expect 0)")
 
+    // bridge provider: materialized-aggregate-with-fallback policy (O4)
+    val provider = new graft.lake.LakeProvider(spark, root)
+    val onTheFly = provider.loadTf("BTC-USD", "5 mins",
+      Some(Timestamp.valueOf("2025-08-01 00:00:00")), Some(Timestamp.valueOf("2025-08-02 00:00:00")))
+    println(s"[demo] provider on-the-fly M5: ${onTheFly.count()} bars (expect 288)")
+    graft.lake.Aggregates.materialize(spark, root,
+      provider.loadM1("BTC-USD", None, None), Timeframe.M5)
+    val served = provider.loadTf("BTC-USD", "M5",
+      Some(Timestamp.valueOf("2025-08-01 00:00:00")), Some(Timestamp.valueOf("2025-08-02 00:00:00")))
+    println(s"[demo] provider pre-materialized M5: ${served.count()} bars (expect 288)")
+
+    val qc = graft.ops.Qc.dayCompleteness(
+      LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None), Timeframe.M1)
+    println(s"[demo] QC complete days: ${qc.where(col("complete")).count()}/3")
+
     // idempotence: re-upsert and re-read
     LakeWriter.upsert(spark, root, bars)
     val again = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1",

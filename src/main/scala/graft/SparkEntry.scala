@@ -214,6 +214,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // W6 synthetic gap fill: prior close, else next open, else 0 (graft.ops.Gaps)
+    "q19_synth_fill" -> ((s, dir) => {
+      Gaps.synthFill(m1Candles(s, dir))
+        .select(secs(col("ts")).as("ts_sec"), col("open"), col("close"),
+          col("volume"), col("is_synth"))
+        .orderBy(col("ts_sec"))
+    }),
+
+    // W2 forward-filled resample: empty M5 buckets inherit prior OHLC (graft.ops.Resample)
+    "q20_ffill_resample" -> ((s, dir) => {
+      Resample.ohlcvFfill(m1Candles(s, dir), Timeframe.M5)
+        .select(secs(col("ts")).as("ts_sec"), col("open"), col("high"), col("low"),
+          col("close"), col("volume"))
+        .orderBy(col("ts_sec"))
+    }),
+
+    // K1/J3 keep-last upsert semantics: new batch wins on key collision
+    "q21_upsert_keep_last" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+      val oldB = ev.withColumn("_prec", lit(0))
+      val newB = ev.where(pmod(col("event_id"), lit(10)) === 0)
+        .withColumn("value", col("value") + 1000.0).withColumn("_prec", lit(1))
+      val w = Window.partitionBy(col("event_id")).orderBy(col("_prec").desc)
+      oldB.unionByName(newB)
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("event_id"), secs(col("ts")).as("ts_sec"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // U2/J2 relational anti join: customers with no high-value orders
+    "q22_customers_no_orders" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // multimodal plumbing: stubbed decode over binary media columns
+    // (rows-only check: the codec stub's outputs are pinned by unit tests)
+    "q23_multimodal_features" -> ((s, dir) => {
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").as("id"), lit("img").as("format"),
+          col("text").cast("binary").as("media"))
+      Multimodal.extractFeatures(media, dim = 8).toDF()
+        .select(col("id"), col("n_bytes"), col("width"), col("height"), col("checksum"))
+        .orderBy(col("id"))
+    }),
+
     // multi-join star query: revenue per market segment (broadcast dims)
     "q13_segment_revenue" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -329,6 +379,47 @@ object SparkEntry {
            |          FROM wh, range(0,32) t(j) GROUP BY 1,2)
            |SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q19_synth_fill" ->
+        s"""WITH m1 AS ($m1Sql),
+           | grid AS (SELECT unnest(generate_series((SELECT min(ts_sec) FROM m1),
+           |                                        (SELECT max(ts_sec) FROM m1), 60)) AS ts_sec),
+           | j AS (SELECT g.ts_sec, m1.open, m1.close, m1.volume, m1.ts_sec IS NULL AS is_synth
+           |       FROM grid g LEFT JOIN m1 ON m1.ts_sec = g.ts_sec),
+           | f AS (SELECT ts_sec, open, close, volume, is_synth,
+           |        coalesce(
+           |          last_value(close IGNORE NULLS) OVER (ORDER BY ts_sec ROWS UNBOUNDED PRECEDING),
+           |          first_value(open IGNORE NULLS) OVER (ORDER BY ts_sec ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+           |          0.0) AS px
+           |       FROM j)
+           |SELECT ts_sec,
+           | CASE WHEN is_synth THEN px ELSE open END AS open,
+           | CASE WHEN is_synth THEN px ELSE close END AS close,
+           | CASE WHEN is_synth THEN 0.0 ELSE volume END AS volume,
+           | is_synth
+           |FROM f ORDER BY ts_sec""".stripMargin,
+      "q20_ffill_resample" ->
+        s"""WITH m5 AS ($m5Sql),
+           | grid AS (SELECT unnest(generate_series((SELECT min(ts_sec) FROM m5),
+           |                                        (SELECT max(ts_sec) FROM m5), 300)) AS ts_sec),
+           | j AS (SELECT g.ts_sec, m5.open, m5.high, m5.low, m5.close, m5.volume
+           |       FROM grid g LEFT JOIN m5 ON m5.ts_sec = g.ts_sec)
+           |SELECT ts_sec,
+           | last_value(open IGNORE NULLS) OVER w AS open,
+           | last_value(high IGNORE NULLS) OVER w AS high,
+           | last_value(low IGNORE NULLS) OVER w AS low,
+           | last_value(close IGNORE NULLS) OVER w AS close,
+           | coalesce(volume, 0.0) AS volume
+           |FROM j WINDOW w AS (ORDER BY ts_sec ROWS UNBOUNDED PRECEDING)
+           |ORDER BY ts_sec""".stripMargin,
+      "q21_upsert_keep_last" ->
+        """SELECT event_id, floor(epoch(ts))::BIGINT AS ts_sec,
+          | CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value
+          |FROM events ORDER BY event_id""".stripMargin,
+      "q22_customers_no_orders" ->
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin,
       "q01_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           | sum(CAST(round(l_quantity,4) AS DECIMAL(28,4)))::DOUBLE AS sum_qty,

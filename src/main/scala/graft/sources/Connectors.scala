@@ -1,0 +1,159 @@
+package graft.sources
+
+import graft.core.{CandleSchema, Timeframe}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+import java.time.Instant
+
+/** Logical symbol mapping (reference SURVEY §2.1 S9). */
+object SymbolMap {
+
+  /** Logical -> Binance spot symbol (reference:
+    * src/datalake/utils/symbols/binance_map.py:8-24 — specials, `-USD` ->
+    * `USDT`, dash stripped, pass-through otherwise).
+    */
+  def toBinanceSymbol(logical: String): String = {
+    val s = Option(logical).getOrElse("").toUpperCase.trim
+    val specials = Map("BTC-USD" -> "BTCUSDT", "ETH-USD" -> "ETHUSDT")
+    specials.getOrElse(s,
+      if (s.contains("-")) {
+        val Array(base, quote0) = s.split("-", 2)
+        val quote = if (quote0 == "USD") "USDT" else quote0
+        base + quote
+      } else s)
+  }
+
+  /** 'BTC-USD' | 'BTC:USD' | 'BTCUSD' | 'BTCUSDT' -> (base, quote)
+    * (reference: src/datalake/ingestors/ibkr/contracts.py:26-40
+    * `split_symbol`).
+    */
+  def splitSymbol(symbol: String): (String, String) = {
+    val s = symbol.replace(":", "-").replace("/", "-").toUpperCase
+    if (s.contains("-")) {
+      val Array(base, quote) = s.split("-", 2)
+      (base, quote)
+    } else if (s.endsWith("USDT")) (s.dropRight(4), "USDT")
+    else if (s.endsWith("USD")) (s.dropRight(3), "USD")
+    else throw new IllegalArgumentException(s"cannot infer quote in symbol: $symbol")
+  }
+
+  /** IB crypto contract fields (secType CRYPTO, default exchange PAXOS —
+    * reference contracts.py:43-57).
+    */
+  def cryptoContract(symbol: String, exchange: Option[String] = None): Map[String, String] = {
+    val (base, quote) = splitSymbol(symbol)
+    Map("secType" -> "CRYPTO", "symbol" -> base, "currency" -> quote,
+      "exchange" -> exchange.getOrElse("PAXOS"))
+  }
+}
+
+/** One fetched raw kline/bar row (epoch-ms open time + OHLCV), the unit all
+  * connector fetchers produce.
+  */
+case class RawBar(openTimeMs: Long, open: Double, high: Double, low: Double,
+                  close: Double, volume: Double)
+
+/** Binance klines connector (reference SURVEY §2.1 S6:
+  * src/datalake/providers/binance/client.py:52-134 — paginated
+  * /api/v3/klines, 1000 bars/request, <=10 requests per window, epoch-ms ->
+  * UTC ts, numeric cast, clip to the requested range).
+  *
+  * This environment has zero egress, so the HTTP GET is injected
+  * (`fetchPage`); everything around it — pagination planning, the 1000-bar
+  * and 10-request budgets, normalization to the canonical candle schema,
+  * range clipping — is the real logic, unit-tested against a fake fetcher.
+  * At scale the per-(symbol, window) fetch plan becomes the input-partition
+  * list of a DataSourceV2; driver-side fetch + createDataFrame is the
+  * single-node form.
+  */
+class BinanceSource(fetchPage: (String, String, Long, Long, Int) => Seq[RawBar]) {
+
+  val barsPerRequest = 1000
+  val maxRequestsPerWindow = 10
+
+  /** Interval string for the API (reference client.py:15-20). */
+  def interval(tf: Timeframe): String = tf match {
+    case Timeframe.M1 => "1m"
+    case Timeframe.M5 => "5m"
+    case Timeframe.M15 => "15m"
+    case Timeframe.M30 => "30m"
+    case Timeframe.H1 => "1h"
+    case Timeframe.D1 => "1d"
+  }
+
+  /** Fetch one symbol/timeframe/range into canonical candles. */
+  def fetch(spark: SparkSession, logicalSymbol: String, tf: Timeframe,
+            startUtc: Instant, endUtc: Instant, exchange: String = "BINANCE"): DataFrame = {
+    val apiSymbol = SymbolMap.toBinanceSymbol(logicalSymbol)
+    val stepMs = tf.seconds * 1000L
+    val startMs = startUtc.toEpochMilli
+    val endMs = endUtc.toEpochMilli
+
+    // pagination loop with the reference's budgets (client.py:77-121)
+    val pages = Iterator.iterate((startMs, 0, Seq.empty[RawBar])) { case (cursor, req, acc) =>
+      val page = fetchPage(apiSymbol, interval(tf), cursor, endMs, barsPerRequest)
+      val next = if (page.isEmpty) endMs else page.map(_.openTimeMs).max + stepMs
+      (next, req + 1, acc ++ page)
+    }.dropWhile { case (cursor, req, _) => cursor < endMs && req < maxRequestsPerWindow }
+      .next()._3
+
+    val rows = pages
+      .filter(b => b.openTimeMs >= startMs && b.openTimeMs < endMs) // clip (client.py:117,133)
+      .map(b => Row(new Timestamp(b.openTimeMs), b.open, b.high, b.low, b.close, b.volume))
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("open", DoubleType),
+      StructField("high", DoubleType), StructField("low", DoubleType),
+      StructField("close", DoubleType), StructField("volume", DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+    CandleSchema.enforce(df
+      .withColumn("symbol", lit(logicalSymbol))
+      .withColumn("timeframe", lit(tf.code))
+      .withColumn("source", lit("binance"))
+      .withColumn("exchange", lit(exchange)))
+  }
+}
+
+/** IBKR historical connector (reference SURVEY §2.1 S7:
+  * src/datalake/ingestors/ibkr/downloader.py + ingest_cli.py — TWS
+  * reqHistoricalData in 3 x 8h day chunks, bar-start -> bar-end +1min shift,
+  * AGGTRADES what_to_show). Socket I/O is injected; chunk planning and
+  * normalization are real.
+  */
+class IbkrSource(fetchWindow: (String, Instant, Instant) => Seq[RawBar]) {
+
+  val chunkHours = 8 // reference ingest_cli.py:17 CHUNK_HOURS
+
+  /** 3 x 8h chunk plan for a UTC day (reference ingest_cli.py:184-193). */
+  def dayChunks(day: java.time.LocalDate): Seq[(Instant, Instant)] = {
+    val start = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    (0 until 24 / chunkHours).map { i =>
+      (start.plusSeconds(i.toLong * chunkHours * 3600),
+        start.plusSeconds((i + 1).toLong * chunkHours * 3600))
+    }
+  }
+
+  /** Fetch one UTC day of M1 bars, normalized to bar-END stamps. */
+  def fetchDay(spark: SparkSession, symbol: String, day: java.time.LocalDate,
+               exchange: String = "PAXOS"): DataFrame = {
+    val bars = dayChunks(day).flatMap { case (from, to) => fetchWindow(symbol, from, to) }
+    val rows = bars.map(b => Row(
+      new Timestamp(b.openTimeMs + 60000L), // bar_end shift (normalize.py:11)
+      b.open, b.high, b.low, b.close, b.volume))
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("open", DoubleType),
+      StructField("high", DoubleType), StructField("low", DoubleType),
+      StructField("close", DoubleType), StructField("volume", DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    CandleSchema.enforce(df
+      .withColumn("symbol", lit(symbol))
+      .withColumn("timeframe", lit("M1"))
+      .withColumn("source", lit("ibkr"))
+      .withColumn("exchange", lit(exchange))
+      .withColumn("what_to_show", lit("AGGTRADES"))
+      .withColumn("vendor", lit("ibkr")))
+  }
+}

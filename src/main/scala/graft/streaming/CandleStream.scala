@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming ingestion: live ticks -> watermarked 1-minute OHLCV
+  * bars.
+  *
+  * The reference is batch-only (SURVEY §2.9) — its "late data" story is
+  * re-running repair over idempotent merge-dedupe writes. This module is the
+  * streaming extension of that model: the SAME canonical candle schema, an
+  * event-time window aggregation with a watermark bounding state, and
+  * `foreachBatch(LakeWriter.upsert)` reusing the idempotent upsert as the
+  * exactly-once sink (upsert keyed on (source,symbol,timeframe,ts) makes
+  * replays harmless).
+  *
+  * Scale notes: state is keyed by (symbol, window) — bounded by
+  * watermark horizon x symbol count; shuffle partitions should match sink
+  * parallelism; min_by/max_by keep open/close deterministic under
+  * out-of-order arrival within the watermark.
+  */
+object CandleStream {
+
+  /** ticks(ts, symbol, price, size) -> append-mode M1 OHLCV stream.
+    * Emits bars labeled by window START (left label, matching Resample).
+    */
+  def m1Bars(ticks: DataFrame, watermark: String = "2 minutes"): DataFrame = {
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), col("symbol"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("size")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("window.start").as("ts"), col("symbol"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"), col("n_ticks"))
+  }
+
+  /** Wire the bar stream into the lake with the idempotent upsert sink. */
+  def writeToLake(bars: DataFrame, root: String, checkpoint: String,
+                  source: String = "stream") = {
+    bars.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val candles = batch
+          .withColumn("timeframe", lit("M1"))
+          .withColumn("source", lit(source))
+          .drop("n_ticks")
+        graft.lake.LakeWriter.upsert(batch.sparkSession, root, candles)
+      }
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.core.Timeframe
+import graft.lake.{Aggregates, LakeProvider, LakeWriter}
+import graft.ops.{Multimodal, Qc}
+import graft.sources.{BinanceSource, IbkrSource, RawBar, SymbolMap, SynthSource}
+import graft.streaming.CandleStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.{Instant, LocalDate}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("symbol mapping follows the reference rules") {
+    assert(SymbolMap.toBinanceSymbol("BTC-USD") === "BTCUSDT")
+    assert(SymbolMap.toBinanceSymbol("SOL-USD") === "SOLUSDT")
+    assert(SymbolMap.toBinanceSymbol("SOL-EUR") === "SOLEUR")
+    assert(SymbolMap.toBinanceSymbol("BTCUSDT") === "BTCUSDT")
+    assert(SymbolMap.splitSymbol("BTC-USD") === ("BTC", "USD"))
+    assert(SymbolMap.splitSymbol("ETHUSD") === ("ETH", "USD"))
+    assert(SymbolMap.splitSymbol("ADAUSDT") === ("ADA", "USDT"))
+    assert(SymbolMap.cryptoContract("BTC-USD")("exchange") === "PAXOS")
+    assertThrows[IllegalArgumentException](SymbolMap.splitSymbol("XYZ"))
+  }
+
+  test("binance connector paginates, clips, and normalizes to canonical candles") {
+    var calls = 0
+    val fake = (sym: String, interval: String, fromMs: Long, toMs: Long, limit: Int) => {
+      calls += 1
+      assert(sym === "BTCUSDT" && interval === "1m" && limit === 1000)
+      // serve bars in pages of 700
+      val step = 60000L
+      (0 until 700).map(i => fromMs + i * step).filter(_ < toMs)
+        .map(t => RawBar(t, 1.0, 2.0, 0.5, 1.5, 10.0))
+    }
+    val src = new BinanceSource(fake)
+    val day = Instant.parse("2025-08-01T00:00:00Z")
+    val df = src.fetch(spark, "BTC-USD", Timeframe.M1, day, day.plusSeconds(86400))
+    assert(calls === 3) // 1440 bars / 700 per page -> 3 requests
+    assert(df.count() === 1440)
+    assert(df.select(min(col("ts"))).head.getTimestamp(0).toString === "2025-08-01 00:00:00.0")
+    assert(df.select("source", "symbol", "timeframe").distinct().collect()
+      .map(_.toSeq).toSeq === Seq(Seq("binance", "BTC-USD", "M1")))
+  }
+
+  test("ibkr connector plans 3x8h chunks and applies the bar-end shift") {
+    val src = new IbkrSource((_, from, to) => {
+      val step = 60000L
+      Iterator.iterate(from.toEpochMilli)(_ + step).takeWhile(_ < to.toEpochMilli)
+        .map(t => RawBar(t, 1.0, 1.0, 1.0, 1.0, 1.0)).toSeq
+    })
+    val chunks = src.dayChunks(LocalDate.parse("2025-08-01"))
+    assert(chunks.length === 3)
+    assert(chunks.head._1 === Instant.parse("2025-08-01T00:00:00Z"))
+    assert(chunks.last._2 === Instant.parse("2025-08-02T00:00:00Z"))
+    val df = src.fetchDay(spark, "BTC-USD", LocalDate.parse("2025-08-01"))
+    assert(df.count() === 1440)
+    // bar-end: first stamp 00:01, last 00:00 next day
+    assert(df.select(min(col("ts"))).head.getTimestamp(0).toString === "2025-08-01 00:01:00.0")
+    assert(df.select(max(col("ts"))).head.getTimestamp(0).toString === "2025-08-02 00:00:00.0")
+    assert(df.select("what_to_show").distinct().head.getString(0) === "AGGTRADES")
+  }
+
+  test("provider serves M1, materialized aggregates, and on-the-fly fallback") {
+    val root = Files.createTempDirectory("lake").toString
+    val bars = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-02")
+    LakeWriter.upsert(spark, root, bars)
+    val provider = new LakeProvider(spark, root)
+    val from = Some(Timestamp.valueOf("2025-08-01 00:00:00"))
+    val to = Some(Timestamp.valueOf("2025-08-02 00:00:00"))
+    assert(provider.loadM1("BTC-USD", from, to).count() === 1440)
+    // no materialized M5 yet -> on-the-fly resample
+    val onTheFly = provider.loadTf("BTC-USD", "5 mins", from, to)
+    assert(onTheFly.count() === 288)
+    // materialize M5, then the provider must serve the pre-aggregate
+    Aggregates.materialize(spark, root,
+      provider.loadM1("BTC-USD", None, None), Timeframe.M5)
+    val served = provider.loadTf("BTC-USD", "M5", from, to)
+    assert(served.count() === 288)
+    val (exec, filt) = provider.loadExecAndFilter("BTC-USD", from, to, "1 min", "M5")
+    assert(exec.count() === 1440 && filt.count() === 288)
+  }
+
+  test("QC day completeness flags short days") {
+    val full = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+    val short = full.where(col("ts") < lit("2025-08-01 23:00:00"))
+    val rep = Qc.dayCompleteness(full.unionByName(
+      short.withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))), Timeframe.M1)
+      .orderBy("day").collect()
+    assert(rep(0).getAs[Boolean]("complete"))
+    assert(!rep(1).getAs[Boolean]("complete"))
+    assert(rep(1).getAs[Long]("missing") === 60L)
+    assert(Qc.duplicateKeys(full, Seq("ts")).count() === 0)
+  }
+
+  test("streaming ticks aggregate into watermarked M1 bars (memory sink)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double, Double)]
+    val ticks = input.toDF().toDF("ts", "symbol", "price", "size")
+    val q = CandleStream.m1Bars(ticks)
+      .writeStream.outputMode("append").format("memory").queryName("bars_out").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2025-08-01 00:00:05"), "BTC", 100.0, 1.0),
+        (t("2025-08-01 00:00:30"), "BTC", 105.0, 2.0),
+        (t("2025-08-01 00:00:55"), "BTC", 99.0, 1.0),
+        (t("2025-08-01 00:01:10"), "BTC", 101.0, 1.0))
+      q.processAllAvailable()
+      // advance watermark past 00:01 so the first window closes
+      input.addData((t("2025-08-01 00:05:00"), "BTC", 102.0, 1.0))
+      q.processAllAvailable()
+      val bars = spark.table("bars_out").orderBy("ts").collect()
+      assert(bars.nonEmpty)
+      val b0 = bars.head
+      assert(b0.getAs[Timestamp]("ts").toString === "2025-08-01 00:00:00.0")
+      assert(b0.getAs[Double]("open") === 100.0)
+      assert(b0.getAs[Double]("high") === 105.0)
+      assert(b0.getAs[Double]("low") === 99.0)
+      assert(b0.getAs[Double]("close") === 99.0)
+      assert(b0.getAs[Double]("volume") === 4.0)
+    } finally q.stop()
+  }
+
+  test("multimodal: stubbed decode is deterministic, partition-invariant, resize/frames work") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "img", "hello media bytes".getBytes("UTF-8")),
+      (2L, "img", Array.empty[Byte]),
+      (3L, "vid", ("x" * 100).getBytes("UTF-8")),
+    ).toDF("id", "format", "media")
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.id)
+    assert(feats.length === 3)
+    assert(feats(0).n_bytes === 17L)
+    assert(feats(0).features.length === 8)
+    assert(feats(1).checksum === 0L && feats(1).features.forall(_ === 0f))
+    // determinism across partitioning
+    val feats7 = Multimodal.extractFeatures(media.repartition(7), dim = 8).collect().sortBy(_.id)
+    assert(feats.map(_.checksum).toSeq === feats7.map(_.checksum).toSeq)
+
+    val resized = Multimodal.resizeMeta(
+      Multimodal.extractFeatures(media, 8).toDF(), maxSide = 16).collect()
+    assert(resized.forall(r => r.getAs[Int]("out_width") <= 16 && r.getAs[Int]("out_height") <= 16))
+
+    val frames = Multimodal.sampleFrames(media.where(col("id") === 3), frameBytes = 10, everyK = 2)
+    assert(frames.count() === 5) // 100 bytes -> 10 frames -> every 2nd = 5
+    assert(frames.select(length(col("frame"))).distinct().head.getInt(0) === 10)
+  }
+}
