@@ -1,0 +1,104 @@
+package graft
+
+import graft.core.Timeframe
+import graft.lake.{Aggregates, LakeProvider, LakeReader, LakeWriter}
+import graft.ops.{AsofJoin, Gaps, OrLevels, Qc, Resample}
+import graft.sources.SynthSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.sql.Timestamp
+
+/** CLI entry points mirroring the reference's command surface
+  * (reference: src/datalake/read/cli.py read/join-mtf K5/K6 output,
+  * aggregates/cli.py, levels CLI or_levels.py, tools/check_day.py strict
+  * gate, synth ingest via DATALAKE_SYNTH).
+  *
+  * Usage: sbt "runMain graft.Cli <cmd> <lakeRoot> [args...]"
+  *   ingest-synth <root> <symbol> <dayFrom> <dayTo>
+  *   read         <root> <symbol> <tf> <fromTs> <toTs> [--csv out] [--head n]
+  *   join-mtf     <root> <symbol> <execTf> <ctxTf,...> <fromTs> <toTs>
+  *   aggregate    <root> <symbol> <tf>
+  *   levels       <root> <symbol> <tz> <HH:MM-HH:MM>
+  *   check        <root> <symbol> <tf>         (exit 1 on incomplete days, like check_day)
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s.replace("T", " "))
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private def show(df: DataFrame, rest: List[String]): Unit = rest match {
+    case "--csv" :: path :: _ =>
+      // K5 CSV sink (reference read/cli.py:8-9)
+      df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+      println(s"[cli] wrote csv to $path")
+    case "--head" :: n :: _ => df.show(n.toInt, truncate = false) // K6 preview
+    case _ => df.show(20, truncate = false)
+  }
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "ingest-synth" :: root :: symbol :: dayFrom :: dayTo :: Nil =>
+      val bars = SynthSource.m1(spark, symbol, dayFrom, dayTo)
+      LakeWriter.upsert(spark, root, bars)
+      println(s"[cli] ingested ${bars.count()} synth M1 bars for $symbol")
+
+    case "read" :: root :: symbol :: tf :: from :: to :: rest =>
+      val df = LakeReader.readRange(spark, root, "synth", symbol,
+        Timeframe(tf).code, Some(ts(from)), Some(ts(to)))
+      show(df, rest)
+
+    case "join-mtf" :: root :: symbol :: execTf :: ctxTfs :: from :: to :: rest =>
+      val provider = new LakeProvider(spark, root)
+      val exec = provider.loadTf(symbol, execTf, Some(ts(from)), Some(ts(to)))
+      val ctx = ctxTfs.split(",").map { c =>
+        Timeframe(c).code -> provider.loadTf(symbol, c, Some(ts(from)), Some(ts(to)))
+      }.toMap
+      val joined = AsofJoin.mtf(
+        exec.select("ts", "open", "high", "low", "close", "volume"), ctx)
+      show(joined.orderBy("ts"), rest)
+
+    case "aggregate" :: root :: symbol :: tf :: Nil =>
+      val provider = new LakeProvider(spark, root)
+      Aggregates.materialize(spark, root, provider.loadM1(symbol, None, None), Timeframe(tf))
+      println(s"[cli] materialized ${Timeframe(tf).code} aggregates for $symbol")
+
+    case "levels" :: root :: symbol :: tz :: window :: Nil =>
+      val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
+      val levels = OrLevels.build(m1, tz, window)
+      levels.orderBy("session_date").show(50, truncate = false)
+
+    case "check" :: root :: symbol :: tf :: Nil =>
+      val df = new LakeProvider(spark, root).loadTf(symbol, tf, None, None)
+      val report = Qc.dayCompleteness(df, Timeframe(tf))
+      report.orderBy("day").show(50)
+      val gaps = Gaps.minuteGaps(df)
+      val nBad = report.where(!org.apache.spark.sql.functions.col("complete")).count()
+      println(s"[cli] incomplete days: $nBad; gap islands: ${gaps.count()}")
+      if (nBad > 0) sys.exit(1) // strict gate like tools/check_day.py:84-88
+
+    case "resample" :: root :: symbol :: tf :: Nil =>
+      val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
+      Resample.ohlcv(m1, Timeframe(tf), Seq("source", "symbol")).orderBy("ts").show(20)
+
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | resample")
+      sys.exit(2)
+  }
+}

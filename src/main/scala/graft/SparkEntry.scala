@@ -71,11 +71,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // P1 half-open range filter [from, to) — the reference's global read contract
+    // P1 half-open range filter [from, to) — the reference's global read contract.
+    // The predicate targets the RAW ts_ns column (not the derived timestamp)
+    // so it pushes down to parquet row-group stats — at 100 TB that is the
+    // difference between pruning row groups and scanning them all.
     "q02_range_filter" -> ((s, dir) => {
+      def ns(iso: String) = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
       tbl(s, dir, "events")
-        .where(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
-          col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+        .where(col("ts_ns") >= lit(ns("2024-01-10T00:00:00Z")) &&
+          col("ts_ns") < lit(ns("2024-01-20T00:00:00Z")))
         .select(col("event_id"), secs(col("ts")).as("ts_sec"), col("event_type"),
           col("value"))
         .orderBy(col("event_id"))
@@ -91,7 +95,7 @@ object SparkEntry {
 
     // J1 backward as-of join: M5 context onto M1 exec grain (graft.ops.AsofJoin)
     "q04_asof_mtf" -> ((s, dir) => {
-      val m1 = m1Candles(s, dir)
+      val m1 = m1Candles(s, dir).cache() // feeds both the exec side and the M5 resample
       val m5 = Resample.ohlcv(m1, Timeframe.M5)
       val joined = AsofJoin.backward(
         m1.select(col("ts"), col("close")),

@@ -44,6 +44,10 @@ object OrLevels {
       .withColumn("or_end", to_utc_timestamp(
         make_timestamp(year(local), month(local), dayofmonth(local), lit(eh), lit(em), lit(0)), tz))
       .withColumn("_local", local)
+      // base feeds three consumers (OR-range agg, after-window agg, retest
+      // join); without materialization Spark recomputes the scan+bucket
+      // lineage for each (observed: 8 parquet scans in one plan)
+      .cache()
 
     val inOr = col("_local") >= make_timestamp(
       year(col("_local")), month(col("_local")), dayofmonth(col("_local")), lit(sh), lit(sm), lit(0)) &&
