@@ -82,6 +82,17 @@ object Cli {
       val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
       val levels = OrLevels.build(m1, tz, window)
       levels.orderBy("session_date").show(50, truncate = false)
+      // K4: persist into the levels tree (yearly partitions, keep-last)
+      graft.lake.LevelsWriter.upsert(spark, root, levels)
+      println(s"[cli] upserted ${levels.count()} level rows for $symbol")
+
+    case "ann" :: sfDir :: k :: Nil =>
+      // approximate nearest neighbors over the embeddings table (IVF cells)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val res = graft.ops.Similarity.ivfTopK(
+        emb.where(org.apache.spark.sql.functions.col("vec_id") < 3),
+        emb, "vec_id", "embedding", k.toInt)
+      res.orderBy("query_id", "rank").show(3 * k.toInt)
 
     case "check" :: root :: symbol :: tf :: Nil =>
       val df = new LakeProvider(spark, root).loadTf(symbol, tf, None, None)
@@ -98,7 +109,7 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | resample")
+      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | resample | ann")
       sys.exit(2)
   }
 }

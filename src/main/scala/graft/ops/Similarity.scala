@@ -104,6 +104,38 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF-style ANN: assign every vector to its nearest of `nCentroids`
+    * centroids (chosen deterministically as the corpus vectors with the
+    * smallest ids — a k-means seeding stand-in), then search only within the
+    * query's cell. The centroid table broadcasts (it is tiny); the probe is
+    * an equi-join on cell id, so the scan cost drops from O(n) per query to
+    * O(n / nCentroids) with the usual IVF recall trade-off (nprobe=1 here;
+    * widen by unioning the next-nearest cells).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int = 16): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_cent"))
+    def assign(df: DataFrame, vec: String): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("_d", cosineNative(col(vec), col("_cent")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cent_id"))))
+        .where(col("_rn") === 1)
+        .drop("_d", "_rn", "_cent")
+    val q = assign(queries.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("cent_id").as("cell"))
+    val c = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("cent_id").as("cell"))
+    val scored = q.join(c, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosineNative(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup detection),
     * exact. Pair generation is the brute-force cross product here; the LSH
     * variant is [[lshNearDup]].

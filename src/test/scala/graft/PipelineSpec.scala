@@ -128,6 +128,40 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("levels writer: yearly tree, keep-last on (session_date, symbol)") {
+    val root = Files.createTempDirectory("lake").toString
+    val bars = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-02")
+    val levels = graft.ops.OrLevels.build(bars, "UTC", "00:00-01:00")
+    graft.lake.LevelsWriter.upsert(spark, root, levels)
+    assert(graft.lake.LevelsWriter.read(spark, root, "BTC-USD").count() === 2)
+    // re-upsert with a modified row: keep-last, no duplicates
+    val patched = levels.withColumn("or_high", col("or_high") + 1.0)
+    graft.lake.LevelsWriter.upsert(spark, root, patched)
+    val readBack = graft.lake.LevelsWriter.read(spark, root, "BTC-USD")
+    assert(readBack.count() === 2)
+    val orig = levels.orderBy("session_date").collect().map(_.getAs[Double]("or_high"))
+    val got = readBack.orderBy("session_date").collect().map(_.getAs[Double]("or_high"))
+    assert(got.toSeq === orig.map(_ + 1.0).toSeq)
+  }
+
+  test("IVF ANN finds identical-vector neighbors; skew salting preserves results") {
+    import spark.implicits._
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, (0 until 8).map(j => (j * (i % 4 + 1)).toFloat))).toDF("vec_id", "embedding")
+    val ivf = graft.ops.Similarity.ivfTopK(
+      vecs.where(col("vec_id") === 0), vecs, "vec_id", "embedding", 5, nCentroids = 4)
+    // ids with the same i%4 are scalar multiples -> cosine 1.0, same cell
+    val top = ivf.orderBy("rank").collect()
+    assert(top.nonEmpty && top.head.getAs[Double]("cosine") === 1.0)
+
+    val large = (0 until 1000).map(i => ("hot", i)).toDF("k", "v")
+    val small = Seq(("hot", 99)).toDF("k", "w")
+    val salted = graft.ops.Skew.saltedJoin(large, small, Seq("k"), factor = 8)
+    assert(salted.count() === 1000)
+    val counts = graft.ops.Skew.twoPhaseCount(large, Seq("k"), factor = 8).collect()
+    assert(counts.length === 1 && counts.head.getAs[Long]("n") === 1000L)
+  }
+
   test("multimodal: stubbed decode is deterministic, partition-invariant, resize/frames work") {
     import spark.implicits._
     val media = Seq(
