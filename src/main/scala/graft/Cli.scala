@@ -103,6 +103,28 @@ object Cli {
       println(s"[cli] incomplete days: $nBad; gap islands: ${gaps.count()}")
       if (nBad > 0) sys.exit(1) // strict gate like tools/check_day.py:84-88
 
+    // gap repair: detect missing minutes, synth-fill them, upsert the fills
+    // (reference: src/datalake/commands/repair_day.py gap-detect + refetch +
+    // K1 merge; with no live feed the fill is the synth fallback the
+    // reference uses under DATALAKE_SYNTH / _synth_fill)
+    case "repair" :: root :: symbol :: Nil =>
+      val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
+      val gaps = Gaps.minuteGaps(m1)
+      val nGaps = gaps.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_missing"))).head
+      val missing = if (nGaps.isNullAt(0)) 0L else nGaps.getLong(0)
+      println(s"[cli] missing minutes: $missing")
+      if (missing > 0) {
+        val filled = Gaps.synthFill(m1)
+          .where(org.apache.spark.sql.functions.col("is_synth"))
+        val n = filled.count() // act on the pre-overwrite lineage first
+        LakeWriter.upsert(spark, root, graft.core.CandleSchema.enforce(
+          filled.withColumn("symbol", org.apache.spark.sql.functions.lit(symbol))
+            .withColumn("timeframe", org.apache.spark.sql.functions.lit("M1"))
+            .withColumn("source", org.apache.spark.sql.functions.lit("synth"))))
+        println(s"[cli] upserted $n synth fill bars")
+      }
+
     case "resample" :: root :: symbol :: tf :: Nil =>
       val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
       Resample.ohlcv(m1, Timeframe(tf), Seq("source", "symbol")).orderBy("ts").show(20)

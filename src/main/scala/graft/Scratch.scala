@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Dev scratchpad: plan audit for key queries (not part of the API). */
+/** Dev scratchpad (not part of the API). Current probe: repair flow. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -11,12 +12,16 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (q <- args) {
-      println(s"========== $q ==========")
-      SparkEntry.queries(q)(spark, dir).explain("formatted")
-    }
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("gappy_lake").toString
+    // ingest a day with a 10-minute hole, then repair + check through the CLI paths
+    val day = graft.sources.SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+    val gappy = day.where(!(col("ts") >= lit("2025-08-01 03:00:00") &&
+      col("ts") < lit("2025-08-01 03:10:00")))
+    graft.lake.LakeWriter.upsert(spark, root, gappy)
+    println(s"[scratch] ingested gappy day: ${gappy.count()} bars")
+    Cli.run(spark, List("repair", root, "BTC-USD"))
+    Cli.run(spark, List("check", root, "BTC-USD", "M1"))
     spark.stop()
   }
 }

@@ -53,6 +53,7 @@ object Aggregates {
     val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec").desc)
     val deduped = merged.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn", "_prec")
+      .localCheckpoint() // see LakeWriter.upsert: batch lineage may read the target
     val conf = spark.conf
     val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -117,8 +117,14 @@ object LakeWriter {
       case None => tagged
     }
     val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec").desc)
+    // Materialize BEFORE the overwrite: the batch's lineage may read the very
+    // files the dynamic overwrite replaces (e.g. repair flows that derive the
+    // fill from the lake itself) — without this, the write job fails with
+    // FAILED_READ_FILE on its own input. On a cluster, a staging-dir write +
+    // swap (or a transactional table format) is the equivalent.
     val deduped = merged.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn", "_prec")
+      .localCheckpoint()
 
     val conf = spark.conf
     val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -18,12 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Gaps {
 
-  /** Timestamps present in the full `stepSeconds` grid over [gridFrom, gridTo]
-    * but absent from df.ts, per key group.
+  /** Timestamps present in the full `stepSeconds` grid but absent from
+    * df.ts, per key group. By default the grid spans [min ts, max ts] of the
+    * observed data; pass `gridBounds` (like the reference's known full-day
+    * grid, gaps.py:53) to catch gaps at the boundaries too — a missing FIRST
+    * or LAST bar is invisible to a data-derived grid.
     */
-  def missing(df: DataFrame, keys: Seq[String], stepSeconds: Long): DataFrame = {
-    val bounds = df.groupBy(keys.map(col): _*)
-      .agg(min(col("ts")).as("_from"), max(col("ts")).as("_to"))
+  def missing(df: DataFrame, keys: Seq[String], stepSeconds: Long,
+              gridBounds: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    val bounds = gridBounds match {
+      case Some((f, t)) =>
+        val b = df.select(keys.map(col): _*).distinct()
+        (if (keys.isEmpty) df.sparkSession.range(1).select(lit(1).as("_one")) else b)
+          .withColumn("_from", lit(f)).withColumn("_to", lit(t))
+          .drop("_one")
+      case None => df.groupBy(keys.map(col): _*)
+        .agg(min(col("ts")).as("_from"), max(col("ts")).as("_to"))
+    }
     val grid = bounds.select(keys.map(col) :+
       explode(sequence(col("_from"), col("_to"), expr(s"INTERVAL $stepSeconds SECONDS"))).as("ts"): _*)
     grid.join(df.select((keys :+ "ts").map(col): _*), keys :+ "ts", "left_anti")
@@ -44,15 +55,17 @@ object Gaps {
   }
 
   /** End-to-end: missing minutes compressed to ranges. */
-  def minuteGaps(df: DataFrame, keys: Seq[String] = Nil, stepSeconds: Long = 60L): DataFrame =
-    islands(missing(df, keys, stepSeconds), keys, stepSeconds)
+  def minuteGaps(df: DataFrame, keys: Seq[String] = Nil, stepSeconds: Long = 60L,
+                 gridBounds: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame =
+    islands(missing(df, keys, stepSeconds, gridBounds), keys, stepSeconds)
 
   /** Synthetic gap fill (reference: ingestors/ibkr/ingest_cli.py:229-267
     * `_synth_fill` — missing minute price = last prior close, else next open,
     * else 0; flat OHLC bar, volume 0, is_synth=true).
     */
-  def synthFill(df: DataFrame, keys: Seq[String] = Nil, stepSeconds: Long = 60L): DataFrame = {
-    val miss = missing(df, keys, stepSeconds)
+  def synthFill(df: DataFrame, keys: Seq[String] = Nil, stepSeconds: Long = 60L,
+                gridBounds: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    val miss = missing(df, keys, stepSeconds, gridBounds)
       .withColumn("_synth", lit(true))
     val base = df.withColumn("_synth", lit(false))
     val unioned = base.unionByName(miss, allowMissingColumns = true)

@@ -162,6 +162,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts.length === 1 && counts.head.getAs[Long]("n") === 1000L)
   }
 
+  test("streaming writeToLake: bars land in the lake via the idempotent upsert sink") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("streamlake").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val input = MemoryStream[(Timestamp, String, Double, Double)]
+    val ticks = input.toDF().toDF("ts", "symbol", "price", "size")
+    val q = CandleStream.writeToLake(CandleStream.m1Bars(ticks), root, ckpt).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2025-08-01 00:00:05"), "BTC-USD", 100.0, 1.0),
+        (t("2025-08-01 00:00:40"), "BTC-USD", 101.0, 1.0))
+      q.processAllAvailable()
+      input.addData((t("2025-08-01 00:05:00"), "BTC-USD", 102.0, 1.0)) // closes 00:00 window
+      q.processAllAvailable()
+      val onDisk = spark.read.parquet(s"$root/data")
+      assert(onDisk.where(col("ts") === lit("2025-08-01 00:00:00")).count() === 1)
+      val bar = onDisk.where(col("ts") === lit("2025-08-01 00:00:00")).head
+      assert(bar.getAs[Double]("open") === 100.0 && bar.getAs[Double]("close") === 101.0)
+      assert(onDisk.select("source").distinct().head.getString(0) === "stream")
+    } finally q.stop()
+  }
+
   test("multimodal: stubbed decode is deterministic, partition-invariant, resize/frames work") {
     import spark.implicits._
     val media = Seq(
