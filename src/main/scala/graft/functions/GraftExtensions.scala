@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registering the engine's native expressions as SQL
+  * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works alongside
+  * the Column API.
+  *
+  * Wire up either way:
+  *  - config: `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  *  - builder: `.withExtensions(new GraftExtensions)`
+  */
+object GraftExtensions {
+  /** Register the same functions on an already-running session (the
+    * extensions mechanism only applies at session construction).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftColumnBridge.registerTempFunctions(spark)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen dot product of float/double arrays"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash", "graft_polyhash(s) - portable polynomial hash mod 1e9+7"),
+      (children: Seq[Expression]) => PolyHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(s, n) - distinct word n-gram shingles"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
+        }
+        WordShingles(children.head, n)
+      }))
+  }
+}

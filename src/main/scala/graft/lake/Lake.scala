@@ -64,6 +64,15 @@ object LakeReader {
     projected.orderBy(col("ts"))
   }
 
+  /** Legacy closed-range read [from, to] — implemented as [from, to+1s) per
+    * SURVEY §7.5 item 2 (reference: read/reader.py:35-37 inclusive bounds).
+    */
+  def readRangeClosed(spark: SparkSession, root: String, source: String, symbol: String,
+                      timeframe: String, from: Option[Timestamp], to: Option[Timestamp],
+                      columns: Seq[String] = Nil): DataFrame =
+    readRange(spark, root, source, symbol, timeframe, from,
+      to.map(t => new Timestamp(t.getTime + 1000L)), columns)
+
   private def partitionedSchema = {
     import org.apache.spark.sql.types._
     StructType(CandleSchema.schema.fields.toSeq :+

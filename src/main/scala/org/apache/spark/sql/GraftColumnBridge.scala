@@ -12,4 +12,21 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register the graft SQL functions on a live session (the extensions
+    * mechanism only fires at session construction; the function registry is
+    * private[sql], hence this shim).
+    */
+  def registerTempFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      (c: Seq[Expression]) => graft.functions.DotProduct(c(0), c(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_polyhash",
+      (c: Seq[Expression]) => graft.functions.PolyHash(c.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      (c: Seq[Expression]) => c(1) match {
+        case catalyst.expressions.Literal(v: Int, _) => graft.functions.WordShingles(c.head, v)
+        case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
+      }, "scala_udf")
+  }
 }

@@ -5,6 +5,7 @@ import graft.lake.{Aggregates, LakeProvider, LakeWriter}
 import graft.ops.{Multimodal, Qc}
 import graft.sources.{BinanceSource, IbkrSource, RawBar, SymbolMap, SynthSource}
 import graft.streaming.CandleStream
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -184,6 +185,46 @@ class PipelineSpec extends AnyFunSuite {
       assert(bar.getAs[Double]("open") === 100.0 && bar.getAs[Double]("close") === 101.0)
       assert(onDisk.select("source").distinct().head.getString(0) === "stream")
     } finally q.stop()
+  }
+
+  test("graft SQL functions: extensions class at construction + live-session register") {
+    // live-session registration on the shared session
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D,2.0D), array(3.0D,4.0D)) AS d, " +
+        "graft_polyhash('hello world abc') AS h, " +
+        "size(graft_shingles('a b c d', 3)) AS s").head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) === 88643107L)
+    assert(r.getInt(2) === 2)
+
+    // extensions path: new session on the SAME context (never stop it — that
+    // would kill the shared SparkContext for every other suite)
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(ext ne spark)
+      assert(ext.sql("SELECT graft_polyhash('x') AS h").head.getLong(0) ===
+        graft.functions.TextKernels.polyHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+    } finally {
+      SparkSession.clearActiveSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("closed-range read [from,to] = [from,to+1s)") {
+    val root = Files.createTempDirectory("lake").toString
+    graft.lake.LakeWriter.upsert(spark, root,
+      SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01"))
+    val closed = graft.lake.LakeReader.readRangeClosed(spark, root, "synth", "BTC-USD", "M1",
+      Some(Timestamp.valueOf("2025-08-01 00:00:00")), Some(Timestamp.valueOf("2025-08-01 00:10:00")))
+    assert(closed.count() === 11) // 00:00..00:10 inclusive
   }
 
   test("multimodal: stubbed decode is deterministic, partition-invariant, resize/frames work") {
