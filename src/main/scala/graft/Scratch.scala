@@ -2,27 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratchpad (not part of the API). Current probe: SQL extension surface. */
+/** Dev scratchpad (not part of the API). Current probe: bucketed co-located join. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files.createTempDirectory("wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").createOrReplaceTempView("documents")
-    // drive the SQL surface end-to-end: shingle + hash + dedup in pure SQL
-    spark.sql("""
-      SELECT count(*) AS n_docs,
-             count(DISTINCT graft_polyhash(text)) AS n_distinct_fp,
-             sum(size(graft_shingles(text, 3))) AS total_shingles
-      FROM documents""").show()
-    spark.sql("SELECT graft_dot(array(1.0D,2.0D,3.0D), array(4.0D,5.0D,6.0D)) AS dot").show()
-    // error path: wrong arg type
-    try { spark.sql("SELECT graft_dot('a', 'b')").collect(); println("[scratch] NO ERROR (bad)") }
-    catch { case e: Exception => println(s"[scratch] type error as expected: ${e.getMessage.take(80)}") }
+    // bucket the real events table by user_id and self-join co-located
+    val ev = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    graft.lake.Bucketing.writeBucketed(ev, "li_bkt", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+    val j = graft.lake.Bucketing.coLocatedJoin(spark, "li_bkt", "li_bkt", Seq("l_orderkey"))
+    println(s"[scratch] bucketed self-join rows: ${j.count()}")
+    println(s"[scratch] shuffle in plan: ${graft.lake.Bucketing.hasShuffle(j)}")
+    j.explain("formatted")
     spark.stop()
   }
 }

@@ -218,6 +218,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    // AQE hides the static plan shape; check the co-location guarantee with
+    // it off for this test
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val a = (0 until 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (0 until 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+      graft.lake.Bucketing.writeBucketed(a, "bkt_a", Seq("k"), 4, Seq("k"))
+      graft.lake.Bucketing.writeBucketed(b, "bkt_b", Seq("k"), 4, Seq("k"))
+      // disable broadcast so the no-shuffle claim is about BUCKET co-location,
+      // not about one side being small enough to broadcast
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = graft.lake.Bucketing.coLocatedJoin(spark, "bkt_a", "bkt_b", Seq("k"))
+        assert(joined.count() === 1000)
+        assert(joined.queryExecution.executedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+        assert(!graft.lake.Bucketing.hasShuffle(joined), "bucketed SMJ must not shuffle")
+        // sanity: the same SMJ over unbucketed frames DOES shuffle
+        assert(graft.lake.Bucketing.hasShuffle(a.join(b, Seq("k"))))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("closed-range read [from,to] = [from,to+1s)") {
     val root = Files.createTempDirectory("lake").toString
     graft.lake.LakeWriter.upsert(spark, root,
