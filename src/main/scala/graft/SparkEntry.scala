@@ -268,6 +268,26 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // rollup aggregation: revenue at (flag, status), (flag), and grand-total grains
+    "q24_rollup_revenue" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // event-time range frame: per-user trailing 10-minute moving average
+    "q25_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-600L, 0L)
+      tbl(s, dir, "events")
+        .withColumn("ts_sec", secs(col("ts")))
+        .withColumn("mavg", round(avg(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("ts_sec"), col("mavg"))
+        .orderBy(col("event_id"))
+    }),
+
     // multi-join star query: revenue per market segment (broadcast dims)
     "q13_segment_revenue" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -424,6 +444,17 @@ object SparkEntry {
           |WHERE NOT EXISTS (SELECT 1 FROM orders
           |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
           |ORDER BY c_custkey""".stripMargin,
+      "q24_rollup_revenue" ->
+        """SELECT l_returnflag, l_linestatus,
+          | sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(28,4)))::DOUBLE AS revenue,
+          | count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+      "q25_moving_avg" ->
+        """SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_sec,
+          | round(avg(value) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+          |   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS mavg
+          |FROM events ORDER BY event_id""".stripMargin,
       "q01_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           | sum(CAST(round(l_quantity,4) AS DECIMAL(28,4)))::DOUBLE AS sum_qty,

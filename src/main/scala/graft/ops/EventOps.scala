@@ -21,19 +21,19 @@ object EventOps {
     */
   def candles(events: DataFrame, tfSeconds: Long, keys: Seq[String] = Nil): DataFrame = {
     // order by the exact ns column when present (ties impossible at ns grain)
-    val ord = if (events.columns.contains("ts_ns")) col("ts_ns") else col("ts")
+    val ord = if (events.columns.contains("ts_ns")) col("ts_ns") else unix_micros(col("ts"))
     val bucket = timestamp_seconds(floor(unix_timestamp(col("ts")) / tfSeconds) * tfSeconds)
+    // one-pass native aggregate: a single 7-slot buffer instead of five
+    // separate aggregates (min_by + max + min + max_by + count) — see
+    // graft.functions.CandleAgg
     events
       .withColumn("_bucket", bucket)
       .groupBy(("_bucket" +: keys).map(col): _*)
-      .agg(
-        min_by(col("value"), ord).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), ord).as("close"),
-        count(lit(1)).cast("double").as("volume"),
-      )
-      .withColumnRenamed("_bucket", "ts")
+      .agg(graft.functions.CandleAgg.candle(ord, col("value"), lit(1.0)).as("_c"))
+      .select((Seq(col("_bucket").as("ts")) ++ keys.map(col) ++ Seq(
+        col("_c.open").as("open"), col("_c.high").as("high"),
+        col("_c.low").as("low"), col("_c.close").as("close"),
+        col("_c.volume").as("volume"))): _*)
   }
 
   /** Per-hour-of-day completeness histogram, zero-filled over the 0-23 grid

@@ -116,6 +116,31 @@ class CandleOpsSpec extends AnyFunSuite {
     assert(shifted.count() === 1440)
   }
 
+  test("CandleAgg: one-pass OHLCV matches composed aggregates, skips nulls, merges across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (10L, 5.0, 1.0), (20L, 9.0, 1.0), (30L, 2.0, 1.0), (40L, 7.0, 1.0))
+    val df = rows.toDF("ts", "price", "size").repartition(4) // force merge path
+    val c = df.agg(graft.functions.CandleAgg.candle(col("ts"), col("price"), col("size")).as("c"))
+      .select("c.open", "c.high", "c.low", "c.close", "c.volume").head
+    assert(c.getDouble(0) === 5.0) // price at min ts
+    assert(c.getDouble(1) === 9.0)
+    assert(c.getDouble(2) === 2.0)
+    assert(c.getDouble(3) === 7.0) // price at max ts
+    assert(c.getDouble(4) === 4.0)
+    // null prices are skipped; all-null group yields null struct
+    val withNulls = Seq((1L, Some(3.0)), (2L, None), (3L, Some(4.0)))
+      .toDF("ts", "price").repartition(2)
+    val n = withNulls.agg(graft.functions.CandleAgg.candle(col("ts"), col("price"), lit(1.0)).as("c"))
+      .select("c.open", "c.close", "c.volume").head
+    assert(n.getDouble(0) === 3.0 && n.getDouble(1) === 4.0 && n.getDouble(2) === 2.0)
+    val empty = Seq((1L, Option.empty[Double])).toDF("ts", "price")
+      .agg(graft.functions.CandleAgg.candle(col("ts"), col("price"), lit(1.0)).as("c"))
+      .select("c").head
+    assert(empty.isNullAt(0))
+  }
+
   test("timeframe aliases normalize (reference provider._norm_tf)") {
     assert(Timeframe("1 min") === Timeframe.M1)
     assert(Timeframe("5 mins") === Timeframe.M5)
