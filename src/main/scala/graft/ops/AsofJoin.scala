@@ -75,6 +75,28 @@ object AsofJoin {
     l.join(broadcast(r), partitionCols :+ "_bkt", "left").drop("_bkt")
   }
 
+  /** Broadcast range-interval as-of (J1-c): each ctx row gets a validity
+    * interval [ts, next_ts) via lead(); exec rows left-join the single
+    * covering interval. With ctx broadcast, the probe distributes over the
+    * exec partitions with NO global sort — the right shape whenever ctx is
+    * small relative to exec (a coarser timeframe always is). Unlike
+    * [[bucketJoin]] this needs no grid alignment: missing ctx buckets fall
+    * back to the previous interval exactly like [[backward]].
+    */
+  def broadcastRange(left: DataFrame, right: DataFrame, on: String = "ts",
+                     partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = (if (partitionCols.nonEmpty) Window.partitionBy(partitionCols.map(col): _*)
+             else Window.partitionBy()).orderBy(col(on))
+    val r = right
+      .withColumn("_next", lead(col(on), 1).over(w))
+      .withColumnRenamed(on, "_rts")
+    val keyCond = partitionCols.map(c => left(c) === r(c))
+    val rangeCond = left(on) >= r("_rts") && (r("_next").isNull || left(on) < r("_next"))
+    left.join(broadcast(r), (keyCond :+ rangeCond).reduce(_ && _), "left")
+      .drop(r.columns.filter(partitionCols.contains): _*)
+      .drop("_rts", "_next")
+  }
+
   /** Multi-timeframe join (reference: src/datalake/read/api.py:80-87 loop):
     * joins each (tfCode -> ctx frame) onto exec in ascending-minutes order
     * (reference: mtf.py:5,20 TF_ORDER), suffixing ctx value columns with

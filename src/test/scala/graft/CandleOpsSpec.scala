@@ -110,6 +110,23 @@ class CandleOpsSpec extends AnyFunSuite {
     assert(general.sameElements(bucketed))
   }
 
+  test("broadcastRange asof equals backward, including across missing ctx buckets") {
+    // m5 from a gappy m1: several M5 buckets absent -> true as-of fallback
+    val gappy = day.where(!(col("ts") >= lit("2025-08-01 10:00:00") &&
+      col("ts") < lit("2025-08-01 10:30:00")))
+    val m5 = Resample.ohlcv(gappy, Timeframe.M5).select(col("ts"), col("close").as("close_m5"))
+    val exec = day.select(col("ts"), col("close"))
+    val viaWindow = AsofJoin.backward(exec, m5).orderBy("ts").collect()
+    val viaRange = AsofJoin.broadcastRange(exec, m5)
+      .select("ts", "close", "close_m5").orderBy("ts").collect()
+    assert(viaWindow.sameElements(viaRange))
+    // the 10:00-10:30 exec rows must see the 09:55 bar (general fallback,
+    // which the grid bucketJoin would get wrong)
+    val at = viaRange.find(_.getTimestamp(0).toString == "2025-08-01 10:10:00.0").get
+    val m5prev = m5.where(col("ts") === lit("2025-08-01 09:55:00")).head
+    assert(at.getAs[Double]("close_m5") === m5prev.getAs[Double]("close_m5"))
+  }
+
   test("bar-end shift moves 00:00 to 00:01 (reference normalize.py)") {
     val shifted = SynthSource.barEndShift(day)
     assert(shifted.agg(min(col("ts"))).head.getTimestamp(0).toString === "2025-08-01 00:01:00.0")
