@@ -42,6 +42,13 @@ object LakeReader {
                 timeframe: String, from: Option[Timestamp], to: Option[Timestamp],
                 columns: Seq[String] = Nil): DataFrame = {
     val path = LakeLayout.dataRoot(root)
+    // empty-lake short-circuit: an absent tree reads as an empty canonical
+    // frame, not an error (reference: api.py:23-24, tests/test_read_api.py)
+    if (!new java.io.File(path).exists()) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partitionedSchema)
+      return if (columns.nonEmpty) empty.select(columns.map(col): _*) else empty
+    }
     var df = spark.read.schema(partitionedSchema).parquet(path)
       .where(col("source") === source && col("symbol") === symbol && col("timeframe") === timeframe)
     // derived partition predicates so year/month pruning always fires

@@ -34,6 +34,17 @@ class LakeSpec extends AnyFunSuite {
     assert(again.count() === 1440)
   }
 
+  test("empty-lake read returns an empty canonical frame, not an error") {
+    val root = Files.createTempDirectory("emptylake").toString
+    val df = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1",
+      Some(ts("2025-08-01 00:00:00")), Some(ts("2025-08-02 00:00:00")))
+    assert(df.count() === 0)
+    assert(df.columns.contains("ts") && df.columns.contains("close"))
+    // column projection works on the empty frame too
+    assert(LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1",
+      None, None, Seq("ts", "close")).columns.toSeq === Seq("ts", "close"))
+  }
+
   test("upsert keep-last: a re-ingested bar overwrites the old row") {
     val root = Files.createTempDirectory("lake").toString
     val bars = SynthSource.m1(spark, "ETH-USD", "2025-08-01", "2025-08-01")
