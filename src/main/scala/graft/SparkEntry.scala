@@ -288,6 +288,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // J1 partitioned as-of: each event joined to the user's latest purchase
+    // (join on exact ns so second-level ties match the ns-precision oracle)
+    "q26_asof_per_user" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val exec = ev.select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), col("value").as("last_purchase_value"))
+      AsofJoin.backward(exec, purchases, on = "ts_ns", partitionCols = Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns DIV 1000000000").as("ts_sec"),
+          col("value"), col("last_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // multi-join star query: revenue per market segment (broadcast dims)
     "q13_segment_revenue" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -444,6 +458,13 @@ object SparkEntry {
           |WHERE NOT EXISTS (SELECT 1 FROM orders
           |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
           |ORDER BY c_custkey""".stripMargin,
+      "q26_asof_per_user" ->
+        """SELECT e.event_id, e.user_id, floor(epoch(e.ts))::BIGINT AS ts_sec, e.value,
+          | p.value AS last_purchase_value
+          |FROM events e ASOF LEFT JOIN
+          | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          | ON e.user_id = p.user_id AND e.ts >= p.ts
+          |ORDER BY e.event_id""".stripMargin,
       "q24_rollup_revenue" ->
         """SELECT l_returnflag, l_linestatus,
           | sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(28,4)))::DOUBLE AS revenue,
