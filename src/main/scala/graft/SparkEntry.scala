@@ -302,6 +302,13 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // SimHash near-dup candidates: 8-bit chunk blocking + hamming verify
+    "q27_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashCandidates(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // multi-join star query: revenue per market segment (broadcast dims)
     "q13_segment_revenue" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -465,6 +472,20 @@ object SparkEntry {
           | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
           | ON e.user_id = p.user_id AND e.ts >= p.ts
           |ORDER BY e.event_id""".stripMargin,
+      "q27_simhash_pairs" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
+           | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
+           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
+           |          FROM wh, range(0,32) t(j) GROUP BY 1,2),
+           | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS simhash
+           |          FROM bits GROUP BY 1),
+           | ch AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           |        FROM sigs, range(0,4) t(c)),
+           | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |             bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+           |           FROM ch a JOIN ch b USING (chunk, v) WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
       "q24_rollup_revenue" ->
         """SELECT l_returnflag, l_linestatus,
           | sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(28,4)))::DOUBLE AS revenue,
