@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (not part of the API). Current probe: dump plans for docs. */
+/** Dev scratchpad (not part of the API). Current probe: typed OrLevels vs oracle. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -11,17 +12,19 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val out = new java.io.PrintWriter("/tmp/plans_raw.txt")
-    for (q <- Seq("q02_range_filter", "q13_segment_revenue", "q14_sim_topk",
-                  "q17_minhash_candidates", "q26_asof_per_user")) {
-      out.println(s"===== $q =====")
-      val df = SparkEntry.queries(q)(spark, dir)
-      df.collect()
-      out.println(df.queryExecution.executedPlan.toString.take(4000))
-    }
-    out.close()
-    println("[scratch] plans dumped")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val m1 = graft.ops.EventOps.candles(ev, 60L).withColumn("symbol", lit("EVENTS"))
+    val typed = graft.ops.OrLevels.buildTyped(m1, "UTC", "00:00-01:00")
+      .select(date_format(col("session_date"), "yyyy-MM-dd").as("session_date"),
+        col("or_high"), col("or_low"), col("break_dir"),
+        col("break_ts").cast("long").as("break_ts_sec"),
+        col("retest_ts").cast("long").as("retest_ts_sec"), col("retest_price"))
+      .orderBy("session_date")
+    typed.coalesce(1).write.mode("overwrite").parquet("/tmp/typed_or_levels")
+    println(s"[scratch] typed OR levels rows: ${typed.count()}")
     spark.stop()
   }
 }

@@ -144,7 +144,7 @@ object Dedup {
     a.join(b, Seq("chunk", "v"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming) // filter BEFORE the distinct shuffle
       .distinct()
-      .where(col("hamming") <= maxHamming)
   }
 }

@@ -258,6 +258,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(closed.count() === 11) // 00:00..00:10 inclusive
   }
 
+  test("streaming: a tick later than the watermark does not reopen a closed bar") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double, Double)]
+    val ticks = input.toDF().toDF("ts", "symbol", "price", "size")
+    val q = CandleStream.m1Bars(ticks, watermark = "2 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2025-08-01 00:00:10"), "X", 10.0, 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 00:00 window -> bar emits and closes
+      input.addData((t("2025-08-01 00:10:00"), "X", 11.0, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_out").where(col("ts") === lit("2025-08-01 00:00:00")).collect()
+      assert(closed.length === 1 && closed.head.getAs[Double]("volume") === 1.0)
+      // late tick for the already-closed 00:00 window: dropped by the watermark
+      input.addData((t("2025-08-01 00:00:50"), "X", 99.0, 5.0))
+      input.addData((t("2025-08-01 00:15:00"), "X", 12.0, 1.0))
+      q.processAllAvailable()
+      val after = spark.table("late_out").where(col("ts") === lit("2025-08-01 00:00:00")).collect()
+      assert(after.length === 1 && after.head.getAs[Double]("volume") === 1.0,
+        "late tick must not reopen the closed bar (idempotent lake upsert would absorb a re-emit anyway)")
+    } finally q.stop()
+  }
+
   test("multimodal: stubbed decode is deterministic, partition-invariant, resize/frames work") {
     import spark.implicits._
     val media = Seq(

@@ -49,6 +49,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: expression OrLevels == typed flatMapGroups OrLevels across seeds/tzs") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- seeds; tz <- Seq("UTC", "Asia/Tokyo")) {
+      val days = SynthSource.m1(spark, s"S$seed", "2025-08-01", "2025-08-03", seed)
+      val viaExpr = graft.ops.OrLevels.build(days, tz, "09:00-10:00")
+        .orderBy("session_date")
+        .select("symbol", "session_date", "or_start", "or_end", "or_high", "or_low",
+          "break_dir", "break_ts", "retest_ts", "retest_price").collect()
+      val viaTyped = graft.ops.OrLevels.buildTyped(days, tz, "09:00-10:00")
+        .orderBy("session_date")
+        .select("symbol", "session_date", "or_start", "or_end", "or_high", "or_low",
+          "break_dir", "break_ts", "retest_ts", "retest_price").collect()
+      assert(viaExpr.length === viaTyped.length, s"seed=$seed tz=$tz")
+      viaExpr.zip(viaTyped).foreach { case (a, b) =>
+        assert(a === b, s"seed=$seed tz=$tz")
+      }
+    }
+  }
+
   test("property: upsert is idempotent for any batch") {
     for (seed <- seeds.take(2)) {
       val root = Files.createTempDirectory("lakeprop").toString
