@@ -115,6 +115,18 @@ object Cli {
       val missing = if (nGaps.isNullAt(0)) 0L else nGaps.getLong(0)
       println(s"[cli] missing minutes: $missing")
       if (missing > 0) {
+        // the refetch plan a live IBKR connector would execute (reference
+        // repair windows 3600/1800/600/300 s); offline we synth-fill instead
+        val planner = new graft.sources.IbkrSource((_, _, _) => Nil)
+        gaps.collect().foreach { g =>
+          val plan = planner.repairPlan(
+            g.getAs[Timestamp]("gap_start").toInstant,
+            g.getAs[Timestamp]("gap_end").toInstant.plusSeconds(60))
+          println(s"[cli] gap ${g.getAs[Timestamp]("gap_start")}..${g.getAs[Timestamp]("gap_end")}: " +
+            s"${plan.length} refetch window(s)")
+        }
+      }
+      if (missing > 0) {
         val filled = Gaps.synthFill(m1)
           .where(org.apache.spark.sql.functions.col("is_synth"))
         val n = filled.count() // act on the pre-overwrite lineage first

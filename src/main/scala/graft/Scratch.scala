@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (not part of the API). Current probe: typed OrLevels vs oracle. */
+/** Dev scratchpad (not part of the API). Current probe: repair plan surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -11,20 +11,16 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-    val m1 = graft.ops.EventOps.candles(ev, 60L).withColumn("symbol", lit("EVENTS"))
-    val typed = graft.ops.OrLevels.buildTyped(m1, "UTC", "00:00-01:00")
-      .select(date_format(col("session_date"), "yyyy-MM-dd").as("session_date"),
-        col("or_high"), col("or_low"), col("break_dir"),
-        col("break_ts").cast("long").as("break_ts_sec"),
-        col("retest_ts").cast("long").as("retest_ts_sec"), col("retest_price"))
-      .orderBy("session_date")
-    typed.coalesce(1).write.mode("overwrite").parquet("/tmp/typed_or_levels")
-    println(s"[scratch] typed OR levels rows: ${typed.count()}")
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("gappy_lake").toString
+    val day = graft.sources.SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+    // two gaps: 10 min (one 600s window) and 90 min (two 3600s-window steps)
+    val gappy = day.where(!(col("ts") >= lit("2025-08-01 03:00:00") &&
+      col("ts") < lit("2025-08-01 03:10:00")) &&
+      !(col("ts") >= lit("2025-08-01 10:00:00") && col("ts") < lit("2025-08-01 11:30:00")))
+    graft.lake.LakeWriter.upsert(spark, root, gappy)
+    Cli.run(spark, List("repair", root, "BTC-USD"))
+    Cli.run(spark, List("check", root, "BTC-USD", "M1"))
     spark.stop()
   }
 }

@@ -123,9 +123,48 @@ class BinanceSource(fetchPage: (String, String, Long, Long, Int) => Seq[RawBar])
   * AGGTRADES what_to_show). Socket I/O is injected; chunk planning and
   * normalization are real.
   */
+/** External-API pacing/retry budgets published by the reference (BASELINE.md)
+  * — pure schedule functions so connector retry behavior is testable without
+  * I/O.
+  */
+object Pacing {
+  /** Binance 429 backoff: min(2^attempt, 10) seconds, <= 5 retries
+    * (reference: providers/binance/client.py:35-50).
+    */
+  def binance429BackoffSeconds(attempt: Int): Int = math.min(1 << attempt, 10)
+  val binanceMaxRetries = 5
+  /** Binance weight budget: 5000/min, 2 weight per klines request, 0.2 s
+    * pacing (reference: tools/fill_binance_month.py:59,63,100).
+    */
+  val binanceWeightPerMinute = 5000
+  val binanceWeightPerRequest = 2
+  val binancePacingMillis = 200L
+  /** IBKR: <=0.7 req/s client throttle; fetch retry backoffs 2/5/10 s;
+    * repair window fallbacks 3600/1800/600/300 s (reference:
+    * ib_client.py:14, ingest_cli.py:384,338).
+    */
+  val ibkrMaxRequestsPerSecond = 0.7
+  val ibkrFetchBackoffsSeconds: Seq[Int] = Seq(2, 5, 10)
+  val ibkrRepairWindowsSeconds: Seq[Int] = Seq(3600, 1800, 600, 300)
+}
+
 class IbkrSource(fetchWindow: (String, Instant, Instant) => Seq[RawBar]) {
 
   val chunkHours = 8 // reference ingest_cli.py:17 CHUNK_HOURS
+
+  /** Shrinking repair-window plan for a gap range (reference:
+    * _repair_range_with_fallback, ingest_cli.py:338): try the largest window
+    * that covers the gap, falling back through the schedule.
+    */
+  def repairPlan(gapStart: Instant, gapEnd: Instant): Seq[(Instant, Instant)] = {
+    val gapSeconds = java.time.Duration.between(gapStart, gapEnd).getSeconds
+    val window = Pacing.ibkrRepairWindowsSeconds.findLast(_ >= gapSeconds)
+      .getOrElse(Pacing.ibkrRepairWindowsSeconds.head)
+    Iterator.iterate(gapStart)(_.plusSeconds(window))
+      .takeWhile(_.isBefore(gapEnd))
+      .map(s => (s, Seq(s.plusSeconds(window), gapEnd).min))
+      .toSeq
+  }
 
   /** 3 x 8h chunk plan for a UTC day (reference ingest_cli.py:184-193). */
   def dayChunks(day: java.time.LocalDate): Seq[(Instant, Instant)] = {

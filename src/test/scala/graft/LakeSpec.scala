@@ -105,6 +105,24 @@ class LakeSpec extends AnyFunSuite {
     assert(r.getAs[Double]("retest_price") === 15.0)
   }
 
+  test("OR levels: session boundaries follow DST (America/New_York, spring forward 2025-03-09)") {
+    // 09:30 New York = 14:30 UTC before DST, 13:30 UTC after
+    val days = graft.sources.SynthSource.m1(spark, "SPY", "2025-03-07", "2025-03-11")
+    val levels = OrLevels.build(days, "America/New_York", "09:30-10:00")
+      .orderBy("session_date").collect()
+    val byDate = levels.map(r => r.getAs[java.sql.Date]("session_date").toString ->
+      r.getAs[Timestamp]("or_start").toString).toMap
+    assert(byDate("2025-03-08") === "2025-03-08 14:30:00.0") // EST: UTC-5
+    assert(byDate("2025-03-10") === "2025-03-10 13:30:00.0") // EDT: UTC-4
+    // typed variant agrees through the transition
+    val typed = OrLevels.buildTyped(days, "America/New_York", "09:30-10:00")
+      .orderBy("session_date").collect()
+      .map(r => r.getAs[java.sql.Date]("session_date").toString ->
+        r.getAs[Timestamp]("or_start").toString).toMap
+    assert(typed("2025-03-08") === byDate("2025-03-08"))
+    assert(typed("2025-03-10") === byDate("2025-03-10"))
+  }
+
   test("OR levels: session grouping respects a non-UTC tz") {
     import spark.implicits._
     // 23:30 UTC = 09:30 Tokyo next day: lands in the Tokyo session of 08-02

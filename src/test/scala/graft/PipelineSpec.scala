@@ -67,6 +67,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.select("what_to_show").distinct().head.getString(0) === "AGGTRADES")
   }
 
+  test("pacing schedules match the reference constants") {
+    import graft.sources.Pacing
+    assert((0 to 5).map(Pacing.binance429BackoffSeconds) === Seq(1, 2, 4, 8, 10, 10))
+    assert(Pacing.ibkrRepairWindowsSeconds === Seq(3600, 1800, 600, 300))
+    val src = new IbkrSource((_, _, _) => Nil)
+    // a 10-minute gap uses the smallest window covering it (600 s): one shot
+    val p1 = src.repairPlan(Instant.parse("2025-08-01T03:00:00Z"), Instant.parse("2025-08-01T03:10:00Z"))
+    assert(p1 === Seq((Instant.parse("2025-08-01T03:00:00Z"), Instant.parse("2025-08-01T03:10:00Z"))))
+    // a 2-hour gap exceeds all windows: stepped 3600 s chunks
+    val p2 = src.repairPlan(Instant.parse("2025-08-01T00:00:00Z"), Instant.parse("2025-08-01T02:00:00Z"))
+    assert(p2.length === 2 && p2.head._2 === Instant.parse("2025-08-01T01:00:00Z"))
+  }
+
   test("provider serves M1, materialized aggregates, and on-the-fly fallback") {
     val root = Files.createTempDirectory("lake").toString
     val bars = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-02")
