@@ -111,7 +111,7 @@ object Cli {
       val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
       val gaps = Gaps.minuteGaps(m1)
       val nGaps = gaps.agg(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.col("n_missing"))).head
+        org.apache.spark.sql.functions.col("n_missing"))).head()
       val missing = if (nGaps.isNullAt(0)) 0L else nGaps.getLong(0)
       println(s"[cli] missing minutes: $missing")
       if (missing > 0) {

@@ -93,7 +93,7 @@ object AsofJoin {
     val keyCond = partitionCols.map(c => left(c) === r(c))
     val rangeCond = left(on) >= r("_rts") && (r("_next").isNull || left(on) < r("_next"))
     left.join(broadcast(r), (keyCond :+ rangeCond).reduce(_ && _), "left")
-      .drop(r.columns.filter(partitionCols.contains): _*)
+      .drop(r.columns.filter(partitionCols.contains).toIndexedSeq: _*)
       .drop("_rts", "_next")
   }
 
