@@ -309,6 +309,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // exact interpolated percentiles per group (Spark percentile == DuckDB quantile_cont)
+    "q28_quantiles" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // set intersection: users who both purchased and hit errors
+    "q29_intersect_users" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purchasers = ev.where(col("event_type") === "purchase").select(col("user_id")).distinct()
+      val erroring = ev.where(col("event_type") === "error").select(col("user_id")).distinct()
+      purchasers.intersect(erroring).orderBy(col("user_id"))
+    }),
+
     // multi-join star query: revenue per market segment (broadcast dims)
     "q13_segment_revenue" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -486,6 +505,17 @@ object SparkEntry {
            |             bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
            |           FROM ch a JOIN ch b USING (chunk, v) WHERE a.doc_id < b.doc_id)
            |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+      "q28_quantiles" ->
+        """SELECT l_returnflag,
+          | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+          | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+          | round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q29_intersect_users" ->
+        """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+          |INTERSECT
+          |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+          |ORDER BY user_id""".stripMargin,
       "q24_rollup_revenue" ->
         """SELECT l_returnflag, l_linestatus,
           | sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(28,4)))::DOUBLE AS revenue,
