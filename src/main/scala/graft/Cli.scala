@@ -137,13 +137,19 @@ object Cli {
         println(s"[cli] upserted $n synth fill bars")
       }
 
+    // catalog integrity: hive-layout validation (reference validate_layout CI gate)
+    case "validate" :: root :: Nil =>
+      val bad = graft.lake.ValidateLayout.invalidPaths(root)
+      if (bad.isEmpty) println("[cli] layout OK")
+      else { println(s"[cli] invalid paths: ${bad.mkString(", ")}"); sys.exit(1) }
+
     case "resample" :: root :: symbol :: tf :: Nil =>
       val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
       Resample.ohlcv(m1, Timeframe(tf), Seq("source", "symbol")).orderBy("ts").show(20)
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | resample | ann")
+      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | resample | ann | validate")
       sys.exit(2)
   }
 }

@@ -34,6 +34,19 @@ class LakeSpec extends AnyFunSuite {
     assert(again.count() === 1440)
   }
 
+  test("layout validation accepts the writer's tree and flags strays") {
+    val root = Files.createTempDirectory("lake").toString
+    LakeWriter.upsert(spark, root,
+      graft.sources.SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01"))
+    assert(graft.lake.ValidateLayout.invalidPaths(root).isEmpty)
+    graft.lake.ValidateLayout.check(spark, root) // must not throw
+    // plant a stray file outside the hive layout
+    val stray = java.nio.file.Paths.get(root, "data", "stray.parquet")
+    Files.write(stray, Array[Byte](1, 2, 3))
+    assert(graft.lake.ValidateLayout.invalidPaths(root) === Seq("stray.parquet"))
+    assertThrows[IllegalArgumentException](graft.lake.ValidateLayout.check(spark, root))
+  }
+
   test("empty-lake read returns an empty canonical frame, not an error") {
     val root = Files.createTempDirectory("emptylake").toString
     val df = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1",
