@@ -328,6 +328,16 @@ object SparkEntry {
       purchasers.intersect(erroring).orderBy(col("user_id"))
     }),
 
+    // semi join: orders containing at least one deeply discounted line
+    "q30_semi_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val deep = tbl(s, dir, "lineitem").where(col("l_discount") >= 0.09)
+        .select(col("l_orderkey").as("o_orderkey"))
+      o.join(deep, Seq("o_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // multi-join star query: revenue per market segment (broadcast dims)
     "q13_segment_revenue" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -516,6 +526,11 @@ object SparkEntry {
           |INTERSECT
           |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
           |ORDER BY user_id""".stripMargin,
+      "q30_semi_join" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+          |ORDER BY o_orderkey""".stripMargin,
       "q24_rollup_revenue" ->
         """SELECT l_returnflag, l_linestatus,
           | sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(28,4)))::DOUBLE AS revenue,
