@@ -451,7 +451,8 @@ object SparkEntry {
            | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
            | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
            |          FROM wh, range(0,32) t(j) GROUP BY 1,2)
-           |SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS simhash
+           |SELECT doc_id, -- ::BIGINT: DuckDB sum(BIGINT) is HUGEINT; Spark emits int64
+           | sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
       "q19_synth_fill" ->
         s"""WITH m1 AS ($m1Sql),
@@ -507,7 +508,7 @@ object SparkEntry {
            | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
            | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
            |          FROM wh, range(0,32) t(j) GROUP BY 1,2),
-           | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS simhash
+           | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
            |          FROM bits GROUP BY 1),
            | ch AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
            |        FROM sigs, range(0,4) t(c)),
@@ -619,7 +620,8 @@ object SparkEntry {
           |   sum(new_s) OVER (PARTITION BY user_id ORDER BY tsec ROWS UNBOUNDED PRECEDING) AS sid
           |   FROM y),
           | g AS (SELECT user_id, sid, count(*) AS n FROM z GROUP BY 1,2)
-          |SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events, sum(n) AS n_events_total
+          |SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events,
+        | sum(n)::BIGINT AS n_events_total -- DuckDB sum(BIGINT) is HUGEINT; Spark emits int64
           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
       "q13_segment_revenue" ->
         """SELECT c_mktsegment,

@@ -59,8 +59,9 @@ object TextKernels {
     * bit-identical to TextAnalysis.fingerprint's HOF form and to the DuckDB
     * oracle's list_reduce over string_split + ascii.
     */
-  def polyHash(text: UTF8String): Long = {
-    val s = text.toString
+  def polyHash(text: UTF8String): Long = polyHashStr(text.toString)
+
+  def polyHashStr(s: String): Long = {
     var h = 0L
     var i = 0
     val len = s.length
@@ -70,6 +71,42 @@ object TextKernels {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** One-pass SimHash signature: tokenize exactly like
+    * split(trim(lower(text)), "\\s+") (trim strips U+0020 only; split keeps
+    * a leading/trailing empty token like Spark's limit=-1 semantics), hash
+    * each word with [[polyHashStr]], accumulate the per-bit +1/-1 votes in a
+    * single array, and emit the sign bits. Bit-identical to the HOF
+    * reference form [[graft.ops.Dedup.simhashHof]] (32 interpreted
+    * aggregate() passes), but one compiled pass per row — this is the inner
+    * loop of signing every document at 100 TB.
+    */
+  def simHash(text: UTF8String, bits: Int): Long = {
+    val lowered = text.toLowerCase.toString
+    var from = 0
+    var to = lowered.length
+    while (from < to && lowered.charAt(from) == ' ') from += 1
+    while (to > from && lowered.charAt(to - 1) == ' ') to -= 1
+    val words = lowered.substring(from, to).split("\\s+", -1)
+    val acc = new Array[Long](bits)
+    var i = 0
+    while (i < words.length) {
+      val h = polyHashStr(words(i))
+      var j = 0
+      while (j < bits) {
+        acc(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (acc(j) > 0L) sig |= (1L << j)
+      j += 1
+    }
+    sig
   }
 }
 
@@ -109,6 +146,24 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass SimHash signature of `child` (see [[TextKernels.simHash]]). */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"SimHash needs string, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simHash(v.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simHash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   private def expr(c: Column): Expression = GraftColumnBridge.toExpression(c)
 
@@ -117,4 +172,7 @@ object TextFunctions {
 
   def polyHash(text: Column): Column =
     GraftColumnBridge.toColumn(PolyHash(expr(text)))
+
+  def simHash(text: Column, bits: Int): Column =
+    GraftColumnBridge.toColumn(SimHash(expr(text), bits))
 }

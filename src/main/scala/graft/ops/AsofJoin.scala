@@ -92,8 +92,10 @@ object AsofJoin {
       .withColumnRenamed(on, "_rts")
     val keyCond = partitionCols.map(c => left(c) === r(c))
     val rangeCond = left(on) >= r("_rts") && (r("_next").isNull || left(on) < r("_next"))
-    left.join(broadcast(r), (keyCond :+ rangeCond).reduce(_ && _), "left")
-      .drop(r.columns.filter(partitionCols.contains).toIndexedSeq: _*)
+    val joined = left.join(broadcast(r), (keyCond :+ rangeCond).reduce(_ && _), "left")
+    // drop the RIGHT side's key copies by Column reference — drop(String*)
+    // would remove the left side's attributes of the same name too
+    partitionCols.foldLeft(joined)((d, c) => d.drop(r(c)))
       .drop("_rts", "_next")
   }
 

@@ -110,8 +110,18 @@ object Dedup {
   /** 32-bit SimHash over word hashes: bit j of the signature is the sign of
     * sum over words of (2*bit_j(hash(word)) - 1). Portable arithmetic
     * (polynomial word hash + div/mod bit extraction, no engine intrinsics).
+    *
+    * Computed by the native one-pass [[graft.functions.SimHash]] kernel —
+    * the HOF form ([[simhashHof]]) re-scans the word-hash array once per bit
+    * through interpreted CodegenFallback lambdas (32 passes/row), which was
+    * 56% of the round-1 bench. The kernel is the codegen'd inner loop; the
+    * HOF form is retained as the executable spec for equivalence tests.
     */
-  def simhash(text: Column, bits: Int = 32): Column = {
+  def simhash(text: Column, bits: Int = 32): Column =
+    graft.functions.TextFunctions.simHash(text, bits)
+
+  /** HOF reference form of [[simhash]] (kept for kernel equivalence tests). */
+  def simhashHof(text: Column, bits: Int = 32): Column = {
     val ws = TextAnalysis.words(text)
     val hashes = transform(ws, w => TextAnalysis.fingerprint(w))
     val bitCols = (0 until bits).map { j =>
@@ -131,7 +141,9 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val withSig = docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    // self-joined below: cache the (id, sig) projection so the scan+sign
+    // pipeline runs once, not once per join side (round-1 q27 hot spot)
+    val withSig = docs.select(col(idCol), simhash(col(textCol)).as("simhash")).cache()
     val chunks = 4
     val chunked = withSig.select(
       col(idCol), col("simhash"),

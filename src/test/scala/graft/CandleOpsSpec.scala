@@ -127,6 +127,23 @@ class CandleOpsSpec extends AnyFunSuite {
     assert(at.getAs[Double]("close_m5") === m5prev.getAs[Double]("close_m5"))
   }
 
+  test("broadcastRange with partitionCols keeps the left key column and matches backward") {
+    // two symbols with different ctx values: a cross-symbol leak or a dropped
+    // key column both fail this test
+    val execA = day.select(lit("AAA").as("symbol"), col("ts"), col("close"))
+    val execB = day.select(lit("BBB").as("symbol"), col("ts"), (col("close") * 2).as("close"))
+    val exec = execA.unionByName(execB)
+    val m5 = Resample.ohlcv(day, Timeframe.M5)
+    val ctx = m5.select(lit("AAA").as("symbol"), col("ts"), col("close").as("close_m5"))
+      .unionByName(m5.select(lit("BBB").as("symbol"), col("ts"), (col("close") * 2).as("close_m5")))
+    val viaRange = AsofJoin.broadcastRange(exec, ctx, partitionCols = Seq("symbol"))
+    assert(viaRange.columns.count(_ == "symbol") === 1, viaRange.columns.toSeq)
+    val got = viaRange.select("symbol", "ts", "close", "close_m5").orderBy("symbol", "ts").collect()
+    val want = AsofJoin.backward(exec, ctx, partitionCols = Seq("symbol"))
+      .select("symbol", "ts", "close", "close_m5").orderBy("symbol", "ts").collect()
+    assert(got.sameElements(want))
+  }
+
   test("bar-end shift moves 00:00 to 00:01 (reference normalize.py)") {
     val shifted = SynthSource.barEndShift(day)
     assert(shifted.agg(min(col("ts"))).head.getTimestamp(0).toString === "2025-08-01 00:01:00.0")

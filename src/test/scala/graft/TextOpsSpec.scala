@@ -34,6 +34,10 @@ class TextOpsSpec extends AnyFunSuite {
       x => x.isNotNull))
     val sh = df.select(kernel.as("a"), spec.as("b")).collect()
     sh.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // simhash: native one-pass kernel vs 32-pass HOF reference form
+    val sims = df.select(Dedup.simhash(col("text")).as("a"),
+      Dedup.simhashHof(col("text")).as("b")).collect()
+    sims.foreach(r => assert(r.getLong(0) === r.getLong(1), samples))
   }
 
   test("identical texts collide on every dedupe signal; different texts do not") {
