@@ -93,23 +93,35 @@ object SparkEntry {
         .orderBy(col("ts_sec"))
     }),
 
-    // J1 backward as-of join: M5 context onto M1 exec grain (graft.ops.AsofJoin)
+    // J1 backward as-of join: M5 context onto M1 exec grain (graft.ops.AsofJoin).
+    // Uses the grid-aligned bucketJoin plan (J1-b): ctx derives from exec, so
+    // every exec row's M5 bucket has a ctx bar and the as-of parent IS the
+    // bucket bar — an equi-join Catalyst plans as a broadcast hash join with
+    // no global-sort window (the round-1 plan was a single-partition
+    // WindowExec). backward()/broadcastRange() remain the general paths for
+    // unaligned ctx (CandleOpsSpec proves all three agree).
     "q04_asof_mtf" -> ((s, dir) => {
       val m1 = m1Candles(s, dir).cache() // feeds both the exec side and the M5 resample
       val m5 = Resample.ohlcv(m1, Timeframe.M5)
-      val joined = AsofJoin.backward(
+      val joined = AsofJoin.bucketJoin(
         m1.select(col("ts"), col("close")),
-        m5.select(col("ts"), col("close").as("close_m5")))
+        m5.select(col("ts"), col("close").as("close_m5")),
+        Timeframe.M5)
       joined.select(secs(col("ts")).as("ts_sec"), col("close"), col("close_m5"))
         .orderBy(col("ts_sec"))
     }),
 
-    // J2+W5 minute-gap detection compressed to islands (graft.ops.Gaps)
+    // J2+W5 minute-gap detection compressed to islands (graft.ops.Gaps).
+    // Day-scoped like the reference (tools/gaps.py find_missing_ranges_utc
+    // builds ONE day's grid): islands partition by the UTC day, so the
+    // grid explode, anti-join, and islands window all parallelize across
+    // days — no unpartitioned WindowExec even for a single series.
     "q05_gap_islands" -> ((s, dir) => {
       val minutes = tbl(s, dir, "events")
         .select(timestamp_seconds(floor(unix_timestamp(col("ts")) / 60) * 60).as("ts"))
         .distinct()
-      Gaps.minuteGaps(minutes)
+        .withColumn("day", expr("CAST(ts AS LONG) DIV 86400"))
+      Gaps.minuteGaps(minutes, keys = Seq("day"))
         .select(secs(col("gap_start")).as("gap_start_sec"),
           secs(col("gap_end")).as("gap_end_sec"), col("n_missing"))
         .orderBy(col("gap_start_sec"))
@@ -218,7 +230,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // W6 synthetic gap fill: prior close, else next open, else 0 (graft.ops.Gaps)
+    // W6 synthetic gap fill: prior close, else next open, else 0 (graft.ops.Gaps).
+    // Unkeyed is now scale-safe: the fill is Fill.ffill/bfill's two-phase
+    // chunked scan (day-chunk windows + tiny carry join), not a global window.
     "q19_synth_fill" -> ((s, dir) => {
       Gaps.synthFill(m1Candles(s, dir))
         .select(secs(col("ts")).as("ts_sec"), col("open"), col("close"),
@@ -226,7 +240,8 @@ object SparkEntry {
         .orderBy(col("ts_sec"))
     }),
 
-    // W2 forward-filled resample: empty M5 buckets inherit prior OHLC (graft.ops.Resample)
+    // W2 forward-filled resample: empty M5 buckets inherit prior OHLC
+    // (graft.ops.Resample; fill via the chunked scan — see q19's note).
     "q20_ffill_resample" -> ((s, dir) => {
       Resample.ohlcvFfill(m1Candles(s, dir), Timeframe.M5)
         .select(secs(col("ts")).as("ts_sec"), col("open"), col("high"), col("low"),
@@ -565,12 +580,14 @@ object SparkEntry {
            |ORDER BY m1.ts_sec""".stripMargin,
       "q05_gap_islands" ->
         """WITH obs AS (SELECT DISTINCT (floor(epoch(ts)/60)*60)::BIGINT AS m FROM events),
-          | grid AS (SELECT unnest(generate_series((SELECT min(m) FROM obs),
-          |                                        (SELECT max(m) FROM obs), 60)) AS m),
-          | miss AS (SELECT m FROM grid WHERE m NOT IN (SELECT m FROM obs)),
-          | isl AS (SELECT m, m - 60*row_number() OVER (ORDER BY m) AS island FROM miss)
+          | d AS (SELECT m, m // 86400 AS day FROM obs),
+          | bounds AS (SELECT day, min(m) AS mn, max(m) AS mx FROM d GROUP BY 1),
+          | grid AS (SELECT day, unnest(generate_series(mn, mx, 60)) AS m FROM bounds),
+          | miss AS (SELECT day, m FROM grid WHERE m NOT IN (SELECT m FROM obs)),
+          | isl AS (SELECT day, m,
+          |   m - 60*row_number() OVER (PARTITION BY day ORDER BY m) AS island FROM miss)
           |SELECT min(m) AS gap_start_sec, max(m) AS gap_end_sec, count(*) AS n_missing
-          |FROM isl GROUP BY island ORDER BY 1""".stripMargin,
+          |FROM isl GROUP BY day, island ORDER BY 1""".stripMargin,
       "q06_or_levels" ->
         s"""WITH m1 AS ($m1Sql),
            | sess AS (SELECT *, strftime(to_timestamp(ts_sec), '%Y-%m-%d') AS sd,

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed forward/backward non-null fill WITHOUT a global window.
+  *
+  * The naive fill is `last(v, ignoreNulls) OVER (ORDER BY ts)`; with no
+  * partition key Spark moves the whole series into ONE partition (the
+  * "No Partition Defined" WindowExec), which serializes at scale. This is the
+  * classic two-phase parallel scan instead:
+  *
+  *   1. fill within coarse time chunks — a window partitioned by
+  *      (keys, chunk), so chunks fill in parallel;
+  *   2. compute one summary row per (keys, chunk) — the chunk's last
+  *      (resp. first) non-null value per column — and resolve each chunk's
+  *      carry-in with a tiny summary self-join + max_by/min_by aggregation
+  *      (no window, broadcastable);
+  *   3. final value = coalesce(within-chunk fill, carried value).
+  *
+  * Output is bit-identical to the global-window fill; wall-clock scales with
+  * the number of chunks. The carry join is O(#chunks²) per key group — with
+  * day chunks that is ~365²/year of tiny rows; raise `chunkSeconds` for
+  * multi-decade single series.
+  */
+object Fill {
+
+  /** Forward-fill `cols` (last non-null wins) ordered by `ts` within `keys`
+    * groups. `ts` must be unique per key group (a resample/grid output is).
+    */
+  def ffill(df: DataFrame, cols: Seq[String], keys: Seq[String] = Nil,
+            ts: String = "ts", chunkSeconds: Long = 86400L): DataFrame =
+    fill(df, cols, keys, ts, chunkSeconds, backward = false)
+
+  /** Backward-fill `cols` (next non-null wins). */
+  def bfill(df: DataFrame, cols: Seq[String], keys: Seq[String] = Nil,
+            ts: String = "ts", chunkSeconds: Long = 86400L): DataFrame =
+    fill(df, cols, keys, ts, chunkSeconds, backward = true)
+
+  private def fill(df: DataFrame, cols: Seq[String], keys: Seq[String],
+                   ts: String, chunkSeconds: Long, backward: Boolean): DataFrame = {
+    require(cols.nonEmpty, "no columns to fill")
+    val withChunk = df.withColumn("_chunk",
+      floor(col(ts).cast("long") / chunkSeconds).cast("long"))
+
+    // phase 1: within-chunk fill (parallel across (keys, chunk))
+    val part = Window.partitionBy((keys :+ "_chunk").map(col): _*).orderBy(col(ts))
+    val local = cols.foldLeft(withChunk) { (d, c) =>
+      val filled =
+        if (backward) first(col(c), ignoreNulls = true)
+          .over(part.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        else last(col(c), ignoreNulls = true)
+          .over(part.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      d.withColumn(s"_loc_$c", filled)
+    }
+
+    // phase 2: per-chunk boundary summaries -> carry-in per chunk.
+    // summary value = the chunk's last (first) non-null per column, picked
+    // with a struct max/min ordered by ts (null when the chunk has none).
+    val sumAggs = cols.map { c =>
+      val tagged = when(col(c).isNotNull, struct(col(ts).as("t"), col(c).as("v")))
+      (if (backward) min(tagged) else max(tagged)).as(s"_s_$c")
+    }
+    val summary = withChunk.groupBy((keys :+ "_chunk").map(col): _*)
+      .agg(sumAggs.head, sumAggs.tail: _*)
+    val src = summary.select(
+      keys.map(c => col(c).as(s"_bk_$c")) ++ (col("_chunk").as("_bchunk") +:
+        cols.map(c => col(s"_s_$c").as(s"_bs_$c"))): _*)
+    val tgt = summary.select((keys :+ "_chunk").map(col): _*)
+    val dirCond =
+      if (backward) src("_bchunk") > tgt("_chunk") else src("_bchunk") < tgt("_chunk")
+    val cond = keys.map(c => tgt(c) === src(s"_bk_$c")).foldLeft(dirCond)(_ && _)
+    // nearest contributing chunk per column: order by (chunk, ts) so the
+    // closest chunk wins; within a chunk the summary already picked the edge
+    val carryAggs = cols.map { c =>
+      val pick = when(col(s"_bs_$c").isNotNull,
+        struct(col("_bchunk").as("c"), col(s"_bs_$c").getField("v").as("v")))
+      (if (backward) min(pick) else max(pick)).getField("v").as(s"_carry_$c")
+    }
+    val carry = tgt.join(src, cond, "left")
+      .groupBy((keys :+ "_chunk").map(col): _*)
+      .agg(carryAggs.head, carryAggs.tail: _*)
+
+    // phase 3: stitch — the carry frame is one row per (keys, chunk): broadcast
+    val joined = local.join(broadcast(carry), keys :+ "_chunk", "left")
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(s"_loc_$c"), col(s"_carry_$c")))
+        .drop(s"_loc_$c", s"_carry_$c")
+    }.drop("_chunk")
+  }
+}

@@ -69,15 +69,17 @@ object Gaps {
       .withColumn("_synth", lit(true))
     val base = df.withColumn("_synth", lit(false))
     val unioned = base.unionByName(miss, allowMissingColumns = true)
-    val part = if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy()
-    val wBack = part.orderBy(col("ts")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = part.orderBy(col("ts")).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val px = coalesce(
-      last(when(!col("_synth"), col("close")), ignoreNulls = true).over(wBack),
-      first(when(!col("_synth"), col("open")), ignoreNulls = true).over(wFwd),
-      lit(0.0))
-    unioned
-      .withColumn("_px", px)
+    // prior real close / next real open via the chunked two-phase fill —
+    // no unpartitioned window even for an unkeyed single series (see Fill)
+    val masked = unioned
+      .withColumn("_prev_close", when(!col("_synth"), col("close")))
+      .withColumn("_next_open", when(!col("_synth"), col("open")))
+    val filled = Fill.bfill(
+      Fill.ffill(masked, Seq("_prev_close"), keys),
+      Seq("_next_open"), keys)
+    filled
+      .withColumn("_px", coalesce(col("_prev_close"), col("_next_open"), lit(0.0)))
+      .drop("_prev_close", "_next_open")
       .withColumn("open", when(col("_synth"), col("_px")).otherwise(col("open")))
       .withColumn("high", when(col("_synth"), col("_px")).otherwise(col("high")))
       .withColumn("low", when(col("_synth"), col("_px")).otherwise(col("low")))

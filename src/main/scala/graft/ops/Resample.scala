@@ -55,10 +55,10 @@ object Resample {
     * aggregates, then last(ignoreNulls) over an ordered window per key.
     * Empty buckets get the prior bar's OHLC and volume 0.
     *
-    * Scale note: the grid explode is per-key and the window partitions by key,
-    * so this distributes across symbols; within one symbol the window is a
-    * single sorted partition — acceptable because per-symbol bar counts are
-    * bounded (1440/day at M1).
+    * Scale note: the grid explode is per-key, and the fill runs through
+    * [[Fill.ffill]]'s two-phase chunked scan — windows partition by
+    * (keys, day-chunk), so even a SINGLE unkeyed series fills in parallel
+    * across chunks instead of collapsing to one WindowExec partition.
     */
   def ohlcvFfill(df: DataFrame, tf: Timeframe, keys: Seq[String] = Nil): DataFrame = {
     val agg = ohlcv(df, tf, keys)
@@ -69,11 +69,7 @@ object Resample {
         keys.map(col) :+
           explode(sequence(col("_min_ts"), col("_max_ts"), expr(s"INTERVAL $s SECONDS"))).as("ts"): _*)
     val joined = grid.join(agg, keys :+ "ts", "left")
-    val w = (if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy())
-      .orderBy(col("ts")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = Seq("open", "high", "low", "close").foldLeft(joined) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = Fill.ffill(joined, Seq("open", "high", "low", "close"), keys)
     filled
       .withColumn("volume", coalesce(col("volume"), lit(0.0)))
       .na.drop(Seq("open", "high", "low", "close"))
