@@ -547,6 +547,24 @@ object SparkEntry {
           |WHERE EXISTS (SELECT 1 FROM lineitem
           |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
           |ORDER BY o_orderkey""".stripMargin,
+      // StubCodec.decode is pure byte arithmetic (Multimodal.scala): checksum =
+      // fold (h*31 + byte) % 1e9+7 over the UTF-8 bytes, dims derived from it.
+      // DuckDB reaches the bytes via hex(encode(text)) + hex-digit parsing.
+      "q23_multimodal_features" ->
+        """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+          |             octet_length(encode(text))::BIGINT AS n FROM documents),
+          | cs AS (SELECT doc_id, n,
+          |   list_reduce(list_prepend(0::BIGINT,
+          |     list_transform(range(0, n::INT),
+          |       i -> (16*(strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)
+          |             + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1))::BIGINT)),
+          |     (a,c) -> (a*31 + c) % 1000000007) AS checksum
+          |  FROM b)
+          |SELECT doc_id AS id, n AS n_bytes,
+          | (1 + checksum % 64)::INT AS width,
+          | (1 + (checksum//64) % 64)::INT AS height,
+          | checksum
+          |FROM cs ORDER BY id""".stripMargin,
       "q24_rollup_revenue" ->
         """SELECT l_returnflag, l_linestatus,
           | sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(28,4)))::DOUBLE AS revenue,

@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   *    inside buckets, never the O(n²) cross product. At 100 TB the bucket
   *    join shuffles on band keys; bucket skew (a degenerate band value
   *    shared by millions of docs) is the known failure mode, mitigated by
-  *    capping bucket width upstream (filter on bucket count) + AQE skew
-  *    handling.
+  *    the `maxBucket`/`maxDf` width caps (rows in buckets wider than the
+  *    cap are excluded before the self-join — a ubiquitous bucket carries
+  *    ~no similarity signal but O(width²) join cost) + AQE skew handling
+  *    for residual imbalance. The caps default high enough to never bind
+  *    at oracle-test scale; at 100 TB they are the knob that bounds any
+  *    single reducer.
   *
   * Hashes are portable polynomial hashes (same arithmetic expressible in
   * any engine / the DuckDB oracle) rather than engine-internal xxhash64.
@@ -58,12 +62,28 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
+  /** Exclude rows in buckets wider than `cap` (count over a window
+    * partitioned by the bucket key — same shuffle as the downstream
+    * self-join, linear work, no extra global sort).
+    */
+  private def capBucket(df: DataFrame, bucketCols: Seq[String], cap: Int): DataFrame = {
+    if (cap <= 0) df
+    else {
+      val w = Window.partitionBy(bucketCols.map(col): _*)
+      df.withColumn("_bw", count(lit(1)).over(w))
+        .where(col("_bw") <= cap)
+        .drop("_bw")
+    }
+  }
+
   /** LSH candidate pairs: docs sharing at least one identical band of the
     * MinHash signature (k hashes, `bands` bands of k/bands rows). Pair
-    * output is (id_a < id_b) distinct.
+    * output is (id_a < id_b) distinct. Buckets wider than `maxBucket` are
+    * dropped (degenerate-band skew cap; see object scaladoc).
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+                        n: Int = 3, k: Int = 16, bands: Int = 4,
+                        maxBucket: Int = 100000): DataFrame = {
     val rows = k / bands
     val sig = minhashSignature(shingles(docs, idCol, textCol, n), idCol, k)
     // band signature: ordered fold over the band's slice of the signature —
@@ -75,9 +95,10 @@ object Dedup {
           aggregate(slice(col("sig"), b * rows + 1, rows), lit(0L),
             (acc, m) => (acc * 31L + m % P) % P).as("band_sig"))): _*)).as("_b"))
       .select(col(idCol), col("_b.band").as("band"), col("_b.band_sig").as("band_sig"))
+    val capped = capBucket(banded, Seq("band", "band_sig"), maxBucket)
       .cache() // self-joined below: avoid recomputing the signature aggregation
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
+    val a = capped.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
+    val b = capped.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -86,12 +107,22 @@ object Dedup {
 
   /** Exact word-shingle Jaccard similarity for all pairs sharing >= 1
     * shingle (inverted-index join — never the cross product).
+    *
+    * `maxDf` caps the inverted-index posting-list width: shingles present in
+    * more than `maxDf` docs are excluded from BOTH candidate generation and
+    * the intersection counts (a stopword-like shingle shared by millions of
+    * docs would otherwise pin one reducer with an O(df²) pair explosion).
+    * When the cap binds, jaccard is biased low for pairs whose overlap is
+    * mostly ubiquitous shingles — the standard recall/robustness trade; the
+    * default never binds at oracle-test scale, keeping the result exact.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = 100000): DataFrame = {
     val arr = docs.select(col(idCol),
       graft.functions.TextFunctions.wordShingles(col(textCol), n).as("_arr"))
-    val sh = arr.select(col(idCol), explode(col("_arr")).as("shingle"))
+    val sh0 = arr.select(col(idCol), explode(col("_arr")).as("shingle"))
+    val sh = capBucket(sh0, Seq("shingle"), maxDf)
     // per-doc shingle counts come straight off the array: no shuffle
     val sizes = arr.select(col(idCol), size(col("_arr")).cast("long").as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
@@ -137,10 +168,11 @@ object Dedup {
 
   /** SimHash near-dup candidates: block on 8-bit chunks of the signature
     * (two docs within hamming distance <= chunks-1 share at least one exact
-    * chunk), then verify with the true hamming distance.
+    * chunk), then verify with the true hamming distance. `maxBucket` caps
+    * degenerate (chunk, value) blocks (see object scaladoc).
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     // self-joined below: cache the (id, sig) projection so the scan+sign
     // pipeline runs once, not once per join side (round-1 q27 hot spot)
     val withSig = docs.select(col(idCol), simhash(col(textCol)).as("simhash")).cache()
@@ -151,8 +183,9 @@ object Dedup {
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
       .select(col(idCol), col("simhash"), col("_c.chunk"), col("_c.v"))
-    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("v"))
-    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("v"))
+    val capped = capBucket(chunked, Seq("chunk", "v"), maxBucket)
+    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("v"))
+    val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("v"))
     a.join(b, Seq("chunk", "v"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))

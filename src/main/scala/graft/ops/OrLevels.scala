@@ -16,6 +16,43 @@ case class OrLevelRow(symbol: String, session_date: java.sql.Date, tz: String,
                       retest_ts: Option[java.sql.Timestamp],
                       retest_price: Option[Double])
 
+/** Named liquidity/session profiles (reference:
+  * src/datalake/liquidity_profiles.py:2-8 LIQUIDITY_PROFILES_CRYPTO /
+  * DEFAULT_CRYPTO_PROFILE): a profile names the session timezone, the local
+  * opening-range start, and the range length in minutes. [[apply]] resolves a
+  * profile into an [[OrLevels.build]] call, so DST is handled by the tz
+  * database (a 09:30 America/New_York open is 14:30 UTC in winter, 13:30 UTC
+  * in summer).
+  */
+object LiquidityProfiles {
+
+  final case class Profile(tz: String, start: String, minutes: Int) {
+    /** "HH:MM-HH:MM" local window string for [[OrLevels.build]]. */
+    def window: String = {
+      val Array(h, m) = start.split(":").map(_.toInt)
+      val end = h * 60 + m + minutes
+      f"$start-${end / 60 % 24}%02d:${end % 60}%02d"
+    }
+  }
+
+  val crypto: Map[String, Profile] = Map(
+    "daily_open_utc" -> Profile("UTC", "00:00", 5),
+    "us_equity_open" -> Profile("America/New_York", "09:30", 5),
+    "asia_open" -> Profile("Asia/Tokyo", "09:00", 5),
+  )
+
+  val defaultCrypto: String = "us_equity_open"
+
+  /** OR levels for a named profile. */
+  def apply(df: DataFrame, name: String = defaultCrypto,
+            keys: Seq[String] = Seq("symbol")): DataFrame = {
+    val p = crypto.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown liquidity profile '$name' (have: ${crypto.keys.mkString(", ")})"))
+    OrLevels.build(df, p.tz, p.window, keys)
+  }
+}
+
 /** Opening-Range levels with breakout/retest detection (reference:
   * src/datalake/levels/or_levels.py:19-64 `build_or_levels`).
   *

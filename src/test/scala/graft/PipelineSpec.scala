@@ -158,6 +158,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === orig.map(_ + 1.0).toSeq)
   }
 
+  test("liquidity profiles: us_equity_open tracks the NY DST shift") {
+    // US DST 2025 springs forward on Mar 9: 09:30 America/New_York is
+    // 14:30 UTC on Mar 7 (EST) but 13:30 UTC on Mar 10 (EDT)
+    val bars = SynthSource.m1(spark, "BTC-USD", "2025-03-07", "2025-03-10")
+    val prof = graft.ops.LiquidityProfiles.crypto("us_equity_open")
+    assert(prof.window === "09:30-09:35")
+    val levels = graft.ops.LiquidityProfiles(bars, "us_equity_open")
+      .orderBy("session_date").collect()
+    val starts = levels.map(r => r.getAs[java.sql.Date]("session_date").toString ->
+      r.getAs[Timestamp]("or_start").toString).toMap
+    assert(starts("2025-03-07") === "2025-03-07 14:30:00.0")
+    assert(starts("2025-03-10") === "2025-03-10 13:30:00.0")
+    // unknown profile names fail loudly
+    intercept[IllegalArgumentException](graft.ops.LiquidityProfiles(bars, "nope"))
+  }
+
   test("IVF ANN finds identical-vector neighbors; skew salting preserves results") {
     import spark.implicits._
     val vecs = (0 until 40).map(i =>

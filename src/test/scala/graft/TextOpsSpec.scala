@@ -58,6 +58,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sh(1L) !== sh(3L))
   }
 
+  test("bucket-width caps drop degenerate buckets but keep narrow ones") {
+    // 40 identical docs form width-40 LSH/simhash/shingle buckets (the
+    // stopword-bucket failure mode at scale); the cap must suppress them
+    // while the width-2 buckets of a genuinely unique pair survive
+    val common = (0 until 40).map(i =>
+      (i.toLong, "identical degenerate filler text shared by every document here"))
+    val pair = Seq(
+      (100L, "a genuinely unique pair of documents xyz abc def ghi jkl"),
+      (101L, "a genuinely unique pair of documents xyz abc def ghi jkl"))
+    val docs = (common ++ pair).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs(Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 10)) === Seq((100L, 101L)))
+    assert(pairs(Dedup.simhashCandidates(docs, "doc_id", "text", maxBucket = 10)) === Seq((100L, 101L)))
+    assert(pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 10)) === Seq((100L, 101L)))
+    // and with the cap above the bucket width, the degenerate pairs return
+    assert(Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 100).count() === 40L * 39 / 2 + 1)
+  }
+
   test("language id picks marker-matching language deterministically") {
     val got = Seq(
       (1, "the cat and the dog is a friend of mine"),
