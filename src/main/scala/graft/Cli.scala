@@ -139,7 +139,7 @@ object Cli {
 
     // catalog integrity: hive-layout validation (reference validate_layout CI gate)
     case "validate" :: root :: Nil =>
-      val bad = graft.lake.ValidateLayout.invalidPaths(root)
+      val bad = graft.lake.ValidateLayout.invalidPaths(spark, root)
       if (bad.isEmpty) println("[cli] layout OK")
       else { println(s"[cli] invalid paths: ${bad.mkString(", ")}"); sys.exit(1) }
 

@@ -35,16 +35,20 @@ object Aggregates {
   }
 
   private[lake] def upsertInto(spark: SparkSession, path: String, batch: DataFrame): Unit = {
-    val enforced = graft.core.CandleSchema.enforce(batch)
-      .withColumn("year", year(col("ts")))
-      .withColumn("month", month(col("ts")))
+    // UTC-forced partition derivation — see LakeWriter.upsert
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val enforced =
+      try graft.core.CandleSchema.enforce(batch)
+        .withColumn("year", year(col("ts")))
+        .withColumn("month", month(col("ts")))
+      finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     val key = Seq("source", "symbol", "timeframe", "ts")
-    val existing =
-      try {
-        val cur = spark.read.parquet(path)
-        val touched = enforced.select(LakeLayout.partitionCols.map(col): _*).distinct()
-        Some(cur.join(broadcast(touched), LakeLayout.partitionCols.toSeq, "left_semi"))
-      } catch { case _: Exception => None }
+    // first-write probe, not a catch-all — see LakeFs.readParquetIfData
+    val existing = LakeFs.readParquetIfData(spark, path).map { cur =>
+      val touched = enforced.select(LakeLayout.partitionCols.map(col): _*).distinct()
+      cur.join(broadcast(touched), LakeLayout.partitionCols.toSeq, "left_semi")
+    }
     val tagged = enforced.withColumn("_prec", lit(1))
     val merged = existing match {
       case Some(old) => old.withColumn("_prec", lit(0)).unionByName(tagged, allowMissingColumns = true)
@@ -75,10 +79,11 @@ class LakeProvider(spark: SparkSession, root: String,
 
   private def readTree(path: String, symbol: String, tf: String,
                        from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
-    val df =
-      try spark.read.parquet(path)
+    val df = LakeFs.readParquetIfData(spark, path) match {
+      case None => return spark.emptyDataFrame
+      case Some(cur) => cur
         .where(col("source") === source && col("symbol") === symbol && col("timeframe") === tf)
-      catch { case _: Exception => return spark.emptyDataFrame }
+    }
     val ranged = (from, to) match {
       case (Some(f), Some(t)) => df.where(col("ts") >= lit(f) && col("ts") < lit(t))
       case (Some(f), None) => df.where(col("ts") >= lit(f))

@@ -25,6 +25,47 @@ object LakeLayout {
   def levelsRoot(root: String) = s"$root/levels"
 }
 
+/** Filesystem probes through the Hadoop FileSystem API so lake roots work on
+  * any scheme (file:, hdfs:, s3a:, …) — java.io.File only understands local
+  * paths and silently reports object-store trees as absent.
+  */
+object LakeFs {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Read a parquet tree that may be absent or still empty (a zero-row
+    * first batch leaves a directory with no data files): None in exactly
+    * those two first-write cases. Any OTHER failure — permissions, corrupt
+    * footers, transient store errors — propagates, because treating it as
+    * "first write" would let a dynamic-partition overwrite silently replace
+    * existing partitions with only the new batch.
+    */
+  def readParquetIfData(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!exists(spark, path)) None
+    else try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+    }
+
+  /** All file paths under `dir`, relative to it (recursive). */
+  def listFilesRelative(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    val base = fs.makeQualified(p).toString
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      out += f.getPath.toString.stripPrefix(base).stripPrefix("/")
+    }
+    out.result()
+  }
+}
+
 /** Range reads with the global half-open [from, to) contract
   * (reference: src/datalake/read/api.py:12-74 `read_range_df`; contract
   * api.py:13-19 "fin EXCLUSIVO"). The legacy closed [from, to] readers
@@ -44,7 +85,7 @@ object LakeReader {
     val path = LakeLayout.dataRoot(root)
     // empty-lake short-circuit: an absent tree reads as an empty canonical
     // frame, not an error (reference: api.py:23-24, tests/test_read_api.py)
-    if (!new java.io.File(path).exists()) {
+    if (!LakeFs.exists(spark, path)) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partitionedSchema)
       return if (columns.nonEmpty) empty.select(columns.map(col): _*) else empty
@@ -113,19 +154,30 @@ object LakeWriter {
 
   def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
     val path = LakeLayout.dataRoot(root)
-    val enforced = CandleSchema.enforce(batch)
-      .withColumn("year", year(col("ts")))
-      .withColumn("month", month(col("ts")))
+    // year/month partition values MUST be the UTC calendar fields of ts:
+    // year(ts) resolves under spark.sql.session.timeZone, and a non-UTC
+    // session would shift rows near month boundaries into the wrong
+    // partition — which the reader's UTC-derived pruning predicates would
+    // then skip. Force UTC for the derivation (captured at analysis time)
+    // instead of trusting entry-point convention.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val enforced =
+      try CandleSchema.enforce(batch)
+        .withColumn("year", year(col("ts")))
+        .withColumn("month", month(col("ts")))
+      finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     val key = Seq("source", "symbol", "timeframe", "ts")
 
-    val existing =
-      try {
-        val cur = spark.read.parquet(path)
-        // restrict to partitions the batch touches (broadcast semi-join on
-        // partition values — partition pruning at 100 TB, not a full scan)
-        val touched = enforced.select(LakeLayout.partitionCols.map(col): _*).distinct()
-        Some(cur.join(broadcast(touched), LakeLayout.partitionCols.toSeq, "left_semi"))
-      } catch { case _: Exception => None } // first write: no existing tree
+    // first-write probe, NOT a catch-all (see LakeFs.readParquetIfData):
+    // a transient/corruption read error aborts the upsert instead of being
+    // mistaken for a first write and dropping pre-existing rows
+    val existing = LakeFs.readParquetIfData(spark, path).map { cur =>
+      // restrict to partitions the batch touches (broadcast semi-join on
+      // partition values — partition pruning at 100 TB, not a full scan)
+      val touched = enforced.select(LakeLayout.partitionCols.map(col): _*).distinct()
+      cur.join(broadcast(touched), LakeLayout.partitionCols.toSeq, "left_semi")
+    }
 
     val tagged = enforced.withColumn("_prec", lit(1))
     val merged = existing match {

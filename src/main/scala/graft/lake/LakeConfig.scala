@@ -25,20 +25,17 @@ object ValidateLayout {
     ("""^source=[^/]+/market=[^/]+/timeframe=(M1|M5|M15|M30|H1|D1)/symbol=[^/]+/""" +
       """year=\d{4}/month=\d{1,2}/[^/]+\.parquet$""").r
 
-  def invalidPaths(root: String): Seq[String] = {
-    val dataRoot = new java.io.File(LakeLayout.dataRoot(root))
-    if (!dataRoot.exists()) return Nil
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    walk(dataRoot)
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getPath.stripPrefix(dataRoot.getPath).stripPrefix("/"))
+  /** Walks the data tree through the Hadoop FileSystem API (works on
+    * file:/hdfs:/s3a: roots, unlike java.io.File).
+    */
+  def invalidPaths(spark: SparkSession, root: String): Seq[String] =
+    LakeFs.listFilesRelative(spark, LakeLayout.dataRoot(root))
+      .filter(_.endsWith(".parquet"))
       .filterNot(p => layoutRe.matches(p))
-  }
 
   /** Strict gate like the reference CI: throws when the tree has stray files. */
   def check(spark: SparkSession, root: String): Unit = {
-    val bad = invalidPaths(root)
+    val bad = invalidPaths(spark, root)
     require(bad.isEmpty, s"invalid lake layout paths: ${bad.take(5).mkString(", ")}")
   }
 }

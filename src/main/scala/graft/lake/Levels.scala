@@ -22,12 +22,11 @@ object LevelsWriter {
     val enriched = levels
       .withColumn("market", lit(market))
       .withColumn("year", year(col("session_date")))
-    val existing =
-      try {
-        val cur = spark.read.parquet(path)
-        val touched = enriched.select(partCols.map(col): _*).distinct()
-        Some(cur.join(broadcast(touched), partCols, "left_semi"))
-      } catch { case _: Exception => None }
+    // first-write probe, not a catch-all — see LakeFs.readParquetIfData
+    val existing = LakeFs.readParquetIfData(spark, path).map { cur =>
+      val touched = enriched.select(partCols.map(col): _*).distinct()
+      cur.join(broadcast(touched), partCols, "left_semi")
+    }
     val tagged = enriched.withColumn("_prec", lit(1))
     val merged = existing match {
       case Some(old) => old.withColumn("_prec", lit(0)).unionByName(tagged, allowMissingColumns = true)

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   *
   * Hashes are portable polynomial hashes (same arithmetic expressible in
   * any engine / the DuckDB oracle) rather than engine-internal xxhash64.
+  *
+  * Cache lifecycle: the candidate generators `.cache()` their signature
+  * projection because it feeds both sides of a self-join (without it the
+  * whole scan+sign pipeline runs twice). The cache lives until Spark's LRU
+  * evicts it (storage level MEMORY_AND_DISK) — a long-lived service issuing
+  * many dedup jobs on different inputs should `unpersist` via
+  * `spark.catalog.clearCache()` between jobs, or materialize the output and
+  * release the plan.
   */
 object Dedup {
 

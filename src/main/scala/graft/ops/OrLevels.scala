@@ -96,7 +96,9 @@ object OrLevels {
       .withColumn("_local", local)
       // base feeds three consumers (OR-range agg, after-window agg, retest
       // join); without materialization Spark recomputes the scan+bucket
-      // lineage for each (observed: 8 parquet scans in one plan)
+      // lineage for each (observed: 8 parquet scans in one plan). Retained
+      // until LRU eviction — long-lived callers should clearCache() between
+      // unrelated builds (see Dedup's cache-lifecycle note).
       .cache()
 
     val inOr = col("_local") >= make_timestamp(

@@ -101,7 +101,12 @@ class BinanceSource(fetchPage: (String, String, Long, Long, Int) => Seq[RawBar])
       .next()._3
 
     val rows = pages
-      .filter(b => b.openTimeMs >= startMs && b.openTimeMs < endMs) // clip (client.py:117,133)
+      // DELIBERATE divergence from the reference's inclusive clip
+      // (client.py:133 keeps ts <= end): we clip half-open [start, end) to
+      // normalize every source to the engine's global [from, to) read
+      // contract (api.py:13-19) — the bar AT endUtc belongs to the next
+      // window, so adjacent fetch windows never double-ingest it.
+      .filter(b => b.openTimeMs >= startMs && b.openTimeMs < endMs)
       .map(b => Row(new Timestamp(b.openTimeMs), b.open, b.high, b.low, b.close, b.volume))
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("open", DoubleType),
@@ -146,6 +151,27 @@ object Pacing {
   val ibkrMaxRequestsPerSecond = 0.7
   val ibkrFetchBackoffsSeconds: Seq[Int] = Seq(2, 5, 10)
   val ibkrRepairWindowsSeconds: Seq[Int] = Seq(3600, 1800, 600, 300)
+}
+
+object IbkrSource {
+  /** The 10299 downgrade retry (reference: downloader.py:15-54
+    * `_req_historical_with_retry`): when IB rejects the requested
+    * what_to_show with error 10299 demanding AGGTRADES, retry ONCE with
+    * what_to_show=AGGTRADES; anything else (including 10299 while already
+    * on AGGTRADES) propagates. `req` is the injected reqHistoricalData call
+    * taking the what_to_show string; returns (bars, what_to_show actually
+    * used) so the caller can stamp the column faithfully.
+    */
+  def withAggTradesDowngrade(req: String => Seq[RawBar],
+                             whatToShow: String = "TRADES"): (Seq[RawBar], String) =
+    try (req(whatToShow), whatToShow)
+    catch {
+      case e: Exception
+        if Option(e.getMessage).exists(m =>
+             m.contains("10299") && m.toUpperCase.contains("AGGTRADES")) &&
+           whatToShow.toUpperCase != "AGGTRADES" =>
+        (req("AGGTRADES"), "AGGTRADES")
+    }
 }
 
 class IbkrSource(fetchWindow: (String, Instant, Instant) => Seq[RawBar]) {

@@ -38,13 +38,28 @@ class LakeSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("lake").toString
     LakeWriter.upsert(spark, root,
       graft.sources.SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01"))
-    assert(graft.lake.ValidateLayout.invalidPaths(root).isEmpty)
+    assert(graft.lake.ValidateLayout.invalidPaths(spark, root).isEmpty)
     graft.lake.ValidateLayout.check(spark, root) // must not throw
     // plant a stray file outside the hive layout
     val stray = java.nio.file.Paths.get(root, "data", "stray.parquet")
     Files.write(stray, Array[Byte](1, 2, 3))
-    assert(graft.lake.ValidateLayout.invalidPaths(root) === Seq("stray.parquet"))
+    assert(graft.lake.ValidateLayout.invalidPaths(spark, root) === Seq("stray.parquet"))
     assertThrows[IllegalArgumentException](graft.lake.ValidateLayout.check(spark, root))
+  }
+
+  test("lake probes go through the Hadoop FileSystem: file: URIs work") {
+    val root = Files.createTempDirectory("lake").toString
+    LakeWriter.upsert(spark, root,
+      graft.sources.SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01"))
+    val uriRoot = "file://" + root
+    // readRange on an explicit file: URI (java.io.File would mis-handle it)
+    val got = LakeReader.readRange(spark, uriRoot, "synth", "BTC-USD", "M1",
+      Some(ts("2025-08-01 00:00:00")), Some(ts("2025-08-02 00:00:00")))
+    assert(got.count() === 1440)
+    assert(graft.lake.ValidateLayout.invalidPaths(spark, uriRoot).isEmpty)
+    // absent tree under a file: URI short-circuits to the empty frame
+    assert(LakeReader.readRange(spark, "file:///nonexistent-graft-root",
+      "synth", "BTC-USD", "M1", None, None).count() === 0)
   }
 
   test("empty-lake read returns an empty canonical frame, not an error") {

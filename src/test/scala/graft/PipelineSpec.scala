@@ -67,6 +67,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.select("what_to_show").distinct().head.getString(0) === "AGGTRADES")
   }
 
+  test("ibkr 10299 downgrade: retries once with AGGTRADES, rethrows other errors") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    def req(wts: String): Seq[RawBar] = {
+      calls += wts
+      if (wts != "AGGTRADES")
+        throw new RuntimeException(
+          "Error 10299: requested what to show is not available; use whatToShow=AGGTRADES")
+      Seq(RawBar(0L, 1, 1, 1, 1, 1))
+    }
+    val (bars, used) = IbkrSource.withAggTradesDowngrade(req, "TRADES")
+    assert(bars.length === 1 && used === "AGGTRADES")
+    assert(calls.toSeq === Seq("TRADES", "AGGTRADES"))
+    // 10299 while ALREADY on AGGTRADES must not loop: it propagates
+    calls.clear()
+    intercept[RuntimeException] {
+      IbkrSource.withAggTradesDowngrade(
+        wts => { calls += wts; throw new RuntimeException("Error 10299 ... AGGTRADES") },
+        "AGGTRADES")
+    }
+    assert(calls.toSeq === Seq("AGGTRADES"))
+    // unrelated errors propagate without a downgrade attempt
+    intercept[RuntimeException] {
+      IbkrSource.withAggTradesDowngrade(_ => throw new RuntimeException("pacing violation"))
+    }
+  }
+
   test("pacing schedules match the reference constants") {
     import graft.sources.Pacing
     assert((0 to 5).map(Pacing.binance429BackoffSeconds) === Seq(1, 2, 4, 8, 10, 10))
