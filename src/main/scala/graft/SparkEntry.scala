@@ -353,6 +353,19 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // multi-symbol keyed pipeline at bench scale: 100 synthetic symbols
+    // (user_id % 100) through the keyed candle agg -> keyed M5 resample ->
+    // keyed grid + chunked forward-fill. This is the plan shape that
+    // parallelizes across symbols on a cluster; q20 is its single-series twin.
+    "q31_ffill_multi_symbol" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").withColumn("symbol", pmod(col("user_id"), lit(100L)))
+      val m1 = EventOps.candles(ev, 60L, keys = Seq("symbol"))
+      Resample.ohlcvFfill(m1, Timeframe.M5, keys = Seq("symbol"))
+        .select(col("symbol"), secs(col("ts")).as("ts_sec"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"))
+        .orderBy(col("symbol"), col("ts_sec"))
+    }),
+
     // multi-join star query: revenue per market segment (broadcast dims)
     "q13_segment_revenue" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -501,6 +514,28 @@ object SparkEntry {
            | coalesce(volume, 0.0) AS volume
            |FROM j WINDOW w AS (ORDER BY ts_sec ROWS UNBOUNDED PRECEDING)
            |ORDER BY ts_sec""".stripMargin,
+      "q31_ffill_multi_symbol" ->
+        """WITH m1 AS (SELECT user_id % 100 AS symbol,
+          |    (floor(epoch(ts)/60)*60)::BIGINT AS ts_sec,
+          |    arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          |    arg_max(value, ts) AS close, count(*)::DOUBLE AS volume
+          |  FROM events GROUP BY 1, 2),
+          | m5 AS (SELECT symbol, (ts_sec//300)*300 AS ts_sec,
+          |    arg_min(open, ts_sec) AS open, max(high) AS high, min(low) AS low,
+          |    arg_max(close, ts_sec) AS close, sum(volume) AS volume
+          |  FROM m1 GROUP BY 1, 2),
+          | bounds AS (SELECT symbol, min(ts_sec) AS mn, max(ts_sec) AS mx FROM m5 GROUP BY 1),
+          | grid AS (SELECT symbol, unnest(generate_series(mn, mx, 300)) AS ts_sec FROM bounds),
+          | j AS (SELECT g.symbol, g.ts_sec, m5.open, m5.high, m5.low, m5.close, m5.volume
+          |       FROM grid g LEFT JOIN m5 ON m5.symbol = g.symbol AND m5.ts_sec = g.ts_sec)
+          |SELECT symbol, ts_sec,
+          | last_value(open IGNORE NULLS) OVER w AS open,
+          | last_value(high IGNORE NULLS) OVER w AS high,
+          | last_value(low IGNORE NULLS) OVER w AS low,
+          | last_value(close IGNORE NULLS) OVER w AS close,
+          | coalesce(volume, 0.0) AS volume
+          |FROM j WINDOW w AS (PARTITION BY symbol ORDER BY ts_sec ROWS UNBOUNDED PRECEDING)
+          |ORDER BY symbol, ts_sec""".stripMargin,
       "q21_upsert_keep_last" ->
         """SELECT event_id, floor(epoch(ts))::BIGINT AS ts_sec,
           | CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value

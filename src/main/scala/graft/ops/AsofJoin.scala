@@ -35,9 +35,17 @@ object AsofJoin {
   /** General backward as-of join. `right` value columns (everything except
     * `on` and `partitionCols`) are appended to `left`; suffix them before
     * calling if names collide.
+    *
+    * `chunk` (in units of `on` cast to long: seconds for timestamps, ns for
+    * raw ts_ns) is the HOT-KEY escape hatch: with chunk > 0 the window-fill
+    * runs through [[Fill]]'s two-phase chunked scan, so one dominant symbol
+    * (or an unkeyed single series) splits into per-chunk partitions plus a
+    * tiny carry join instead of pinning one reducer. Salting does not apply
+    * here — the fill is order-dependent, so the skew tool is time-range
+    * splitting, not key replication. Results are identical (CandleOpsSpec).
     */
   def backward(left: DataFrame, right: DataFrame, on: String = "ts",
-               partitionCols: Seq[String] = Nil): DataFrame = {
+               partitionCols: Seq[String] = Nil, chunk: Long = 0L): DataFrame = {
     val rightVals = right.columns.toSeq.filterNot(c => c == on || partitionCols.contains(c))
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
@@ -53,13 +61,20 @@ object AsofJoin {
         d.withColumn(c, lit(null).cast(lSchema(c).dataType))
       }
     val unioned = leftSide.unionByName(rightSide)
-    val w = (if (partitionCols.nonEmpty) Window.partitionBy(partitionCols.map(col): _*)
-             else Window.partitionBy())
-      .orderBy(col(on).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled =
+      if (chunk > 0L)
+        // chunked two-phase fill: (on, _side) ordering keeps ctx rows
+        // visible to exec rows at equal timestamps, exactly like the window
+        Fill.ffill(unioned, rightVals, partitionCols, on, chunk, tie = Some("_side"))
+      else {
+        val w = (if (partitionCols.nonEmpty) Window.partitionBy(partitionCols.map(col): _*)
+                 else Window.partitionBy())
+          .orderBy(col(on).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rightVals.foldLeft(unioned) { (d, c) =>
+          d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+        }
+      }
     filled.where(col("_side") === 1).drop("_side")
   }
 

@@ -27,25 +27,32 @@ import org.apache.spark.sql.functions._
 object Fill {
 
   /** Forward-fill `cols` (last non-null wins) ordered by `ts` within `keys`
-    * groups. `ts` must be unique per key group (a resample/grid output is).
+    * groups. `ts` must be unique per key group (a resample/grid output is) —
+    * unless a `tie` column makes (ts, tie) unique, e.g. AsofJoin's side tag.
+    * `chunkSeconds` is in the native unit of `ts` cast to long (seconds for
+    * timestamps; pass ns-scaled chunks for raw ts_ns columns).
     */
   def ffill(df: DataFrame, cols: Seq[String], keys: Seq[String] = Nil,
-            ts: String = "ts", chunkSeconds: Long = 86400L): DataFrame =
-    fill(df, cols, keys, ts, chunkSeconds, backward = false)
+            ts: String = "ts", chunkSeconds: Long = 86400L,
+            tie: Option[String] = None): DataFrame =
+    fill(df, cols, keys, ts, chunkSeconds, backward = false, tie)
 
   /** Backward-fill `cols` (next non-null wins). */
   def bfill(df: DataFrame, cols: Seq[String], keys: Seq[String] = Nil,
-            ts: String = "ts", chunkSeconds: Long = 86400L): DataFrame =
-    fill(df, cols, keys, ts, chunkSeconds, backward = true)
+            ts: String = "ts", chunkSeconds: Long = 86400L,
+            tie: Option[String] = None): DataFrame =
+    fill(df, cols, keys, ts, chunkSeconds, backward = true, tie)
 
   private def fill(df: DataFrame, cols: Seq[String], keys: Seq[String],
-                   ts: String, chunkSeconds: Long, backward: Boolean): DataFrame = {
+                   ts: String, chunkSeconds: Long, backward: Boolean,
+                   tie: Option[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to fill")
     val withChunk = df.withColumn("_chunk",
       floor(col(ts).cast("long") / chunkSeconds).cast("long"))
+    val ordCols = col(ts) +: tie.map(col).toSeq
 
     // phase 1: within-chunk fill (parallel across (keys, chunk))
-    val part = Window.partitionBy((keys :+ "_chunk").map(col): _*).orderBy(col(ts))
+    val part = Window.partitionBy((keys :+ "_chunk").map(col): _*).orderBy(ordCols: _*)
     val local = cols.foldLeft(withChunk) { (d, c) =>
       val filled =
         if (backward) first(col(c), ignoreNulls = true)
@@ -59,7 +66,8 @@ object Fill {
     // summary value = the chunk's last (first) non-null per column, picked
     // with a struct max/min ordered by ts (null when the chunk has none).
     val sumAggs = cols.map { c =>
-      val tagged = when(col(c).isNotNull, struct(col(ts).as("t"), col(c).as("v")))
+      val ordFields = (col(ts).as("t") +: tie.map(t => col(t).as("t2")).toSeq) :+ col(c).as("v")
+      val tagged = when(col(c).isNotNull, struct(ordFields: _*))
       (if (backward) min(tagged) else max(tagged)).as(s"_s_$c")
     }
     val summary = withChunk.groupBy((keys :+ "_chunk").map(col): _*)

@@ -151,6 +151,46 @@ object Pacing {
   val ibkrMaxRequestsPerSecond = 0.7
   val ibkrFetchBackoffsSeconds: Seq[Int] = Seq(2, 5, 10)
   val ibkrRepairWindowsSeconds: Seq[Int] = Seq(3600, 1800, 600, 300)
+  /** Orchestrator-level requests/day per timeframe for /api/v3/klines
+    * limit=1000 (reference: tools/fill_binance_month.py:49-55 TF_REQS_PER_DAY).
+    */
+  val binanceReqsPerDay: Map[String, Int] = Map("M1" -> 2, "M5" -> 1, "M15" -> 1, "M30" -> 1)
+}
+
+/** Sliding-minute weight budget for the Binance fill orchestrator
+  * (reference: tools/fill_binance_month.py:58-84 `Budget.maybe_wait`): the
+  * window resets every 60 s; if the planned weight would exceed the
+  * per-minute budget, sleep to the next window; then pace each planned
+  * request with a small sleep while charging its weight. Clock and sleeper
+  * are injected so the schedule is unit-testable without wall-clock time.
+  */
+final class WeightBudget(
+    val maxWeightPerMinute: Int = Pacing.binanceWeightPerMinute,
+    clock: () => Long = () => System.currentTimeMillis(),
+    sleeper: Long => Unit = ms => Thread.sleep(ms)) {
+
+  private var windowStartMs: Long = clock()
+  private var usedWeight: Int = 0
+
+  def used: Int = usedWeight
+
+  def maybeWait(plannedReqs: Int,
+                weightPerReq: Int = Pacing.binanceWeightPerRequest,
+                sleepPerCallMs: Long = Pacing.binancePacingMillis): Unit = {
+    val now = clock()
+    if (now - windowStartMs >= 60000L) { windowStartMs = now; usedWeight = 0 }
+    val plannedWeight = plannedReqs * weightPerReq
+    if (usedWeight + plannedWeight > maxWeightPerMinute) {
+      val waitMs = 60000L - (now - windowStartMs)
+      if (waitMs > 0) sleeper(waitMs)
+      windowStartMs = clock()
+      usedWeight = 0
+    }
+    (0 until plannedReqs).foreach { _ =>
+      sleeper(math.max(0L, sleepPerCallMs))
+      usedWeight += weightPerReq
+    }
+  }
 }
 
 object IbkrSource {

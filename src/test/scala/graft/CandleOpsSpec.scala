@@ -144,6 +144,27 @@ class CandleOpsSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("backward asof with chunking (hot-key split) equals the window form") {
+    // m5 from a gappy m1 so chunks see empty ctx stretches; 1h chunks force
+    // many carry-ins across chunk boundaries, including the equal-ts tie
+    val gappy = day.where(!(col("ts") >= lit("2025-08-01 10:00:00") &&
+      col("ts") < lit("2025-08-01 13:30:00")))
+    val m5 = Resample.ohlcv(gappy, Timeframe.M5).select(col("ts"), col("close").as("close_m5"))
+    val exec = day.select(col("ts"), col("close"))
+    val want = AsofJoin.backward(exec, m5).orderBy("ts").collect()
+    val got = AsofJoin.backward(exec, m5, chunk = 3600L)
+      .select("ts", "close", "close_m5").orderBy("ts").collect()
+    assert(got.sameElements(want))
+    // keyed variant too
+    val execK = exec.withColumn("symbol", lit("AAA"))
+    val m5K = m5.withColumn("symbol", lit("AAA"))
+    val wantK = AsofJoin.backward(execK, m5K, partitionCols = Seq("symbol"))
+      .select("symbol", "ts", "close", "close_m5").orderBy("ts").collect()
+    val gotK = AsofJoin.backward(execK, m5K, partitionCols = Seq("symbol"), chunk = 3600L)
+      .select("symbol", "ts", "close", "close_m5").orderBy("ts").collect()
+    assert(gotK.sameElements(wantK))
+  }
+
   test("bar-end shift moves 00:00 to 00:01 (reference normalize.py)") {
     val shifted = SynthSource.barEndShift(day)
     assert(shifted.agg(min(col("ts"))).head.getTimestamp(0).toString === "2025-08-01 00:01:00.0")

@@ -93,10 +93,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("weight budget: paces requests and sleeps out exhausted windows") {
+    import graft.sources.WeightBudget
+    var nowMs = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val budget = new WeightBudget(maxWeightPerMinute = 10,
+      clock = () => nowMs, sleeper = ms => { sleeps += ms; nowMs += ms })
+    // 5 reqs x weight 2 = 10 fits; each paced by the per-call sleep
+    budget.maybeWait(5, weightPerReq = 2, sleepPerCallMs = 200L)
+    assert(budget.used === 10)
+    assert(sleeps.toSeq === Seq.fill(5)(200L))
+    // next request exceeds the budget: sleep to the window end, then reset
+    sleeps.clear()
+    budget.maybeWait(1, weightPerReq = 2, sleepPerCallMs = 200L)
+    assert(sleeps.head === 60000L - 1000L) // window opened at 0, 5x200ms spent
+    assert(budget.used === 2)
+    // a fresh window after 60 s resets the used weight without sleeping long
+    sleeps.clear()
+    nowMs += 61000L
+    budget.maybeWait(1, weightPerReq = 2, sleepPerCallMs = 200L)
+    assert(sleeps.toSeq === Seq(200L) && budget.used === 2)
+  }
+
   test("pacing schedules match the reference constants") {
     import graft.sources.Pacing
     assert((0 to 5).map(Pacing.binance429BackoffSeconds) === Seq(1, 2, 4, 8, 10, 10))
     assert(Pacing.ibkrRepairWindowsSeconds === Seq(3600, 1800, 600, 300))
+    assert(Pacing.binanceReqsPerDay === Map("M1" -> 2, "M5" -> 1, "M15" -> 1, "M30" -> 1))
     val src = new IbkrSource((_, _, _) => Nil)
     // a 10-minute gap uses the smallest window covering it (600 s): one shot
     val p1 = src.repairPlan(Instant.parse("2025-08-01T03:00:00Z"), Instant.parse("2025-08-01T03:10:00Z"))
