@@ -113,15 +113,15 @@ object SparkEntry {
 
     // J2+W5 minute-gap detection compressed to islands (graft.ops.Gaps).
     // Day-scoped like the reference (tools/gaps.py find_missing_ranges_utc
-    // builds ONE day's grid): islands partition by the UTC day, so the
-    // grid explode, anti-join, and islands window all parallelize across
-    // days — no unpartitioned WindowExec even for a single series.
+    // builds one FULL-day grid per day): full per-day grids clipped only at
+    // the observed outer bounds, so midnight-touching gaps and whole missing
+    // days are detected; islands split at midnight (reference per-day
+    // ranges) and every stage parallelizes by day — no unpartitioned window.
     "q05_gap_islands" -> ((s, dir) => {
       val minutes = tbl(s, dir, "events")
         .select(timestamp_seconds(floor(unix_timestamp(col("ts")) / 60) * 60).as("ts"))
         .distinct()
-        .withColumn("day", expr("CAST(ts AS LONG) DIV 86400"))
-      Gaps.minuteGaps(minutes, keys = Seq("day"))
+      Gaps.dayScopedMinuteGaps(minutes)
         .select(secs(col("gap_start")).as("gap_start_sec"),
           secs(col("gap_end")).as("gap_end_sec"), col("n_missing"))
         .orderBy(col("gap_start_sec"))
@@ -633,9 +633,11 @@ object SparkEntry {
            |ORDER BY m1.ts_sec""".stripMargin,
       "q05_gap_islands" ->
         """WITH obs AS (SELECT DISTINCT (floor(epoch(ts)/60)*60)::BIGINT AS m FROM events),
-          | d AS (SELECT m, m // 86400 AS day FROM obs),
-          | bounds AS (SELECT day, min(m) AS mn, max(m) AS mx FROM d GROUP BY 1),
-          | grid AS (SELECT day, unnest(generate_series(mn, mx, 60)) AS m FROM bounds),
+          | b AS (SELECT min(m) AS mn, max(m) AS mx FROM obs),
+          | days AS (SELECT unnest(generate_series(mn//86400, mx//86400, 1)) AS day, mn, mx FROM b),
+          | grid AS (SELECT day, unnest(generate_series(greatest(day*86400, mn),
+          |                                            least(day*86400 + 86340, mx), 60)) AS m
+          |          FROM days),
           | miss AS (SELECT day, m FROM grid WHERE m NOT IN (SELECT m FROM obs)),
           | isl AS (SELECT day, m,
           |   m - 60*row_number() OVER (PARTITION BY day ORDER BY m) AS island FROM miss)

@@ -25,19 +25,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** Lowercase, trim, split on whitespace runs, emit DISTINCT space-joined
-    * word n-grams (first-occurrence order). Matches
-    * array_distinct(ngrams(split(trim(lower(text)), "\\s+"))) exactly.
+  /** Tokenize exactly like Spark's split(trim(lower(text)), "\\s+"): lower
+    * is locale-independent, trim strips U+0020 only (not \t\n), and split
+    * uses limit -1 (Spark's default — a trailing \t after space-trim yields
+    * a trailing empty token, matching the HOF reference forms bit-for-bit).
+    * The ONE tokenizer behind both [[wordShingles]] and [[simHash]], so the
+    * two kernels can never drift apart.
     */
-  def wordShingles(text: UTF8String, n: Int): ArrayData = {
-    // exactly split(trim(lower(text)), "\\s+") in Spark semantics:
-    // trim strips U+0020 only (not \t\n), lower is locale-independent
+  def tokenize(text: UTF8String): Array[String] = {
     val lowered = text.toLowerCase.toString
     var from = 0
     var to = lowered.length
     while (from < to && lowered.charAt(from) == ' ') from += 1
     while (to > from && lowered.charAt(to - 1) == ' ') to -= 1
-    val words = lowered.substring(from, to).split("\\s+")
+    lowered.substring(from, to).split("\\s+", -1)
+  }
+
+  /** Lowercase, trim, split on whitespace runs, emit DISTINCT space-joined
+    * word n-grams (first-occurrence order). Matches
+    * array_distinct(ngrams(split(trim(lower(text)), "\\s+"))) exactly.
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val words = tokenize(text)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -73,22 +82,15 @@ object TextKernels {
     h
   }
 
-  /** One-pass SimHash signature: tokenize exactly like
-    * split(trim(lower(text)), "\\s+") (trim strips U+0020 only; split keeps
-    * a leading/trailing empty token like Spark's limit=-1 semantics), hash
-    * each word with [[polyHashStr]], accumulate the per-bit +1/-1 votes in a
-    * single array, and emit the sign bits. Bit-identical to the HOF
-    * reference form [[graft.ops.Dedup.simhashHof]] (32 interpreted
-    * aggregate() passes), but one compiled pass per row — this is the inner
-    * loop of signing every document at 100 TB.
+  /** One-pass SimHash signature: [[tokenize]], hash each word with
+    * [[polyHashStr]], accumulate the per-bit +1/-1 votes in a single array,
+    * and emit the sign bits. Bit-identical to the HOF reference form
+    * [[graft.ops.Dedup.simhashHof]] (32 interpreted aggregate() passes),
+    * but one compiled pass per row — this is the inner loop of signing
+    * every document at 100 TB.
     */
   def simHash(text: UTF8String, bits: Int): Long = {
-    val lowered = text.toLowerCase.toString
-    var from = 0
-    var to = lowered.length
-    while (from < to && lowered.charAt(from) == ' ') from += 1
-    while (to > from && lowered.charAt(to - 1) == ' ') to -= 1
-    val words = lowered.substring(from, to).split("\\s+", -1)
+    val words = tokenize(text)
     val acc = new Array[Long](bits)
     var i = 0
     while (i < words.length) {

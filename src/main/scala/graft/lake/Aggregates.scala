@@ -35,38 +35,9 @@ object Aggregates {
   }
 
   private[lake] def upsertInto(spark: SparkSession, path: String, batch: DataFrame): Unit = {
-    // UTC-forced partition derivation — see LakeWriter.upsert
-    val prevTz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val enforced =
-      try graft.core.CandleSchema.enforce(batch)
-        .withColumn("year", year(col("ts")))
-        .withColumn("month", month(col("ts")))
-      finally spark.conf.set("spark.sql.session.timeZone", prevTz)
-    val key = Seq("source", "symbol", "timeframe", "ts")
-    // first-write probe, not a catch-all — see LakeFs.readParquetIfData
-    val existing = LakeFs.readParquetIfData(spark, path).map { cur =>
-      val touched = enforced.select(LakeLayout.partitionCols.map(col): _*).distinct()
-      cur.join(broadcast(touched), LakeLayout.partitionCols.toSeq, "left_semi")
-    }
-    val tagged = enforced.withColumn("_prec", lit(1))
-    val merged = existing match {
-      case Some(old) => old.withColumn("_prec", lit(0)).unionByName(tagged, allowMissingColumns = true)
-      case None => tagged
-    }
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec").desc)
-    val deduped = merged.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn", "_prec")
-      .localCheckpoint() // see LakeWriter.upsert: batch lineage may read the target
-    val conf = spark.conf
-    val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try deduped.repartition(LakeLayout.partitionCols.map(col): _*)
-      .sortWithinPartitions(col("ts"))
-      .write.mode("overwrite").partitionBy(LakeLayout.partitionCols: _*)
-      .option("compression", "zstd").parquet(path)
-    finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    spark.catalog.refreshByPath(path)
+    val enforced = LakeFs.withUtcYearMonth(graft.core.CandleSchema.enforce(batch))
+    UpsertCore.mergeWrite(spark, path, enforced,
+      LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts")
   }
 }
 

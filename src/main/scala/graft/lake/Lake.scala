@@ -30,6 +30,22 @@ object LakeLayout {
   * paths and silently reports object-store trees as absent.
   */
 object LakeFs {
+
+  /** year/month partition values MUST be the UTC calendar fields of ts —
+    * but year(ts)/month(ts) resolve under spark.sql.session.timeZone, and a
+    * non-UTC session would shift rows near month boundaries into the wrong
+    * partition (which the reader's UTC-derived pruning then skips). Derive
+    * them session-independently instead: epoch DIV 86400 is the UTC day
+    * number, date_add from 1970-01-01 gives the UTC date, and year/month on
+    * a DATE are timezone-free. No session-conf mutation, so concurrent
+    * queries on the same session are unaffected.
+    */
+  def withUtcYearMonth(df: DataFrame): DataFrame = {
+    val utcDate = date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+      floor(col("ts").cast("long") / 86400L).cast("int"))
+    df.withColumn("year", year(utcDate)).withColumn("month", month(utcDate))
+  }
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
@@ -153,33 +169,32 @@ object LakeReader {
 object LakeWriter {
 
   def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
-    val path = LakeLayout.dataRoot(root)
-    // year/month partition values MUST be the UTC calendar fields of ts:
-    // year(ts) resolves under spark.sql.session.timeZone, and a non-UTC
-    // session would shift rows near month boundaries into the wrong
-    // partition — which the reader's UTC-derived pruning predicates would
-    // then skip. Force UTC for the derivation (captured at analysis time)
-    // instead of trusting entry-point convention.
-    val prevTz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val enforced =
-      try CandleSchema.enforce(batch)
-        .withColumn("year", year(col("ts")))
-        .withColumn("month", month(col("ts")))
-      finally spark.conf.set("spark.sql.session.timeZone", prevTz)
-    val key = Seq("source", "symbol", "timeframe", "ts")
+    val enforced = LakeFs.withUtcYearMonth(CandleSchema.enforce(batch))
+    UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root), enforced,
+      LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts")
+  }
+}
 
+/** The ONE merge-dedupe upsert implementation, shared by the data tree
+  * ([[LakeWriter]]), the aggregates tree ([[Aggregates]]), and the levels
+  * tree ([[LevelsWriter]]) — same probe, precedence merge, keep-last dedupe,
+  * and dynamic-partition overwrite everywhere, so a fix lands once.
+  */
+private[lake] object UpsertCore {
+
+  def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
+                 partCols: Seq[String], key: Seq[String], sortCol: String): Unit = {
     // first-write probe, NOT a catch-all (see LakeFs.readParquetIfData):
     // a transient/corruption read error aborts the upsert instead of being
     // mistaken for a first write and dropping pre-existing rows
     val existing = LakeFs.readParquetIfData(spark, path).map { cur =>
       // restrict to partitions the batch touches (broadcast semi-join on
       // partition values — partition pruning at 100 TB, not a full scan)
-      val touched = enforced.select(LakeLayout.partitionCols.map(col): _*).distinct()
-      cur.join(broadcast(touched), LakeLayout.partitionCols.toSeq, "left_semi")
+      val touched = batch.select(partCols.map(col): _*).distinct()
+      cur.join(broadcast(touched), partCols, "left_semi")
     }
 
-    val tagged = enforced.withColumn("_prec", lit(1))
+    val tagged = batch.withColumn("_prec", lit(1))
     val merged = existing match {
       case Some(old) => old.withColumn("_prec", lit(0)).unionByName(tagged, allowMissingColumns = true)
       case None => tagged
@@ -199,10 +214,10 @@ object LakeWriter {
     conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       deduped
-        .repartition(LakeLayout.partitionCols.map(col): _*)
-        .sortWithinPartitions(col("ts")) // ts-ordered within files (reference O6)
+        .repartition(partCols.map(col): _*)
+        .sortWithinPartitions(col(sortCol)) // ordered within files (reference O6)
         .write.mode("overwrite")
-        .partitionBy(LakeLayout.partitionCols: _*)
+        .partitionBy(partCols: _*)
         .option("compression", "zstd") // reference: config.py:12 ZSTD
         .parquet(path)
     } finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -16,35 +16,11 @@ object LevelsWriter {
 
   def upsert(spark: SparkSession, root: String, levels: DataFrame,
              market: String = "crypto"): Unit = {
-    val path = LakeLayout.levelsRoot(root)
-    val partCols = Seq("market", "symbol", "year")
-    val key = Seq("session_date", "symbol")
     val enriched = levels
       .withColumn("market", lit(market))
-      .withColumn("year", year(col("session_date")))
-    // first-write probe, not a catch-all — see LakeFs.readParquetIfData
-    val existing = LakeFs.readParquetIfData(spark, path).map { cur =>
-      val touched = enriched.select(partCols.map(col): _*).distinct()
-      cur.join(broadcast(touched), partCols, "left_semi")
-    }
-    val tagged = enriched.withColumn("_prec", lit(1))
-    val merged = existing match {
-      case Some(old) => old.withColumn("_prec", lit(0)).unionByName(tagged, allowMissingColumns = true)
-      case None => tagged
-    }
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec").desc)
-    val deduped = merged.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn", "_prec")
-      .localCheckpoint() // see LakeWriter.upsert: batch lineage may read the target
-    val conf = spark.conf
-    val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try deduped.repartition(partCols.map(col): _*)
-      .sortWithinPartitions(col("session_date"))
-      .write.mode("overwrite").partitionBy(partCols: _*)
-      .option("compression", "zstd").parquet(path)
-    finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    spark.catalog.refreshByPath(path)
+      .withColumn("year", year(col("session_date"))) // DATE field: tz-free
+    UpsertCore.mergeWrite(spark, LakeLayout.levelsRoot(root), enriched,
+      Seq("market", "symbol", "year"), Seq("session_date", "symbol"), "session_date")
   }
 
   def read(spark: SparkSession, root: String, symbol: String): DataFrame =

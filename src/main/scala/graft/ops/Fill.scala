@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   2. compute one summary row per (keys, chunk) — the chunk's last
   *      (resp. first) non-null value per column — and resolve each chunk's
   *      carry-in with a tiny summary self-join + max_by/min_by aggregation
-  *      (no window, broadcastable);
+  *      (no window; AQE broadcasts it when small);
   *   3. final value = coalesce(within-chunk fill, carried value).
   *
   * Output is bit-identical to the global-window fill; wall-clock scales with
@@ -78,7 +78,9 @@ object Fill {
     val tgt = summary.select((keys :+ "_chunk").map(col): _*)
     val dirCond =
       if (backward) src("_bchunk") > tgt("_chunk") else src("_bchunk") < tgt("_chunk")
-    val cond = keys.map(c => tgt(c) === src(s"_bk_$c")).foldLeft(dirCond)(_ && _)
+    // <=> : a NULL key value is a real group for the window form, so the
+    // carry join must match it too (=== would orphan NULL-key groups)
+    val cond = keys.map(c => tgt(c) <=> src(s"_bk_$c")).foldLeft(dirCond)(_ && _)
     // nearest contributing chunk per column: order by (chunk, ts) so the
     // closest chunk wins; within a chunk the summary already picked the edge
     val carryAggs = cols.map { c =>
@@ -89,12 +91,19 @@ object Fill {
     val carry = tgt.join(src, cond, "left")
       .groupBy((keys :+ "_chunk").map(col): _*)
       .agg(carryAggs.head, carryAggs.tail: _*)
+      .select(keys.map(c => col(c).as(s"_ck_$c")) ++ (col("_chunk").as("_cchunk") +:
+        cols.map(c => col(s"_carry_$c"))): _*)
 
-    // phase 3: stitch — the carry frame is one row per (keys, chunk): broadcast
-    val joined = local.join(broadcast(carry), keys :+ "_chunk", "left")
+    // phase 3: stitch. carry is one row per (keys, chunk) — small relative
+    // to the data whenever chunks hold many rows — but its cardinality grows
+    // with #keys x #chunks, so let AQE pick broadcast vs shuffle instead of
+    // forcing a driver-collected broadcast that would OOM at 1M-symbol scale.
+    val stitchCond = keys.map(c => local(c) <=> col(s"_ck_$c"))
+      .foldLeft(local("_chunk") === col("_cchunk"))(_ && _)
+    val joined = local.join(carry, stitchCond, "left")
     cols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(s"_loc_$c"), col(s"_carry_$c")))
         .drop(s"_loc_$c", s"_carry_$c")
-    }.drop("_chunk")
+    }.drop("_chunk" +: "_cchunk" +: keys.map(c => s"_ck_$c"): _*)
   }
 }

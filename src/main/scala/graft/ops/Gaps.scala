@@ -59,6 +59,30 @@ object Gaps {
                  gridBounds: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame =
     islands(missing(df, keys, stepSeconds, gridBounds), keys, stepSeconds)
 
+  /** Day-scoped minute gaps over one series — the reference's scan shape
+    * (tools/gaps.py:51-53 find_missing_ranges_utc builds one FULL-day grid
+    * per day): every UTC day between the observed min and max ts gets the
+    * complete step grid, clipped to the observed bounds only at the two
+    * outer ends. Unlike deriving per-day bounds from each day's own data,
+    * this DOES see gaps touching midnight and entirely missing days; like
+    * the reference, islands never cross midnight (per-day ranges). The grid
+    * explode, anti-join, and islands window all parallelize by day.
+    */
+  def dayScopedMinuteGaps(minutes: DataFrame, stepSeconds: Long = 60L): DataFrame = {
+    val b = minutes.agg(min(col("ts")).as("_mn"), max(col("ts")).as("_mx"))
+    val days = b.select(
+      explode(sequence(expr("CAST(_mn AS LONG) DIV 86400"),
+        expr("CAST(_mx AS LONG) DIV 86400"))).as("day"),
+      col("_mn"), col("_mx"))
+    val grid = days.select(col("day"),
+      explode(sequence(
+        greatest(timestamp_seconds(col("day") * 86400), col("_mn")),
+        least(timestamp_seconds(col("day") * 86400 + (86400 - stepSeconds)), col("_mx")),
+        expr(s"INTERVAL $stepSeconds SECONDS"))).as("ts"))
+    val miss = grid.join(minutes.select(col("ts")), Seq("ts"), "left_anti")
+    islands(miss, Seq("day"), stepSeconds)
+  }
+
   /** Synthetic gap fill (reference: ingestors/ibkr/ingest_cli.py:229-267
     * `_synth_fill` — missing minute price = last prior close, else next open,
     * else 0; flat OHLC bar, volume 0, is_synth=true).

@@ -27,11 +27,17 @@ case class OrLevelRow(symbol: String, session_date: java.sql.Date, tz: String,
 object LiquidityProfiles {
 
   final case class Profile(tz: String, start: String, minutes: Int) {
-    /** "HH:MM-HH:MM" local window string for [[OrLevels.build]]. */
+    /** "HH:MM-HH:MM" local window string for [[OrLevels.build]]. The window
+      * must stay inside one local day: build's in-range predicate compares
+      * both bounds on the SAME session date, so a wrapped "23:58-00:03"
+      * would silently match nothing — reject it instead.
+      */
     def window: String = {
       val Array(h, m) = start.split(":").map(_.toInt)
       val end = h * 60 + m + minutes
-      f"$start-${end / 60 % 24}%02d:${end % 60}%02d"
+      require(end <= 24 * 60,
+        s"profile window $start+${minutes}m crosses midnight — not representable as an OR session")
+      f"$start-${end / 60}%02d:${end % 60}%02d"
     }
   }
 

@@ -174,19 +174,24 @@ final class WeightBudget(
 
   def used: Int = usedWeight
 
+  /** DELIBERATE divergence from the reference: the budget check runs per
+    * planned request, not once per batch — the reference's single upfront
+    * check lets a batch larger than the whole budget overrun the window
+    * after one sleep (fill_binance_month.py:71-77 resets and then issues
+    * every planned request unchecked).
+    */
   def maybeWait(plannedReqs: Int,
                 weightPerReq: Int = Pacing.binanceWeightPerRequest,
                 sleepPerCallMs: Long = Pacing.binancePacingMillis): Unit = {
-    val now = clock()
-    if (now - windowStartMs >= 60000L) { windowStartMs = now; usedWeight = 0 }
-    val plannedWeight = plannedReqs * weightPerReq
-    if (usedWeight + plannedWeight > maxWeightPerMinute) {
-      val waitMs = 60000L - (now - windowStartMs)
-      if (waitMs > 0) sleeper(waitMs)
-      windowStartMs = clock()
-      usedWeight = 0
-    }
     (0 until plannedReqs).foreach { _ =>
+      val now = clock()
+      if (now - windowStartMs >= 60000L) { windowStartMs = now; usedWeight = 0 }
+      if (usedWeight + weightPerReq > maxWeightPerMinute) {
+        val waitMs = 60000L - (now - windowStartMs)
+        if (waitMs > 0) sleeper(waitMs)
+        windowStartMs = clock()
+        usedWeight = 0
+      }
       sleeper(math.max(0L, sleepPerCallMs))
       usedWeight += weightPerReq
     }

@@ -45,6 +45,18 @@ class FillSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("NULL key values form a real fill group, like the window form") {
+    val keyed = sparse.withColumn("k",
+      when(col("ts").cast("long") % 2 === 0, lit("A"))) // half the rows k=NULL
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = keyed.withColumn("v", last(col("v"), ignoreNulls = true).over(w))
+      .select("k", "ts", "v").orderBy("k", "ts").collect()
+    val got = Fill.ffill(keyed, Seq("v"), keys = Seq("k"), chunkSeconds = 3600L)
+      .select("k", "ts", "v").orderBy("k", "ts").collect()
+    assert(got.sameElements(want))
+  }
+
   test("keyed fill stays within key groups") {
     val twoKeys = sparse.withColumn("k", lit("A"))
       .unionByName(sparse.withColumn("v", col("v") * 100).withColumn("k", lit("B")))

@@ -108,6 +108,22 @@ class LakeSpec extends AnyFunSuite {
     assert(synth.getAs[Double]("volume") === 0.0)
   }
 
+  test("day-scoped gaps see midnight-crossing gaps and fully missing days") {
+    // observed: day1 00:00..23:49 and day3 00:11..23:59 — so a gap crosses
+    // the day1/day2 midnight, day2 is entirely absent, and day3 opens late
+    val three = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-03")
+    val minutes = three.where(
+        (col("ts") < lit("2025-08-01 23:50:00")) ||
+        (col("ts") >= lit("2025-08-03 00:11:00")))
+      .select(col("ts"))
+    val gaps = Gaps.dayScopedMinuteGaps(minutes).orderBy("gap_start").collect()
+    assert(gaps.map(r => (r.getAs[Timestamp]("gap_start").toString,
+      r.getAs[Timestamp]("gap_end").toString, r.getAs[Long]("n_missing"))).toSeq === Seq(
+      ("2025-08-01 23:50:00.0", "2025-08-01 23:59:00.0", 10L),  // tail of day1
+      ("2025-08-02 00:00:00.0", "2025-08-02 23:59:00.0", 1440L), // whole day2
+      ("2025-08-03 00:00:00.0", "2025-08-03 00:10:00.0", 11L)))  // head of day3
+  }
+
   test("OR levels: known breakout is detected with direction and first-break ts") {
     import spark.implicits._
     // OR window 00:00-01:00 over values in [10, 20]; break UP at 01:05

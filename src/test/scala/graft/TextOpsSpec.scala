@@ -16,7 +16,8 @@ class TextOpsSpec extends AnyFunSuite {
 
   test("native kernels match their HOF reference forms on edge cases") {
     val samples = Seq("hello world abc def", "  leading spaces\tand tabs ",
-      "one", "", "a b", "ab的 中文 words here 的 test", "x " * 50)
+      "one", "", "a b", "ab的 中文 words here 的 test", "x " * 50,
+      "trailing tab after trim a b c\t", "\tleading tab")
     val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
     // fingerprint: native PolyHash vs interpreted fold
     val fps = df.select(TextAnalysis.fingerprint(col("text")).as("a"),
