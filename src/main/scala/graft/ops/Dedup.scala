@@ -129,6 +129,8 @@ object Dedup {
                    maxDf: Int = 100000): DataFrame = {
     val arr = docs.select(col(idCol),
       graft.functions.TextFunctions.wordShingles(col(textCol), n).as("_arr"))
+      .cache() // feeds the inverted index AND the per-doc sizes (see object
+               // scaladoc for the cache lifecycle)
     val sh0 = arr.select(col(idCol), explode(col("_arr")).as("shingle"))
     val sh = capBucket(sh0, Seq("shingle"), maxDf)
     // per-doc shingle counts come straight off the array: no shuffle
