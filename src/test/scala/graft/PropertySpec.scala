@@ -68,6 +68,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: chunked Fill == global window fill across seeds and chunk sizes") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- seeds; chunkS <- Seq(900L, 3600L, 86400L)) {
+      val day = SynthSource.m1(spark, s"S$seed", "2025-08-01", "2025-08-02", seed)
+      // null out a seed-dependent stripe of closes, incl. long runs
+      val stride = 5 + (seed % 7).toInt
+      val holey = day.withColumn("close",
+        when(pmod(hour(col("ts")) * 60 + minute(col("ts")), lit(stride)) < stride - 1,
+          col("close")))
+      val w = Window.orderBy(col("ts")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = holey.withColumn("close", last(col("close"), ignoreNulls = true).over(w))
+        .select("ts", "close").orderBy("ts").collect()
+      val got = graft.ops.Fill.ffill(holey, Seq("close"), chunkSeconds = chunkS)
+        .select("ts", "close").orderBy("ts").collect()
+      assert(got.sameElements(want), s"seed=$seed chunk=$chunkS")
+    }
+  }
+
+  test("property: day-scoped islands partition exactly the missing minutes") {
+    for (seed <- seeds) {
+      val days = SynthSource.m1(spark, s"S$seed", "2025-08-01", "2025-08-03", seed)
+      val stride = 11 + (seed % 13).toInt
+      val observed = days.where(
+        pmod(hour(col("ts")) * 60 + minute(col("ts")), lit(stride)) =!= lit(0))
+        .select(col("ts"))
+      val gaps = Gaps.dayScopedMinuteGaps(observed)
+      val totalMissing = gaps.agg(sum(col("n_missing"))).head.getLong(0)
+      val expected = days.select("ts").except(observed).where(
+        // boundary minutes outside [observed min, observed max] are invisible
+        col("ts") >= observed.agg(min(col("ts"))).head.getTimestamp(0) &&
+        col("ts") <= observed.agg(max(col("ts"))).head.getTimestamp(0)).count()
+      assert(totalMissing === expected, s"seed=$seed")
+      // islands are disjoint, within one day, and sorted ranges
+      val rows = gaps.orderBy("gap_start").collect()
+      rows.foreach { r =>
+        val s0 = r.getAs[java.sql.Timestamp]("gap_start")
+        val e0 = r.getAs[java.sql.Timestamp]("gap_end")
+        assert(!s0.after(e0))
+        assert(s0.getTime / 86400000L === e0.getTime / 86400000L, "island crosses midnight")
+      }
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[java.sql.Timestamp]("gap_end")
+          .before(b.getAs[java.sql.Timestamp]("gap_start")))
+        case _ =>
+      }
+    }
+  }
+
   test("property: upsert is idempotent for any batch") {
     for (seed <- seeds.take(2)) {
       val root = Files.createTempDirectory("lakeprop").toString
