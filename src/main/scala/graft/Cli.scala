@@ -19,6 +19,7 @@ import java.sql.Timestamp
   *   join-mtf     <root> <symbol> <execTf> <ctxTf,...> <fromTs> <toTs>
   *   aggregate    <root> <symbol> <tf>
   *   levels       <root> <symbol> <tz> <HH:MM-HH:MM>
+  *   levels       <root> <symbol> <profileName>   (daily_open_utc | us_equity_open | asia_open)
   *   check        <root> <symbol> <tf>         (exit 1 on incomplete days, like check_day)
   */
 object Cli {
@@ -86,6 +87,14 @@ object Cli {
       graft.lake.LevelsWriter.upsert(spark, root, levels)
       println(s"[cli] upserted ${levels.count()} level rows for $symbol")
 
+    // levels by named liquidity profile (reference liquidity_profiles.py)
+    case "levels" :: root :: symbol :: profile :: Nil =>
+      val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
+      val levels = graft.ops.LiquidityProfiles(m1, profile)
+      levels.orderBy("session_date").show(50, truncate = false)
+      graft.lake.LevelsWriter.upsert(spark, root, levels)
+      println(s"[cli] upserted ${levels.count()} level rows for $symbol (profile $profile)")
+
     case "ann" :: sfDir :: k :: Nil =>
       // approximate nearest neighbors over the embeddings table (IVF cells)
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -118,7 +127,9 @@ object Cli {
         // the refetch plan a live IBKR connector would execute (reference
         // repair windows 3600/1800/600/300 s); offline we synth-fill instead
         val planner = new graft.sources.IbkrSource((_, _, _) => Nil)
-        gaps.collect().foreach { g =>
+        // bounded driver pull: islands are few by construction, but cap the
+        // printed plan anyway so a pathological lake can't OOM the CLI
+        gaps.limit(1000).collect().foreach { g =>
           val plan = planner.repairPlan(
             g.getAs[Timestamp]("gap_start").toInstant,
             g.getAs[Timestamp]("gap_end").toInstant.plusSeconds(60))
