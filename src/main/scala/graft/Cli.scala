@@ -107,7 +107,7 @@ object Cli {
       val df = new LakeProvider(spark, root).loadTf(symbol, tf, None, None)
       val report = Qc.dayCompleteness(df, Timeframe(tf))
       report.orderBy("day").show(50)
-      val gaps = Gaps.minuteGaps(df)
+      val gaps = Gaps.dayScopedMinuteGaps(df.select("ts")) // per-day, like check_day
       val nBad = report.where(!org.apache.spark.sql.functions.col("complete")).count()
       println(s"[cli] incomplete days: $nBad; gap islands: ${gaps.count()}")
       if (nBad > 0) sys.exit(1) // strict gate like tools/check_day.py:84-88
@@ -118,7 +118,9 @@ object Cli {
     // reference uses under DATALAKE_SYNTH / _synth_fill)
     case "repair" :: root :: symbol :: Nil =>
       val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
-      val gaps = Gaps.minuteGaps(m1)
+      // day-scoped like the reference's repair_day: islands never cross
+      // midnight, and whole missing days inside the range are caught
+      val gaps = Gaps.dayScopedMinuteGaps(m1.select("ts"))
       val nGaps = gaps.agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.col("n_missing"))).head()
       val missing = if (nGaps.isNullAt(0)) 0L else nGaps.getLong(0)
