@@ -207,6 +207,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === orig.map(_ + 1.0).toSeq)
   }
 
+  test("streaming documents: watermarked dedup, annotation, quality filter") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.DocumentStream.cleaned(docs, minQuality = 0.4)
+      .writeStream.outputMode("append").format("memory").queryName("docs_out").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      val good = "a perfectly reasonable sentence with a number of ordinary words " * 3
+      input.addData(
+        (t("2025-08-01 00:00:01"), 1L, good),
+        (t("2025-08-01 00:00:02"), 2L, good),            // exact dup inside watermark
+        (t("2025-08-01 00:00:03"), 3L, ";;;;!!!.... ,,,, ;;; !!!"), // quality-filtered
+        (t("2025-08-01 00:00:04"), 4L, good + "but different"))
+      q.processAllAvailable()
+      val out = spark.table("docs_out").orderBy("doc_id").collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 4L))
+      assert(out.forall(_.getAs[Double]("quality_score") >= 0.4))
+      // streaming signature == batch kernel on the same text
+      val batchSig = Seq(good).toDF("text")
+        .select(graft.ops.Dedup.simhash(col("text"))).head.getLong(0)
+      assert(out.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Long]("simhash") === batchSig)
+      assert(out.forall(_.getAs[String]("lang_guess") == "en"))
+    } finally q.stop()
+  }
+
   test("liquidity profiles: us_equity_open tracks the NY DST shift") {
     // US DST 2025 springs forward on Mar 9: 09:30 America/New_York is
     // 14:30 UTC on Mar 7 (EST) but 13:30 UTC on Mar 10 (EDT)
