@@ -3,7 +3,6 @@ package graft.lake
 import graft.core.Timeframe
 import graft.ops.Resample
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp

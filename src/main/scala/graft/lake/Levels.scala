@@ -1,7 +1,6 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Levels tree writer — K4 (reference: src/datalake/levels/or_levels.py:67-83

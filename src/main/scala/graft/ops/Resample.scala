@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.core.Timeframe
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** OHLCV time-bucket resample (reference: src/datalake/aggregates/aggregate.py:28-45
