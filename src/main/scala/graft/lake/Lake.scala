@@ -209,18 +209,17 @@ private[lake] object UpsertCore {
       .where(col("_rn") === 1).drop("_rn", "_prec")
       .localCheckpoint()
 
-    val conf = spark.conf
-    val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      deduped
-        .repartition(partCols.map(col): _*)
-        .sortWithinPartitions(col(sortCol)) // ordered within files (reference O6)
-        .write.mode("overwrite")
-        .partitionBy(partCols: _*)
-        .option("compression", "zstd") // reference: config.py:12 ZSTD
-        .parquet(path)
-    } finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    deduped
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions(col(sortCol)) // ordered within files (reference O6)
+      .write.mode("overwrite")
+      .partitionBy(partCols: _*)
+      // write-scoped dynamic overwrite (only touched partitions replaced) —
+      // a DataFrameWriter option, NOT a session-conf mutation, so concurrent
+      // writers/queries on the same session are unaffected
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd") // reference: config.py:12 ZSTD
+      .parquet(path)
     // the session caches the file listing for this path; the overwrite just
     // replaced those files, so readers in the same session must re-list
     spark.catalog.refreshByPath(path)
