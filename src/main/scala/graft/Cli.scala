@@ -107,7 +107,9 @@ object Cli {
       val df = new LakeProvider(spark, root).loadTf(symbol, tf, None, None)
       val report = Qc.dayCompleteness(df, Timeframe(tf))
       report.orderBy("day").show(50)
-      val gaps = Gaps.dayScopedMinuteGaps(df.select("ts")) // per-day, like check_day
+      // per-day scan like check_day, on the TIMEFRAME's grid (an M5 lake has
+      // one bar per 300 s — a 60 s grid would report 4/5 slots "missing")
+      val gaps = Gaps.dayScopedMinuteGaps(df.select("ts"), Timeframe(tf).seconds)
       val nBad = report.where(!org.apache.spark.sql.functions.col("complete")).count()
       println(s"[cli] incomplete days: $nBad; gap islands: ${gaps.count()}")
       if (nBad > 0) sys.exit(1) // strict gate like tools/check_day.py:84-88
@@ -130,8 +132,12 @@ object Cli {
         // repair windows 3600/1800/600/300 s); offline we synth-fill instead
         val planner = new graft.sources.IbkrSource((_, _, _) => Nil)
         // bounded driver pull: islands are few by construction, but cap the
-        // printed plan anyway so a pathological lake can't OOM the CLI
-        gaps.limit(1000).collect().foreach { g =>
+        // printed plan anyway so a pathological lake can't OOM the CLI —
+        // deterministically (earliest first) and with a truncation notice
+        val nIslands = gaps.count()
+        if (nIslands > 1000)
+          println(s"[cli] showing first 1000 of $nIslands gap islands")
+        gaps.orderBy("gap_start").limit(1000).collect().foreach { g =>
           val plan = planner.repairPlan(
             g.getAs[Timestamp]("gap_start").toInstant,
             g.getAs[Timestamp]("gap_end").toInstant.plusSeconds(60))

@@ -186,6 +186,19 @@ object Dedup {
     // self-joined below: cache the (id, sig) projection so the scan+sign
     // pipeline runs once, not once per join side (round-1 q27 hot spot)
     val withSig = docs.select(col(idCol), simhash(col(textCol)).as("simhash")).cache()
+    simhashCandidatesFromSignatures(withSig, idCol, "simhash", maxHamming, maxBucket)
+  }
+
+  /** Same blocking over PRECOMPUTED signatures — e.g. the `simhash` column a
+    * [[graft.streaming.DocumentStream]] landed, or any table that already
+    * paid the signing pass; no text re-read, no re-signing. Input is scanned
+    * twice (both self-join sides): cache it if it is not a cheap scan.
+    */
+  def simhashCandidatesFromSignatures(sigs: DataFrame, idCol: String,
+                                      sigCol: String = "simhash",
+                                      maxHamming: Int = 3,
+                                      maxBucket: Int = 100000): DataFrame = {
+    val withSig = sigs.select(col(idCol), col(sigCol).as("simhash"))
     val chunks = 4
     val chunked = withSig.select(
       col(idCol), col("simhash"),

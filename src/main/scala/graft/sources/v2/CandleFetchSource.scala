@@ -95,6 +95,7 @@ private[v2] class CandleScan(options: CaseInsensitiveStringMap)
     val toMs = Instant.parse(required("to")).toEpochMilli
     require(fromMs < toMs, "CandleFetchSource: from must precede to")
     val windowMs = options.getLong("windowHours", 8L) * 3600000L
+    require(windowMs > 0, s"CandleFetchSource: windowHours must be positive")
     for {
       symbol <- symbols
       start <- fromMs until toMs by windowMs

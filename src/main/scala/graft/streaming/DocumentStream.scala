@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *    ever seen — fatal at sustained ingest);
   *  - annotation (quality, language, token stats) is pure column expression
   *    work — stateless, shuffle-free, whole-stage codegen;
-  *  - the 64-bit SimHash signature is computed inline by the native
-  *    [[graft.functions.SimHash]] kernel, so the landed table is immediately
-  *    joinable by the batch near-dup jobs ([[graft.ops.Dedup.simhashCandidates]])
-  *    without re-reading the text.
+  *  - the 32-bit SimHash signature (Dedup.simhash's default) is computed
+  *    inline by the native [[graft.functions.SimHash]] kernel, so batch
+  *    near-dup candidate generation can run directly over the landed
+  *    signature column via [[graft.ops.Dedup.simhashCandidatesFromSignatures]]
+  *    — no text re-read, no re-signing.
   *
   * Cross-watermark duplicates are the batch layer's job (exact dedup q07 /
   * LSH candidates over the landed table) — same split as the candle lake's

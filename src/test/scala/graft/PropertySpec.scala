@@ -72,11 +72,13 @@ class PropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     for (seed <- seeds; chunkS <- Seq(900L, 3600L, 86400L)) {
       val day = SynthSource.m1(spark, s"S$seed", "2025-08-01", "2025-08-02", seed)
-      // null out a seed-dependent stripe of closes, incl. long runs
+      // null out a seed-dependent stripe of closes PLUS hours 05-08 entirely,
+      // so whole 900s/3600s chunks are empty and the carry must skip over
+      // multiple valueless chunks (the nearest-contributing-chunk path)
       val stride = 5 + (seed % 7).toInt
       val holey = day.withColumn("close",
-        when(pmod(hour(col("ts")) * 60 + minute(col("ts")), lit(stride)) < stride - 1,
-          col("close")))
+        when(pmod(hour(col("ts")) * 60 + minute(col("ts")), lit(stride)) < stride - 1 &&
+          !hour(col("ts")).between(5, 8), col("close")))
       val w = Window.orderBy(col("ts")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val want = holey.withColumn("close", last(col("close"), ignoreNulls = true).over(w))
         .select("ts", "close").orderBy("ts").collect()

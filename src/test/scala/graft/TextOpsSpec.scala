@@ -76,6 +76,10 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 10)) === Seq((100L, 101L)))
     // and with the cap above the bucket width, the degenerate pairs return
     assert(Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 100).count() === 40L * 39 / 2 + 1)
+    // precomputed-signature entry point == text entry point
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val fromSigs = Dedup.simhashCandidatesFromSignatures(sigs, "doc_id", "sig", maxBucket = 10)
+    assert(pairs(fromSigs) === pairs(Dedup.simhashCandidates(docs, "doc_id", "text", maxBucket = 10)))
   }
 
   test("language id picks marker-matching language deterministically") {
