@@ -82,6 +82,61 @@ object TextKernels {
     h
   }
 
+  /** Stopword / language-marker vocabularies — the single source of truth;
+    * [[graft.ops.TextAnalysis]] re-exports them for the HOF spec forms.
+    */
+  val stopwords: Set[String] =
+    Set("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+  val langMarkers: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "is", "a"),
+    "es" -> Set("el", "la", "los", "que", "y"),
+    "de" -> Set("der", "die", "das", "und", "ist"),
+    "fr" -> Set("le", "la", "les", "et", "est"),
+    "zh" -> Set("的", "是", "了", "在", "和"))
+
+  /** One compiled pass over the document: char stats on the RAW text
+    * (punct/char counts), then token stats on the tokenized form — exactly
+    * the quantities the HOF forms compute with one interpreted array scan
+    * per statistic. Ratios use the same double arithmetic as the HOF
+    * divide, so values are bit-identical.
+    */
+  def textStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = text.toString
+    var nChars = 0
+    var punct = 0
+    var i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      nChars += 1
+      if (cp == '.' || cp == '!' || cp == '?' || cp == ',' || cp == ';' || cp == ':')
+        punct += 1
+      i += Character.charCount(cp)
+    }
+    val words = tokenize(text)
+    var sumLen = 0L
+    var stop = 0
+    val lang = new Array[Int](langMarkers.length)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      sumLen += word.codePointCount(0, word.length)
+      if (stopwords.contains(word)) stop += 1
+      var l = 0
+      while (l < langMarkers.length) {
+        if (langMarkers(l)._2.contains(word)) lang(l) += 1
+        l += 1
+      }
+      w += 1
+    }
+    val n = words.length
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n.toLong,
+      if (n > 0) sumLen.toDouble / n else 0.0,
+      if (nChars > 0) punct.toDouble / nChars else 0.0,
+      if (n > 0) stop.toDouble / n else 0.0,
+      lang(0), lang(1), lang(2), lang(3), lang(4)))
+  }
+
   /** One-pass SimHash signature: [[tokenize]], hash each word with
     * [[polyHashStr]], accumulate the per-bit +1/-1 votes in a single array,
     * and emit the sign bits. Bit-identical to the HOF reference form
@@ -148,6 +203,43 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document text statistics computed in ONE pass (see
+  * [[TextKernels.textStats]]): token count, mean word length, punctuation
+  * ratio, stopword ratio, and per-language marker hit counts. The HOF
+  * compositions in [[graft.ops.TextAnalysis]] re-scan the word array once
+  * per statistic through interpreted CodegenFallback lambdas — at 100 TB
+  * the profile of every document must be a single compiled pass.
+  */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextStats.schema
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"TextStats needs string, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.textStats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.textStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("lang_en", IntegerType, nullable = false),
+    StructField("lang_es", IntegerType, nullable = false),
+    StructField("lang_de", IntegerType, nullable = false),
+    StructField("lang_fr", IntegerType, nullable = false),
+    StructField("lang_zh", IntegerType, nullable = false)))
+}
+
 /** One-pass SimHash signature of `child` (see [[TextKernels.simHash]]). */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -177,4 +269,7 @@ object TextFunctions {
 
   def simHash(text: Column, bits: Int): Column =
     GraftColumnBridge.toColumn(SimHash(expr(text), bits))
+
+  def textStats(text: Column): Column =
+    GraftColumnBridge.toColumn(TextStats(expr(text)))
 }

@@ -16,8 +16,19 @@ object TextAnalysis {
   /** Whitespace tokenization of trimmed, lowercased text. */
   def words(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** One-pass native per-document statistics struct (n_tokens,
+    * mean_word_len, punct_ratio, stopword_ratio, lang_* marker hits) — the
+    * compiled kernel behind every function below. The HOF `*Hof` forms are
+    * kept as executable specs (interpreted CodegenFallback lambdas, one
+    * array scan per statistic) and pinned equal by TextOpsSpec.
+    */
+  def stats(text: Column): Column = graft.functions.TextFunctions.textStats(text)
+
   /** Token count (whitespace tokenizer). */
-  def tokenCount(text: Column): Column = size(words(text))
+  def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
+
+  /** HOF spec form of [[tokenCount]]. */
+  def tokenCountHof(text: Column): Column = size(words(text))
 
   /** A BPE-ish subword proxy: count of word-boundary + non-alnum splits,
     * approximating tokenizer token counts without a vocab (deterministic,
@@ -27,7 +38,10 @@ object TextAnalysis {
     size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), w => length(trim(w)) > 0))
 
   /** Punctuation-character ratio. */
-  def punctRatio(text: Column): Column =
+  def punctRatio(text: Column): Column = stats(text).getField("punct_ratio")
+
+  /** HOF spec form of [[punctRatio]]. */
+  def punctRatioHof(text: Column): Column =
     when(length(text) > 0,
       length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text))
       .otherwise(lit(0.0))
@@ -36,16 +50,22 @@ object TextAnalysis {
     * signal, same spirit as length/punct/stopword scoring in web-scale
     * pipelines).
     */
-  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+  val stopwords: Seq[String] = graft.functions.TextKernels.stopwords.toSeq.sorted
 
-  def stopwordRatio(text: Column): Column = {
+  def stopwordRatio(text: Column): Column = stats(text).getField("stopword_ratio")
+
+  /** HOF spec form of [[stopwordRatio]]. */
+  def stopwordRatioHof(text: Column): Column = {
     val ws = words(text)
     when(size(ws) > 0,
       size(filter(ws, w => w.isInCollection(stopwords))).cast("double") / size(ws))
       .otherwise(lit(0.0))
   }
 
-  def meanWordLen(text: Column): Column = {
+  def meanWordLen(text: Column): Column = stats(text).getField("mean_word_len")
+
+  /** HOF spec form of [[meanWordLen]]. */
+  def meanWordLenHof(text: Column): Column = {
     val ws = words(text)
     when(size(ws) > 0,
       aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
@@ -67,15 +87,14 @@ object TextAnalysis {
     * marker lists, pick the argmax with a fixed precedence order
     * (en > es > de > fr > zh > unknown) so ties are deterministic.
     */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "is", "a"),
-    "es" -> Seq("el", "la", "los", "que", "y"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "fr" -> Seq("le", "la", "les", "et", "est"),
-    "zh" -> Seq("的", "是", "了", "在", "和"),
-  )
+  val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.TextKernels.langMarkers.map { case (l, m) => l -> m.toSeq.sorted }
 
-  def langScores(text: Column): Seq[(String, Column)] = {
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, _) => lang -> stats(text).getField(s"lang_$lang") }
+
+  /** HOF spec form of [[langScores]]. */
+  def langScoresHof(text: Column): Seq[(String, Column)] = {
     val ws = words(text)
     langMarkers.map { case (lang, markers) =>
       lang -> size(filter(ws, w => w.isInCollection(markers)))

@@ -39,6 +39,22 @@ class TextOpsSpec extends AnyFunSuite {
     val sims = df.select(Dedup.simhash(col("text")).as("a"),
       Dedup.simhashHof(col("text")).as("b")).collect()
     sims.foreach(r => assert(r.getLong(0) === r.getLong(1), samples))
+    // textStats: native one-pass struct vs the HOF spec forms, field by field
+    val t = col("text")
+    val st = df.select(
+      TextAnalysis.tokenCount(t).as("a1"), TextAnalysis.tokenCountHof(t).cast("long").as("b1"),
+      TextAnalysis.meanWordLen(t).as("a2"), TextAnalysis.meanWordLenHof(t).as("b2"),
+      TextAnalysis.punctRatio(t).as("a3"), TextAnalysis.punctRatioHof(t).as("b3"),
+      TextAnalysis.stopwordRatio(t).as("a4"), TextAnalysis.stopwordRatioHof(t).as("b4")).collect()
+    st.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), samples)
+      assert(r.getDouble(2) === r.getDouble(3), samples)
+      assert(r.getDouble(4) === r.getDouble(5), samples)
+      assert(r.getDouble(6) === r.getDouble(7), samples)
+    }
+    val ls = df.select(
+      (TextAnalysis.langScores(t).map(_._2) ++ TextAnalysis.langScoresHof(t).map(_._2)): _*).collect()
+    ls.foreach(r => (0 until 5).foreach(i => assert(r.getInt(i) === r.getInt(i + 5), samples)))
   }
 
   test("identical texts collide on every dedupe signal; different texts do not") {
