@@ -94,13 +94,15 @@ object Fill {
       .select(keys.map(c => col(c).as(s"_ck_$c")) ++ (col("_chunk").as("_cchunk") +:
         cols.map(c => col(s"_carry_$c"))): _*)
 
-    // phase 3: stitch. carry is one row per (keys, chunk) — small relative
-    // to the data whenever chunks hold many rows — but its cardinality grows
-    // with #keys x #chunks, so let AQE pick broadcast vs shuffle instead of
-    // forcing a driver-collected broadcast that would OOM at 1M-symbol scale.
+    // phase 3: stitch. carry is one row per (keys, chunk). Unkeyed, that is
+    // provably tiny (#chunks rows) — force the broadcast so a planner
+    // misestimate can never shuffle the data side. Keyed, cardinality grows
+    // with #keys x #chunks (1M symbols x years would OOM a forced
+    // broadcast), so let AQE pick broadcast vs shuffle from actual sizes.
+    val carrySide = if (keys.isEmpty) broadcast(carry) else carry
     val stitchCond = keys.map(c => local(c) <=> col(s"_ck_$c"))
       .foldLeft(local("_chunk") === col("_cchunk"))(_ && _)
-    val joined = local.join(carry, stitchCond, "left")
+    val joined = local.join(carrySide, stitchCond, "left")
     cols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(s"_loc_$c"), col(s"_carry_$c")))
         .drop(s"_loc_$c", s"_carry_$c")
