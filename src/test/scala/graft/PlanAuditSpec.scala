@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated form of docs/PLANS.md: the plan shapes the engine promises at
+  * scale, asserted on every build so a regression (a lost pushdown, a
+  * reintroduced single-partition window) fails CI instead of surfacing in a
+  * bench tail. AQE is disabled while PLANNING so the static plan is
+  * inspectable; the correctness gates run the same queries with AQE on.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withStaticPlans[T](body: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def planOf(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  test("NO query plans an unpartitioned WindowExec (the 100 TB serialization point)") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        val bad = planOf(name).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty, s"$name plans a single-partition window")
+      }
+    }
+  }
+
+  test("q02 range predicate reaches the parquet scan (PushedFilters on raw ts)") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val tree = planOf("q02_range_filter").treeString
+      assert(tree.contains("PushedFilters"), tree.take(500))
+      assert(tree.contains("GreaterThanOrEqual(ts,"), "ts lower bound not pushed")
+      assert(tree.contains("LessThan(ts,"), "ts upper bound not pushed")
+    }
+  }
+
+  test("q04 grid as-of is a broadcast hash join with no window at all") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val plan = planOf("q04_asof_mtf")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty, "unexpected window")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "ctx side not broadcast")
+    }
+  }
+
+  test("q13 star query broadcasts both dimension tables") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val joins = planOf("q13_segment_revenue").collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.length >= 2, s"expected 2 broadcast joins, got ${joins.length}")
+    }
+  }
+}
