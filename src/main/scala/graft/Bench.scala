@@ -19,7 +19,11 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Force FULL evaluation of every output column: a plain count() lets
+      // ColumnPruning drop un-consumed projections, so a projection-heavy
+      // query (text stats, simhash signatures) would bench as a bare scan.
+      // toRdd executes the final plan exactly as written.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
