@@ -17,14 +17,28 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // Local-profiling hooks (unset in driver runs): comma-separated query
+    // filter and a repeat count so one query's steady-state cost can be
+    // isolated without running the whole suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): Unit =
       // Force FULL evaluation of every output column: a plain count() lets
       // ColumnPruning drop un-consumed projections, so a projection-heavy
       // query (text stats, simhash signatures) would bench as a bare scan.
       // toRdd executes the final plan exactly as written.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, dir).queryExecution.toRdd.count(); () } catch { case _: Throwable => () }
+    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = queries.map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        runOnce(fn, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -324,14 +324,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // exact interpolated percentiles per group (Spark percentile == DuckDB quantile_cont)
+    // exact interpolated percentiles per group, as a DISTRIBUTED plan
+    // (graft.ops.Quantiles — count+cumsum+bracket, not percentile()'s
+    // collect-all-values ObjectAggregate; same numbers as DuckDB
+    // quantile_cont, see Quantiles scaladoc)
     "q28_quantiles" -> ((s, dir) => {
-      tbl(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"))
+      val li = tbl(s, dir, "lineitem")
+      val price = Quantiles.exactInterpolated(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.5 -> "p50", 0.9 -> "p90"))
+      val qty = Quantiles.exactInterpolated(li, Seq("l_returnflag"),
+        "l_quantity", Seq(0.25 -> "qty_p25"))
+      price.join(qty, "l_returnflag")
+        .select(col("l_returnflag"), round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"), round(col("qty_p25"), 4).as("qty_p25"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -89,18 +89,34 @@ object Gaps {
     */
   def synthFill(df: DataFrame, keys: Seq[String] = Nil, stepSeconds: Long = 60L,
                 gridBounds: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
-    val miss = missing(df, keys, stepSeconds, gridBounds)
-      .withColumn("_synth", lit(true))
-    val base = df.withColumn("_synth", lit(false))
-    val unioned = base.unionByName(miss, allowMissingColumns = true)
+    // FULL OUTER join of the step grid with the data: grid-only rows are the
+    // synthetic minutes, data rows (on or off the grid) pass through — the
+    // same row set as `df UNION (grid ANTI JOIN df)` but with ONE evaluation
+    // of df instead of three (bounds + anti-join probe + union arm), which
+    // matters because df is typically an aggregation lineage, not a scan.
+    val bounds = gridBounds match {
+      case Some((f, t)) =>
+        (if (keys.isEmpty) df.sparkSession.range(1).select(lit(1).as("_one"))
+         else df.select(keys.map(col): _*).distinct())
+          .withColumn("_from", lit(f)).withColumn("_to", lit(t))
+          .drop("_one")
+      case None => df.groupBy(keys.map(col): _*)
+        .agg(min(col("ts")).as("_from"), max(col("ts")).as("_to"))
+    }
+    val grid = bounds.select(keys.map(col) :+
+      explode(sequence(col("_from"), col("_to"), expr(s"INTERVAL $stepSeconds SECONDS"))).as("ts"): _*)
+      .withColumn("_grid", lit(true))
+    val unioned = grid.join(df.withColumn("_real", lit(true)),
+        keys :+ "ts", "full_outer")
+      .withColumn("_synth", col("_real").isNull)
+      .drop("_grid", "_real")
     // prior real close / next real open via the chunked two-phase fill —
-    // no unpartitioned window even for an unkeyed single series (see Fill)
+    // no unpartitioned window even for an unkeyed single series (see Fill);
+    // both directions share one pass (Fill.biFill)
     val masked = unioned
       .withColumn("_prev_close", when(!col("_synth"), col("close")))
       .withColumn("_next_open", when(!col("_synth"), col("open")))
-    val filled = Fill.bfill(
-      Fill.ffill(masked, Seq("_prev_close"), keys),
-      Seq("_next_open"), keys)
+    val filled = Fill.biFill(masked, Seq("_prev_close"), Seq("_next_open"), keys)
     filled
       .withColumn("_px", coalesce(col("_prev_close"), col("_next_open"), lit(0.0)))
       .drop("_prev_close", "_next_open")

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.{cosineNative, dotNative}
+import graft.functions.VectorFunctions.{cosineNative, dotNative, normNative}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -24,6 +24,25 @@ import graft.functions.VectorFunctions.{cosineNative, dotNative}
 object Similarity {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Pairwise cosine with PRE-COMPUTED norms: inside an O(n·m) pair join the
+    * per-pair cost drops from three dot products (a·b, a·a, b·b) to one —
+    * the norms are computed once per ROW before the join, not once per PAIR.
+    * Bit-identical to [[graft.functions.VectorFunctions.cosineNative]]
+    * (same `dot / (normA * normB)` IEEE evaluation order), so the DuckDB
+    * oracle formula still matches exactly.
+    */
+  private def pairCosine(av: String, an: String, bv: String, bn: String): Column =
+    dotNative(col(av), col(bv)) / (col(an) * col(bn))
+
+  /** Spread the STREAM side of a nested-loop pair join across the cluster.
+    * A small corpus often arrives as ONE input partition (a single parquet
+    * file), which would serialize the whole O(n·m) pair loop onto one task.
+    * The round-robin shuffle costs O(n) — noise next to the pair work an
+    * exact all-pairs op declares — and buys full parallelism.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -51,11 +70,13 @@ object Similarity {
     */
   def topKJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-    val scored = q.crossJoin(c)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      normNative(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      normNative(col(vecCol)).as("_cn"))
+    val scored = spread(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosineNative(col("_qv"), col("_cv")), 6))
+      .withColumn("cosine", round(pairCosine("_qv", "_qn", "_cv", "_cn"), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -90,13 +111,15 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        normNative(col(vecCol)).as("_qn"))
       .withColumn("bucket", lshKey(col("_qv"), planes))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        normNative(col(vecCol)).as("_cn"))
       .withColumn("bucket", lshKey(col("_cv"), planes))
     val scored = q.join(c, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosineNative(col("_qv"), col("_cv")), 6))
+      .withColumn("cosine", round(pairCosine("_qv", "_qn", "_cv", "_cn"), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -124,12 +147,14 @@ object Similarity {
         .where(col("_rn") === 1)
         .drop("_d", "_rn", "_cent")
     val q = assign(queries.select(col(idCol), col(vecCol)), vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("cent_id").as("cell"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        normNative(col(vecCol)).as("_qn"), col("cent_id").as("cell"))
     val c = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("cent_id").as("cell"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        normNative(col(vecCol)).as("_cn"), col("cent_id").as("cell"))
     val scored = q.join(c, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosineNative(col("_qv"), col("_cv")), 6))
+      .withColumn("cosine", round(pairCosine("_qv", "_qn", "_cv", "_cn"), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -142,11 +167,13 @@ object Similarity {
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
-    a.crossJoin(b)
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      normNative(col(vecCol)).as("_na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      normNative(col(vecCol)).as("_nb"))
+    spread(a).crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosineNative(col("_va"), col("_vb")), 6))
+      .withColumn("cosine", round(pairCosine("_va", "_na", "_vb", "_nb"), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -155,13 +182,16 @@ object Similarity {
   def lshNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"),
+        normNative(col(vecCol)).as("_n"))
       .withColumn("bucket", lshKey(col("_v"), planes))
-    val a = keyed.select(col("id").as("id_a"), col("_v").as("_va"), col("bucket"))
-    val b = keyed.select(col("id").as("id_b"), col("_v").as("_vb"), col("bucket"))
+    val a = keyed.select(col("id").as("id_a"), col("_v").as("_va"),
+      col("_n").as("_na"), col("bucket"))
+    val b = keyed.select(col("id").as("id_b"), col("_v").as("_vb"),
+      col("_n").as("_nb"), col("bucket"))
     a.join(b, "bucket")
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosineNative(col("_va"), col("_vb")), 6))
+      .withColumn("cosine", round(pairCosine("_va", "_na", "_vb", "_nb"), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
