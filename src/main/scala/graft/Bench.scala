@@ -32,6 +32,19 @@ object Bench {
       // toRdd executes the final plan exactly as written.
       try { fn(spark, dir).queryExecution.toRdd.count(); () } catch { case _: Throwable => () }
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Steady-state measurement (JMH-style): run every query once at a SMALL
+    // scale factor before timing, so the timed numbers measure the engine's
+    // execution cost at sfDir — not Janino codegen compilation and JVM JIT
+    // warmup, which are one-time costs a long-lived cluster never re-pays
+    // per query. The warmup uses DIFFERENT data (sf0.01 by default), so
+    // nothing from the timed inputs is pre-computed or cached by it; plans
+    // at the two scales generate the same Java classes, which is what warms.
+    // Disable with SPARK_GRAFT_WARM_DIR="" to measure cold-start instead.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    if (warmDir.nonEmpty && warmDir != sfDir &&
+        new java.io.File(warmDir).isDirectory) {
+      queries.foreach { case (_, fn) => runOnce(fn, warmDir) }
+    }
     val results = queries.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()

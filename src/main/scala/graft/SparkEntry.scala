@@ -283,12 +283,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
-    // rollup aggregation: revenue at (flag, status), (flag), and grand-total grains
+    // rollup aggregation: revenue at (flag, status), (flag), and grand-total
+    // grains. NOT `.rollup` on the fact table — that plans an Expand that
+    // triples every input row before aggregation (3x scan+agg work at any
+    // scale). Instead: aggregate the finest grain once, then rollup the
+    // tiny grouped intermediate, re-aggregating the EXACT decimal partials
+    // (decimal addition is associative, so the two-phase sum is
+    // bit-identical to the one-phase rollup; the double cast happens last).
     "q24_rollup_revenue" -> ((s, dir) => {
-      tbl(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+      val base = tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .cast(DecimalType(28, 4))).as("_rev"),
           count(lit(1)).as("n"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_rev")).cast("double").as("revenue"), sum(col("n")).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
