@@ -392,6 +392,61 @@ object SparkEntry {
         .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("c_mktsegment"))
     }),
+
+    // PII redaction (graft.ops.TextAnalysis.scrubPii): flat per-row
+    // regexp_replace chain, zero shuffle. The contact blob is synthesized
+    // deterministically from the customer table (the synthetic corpus
+    // contains no PII-shaped strings to scrub).
+    "q32_pii_scrub" -> ((s, dir) => {
+      val blob = concat(col("c_name"),
+        lit(" <user"), col("c_custkey").cast("string"), lit("@example.com> call 555-867-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+        lit(" acct "), (col("c_custkey") * 1000003L + 12345678L).cast("string"))
+      tbl(s, dir, "customer")
+        .select(col("c_custkey"), blob.as("_blob"))
+        .select(col("c_custkey"),
+          TextAnalysis.scrubPii(col("_blob")).as("scrubbed"),
+          TextAnalysis.piiCount(col("_blob")).cast("long").as("n_pii"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // vocabulary mining: top-5 bigrams per language by document frequency
+    // (graft.ops.TextAnalysis.topNgrams — WindowGroupLimit pushdown keeps
+    // the shuffle at O(groups*k) rows per map task, not the vocabulary)
+    "q33_top_ngrams" -> ((s, dir) => {
+      TextAnalysis.topNgrams(tbl(s, dir, "documents"), "lang", "text", n = 2, k = 5)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // IVF ANN top-k — the scale path for q14's exact scan, now under the
+    // same oracle: deterministic centroid seeding (lowest ids), cell
+    // assignment by cosine, probe only the query's cell
+    "q34_ivf_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
+          k = 10, nCentroids = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // leakage-safe deterministic train/val/test split by content
+    // fingerprint (graft.ops.TextAnalysis.datasetSplit), profiled per split
+    "q35_dataset_split" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .withColumn("split", TextAnalysis.datasetSplit(col("text")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // the canonical dedup composition: LSH candidates -> exact Jaccard
+    // verify on candidates only (graft.ops.Dedup.verifiedNearDups)
+    "q36_verified_near_dups" -> ((s, dir) => {
+      Dedup.verifiedNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -716,6 +771,81 @@ object SparkEntry {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           | JOIN customer ON o_custkey = c_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // regexes below are the portable Java-regex/RE2 common subset used by
+      // TextAnalysis.piiPatterns; 'g' = global (Spark replaces all by default)
+      "q32_pii_scrub" ->
+        """WITH blob AS (SELECT c_custkey,
+          |  c_name || ' <user' || c_custkey || '@example.com> call 555-867-' ||
+          |  lpad((c_custkey % 10000)::VARCHAR, 4, '0') || ' acct ' ||
+          |  (c_custkey * 1000003 + 12345678)::VARCHAR AS b
+          | FROM customer),
+          | s1 AS (SELECT c_custkey, b,
+          |   regexp_replace(b, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS b1 FROM blob),
+          | s2 AS (SELECT c_custkey, b, b1,
+          |   regexp_replace(b1, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS b2 FROM s1),
+          | s3 AS (SELECT c_custkey, b, b1, b2,
+          |   regexp_replace(b2, '[0-9]{8,}', '<NUM>', 'g') AS b3 FROM s2)
+          |SELECT c_custkey, b3 AS scrubbed,
+          | (len(regexp_extract_all(b,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |  + len(regexp_extract_all(b1, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+          |  + len(regexp_extract_all(b2, '[0-9]{8,}')))::BIGINT AS n_pii
+          |FROM s3 ORDER BY c_custkey""".stripMargin,
+      "q33_top_ngrams" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, lang, unnest(l) AS w, unnest(generate_series(1,len(l))) AS pos FROM ws),
+           | sh0 AS (SELECT doc_id, lang, w || ' ' || lead(w,1) OVER win AS shingle, lead(w,1) OVER win AS w1
+           |         FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+           | sh AS (SELECT DISTINCT doc_id, lang, shingle FROM sh0 WHERE w1 IS NOT NULL),
+           | dfq AS (SELECT lang, shingle AS ngram, count(*) AS df FROM sh GROUP BY 1,2),
+           | r AS (SELECT lang, ngram, df,
+           |        row_number() OVER (PARTITION BY lang ORDER BY df DESC, ngram) AS rank FROM dfq)
+           |SELECT lang, ngram, df, rank FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+      "q34_ivf_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+          | dist AS (SELECT e.vec_id, e.v, c.cent_id,
+          |    list_dot_product(e.v,c.cv)/(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(c.cv,c.cv))) AS d
+          |   FROM e CROSS JOIN cents c),
+          | asg AS (SELECT vec_id, v, cent_id AS cell FROM (
+          |    SELECT vec_id, v, cent_id,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS rn FROM dist) t
+          |   WHERE rn = 1),
+          | q AS (SELECT * FROM asg WHERE vec_id < 5),
+          | s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_dot_product(q.v,c.v)/(sqrt(list_dot_product(q.v,q.v))*sqrt(list_dot_product(c.v,c.v))),6) AS cosine
+          |   FROM q JOIN asg c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+          | r AS (SELECT query_id, neighbor_id, cosine,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+          |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin,
+      "q35_dataset_split" ->
+        s"""WITH f AS (SELECT doc_id, lang, n_chars, ${fpSql("text")} AS fp FROM documents),
+           | s AS (SELECT CASE WHEN fp % 100 < 80 THEN 'train'
+           |                   WHEN fp % 100 < 90 THEN 'val'
+           |                   ELSE 'test' END AS split, lang, n_chars FROM f)
+           |SELECT split, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+           | round(sum(n_chars)::DOUBLE / count(*), 4) AS avg_chars
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q36_verified_near_dups" ->
+        s"""WITH sh AS ($shingleSql),
+           | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),
+           | sig AS (SELECT doc_id, t.i AS i,
+           |          min((hv*(2*t.i+3) + ((1442695040888963407%1000000007)*(t.i+1))%1000000007) % 1000000007) AS m
+           |         FROM h, range(0,16) t(i) GROUP BY 1,2),
+           | band AS (SELECT doc_id, (i//4)::INT AS band,
+           |           list_reduce(list_prepend(0::BIGINT, list(m ORDER BY i)), (a,b)->(a*31 + b%1000000007)%1000000007) AS band_sig
+           |          FROM sig GROUP BY 1,2),
+           | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |           FROM band a JOIN band b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
+           | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           | inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
+           |           FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+           |                        JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           |           GROUP BY 1,2),
+           | j AS (SELECT id_a, id_b, inter,
+           |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
+           |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+           |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
     )
   }
 }

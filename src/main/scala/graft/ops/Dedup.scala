@@ -189,6 +189,33 @@ object Dedup {
     simhashCandidatesFromSignatures(withSig, idCol, "simhash", maxHamming, maxBucket)
   }
 
+  /** The canonical near-dup pipeline composition: MinHash+LSH candidate
+    * generation followed by EXACT Jaccard verification — but the exact
+    * computation runs only on the candidate pairs, not on every pair
+    * sharing a shingle ([[jaccardPairs]]'s cost). Verification joins each
+    * candidate to the two docs' shingle ARRAYS and intersects them
+    * per-row (codegen'd `array_intersect`, no shuffle beyond the pair
+    * join), so total cost is O(corpus signing) + O(candidates·shingles) —
+    * the shape that survives 100 TB, where all-pairs-sharing-a-shingle
+    * explodes but LSH candidates stay ~linear in the true-duplicate count.
+    */
+  def verifiedNearDups(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 16, bands: Int = 4,
+                       threshold: Double = 0.5,
+                       maxBucket: Int = 100000): DataFrame = {
+    val arr = docs.select(col(idCol),
+      graft.functions.TextFunctions.wordShingles(col(textCol), n).as("_arr"))
+    val cands = minhashCandidates(docs, idCol, textCol, n, k, bands, maxBucket)
+    val a = arr.select(col(idCol).as("id_a"), col("_arr").as("_arr_a"))
+    val b = arr.select(col(idCol).as("id_b"), col("_arr").as("_arr_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("_arr_a"), col("_arr_b"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("_arr_a")) + size(col("_arr_b")) - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
   /** Same blocking over PRECOMPUTED signatures — e.g. the `simhash` column a
     * [[graft.streaming.DocumentStream]] landed, or any table that already
     * paid the signing pass; no text re-read, no re-signing. Input is scanned

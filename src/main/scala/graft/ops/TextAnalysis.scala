@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over a `documents`
@@ -123,6 +124,68 @@ object TextAnalysis {
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
       (h, c) => (h * 31L + c) % 1000000007L)
+
+  /** PII redaction patterns, applied in order (email first so its digits
+    * are gone before the digit-run pattern sees them). Regexes stay inside
+    * the portable common subset of Java regex and RE2 — no lookaround, no
+    * backreferences — so the same pattern string drives both the engine and
+    * a DuckDB/RE2 oracle, and the scrub is a flat codegen'd per-row
+    * `regexp_replace` chain: zero shuffle at any scale.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{8,}" -> "<NUM>")
+
+  /** Mask emails, phone-shaped numbers, and long digit runs. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
+  /** Count of PII matches a scrub would redact (pre-scrub). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (re, repl) =>
+      // count each pattern on the text as the scrub chain sees it: with the
+      // EARLIER patterns already applied, so an email's digits are not
+      // double-counted as a digit run
+      regexp_count(
+        piiPatterns.takeWhile(_._1 != re).foldLeft(text) { case (c, (r, rp)) =>
+          regexp_replace(c, r, rp)
+        }, lit(re))
+    }.reduce(_ + _)
+
+  /** Top-`k` word n-grams per group by DOCUMENT frequency (each doc counts
+    * an n-gram once — [[graft.functions.WordShingles]] emits per-doc
+    * distinct shingles). The rank filter is `row_number <= k`, which Spark
+    * plans with WindowGroupLimit: every map task keeps only its local top-k
+    * per group before the shuffle, so the exchange carries O(groups·k) rows
+    * per task, not the full vocabulary.
+    */
+  def topNgrams(docs: DataFrame, groupCol: String, textCol: String,
+                n: Int = 2, k: Int = 5): DataFrame = {
+    val df = docs.select(col(groupCol),
+      explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("df").desc, col("ngram"))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic hash-based dataset split (train/val/test) — the standard
+    * leakage-safe way to partition a corpus: the assignment depends only on
+    * the document's content fingerprint, so it is stable across runs,
+    * cluster sizes, and re-shuffles, and near-identical documents land via
+    * their own hash (use near-dup clustering upstream when exact-hash
+    * stability is not enough). Pure per-row arithmetic; no shuffle.
+    */
+  def datasetSplit(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = pmod(fingerprint(text), lit(100L))
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
 
   /** Convenience: full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {

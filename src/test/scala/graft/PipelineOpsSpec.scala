@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 training-pipeline operators: PII scrub, vocabulary mining,
+  * dataset split, verified near-dups.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("scrubPii masks emails, phones, and digit runs; piiCount counts them") {
+    val df = Seq(
+      "mail me at jane.doe+x@ex-ample.co.uk or call 555-123-4567",
+      "card 12345678901 and a short 1234567 stays",
+      "no pii here").toDF("text")
+    val got = df.select(TextAnalysis.scrubPii(col("text")).as("s"),
+      TextAnalysis.piiCount(col("text")).cast("long").as("n")).collect()
+    assert(got(0).getString(0) === "mail me at <EMAIL> or call <PHONE>")
+    assert(got(0).getLong(1) === 2L)
+    // 8+ digits masked, 7 digits kept
+    assert(got(1).getString(0) === "card <NUM> and a short 1234567 stays")
+    assert(got(1).getLong(1) === 1L)
+    assert(got(2).getString(0) === "no pii here")
+    assert(got(2).getLong(1) === 0L)
+  }
+
+  test("piiCount does not double-count an email's digits as a digit run") {
+    val df = Seq("reach 123456789@example.com now").toDF("text")
+    val got = df.select(TextAnalysis.scrubPii(col("text")).as("s"),
+      TextAnalysis.piiCount(col("text")).cast("long").as("n")).head
+    assert(got.getString(0) === "reach <EMAIL> now")
+    assert(got.getLong(1) === 1L)
+  }
+
+  test("topNgrams ranks by document frequency with deterministic ties") {
+    val docs = Seq(
+      (1, "en", "a b c"),   // bigrams: "a b", "b c"
+      (2, "en", "a b a b"), // distinct per doc: "a b", "b a"
+      (3, "en", "b c"),
+      (4, "de", "x y")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.topNgrams(docs, "lang", "text", n = 2, k = 2)
+      .orderBy(col("lang"), col("rank"))
+      .as[(String, String, Long, Long)].collect()
+    // en: "a b" df=2 rank1; "b c" df=2... both df=2 -> tie broken by ngram asc
+    assert(got === Array(
+      ("de", "x y", 1L, 1L),
+      ("en", "a b", 2L, 1L),
+      ("en", "b c", 2L, 2L)))
+  }
+
+  test("datasetSplit is deterministic, content-keyed, and total") {
+    val docs = (0 until 200).map(i => s"document number $i with words").toDF("text")
+    val splits = docs.select(TextAnalysis.datasetSplit(col("text")).as("s"))
+    val vals = splits.distinct().as[String].collect().toSet
+    assert(vals.subsetOf(Set("train", "val", "test")))
+    // stable across evaluations
+    val a = splits.as[String].collect()
+    val b = splits.as[String].collect()
+    assert(a === b)
+    // roughly 80/10/10 (hash-based: loose bounds)
+    val n = a.count(_ == "train")
+    assert(n > 120 && n < 200, s"train fraction off: $n/200")
+  }
+
+  test("verifiedNearDups = minhash candidates filtered by exact jaccard") {
+    val docs = Seq(
+      (1, "the quick brown fox jumps over the lazy dog today"),
+      (2, "the quick brown fox jumps over the lazy dog tonight"),
+      (3, "completely different words about spark and catalyst planning"),
+      (4, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val got = Dedup.verifiedNearDups(docs, "doc_id", "text", n = 3, k = 16,
+        bands = 4, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Int, Int, Long, Double)].collect()
+    // the contract: exactly the LSH candidates that pass exact-jaccard
+    // verification (LSH recall < 1 by construction, so near-but-not-identical
+    // pairs may legitimately be absent from the candidate set)
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 16, 4)
+      .as[(Int, Int)].collect().toSet
+    val exact = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[(Int, Int, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.map(t => (t._1, t._2)).toSet === cands.intersect(exact.keySet))
+    // identical docs 1 and 4 are always candidates (identical signatures)
+    val dup = got.find(t => (t._1, t._2) == (1, 4)).get
+    assert(dup._4 === 1.0)
+    // verified jaccard values agree with the exact all-pairs computation
+    got.foreach(t => assert(t._4 === exact((t._1, t._2))))
+  }
+}
