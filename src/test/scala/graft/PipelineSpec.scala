@@ -191,6 +191,47 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: stateful gap sessions close on watermark, match batch semantics") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = graft.streaming.SessionStream.sessions(events, gapSeconds = 600L,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      def sec(s: String) = t(s).getTime / 1000L
+      // user 1: two events 5 min apart (one session), continued NEXT batch
+      // (cross-batch state), then a 2h silence
+      input.addData((1L, t("2025-08-01 00:00:00")), (1L, t("2025-08-01 00:05:00")),
+        (2L, t("2025-08-01 00:01:00")))
+      q.processAllAvailable()
+      input.addData((1L, t("2025-08-01 00:09:00"))) // still within gap of 00:05
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // nothing provably closed yet
+      // advance the watermark far past last+gap for both users
+      input.addData((1L, t("2025-08-01 02:00:00")), (2L, t("2025-08-01 02:00:00")))
+      q.processAllAvailable()
+      // one more batch so the event-time timeout fires under the new watermark
+      input.addData((3L, t("2025-08-01 03:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").orderBy("user_id", "session_start")
+        .as[graft.streaming.SessionStream.ClosedSession].collect()
+      // the 02:00 singletons ALSO closed: watermark reached 03:00 > 02:00+gap
+      val u1 = out.filter(_.user_id == 1L)
+      assert(u1.map(s => (s.session_start, s.session_end, s.n_events)).toSeq ===
+        Seq((sec("2025-08-01 00:00:00"), sec("2025-08-01 00:09:00"), 3L),
+          (sec("2025-08-01 02:00:00"), sec("2025-08-01 02:00:00"), 1L)))
+      val u2 = out.filter(_.user_id == 2L)
+      assert(u2.map(s => (s.session_start, s.session_end, s.n_events)).toSeq ===
+        Seq((sec("2025-08-01 00:01:00"), sec("2025-08-01 00:01:00"), 1L),
+          (sec("2025-08-01 02:00:00"), sec("2025-08-01 02:00:00"), 1L)))
+      // user 3's session is still open: no watermark has passed it
+      assert(out.forall(_.user_id != 3L))
+    } finally q.stop()
+  }
+
   test("levels writer: yearly tree, keep-last on (session_date, symbol)") {
     val root = Files.createTempDirectory("lake").toString
     val bars = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-02")

@@ -62,4 +62,55 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(joins.length >= 2, s"expected 2 broadcast joins, got ${joins.length}")
     }
   }
+
+  test("q33 top-k rank filter plans WindowGroupLimit (map-side top-k pushdown)") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val limits = planOf("q33_top_ngrams").collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      // Partial (pre-shuffle) and Final mode instances: each map task keeps
+      // only its local top-k per group before the exchange
+      assert(limits.length >= 2, s"expected partial+final WindowGroupLimit, got ${limits.length}")
+    }
+  }
+
+  test("q32 PII scrub plans no shuffle except the final output sort") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val exchanges = planOf("q32_pii_scrub").collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the only exchange is the rangepartitioning for ORDER BY
+      assert(exchanges.length <= 1, s"scrub should be flat map work, got ${exchanges.length} shuffles")
+      exchanges.foreach(e => assert(
+        e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"non-sort shuffle in a per-row op: ${e.outputPartitioning}"))
+    }
+  }
+
+  test("q24 rollup expands the aggregated intermediate, not the fact table") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val plan = planOf("q24_rollup_revenue")
+      val expands = plan.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
+      assert(expands.length === 1)
+      // the base-grain hash aggregate must sit BELOW the expand: the expand
+      // multiplies ~|groups| rows, never the scan
+      val aggBelow = expands.head.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty, "Expand consumes the raw scan — rollup is tripling the fact table")
+    }
+  }
+
+  test("q28 exact quantiles plan no ObjectHashAggregate (no per-group value collection)") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val objAggs = planOf("q28_quantiles").collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(objAggs.isEmpty, "percentile()-style collect-all-values aggregate in the plan")
+    }
+  }
 }
