@@ -447,6 +447,21 @@ object SparkEntry {
           n = 3, k = 16, bands = 4, threshold = 0.1)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // corpus observability report: per-language doc/token totals, source
+    // diversity, mean quality — native TextStats kernel per row, then one
+    // hash aggregate (the pipeline-health numbers every ingest run reports)
+    "q37_corpus_stats" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          round(dsum(col("q")) / count(lit(1)), 4).as("mean_quality"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -846,6 +861,18 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q37_corpus_stats" ->
+        s"""WITH ws AS (SELECT doc_id, text, lang, source,
+           |              string_split_regex(trim(lower(text)),'\\s+') AS l FROM documents),
+           | p AS (SELECT lang, source, len(l)::BIGINT AS n_tokens,
+           |        round((least(length(text)::DOUBLE/200.0, 1.0)
+           |          + CASE WHEN ($meanWlSql) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+           |          + 1.0 - least(($punctSql)*5.0, 1.0))/3.0, 4) AS q
+           |       FROM ws)
+           |SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+           | count(DISTINCT source) AS n_sources,
+           | round(sum(CAST(round(q,4) AS DECIMAL(28,4)))::DOUBLE / count(*), 4) AS mean_quality
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }
