@@ -70,17 +70,22 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
-  /** Exclude rows in buckets wider than `cap` (count over a window
-    * partitioned by the bucket key — same shuffle as the downstream
-    * self-join, linear work, no extra global sort).
+  /** Exclude rows in buckets wider than `cap`. Shape: aggregate the bucket
+    * widths (map-side partial combine, shuffle carries one row per DISTINCT
+    * bucket), keep only the over-cap buckets — by construction at most
+    * n/cap of them, so ALWAYS broadcastable — and anti-join them out. An
+    * earlier form used a count window over the bucket key, which sorted
+    * every exploded row; this ships only the (usually empty) degenerate
+    * bucket list.
     */
   private def capBucket(df: DataFrame, bucketCols: Seq[String], cap: Int): DataFrame = {
     if (cap <= 0) df
     else {
-      val w = Window.partitionBy(bucketCols.map(col): _*)
-      df.withColumn("_bw", count(lit(1)).over(w))
-        .where(col("_bw") <= cap)
+      val wide = df.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("_bw"))
+        .where(col("_bw") > cap)
         .drop("_bw")
+      df.join(broadcast(wide), bucketCols, "left_anti")
     }
   }
 
