@@ -44,5 +44,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(s, bits) - one-pass SimHash over word hashes"),
+      (children: Seq[Expression]) => {
+        val bits = children.lift(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"bits must be an int literal, got $other")
+        }.getOrElse(32)
+        SimHash(children.head, bits)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_textstats"),
+      info("graft_textstats",
+        "graft_textstats(s) - one-pass struct(n_tokens, mean_word_len, punct_ratio, stopword_ratio, lang_*)"),
+      (children: Seq[Expression]) => TextStats(children.head)))
   }
 }

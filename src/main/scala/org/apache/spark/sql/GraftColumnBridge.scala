@@ -28,5 +28,13 @@ object GraftColumnBridge {
         case catalyst.expressions.Literal(v: Int, _) => graft.functions.WordShingles(c.head, v)
         case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      (c: Seq[Expression]) => c.lift(1).map {
+        case catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"bits must be an int literal, got $other")
+      }.fold(graft.functions.SimHash(c.head, 32))(b => graft.functions.SimHash(c.head, b)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_textstats",
+      (c: Seq[Expression]) => graft.functions.TextStats(c.head), "scala_udf")
   }
 }

@@ -339,10 +339,20 @@ class PipelineSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D,2.0D), array(3.0D,4.0D)) AS d, " +
         "graft_polyhash('hello world abc') AS h, " +
-        "size(graft_shingles('a b c d', 3)) AS s").head
+        "size(graft_shingles('a b c d', 3)) AS s, " +
+        "graft_simhash('hello world abc', 32) AS sh, " +
+        "graft_textstats('hello world abc').n_tokens AS nt").head
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 88643107L)
     assert(r.getInt(2) === 2)
+    // SQL surface == Column-API kernels
+    import spark.implicits._
+    val (expSh, expNt) = Seq("hello world abc").toDF("t")
+      .select(graft.ops.Dedup.simhash(col("t")),
+        graft.ops.TextAnalysis.tokenCount(col("t")).cast("long"))
+      .as[(Long, Long)].head()
+    assert(r.getLong(3) === expSh)
+    assert(r.getLong(4) === expNt)
 
     // extensions path: new session on the SAME context (never stop it — that
     // would kill the shared SparkContext for every other suite)
