@@ -65,6 +65,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n > 120 && n < 200, s"train fraction off: $n/200")
   }
 
+  test("approx scale path brackets the exact operators (t-digest / HLL error bounds)") {
+    // At extreme scale over continuous high-cardinality columns, the honest
+    // quantile/distinct answers are the approximate sketches (mergeable,
+    // bounded state). This pins them against the exact operators so the
+    // documented scale path is demonstrably usable, not just named.
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val exact = graft.ops.Quantiles.exactInterpolated(
+      li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("ap"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1).head, r.getSeq[Double](1)(1))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.02, s"$k p50 off: ${approx(k)._1} vs $p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 < 0.02, s"$k p90 off: ${approx(k)._2} vs $p90")
+    }
+    val exactD = li.select(countDistinct(col("l_partkey"))).head.getLong(0)
+    val approxD = li.select(approx_count_distinct(col("l_partkey"), 0.02)).head.getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL distinct off: $approxD vs $exactD")
+  }
+
   test("verifiedNearDups = minhash candidates filtered by exact jaccard") {
     val docs = Seq(
       (1, "the quick brown fox jumps over the lazy dog today"),
