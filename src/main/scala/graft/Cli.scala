@@ -21,6 +21,7 @@ import java.sql.Timestamp
   *   levels       <root> <symbol> <tz> <HH:MM-HH:MM>
   *   levels       <root> <symbol> <profileName>   (daily_open_utc | us_equity_open | asia_open)
   *   check        <root> <symbol> <tf>         (exit 1 on incomplete days, like check_day)
+  *   corpus       <documents.parquet>          (stats + dedup + split report)
   */
 object Cli {
 
@@ -95,6 +96,29 @@ object Cli {
       graft.lake.LevelsWriter.upsert(spark, root, levels)
       println(s"[cli] upserted ${levels.count()} level rows for $symbol (profile $profile)")
 
+    // end-to-end document-pipeline report over a documents parquet:
+    // corpus health (per-lang stats), exact-dup groups, LSH-verified
+    // near-dup pairs, and the train/val/test split profile
+    case "corpus" :: docsParquet :: Nil =>
+      import org.apache.spark.sql.functions.{col, count, lit, md5, round => rnd, sum}
+      val docs = spark.read.parquet(docsParquet)
+      println("[cli] per-language corpus stats:")
+      val stats = docs
+        .withColumn("n_tokens", graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("q", graft.ops.TextAnalysis.qualityScore(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          rnd(org.apache.spark.sql.functions.avg(col("q")), 4).as("mean_quality"))
+      stats.orderBy("lang").show(20, truncate = false)
+      val nDups = docs.groupBy(md5(col("text"))).count().where(col("count") > 1).count()
+      println(s"[cli] exact-duplicate text groups: $nDups")
+      val nearDups = graft.ops.Dedup.verifiedNearDups(docs, "doc_id", "text",
+        threshold = 0.5).count()
+      println(s"[cli] verified near-dup pairs (jaccard >= 0.5): $nearDups")
+      println("[cli] dataset split profile:")
+      docs.withColumn("split", graft.ops.TextAnalysis.datasetSplit(col("text")))
+        .groupBy("split").count().orderBy("split").show(5)
+
     case "ann" :: sfDir :: k :: Nil =>
       // approximate nearest neighbors over the embeddings table (IVF cells)
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -168,7 +192,7 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | resample | ann | validate")
+      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | repair | resample | ann | corpus | validate")
       sys.exit(2)
   }
 }

@@ -18,6 +18,50 @@ class PropertySpec extends AnyFunSuite {
 
   private val seeds = Seq(7L, 42L, 1234L)
 
+  test("property: Quantiles.exactInterpolated == percentile() bit-for-bit across seeds/ps") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      // hash-derived values with deliberate duplicates (limited domain) so
+      // the same-value-interval interpolation branch is exercised
+      val rows = (0 until 2000).map { i =>
+        val h = (i * 2654435761L + seed * 40503L) & 0x7fffffffL
+        (s"g${h % 3}", (h % 500).toDouble / 7.0)
+      }
+      val df = rows.toDF("g", "v")
+      val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+      val exact = graft.ops.Quantiles.exactInterpolated(df, Seq("g"), "v",
+        ps.zipWithIndex.map { case (p, i) => p -> s"q$i" })
+        .orderBy("g").collect()
+      val ref = df.groupBy(col("g"))
+        .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("qs"))
+        .orderBy("g").collect()
+      exact.zip(ref).foreach { case (e, r) =>
+        val got = ps.indices.map(i => e.getDouble(i + 1))
+        val want = r.getSeq[Double](1)
+        assert(got === want, s"seed=$seed group=${e.getString(0)}")
+      }
+    }
+  }
+
+  test("property: biFill(f, b) == bfill(ffill(x)) across seeds") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val rows = (0 until 500).map { i =>
+        val h = (i * 1103515245L + seed) & 0x7fffffffL
+        (new java.sql.Timestamp(1700000000000L + i * 60000L),
+          if (h % 3 == 0) Some((h % 100).toDouble) else None,
+          if (h % 5 == 0) Some((h % 90).toDouble) else None)
+      }
+      val df = rows.toDF("ts", "a", "b")
+      val combined = graft.ops.Fill.biFill(df, Seq("a"), Seq("b"), chunkSeconds = 3600L)
+      val composed = graft.ops.Fill.bfill(
+        graft.ops.Fill.ffill(df, Seq("a"), chunkSeconds = 3600L),
+        Seq("b"), chunkSeconds = 3600L)
+      assert(combined.orderBy("ts").collect().sameElements(
+        composed.orderBy("ts").collect()), s"seed=$seed")
+    }
+  }
+
   test("property: resample(resample(x, tf), tf) == resample(x, tf) across seeds and tfs") {
     for (seed <- seeds; tf <- Seq(Timeframe.M5, Timeframe.M15, Timeframe.H1)) {
       val day = SynthSource.m1(spark, s"S$seed", "2025-08-01", "2025-08-01", seed)
