@@ -234,7 +234,9 @@ object SparkEntry {
     // Unkeyed is now scale-safe: the fill is Fill.ffill/bfill's two-phase
     // chunked scan (day-chunk windows + tiny carry join), not a global window.
     "q19_synth_fill" -> ((s, dir) => {
-      Gaps.synthFill(m1Candles(s, dir))
+      // cached like q04's m1: the candle aggregation feeds the grid bounds,
+      // the full-outer grid join, and both phases of the chunked fill
+      Gaps.synthFill(m1Candles(s, dir).cache())
         .select(secs(col("ts")).as("ts_sec"), col("open"), col("close"),
           col("volume"), col("is_synth"))
         .orderBy(col("ts_sec"))

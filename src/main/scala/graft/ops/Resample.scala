@@ -60,7 +60,10 @@ object Resample {
     * across chunks instead of collapsing to one WindowExec partition.
     */
   def ohlcvFfill(df: DataFrame, tf: Timeframe, keys: Seq[String] = Nil): DataFrame = {
-    val agg = ohlcv(df, tf, keys)
+    // cached: the resampled frame feeds the grid-bounds aggregate, the grid
+    // join, and both phases of the chunked fill — four evaluations of an
+    // aggregation lineage without it (lifecycle: see Dedup's cache note)
+    val agg = ohlcv(df, tf, keys).cache()
     val s = tf.seconds
     val grid = agg.groupBy(keys.map(col): _*)
       .agg(min(col("ts")).as("_min_ts"), max(col("ts")).as("_max_ts"))
