@@ -450,6 +450,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // sequence packing: assign ordered docs to 2048-token context-window
+    // packs per language (graft.ops.Packing — distributed two-phase prefix
+    // sum, no global window; the training-batch packer)
+    "q38_sequence_pack" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      Packing.packByBudget(d, Seq("lang"), "doc_id", "n_tokens", budget = 2048L,
+          chunkSize = 500L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus observability report: per-language doc/token totals, source
     // diversity, mean quality — native TextStats kernel per row, then one
     // hash aggregate (the pipeline-health numbers every ingest run reports)
@@ -863,6 +877,16 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q38_sequence_pack" ->
+        s"""WITH ws AS ($wsSql),
+           | t AS (SELECT doc_id, lang, len(l)::BIGINT AS n_tokens FROM ws),
+           | c AS (SELECT doc_id, lang, n_tokens,
+           |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n_tokens
+           |       FROM t)
+           |SELECT doc_id, lang, n_tokens, cum_n_tokens,
+           | (cum_n_tokens - n_tokens) // 2048 AS pack_id
+           |FROM c ORDER BY doc_id""".stripMargin,
       "q37_corpus_stats" ->
         s"""WITH ws AS (SELECT doc_id, text, lang, source,
            |              string_split_regex(trim(lower(text)),'\\s+') AS l FROM documents),

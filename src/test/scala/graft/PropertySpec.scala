@@ -43,6 +43,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: chunked prefixSum == global window cumsum across seeds/chunk sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    for (seed <- seeds; chunk <- Seq(7L, 100L, 100000L)) {
+      val rows = (0 until 800).map { i =>
+        val h = (i * 2246822519L + seed * 31L) & 0x7fffffffL
+        (i.toLong, s"k${h % 4}", (h % 50) + 1L)
+      }
+      val df = rows.toDF("ord", "k", "w")
+      val got = graft.ops.Packing.prefixSum(df, Seq("k"), "ord", "w", chunk)
+        .select(col("ord"), col("cum_w")).as[(Long, Long)].collect().toMap
+      val want = df.withColumn("cum_w", sum(col("w")).over(
+          W.partitionBy(col("k")).orderBy(col("ord"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("ord"), col("cum_w")).as[(Long, Long)].collect().toMap
+      assert(got === want, s"seed=$seed chunk=$chunk")
+    }
+  }
+
   test("property: biFill(f, b) == bfill(ffill(x)) across seeds") {
     import spark.implicits._
     for (seed <- seeds) {
