@@ -450,6 +450,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // repetition quality filters (Gopher/RefinedWeb-style): duplicate-word
+    // fraction + top-bigram share per doc (graft.ops.TextAnalysis)
+    "q39_repetition" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val top = TextAnalysis.topNgramShare(docs, "doc_id", "text", n = 2)
+      docs.select(col("doc_id"),
+          round(TextAnalysis.dupWordFraction(col("text")), 4).as("dup_word_frac"))
+        .join(top, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // sequence packing: assign ordered docs to 2048-token context-window
     // packs per language (graft.ops.Packing — distributed two-phase prefix
     // sum, no global window; the training-batch packer)
@@ -877,6 +888,24 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q39_repetition" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w, unnest(generate_series(1,len(l))) AS pos FROM ws),
+           | big AS (SELECT doc_id, w || ' ' || lead(w,1) OVER win AS ngram, lead(w,1) OVER win AS w2
+           |         FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+           | counts AS (SELECT doc_id, ngram, count(*) AS ngram_count
+           |            FROM big WHERE w2 IS NOT NULL GROUP BY 1,2),
+           | r AS (SELECT doc_id, ngram, ngram_count,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY ngram_count DESC, ngram) AS rn,
+           |        sum(ngram_count) OVER (PARTITION BY doc_id) AS tot
+           |       FROM counts),
+           | d AS (SELECT doc_id, CASE WHEN len(l)>0
+           |         THEN round(1.0 - len(list_distinct(l))::DOUBLE/len(l), 4) ELSE 0.0 END AS dup_word_frac
+           |       FROM ws)
+           |SELECT d.doc_id, d.dup_word_frac, r.ngram AS top_ngram,
+           | r.ngram_count AS top_count, round(r.ngram_count::DOUBLE/r.tot, 4) AS top_share
+           |FROM d JOIN r ON d.doc_id = r.doc_id AND r.rn = 1
+           |ORDER BY d.doc_id""".stripMargin,
       "q38_sequence_pack" ->
         s"""WITH ws AS ($wsSql),
            | t AS (SELECT doc_id, lang, len(l)::BIGINT AS n_tokens FROM ws),

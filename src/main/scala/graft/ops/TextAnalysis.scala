@@ -173,6 +173,48 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /** Repetition filters in the style published web-corpus pipelines use
+    * (duplicate-fraction and top-n-gram-share rules à la Gopher/RefinedWeb):
+    * a document dominated by one repeated phrase carries little training
+    * signal. `dupWordFraction` is pure collection-expression work (no
+    * shuffle); the top-n-gram share needs per-doc NON-distinct n-gram
+    * counts, so it is relational — tokens explode, bigrams via a lead
+    * window PARTITIONED BY doc (bounded by document length, parallel across
+    * docs), one count aggregate, one deterministic top-1 pick.
+    */
+  def dupWordFraction(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) > 0,
+      lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
+      .otherwise(lit(0.0))
+  }
+
+  /** Per doc: the most frequent word n-gram (ties broken by n-gram text,
+    * ascending), its count, and its share of the doc's n-gram occurrences.
+    * Docs with fewer than n words have no n-gram and are omitted.
+    */
+  def topNgramShare(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2): DataFrame = {
+    require(n == 2, "topNgramShare currently supports bigrams (n=2)")
+    val toks = docs.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val grams = toks.withColumn("w2", lead(col("w"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("w"), col("w2")).as("ngram"))
+    val counts = grams.groupBy(col(idCol), col("ngram"))
+      .agg(count(lit(1)).as("ngram_count"))
+    val rank = Window.partitionBy(col(idCol))
+      .orderBy(col("ngram_count").desc, col("ngram"))
+    counts
+      .withColumn("_rn", row_number().over(rank))
+      .withColumn("_tot", sum(col("ngram_count")).over(Window.partitionBy(col(idCol))))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col("ngram").as("top_ngram"),
+        col("ngram_count").as("top_count"),
+        round(col("ngram_count").cast("double") / col("_tot"), 4).as("top_share"))
+  }
+
   /** Deterministic hash-based dataset split (train/val/test) — the standard
     * leakage-safe way to partition a corpus: the assignment depends only on
     * the document's content fingerprint, so it is stable across runs,

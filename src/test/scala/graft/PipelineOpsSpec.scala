@@ -65,6 +65,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n > 120 && n < 200, s"train fraction off: $n/200")
   }
 
+  test("repetition filters: dup-word fraction and top-bigram share") {
+    val df = Seq(
+      (1, "spam spam spam spam"),       // 1 distinct of 4 words; "spam spam" x3 of 3 bigrams
+      (2, "all words are different"),   // no repetition
+      (3, "one")).toDF("doc_id", "text") // single word: no bigram row
+    val dup = df.select(col("doc_id"),
+      round(TextAnalysis.dupWordFraction(col("text")), 4).as("f"))
+      .orderBy("doc_id").as[(Int, Double)].collect()
+    assert(dup === Array((1, 0.75), (2, 0.0), (3, 0.0)))
+    val top = TextAnalysis.topNgramShare(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Int, String, Long, Double)].collect()
+    assert(top === Array(
+      (1, "spam spam", 3L, 1.0),
+      (2, "all words", 1L, 0.3333)))
+  }
+
   test("approx scale path brackets the exact operators (t-digest / HLL error bounds)") {
     // At extreme scale over continuous high-cardinality columns, the honest
     // quantile/distinct answers are the approximate sketches (mergeable,
