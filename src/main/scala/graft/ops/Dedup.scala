@@ -221,6 +221,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node starts labeled with its own id; each
+    * round a node takes the minimum of its label and its neighbors' labels;
+    * the fixpoint labels every component with its smallest member id —
+    * deterministic regardless of execution order.
+    *
+    * This is the standard distributed-iterative shape: each round is two
+    * joins + an aggregate (all shuffle-partitioned by node id), the driver
+    * sees only a one-row convergence flag per round, and `localCheckpoint`
+    * cuts the lineage so plan depth stays constant across rounds. Rounds
+    * needed = component diameter (near-dup clusters are dense, so small);
+    * `maxIter` bounds pathological chains and failure to converge throws
+    * rather than returning wrong labels.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String = "id", srcCol: String = "src",
+                          dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
+      .unionByName(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
+    var labels = nodes.select(col(idCol).as("_id"))
+      .distinct().withColumn("_comp", col("_id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nb = sym.join(labels.select(col("_id").as("_b"), col("_comp").as("_nc")), "_b")
+        .groupBy(col("_a").as("_id")).agg(min(col("_nc")).as("_nbmin"))
+      val updated = labels.join(nb, Seq("_id"), "left")
+        .withColumn("_new", least(col("_comp"), coalesce(col("_nbmin"), col("_comp"))))
+      val next = updated.select(col("_id"), col("_new").as("_comp")).localCheckpoint()
+      converged = updated.where(col("_new") =!= col("_comp")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("_id").as(idCol), col("_comp").as("component"))
+  }
+
+  /** The full dedup endgame: LSH candidates -> exact-verified pairs ->
+    * connected components -> one CANONICAL doc per cluster (the smallest
+    * id). Every doc appears exactly once; singletons are their own cluster.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5,
+                      maxBucket: Int = 100000): DataFrame = {
+    val pairs = verifiedNearDups(docs, idCol, textCol, n, k, bands, threshold, maxBucket)
+    val comp = connectedComponents(
+      docs.select(col(idCol).as("id")), pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val w = Window.partitionBy(col("component"))
+    comp
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("id").as(idCol), col("component").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("component")).as("is_canonical"))
+  }
+
   /** Same blocking over PRECOMPUTED signatures — e.g. the `simhash` column a
     * [[graft.streaming.DocumentStream]] landed, or any table that already
     * paid the signing pass; no text re-read, no re-signing. Input is scanned

@@ -65,6 +65,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n > 120 && n < 200, s"train fraction off: $n/200")
   }
 
+  test("connectedComponents labels chains, triangles, and singletons deterministically") {
+    val nodes = (1L to 9L).toDF("id")
+    // chain 1-2-3-4 (diameter > 1 round), triangle 5-6-7, isolated 8, 9
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("src", "dst")
+    val got = graft.ops.Dedup.connectedComponents(nodes, edges)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got === Array(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("repetition filters: dup-word fraction and top-bigram share") {
     val df = Seq(
       (1, "spam spam spam spam"),       // 1 distinct of 4 words; "spam spam" x3 of 3 bigrams
