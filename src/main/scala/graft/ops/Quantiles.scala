@@ -44,6 +44,10 @@ object Quantiles {
                         specs: Seq[(Double, String)]): DataFrame = {
     val g = groupCols.map(col)
     val counts = df
+      // percentile() ignores null values; without this filter they would
+      // occupy ranks (nulls sort first in the cumsum window) and shift
+      // every bracket
+      .where(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(g: _*).orderBy(col(valueCol))

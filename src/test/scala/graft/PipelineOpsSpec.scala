@@ -65,6 +65,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n > 120 && n < 200, s"train fraction off: $n/200")
   }
 
+  test("degenerate inputs: empty and single-row frames don't break the pipeline ops") {
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.topNgrams(noDocs, "lang", "text").isEmpty)
+    assert(graft.ops.Dedup.verifiedNearDups(noDocs, "doc_id", "text").isEmpty)
+    assert(graft.ops.Dedup.nearDupClusters(noDocs, "doc_id", "text").isEmpty)
+    assert(TextAnalysis.topNgramShare(noDocs, "doc_id", "text").isEmpty)
+
+    val noNums = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(graft.ops.Quantiles.exactInterpolated(noNums, Seq("g"), "v",
+      Seq(0.5 -> "p50")).isEmpty)
+    val one = Seq(("a", 7.0)).toDF("g", "v")
+    val q = graft.ops.Quantiles.exactInterpolated(one, Seq("g"), "v",
+      Seq(0.0 -> "p0", 0.5 -> "p50", 1.0 -> "p100")).head
+    assert(q.getDouble(1) === 7.0 && q.getDouble(2) === 7.0 && q.getDouble(3) === 7.0)
+
+    val noRows = Seq.empty[(Long, Long)].toDF("ord", "w")
+    assert(graft.ops.Packing.prefixSum(noRows, Nil, "ord", "w").isEmpty)
+    val oneRow = graft.ops.Packing.packByBudget(
+      Seq((5L, 100L)).toDF("ord", "w"), Nil, "ord", "w", budget = 64L).head
+    assert(oneRow.getAs[Long]("cum_w") === 100L)
+    assert(oneRow.getAs[Long]("pack_id") === 0L)
+  }
+
   test("connectedComponents labels chains, triangles, and singletons deterministically") {
     val nodes = (1L to 9L).toDF("id")
     // chain 1-2-3-4 (diameter > 1 round), triangle 5-6-7, isolated 8, 9

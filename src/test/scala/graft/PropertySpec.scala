@@ -22,10 +22,11 @@ class PropertySpec extends AnyFunSuite {
     import spark.implicits._
     for (seed <- seeds) {
       // hash-derived values with deliberate duplicates (limited domain) so
-      // the same-value-interval interpolation branch is exercised
+      // the same-value-interval interpolation branch is exercised; ~5% nulls
+      // because percentile() ignores them and Quantiles must too
       val rows = (0 until 2000).map { i =>
         val h = (i * 2654435761L + seed * 40503L) & 0x7fffffffL
-        (s"g${h % 3}", (h % 500).toDouble / 7.0)
+        (s"g${h % 3}", if (h % 20 == 0) None else Some((h % 500).toDouble / 7.0))
       }
       val df = rows.toDF("g", "v")
       val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
