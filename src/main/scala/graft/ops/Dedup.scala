@@ -72,11 +72,14 @@ object Dedup {
 
   /** Exclude rows in buckets wider than `cap`. Shape: aggregate the bucket
     * widths (map-side partial combine, shuffle carries one row per DISTINCT
-    * bucket), keep only the over-cap buckets — by construction at most
-    * n/cap of them, so ALWAYS broadcastable — and anti-join them out. An
-    * earlier form used a count window over the bucket key, which sorted
-    * every exploded row; this ships only the (usually empty) degenerate
-    * bucket list.
+    * bucket), keep only the over-cap buckets — at most n/cap of them — and
+    * anti-join them out. An earlier form used a count window over the
+    * bucket key, which sorted every exploded row; this ships only the
+    * (usually empty) degenerate bucket list. The broadcast-vs-shuffle
+    * choice for the anti-join is left to AQE: n/cap is tiny in the typical
+    * case but NOT bounded in absolute terms (a web-scale posting table with
+    * a small cap can have millions of over-cap buckets), so forcing a
+    * broadcast would trade the window's sort cost for a driver OOM.
     */
   private def capBucket(df: DataFrame, bucketCols: Seq[String], cap: Int): DataFrame = {
     if (cap <= 0) df
@@ -85,7 +88,7 @@ object Dedup {
         .agg(count(lit(1)).as("_bw"))
         .where(col("_bw") > cap)
         .drop("_bw")
-      df.join(broadcast(wide), bucketCols, "left_anti")
+      df.join(wide, bucketCols, "left_anti")
     }
   }
 
@@ -238,8 +241,11 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String = "id", srcCol: String = "src",
                           dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
+    // materialize the edge list ONCE: in nearDupClusters its lineage is the
+    // whole LSH+verify pipeline, which must not re-run every round
     val sym = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
       .unionByName(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("_id"))
       .distinct().withColumn("_comp", col("_id")).localCheckpoint()
     var converged = false
@@ -247,11 +253,15 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nb = sym.join(labels.select(col("_id").as("_b"), col("_comp").as("_nc")), "_b")
         .groupBy(col("_a").as("_id")).agg(min(col("_nc")).as("_nbmin"))
+      // checkpoint the round WITH both labels, so the convergence probe
+      // reads the already-materialized result instead of re-running the
+      // round's joins a second time
       val updated = labels.join(nb, Seq("_id"), "left")
         .withColumn("_new", least(col("_comp"), coalesce(col("_nbmin"), col("_comp"))))
-      val next = updated.select(col("_id"), col("_new").as("_comp")).localCheckpoint()
+        .select(col("_id"), col("_comp"), col("_new"))
+        .localCheckpoint()
       converged = updated.where(col("_new") =!= col("_comp")).isEmpty
-      labels = next
+      labels = updated.select(col("_id"), col("_new").as("_comp"))
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

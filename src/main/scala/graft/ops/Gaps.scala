@@ -105,11 +105,10 @@ object Gaps {
     }
     val grid = bounds.select(keys.map(col) :+
       explode(sequence(col("_from"), col("_to"), expr(s"INTERVAL $stepSeconds SECONDS"))).as("ts"): _*)
-      .withColumn("_grid", lit(true))
     val unioned = grid.join(df.withColumn("_real", lit(true)),
         keys :+ "ts", "full_outer")
       .withColumn("_synth", col("_real").isNull)
-      .drop("_grid", "_real")
+      .drop("_real")
     // prior real close / next real open via the chunked two-phase fill —
     // no unpartitioned window even for an unkeyed single series (see Fill);
     // both directions share one pass (Fill.biFill)

@@ -55,9 +55,12 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withChunk.withColumn("_loc", sum(col(weightCol).cast("long")).over(w))
 
-    // phase 2: chunk totals
+    // phase 2: chunk totals — cached: one tiny row per (keys, chunk), read
+    // by BOTH sides of the carry self-join below (lifecycle: see Dedup's
+    // cache note)
     val totals = withChunk.groupBy((keys :+ "_chunk").map(col): _*)
       .agg(sum(col(weightCol).cast("long")).as("_tot"))
+      .cache()
 
     // phase 3: carry-in per chunk = sum of prior chunks' totals (summary
     // self-join + aggregate; <=> matches NULL key values as real groups)

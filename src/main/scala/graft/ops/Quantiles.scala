@@ -42,6 +42,7 @@ object Quantiles {
     */
   def exactInterpolated(df: DataFrame, groupCols: Seq[String], valueCol: String,
                         specs: Seq[(Double, String)]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty (global percentiles: group by a literal)")
     val g = groupCols.map(col)
     val counts = df
       // percentile() ignores null values; without this filter they would
@@ -70,7 +71,7 @@ object Quantiles {
     }
     val agged = ranked.groupBy(g: _*).agg(aggs.head, aggs.drop(1): _*)
 
-    specs.foldLeft(agged) { case (d, (p, nm)) =>
+    val result = specs.foldLeft(agged) { case (d, (p, nm)) =>
       val position = lit(p) * (col(s"_n_$nm") - 1).cast("double")
       val lo = floor(position)
       val hi = ceil(position)
@@ -81,5 +82,12 @@ object Quantiles {
           .otherwise((hi - position) * col(s"_vf_$nm") +
             (position - lo) * col(s"_vc_$nm")))
     }.select((g ++ specs.map { case (_, nm) => col(nm) }): _*)
+    // a group whose values are ALL null vanished at the null filter;
+    // percentile() returns it with a NULL result — restore it (<=> join so
+    // NULL group keys still match, as everywhere else in this engine)
+    val allGroups = df.select(g: _*).distinct()
+    val joinCond = groupCols.map(c => allGroups(c) <=> result(c)).reduce(_ && _)
+    allGroups.join(result, joinCond, "left")
+      .select(groupCols.map(allGroups(_)) ++ specs.map { case (_, nm) => result(nm) }: _*)
   }
 }
