@@ -15,20 +15,26 @@ import org.apache.spark.sql.functions._
   *      (keys, chunk), so chunks fill in parallel;
   *   2. compute one summary row per (keys, chunk) — the chunk's last
   *      (resp. first) non-null value per column — and resolve each chunk's
-  *      carry-in with a tiny summary self-join + max_by/min_by aggregation
-  *      (no window; AQE broadcasts it when small);
+  *      carry-in with a tiny window over the summaries (nearest previous /
+  *      next chunk with a value), partitioned by `keys`;
   *   3. final value = coalesce(within-chunk fill, carried value).
   *
   * Output is bit-identical to the global-window fill; wall-clock scales with
-  * the number of chunks. The carry join is O(#chunks²) per key group — with
-  * day chunks that is ~365²/year of tiny rows; raise `chunkSeconds` for
-  * multi-decade single series.
+  * the number of chunks. The summary frame is one row per (keys, chunk), so
+  * the carry window sorts #chunks rows per key group — negligible against
+  * the data scan even for decades of daily chunks.
   *
-  * Forward and backward columns can fill in the SAME pass ([[biFill]]): both
-  * directions share one chunk-window sort (same partitioning + ordering, so
-  * Spark plans a single sort), one boundary-summary aggregate, one carry
-  * join, and one stitch join — callers that need both (synthetic gap fill's
-  * prior-close/next-open) pay half the stages of two separate fills.
+  * Execution-shape notes (these were measured, not guessed):
+  *  - Backward fill is a DESC-ordered running frame, not an ascending
+  *    `(currentRow, unboundedFollowing)` frame: Spark's
+  *    UnboundedFollowingWindowFunctionFrame re-evaluates the aggregate from
+  *    each row to the partition end — O(n²) per chunk — while the reversed
+  *    running frame is O(n). Both directions share the chunk partitioning,
+  *    so the desc window chains in the SAME stage as the asc one (an extra
+  *    SortExec, no extra Exchange).
+  *  - The carry-in is a window over the per-chunk summary, not the earlier
+  *    O(#chunks²) non-equi self-join: one row per chunk, running
+  *    last/first-non-null picks the nearest contributing chunk in O(#chunks).
   */
 object Fill {
 
@@ -57,18 +63,21 @@ object Fill {
     val dirs: Seq[(String, Boolean)] = fcols.map(_ -> false) ++ bcols.map(_ -> true)
     val withChunk = df.withColumn("_chunk",
       floor(col(ts).cast("long") / chunkSeconds).cast("long"))
-    val ordCols = col(ts) +: tie.map(col).toSeq
+    val ordAsc = col(ts) +: tie.map(col).toSeq
+    val ordDesc = col(ts).desc +: tie.map(col(_).desc).toSeq
 
-    // phase 1: within-chunk fill (parallel across (keys, chunk)); both frame
-    // directions share the partitioning and ordering, so one sort feeds both
-    val part = Window.partitionBy((keys :+ "_chunk").map(col): _*).orderBy(ordCols: _*)
+    // phase 1: within-chunk fill (parallel across (keys, chunk)). Forward
+    // cols run on the ascending order; backward cols on the fully REVERSED
+    // order, where "next non-null" becomes a running last() — same stage,
+    // one extra in-partition sort, no O(n²) unboundedFollowing frame.
+    val partCols = (keys :+ "_chunk").map(col)
+    val partAsc = Window.partitionBy(partCols: _*).orderBy(ordAsc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partDesc = Window.partitionBy(partCols: _*).orderBy(ordDesc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = dirs.foldLeft(withChunk) { case (d, (c, backward)) =>
-      val filled =
-        if (backward) first(col(c), ignoreNulls = true)
-          .over(part.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        else last(col(c), ignoreNulls = true)
-          .over(part.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      d.withColumn(s"_loc_$c", filled)
+      val frame = if (backward) partDesc else partAsc
+      d.withColumn(s"_loc_$c", last(col(c), ignoreNulls = true).over(frame))
     }
 
     // phase 2: per-chunk boundary summaries -> carry-in per chunk.
@@ -81,31 +90,22 @@ object Fill {
     }
     val summary = withChunk.groupBy((keys :+ "_chunk").map(col): _*)
       .agg(sumAggs.head, sumAggs.tail: _*)
-    val src = summary.select(
-      keys.map(c => col(c).as(s"_bk_$c")) ++ (col("_chunk").as("_bchunk") +:
-        dirs.map { case (c, _) => col(s"_s_$c").as(s"_bs_$c") }): _*)
-    val tgt = summary.select((keys :+ "_chunk").map(col): _*)
-    // <=> : a NULL key value is a real group for the window form, so the
-    // carry join must match it too (=== would orphan NULL-key groups).
-    // Direction lives in the per-column aggregate below, so ONE join serves
-    // both fill directions; per key group it is the same O(#chunks²) the
-    // single-direction join costs.
-    val cond = keys.map(c => tgt(c) <=> src(s"_bk_$c"))
-      .foldLeft(src("_bchunk") =!= tgt("_chunk"))(_ && _)
-    // nearest contributing chunk per column: order by (chunk, ts) so the
-    // closest chunk wins; within a chunk the summary already picked the edge
-    val carryAggs = dirs.map { case (c, backward) =>
-      val inDir =
-        if (backward) col("_bchunk") > col("_chunk") else col("_bchunk") < col("_chunk")
-      val pick = when(inDir && col(s"_bs_$c").isNotNull,
-        struct(col("_bchunk").as("c"), col(s"_bs_$c").getField("v").as("v")))
-      (if (backward) min(pick) else max(pick)).getField("v").as(s"_carry_$c")
-    }
-    val carry = tgt.join(src, cond, "left")
-      .groupBy((keys :+ "_chunk").map(col): _*)
-      .agg(carryAggs.head, carryAggs.tail: _*)
-      .select(keys.map(c => col(c).as(s"_ck_$c")) ++ (col("_chunk").as("_cchunk") +:
-        dirs.map { case (c, _) => col(s"_carry_$c") }): _*)
+    // nearest contributing chunk per column: a running last-non-null over
+    // the summaries STRICTLY BEFORE (after, for backward) the current chunk.
+    // One row per (keys, chunk), so this window is tiny; NULL key values are
+    // ordinary partition values here, preserving the <=> group semantics of
+    // the global-window form.
+    val carryKeys = if (keys.isEmpty) Seq(lit(1).as("_g")) else keys.map(col)
+    val cAsc = Window.partitionBy(carryKeys.map(c => c): _*).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cDesc = Window.partitionBy(carryKeys.map(c => c): _*).orderBy(col("_chunk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = dirs.foldLeft(summary) { case (d, (c, backward)) =>
+      val frame = if (backward) cDesc else cAsc
+      d.withColumn(s"_carry_$c",
+        last(col(s"_s_$c"), ignoreNulls = true).over(frame).getField("v"))
+    }.select(keys.map(c => col(c).as(s"_ck_$c")) ++ (col("_chunk").as("_cchunk") +:
+      dirs.map { case (c, _) => col(s"_carry_$c") }): _*)
 
     // phase 3: stitch. carry is one row per (keys, chunk). Unkeyed, that is
     // provably tiny (#chunks rows) — force the broadcast so a planner
