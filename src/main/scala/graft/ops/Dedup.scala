@@ -290,6 +290,15 @@ object Dedup {
     * [[graft.streaming.DocumentStream]] landed, or any table that already
     * paid the signing pass; no text re-read, no re-signing. Input is scanned
     * twice (both self-join sides): cache it if it is not a cheap scan.
+    *
+    * A pair within the hamming bound collides in EVERY chunk whose bytes
+    * match — up to `chunks` copies per pair (all 4 for exact duplicates,
+    * the common case in a deduplicating corpus). Instead of a `distinct()`
+    * shuffle over the multiply-emitted pairs, each pair is emitted only
+    * from its FIRST matching chunk: keep a joined row only when every
+    * lower-indexed byte of sig_a XOR sig_b is nonzero. Uniqueness then
+    * holds by construction, the dedup shuffle disappears, and the filter is
+    * codegen'd per-row bit arithmetic on columns the join already carries.
     */
   def simhashCandidatesFromSignatures(sigs: DataFrame, idCol: String,
                                       sigCol: String = "simhash",
@@ -306,10 +315,18 @@ object Dedup {
     val capped = capBucket(chunked, Seq("chunk", "v"), maxBucket)
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("v"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("v"))
+    val x = col("sig_a").bitwiseXOR(col("sig_b"))
+    // chunk index of the first matching (zero-XOR) byte — the one emission
+    // point for this pair. NOTE: with a maxBucket cap that BINDS, a pair's
+    // first matching chunk can be in a dropped bucket; the pair is then not
+    // emitted at a later matching chunk either (same recall trade the cap
+    // already makes — capped blocking is explicitly lossy).
+    val firstMatch = (0 until chunks).foldRight(lit(chunks): Column) { (c, rest) =>
+      when(shiftright(x, c * 8).bitwiseAND(0xFFL) === 0L, lit(c)).otherwise(rest)
+    }
     a.join(b, Seq("chunk", "v"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") && col("chunk") === firstMatch)
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .where(col("hamming") <= maxHamming) // filter BEFORE the distinct shuffle
-      .distinct()
+      .where(col("hamming") <= maxHamming)
   }
 }
