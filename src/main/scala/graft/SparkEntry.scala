@@ -498,6 +498,48 @@ object SparkEntry {
           round(dsum(col("q")) / count(lit(1)), 4).as("mean_quality"))
         .orderBy(col("lang"))
     }),
+
+    // benchmark decontamination: distinct 3-gram overlap of every corpus
+    // doc against the eval split (doc_id % 10 == 0); eval shingle set is
+    // broadcast, so the corpus side never shuffles (graft.ops.Corpus)
+    "q41_decontaminate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Corpus.decontaminate(
+          d.where(pmod(col("doc_id"), lit(10L)) =!= 0),
+          d.where(pmod(col("doc_id"), lit(10L)) === 0),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified sample: 20 docs per language by portable
+    // id-hash order — WindowGroupLimit pre-trims map-side (graft.ops.Corpus)
+    "q42_stratified_sample" -> ((s, dir) => {
+      Corpus.stratifiedSample(tbl(s, dir, "documents"), "lang", "doc_id", k = 20)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // per-doc top-3 TF-IDF terms: one data-sized shuffle (tf), vocab-sized
+    // df join, WindowGroupLimit rank filter (graft.ops.Corpus)
+    "q43_tfidf_topk" -> ((s, dir) => {
+      Corpus.tfidfTopK(tbl(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // sharded shuffle export: reproducible (shard, pos) training layout,
+    // per-shard ranks, no global sort (graft.ops.Corpus)
+    "q44_shuffled_export" -> ((s, dir) => {
+      Corpus.shuffledExport(tbl(s, dir, "documents"), "doc_id", shards = 16)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // language rebalancing: hash-Bernoulli thinning to ~50 docs/lang,
+    // stratum stats broadcast back onto the data (graft.ops.Corpus)
+    "q45_rebalance" -> ((s, dir) => {
+      Corpus.rebalance(tbl(s, dir, "documents"), "lang", "doc_id", target = 50.0)
+        .orderBy(col("lang"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -966,6 +1008,51 @@ object SparkEntry {
            | count(DISTINCT source) AS n_sources,
            | round(sum(CAST(round(q,4) AS DECIMAL(28,4)))::DOUBLE / count(*), 4) AS mean_quality
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q41_decontaminate" ->
+        s"""WITH sh AS ($shingleSql),
+           | ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+           | tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+           |SELECT tr.doc_id, count(*)::BIGINT AS n_overlap
+           |FROM tr JOIN ev USING (shingle)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q42_stratified_sample" ->
+        """WITH h AS (SELECT lang, doc_id, (doc_id*2654435761 + 11) % 1000000007 AS hv FROM documents),
+          | r AS (SELECT lang, doc_id,
+          |         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)::BIGINT AS rn
+          |       FROM h)
+          |SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+      "q43_tfidf_topk" ->
+        """WITH ws AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS l FROM documents),
+          | tok AS (SELECT doc_id, unnest(l) AS term FROM ws),
+          | tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+          | df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+          | n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+          | sc AS (SELECT doc_id, term,
+          |          round(tf * (ln((n_docs + 1.0)/(df + 1.0)) + 1.0), 4) AS tfidf
+          |        FROM tf JOIN df USING (term) CROSS JOIN n),
+          | r AS (SELECT doc_id, term, tfidf,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)::BIGINT AS rank
+          |       FROM sc)
+          |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+      "q44_shuffled_export" ->
+        """WITH h AS (SELECT doc_id,
+          |         (doc_id*2654435761 + 7) % 1000000007 AS h1,
+          |         (doc_id*2246822519 + 13) % 1000000007 AS h2 FROM documents)
+          |SELECT (h1 % 16)::BIGINT AS shard,
+          | row_number() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id)::BIGINT AS pos,
+          | doc_id
+          |FROM h ORDER BY shard, pos""".stripMargin,
+      "q45_rebalance" ->
+        """WITH st AS (SELECT lang, count(*)::BIGINT AS n_before FROM documents GROUP BY 1),
+          | sel AS (SELECT d.lang, d.doc_id, st.n_before,
+          |           (d.doc_id*2654435761 + 17) % 1000000007 AS hv
+          |         FROM documents d JOIN st USING (lang)),
+          | kept AS (SELECT lang, count(*)::BIGINT AS n_after FROM sel
+          |          WHERE hv % 1000000 < floor(least(1.0, 50.0/n_before)*1000000.0)
+          |          GROUP BY 1)
+          |SELECT st.lang, st.n_before, coalesce(kept.n_after, 0)::BIGINT AS n_after
+          |FROM st LEFT JOIN kept USING (lang)
+          |ORDER BY st.lang""".stripMargin,
     )
   }
 }

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, deterministic sampling/rebalancing, TF-IDF term
+  * weighting, and sharded shuffle export.
+  *
+  * Everything here is deterministic by construction — selection and
+  * ordering derive from portable integer hashes of stable ids, never from
+  * `rand()` or partition order — so a re-run (or a different cluster size)
+  * produces byte-identical curated corpora. The hash is the affine map
+  * h(id) = (id*A + b) mod P used by [[Dedup.mixConsts]]; all arithmetic
+  * stays in BIGINT range for any realistic id, so the same expression runs
+  * unchanged in any engine (the DuckDB oracle included).
+  *
+  * Scale shapes:
+  *  - decontamination joins the corpus' shingles against the BENCHMARK
+  *    side, which is small by definition (an eval set, not a second
+  *    corpus) — the join broadcasts, so the 100 TB side never shuffles;
+  *  - sampling/rebalance/export are per-row hash arithmetic plus either a
+  *    per-stratum top-k window (map-side WindowGroupLimit) or a pre-agg of
+  *    one row per stratum (broadcast back) — no data-sized shuffle;
+  *  - TF-IDF shuffles once for term frequencies (keyed by (doc, term), the
+  *    natural high-cardinality key) and aggregates the document-frequency
+  *    table from the tf rows, which is vocabulary-sized, not corpus-sized.
+  */
+object Corpus {
+
+  private val P = 1000000007L
+
+  /** Portable deterministic id hash: (id*A + b) mod P. `A` is the Knuth
+    * multiplicative constant; vary `b` to draw independent streams.
+    */
+  def idHash(id: Column, b: Long): Column = (id * 2654435761L + b) % P
+
+  /** Documents of `corpus` sharing at least one word n-gram with
+    * `benchmark` (the eval set being protected), with the count of distinct
+    * overlapping shingles — the standard n-gram-overlap decontamination
+    * signal. Output: (idCol, n_overlap >= 1 rows only).
+    *
+    * The benchmark's distinct-shingle set is broadcast: decontamination is
+    * always "huge corpus vs small eval suite", so the corpus side joins
+    * map-side without a shuffle, and the per-doc count aggregates on idCol.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val csh = Dedup.shingles(corpus, idCol, textCol, n)
+    val bsh = benchmark
+      .select(explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    csh.join(broadcast(bsh), "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Keep only corpus documents with NO n-gram overlap against the
+    * benchmark (the filter form of [[decontaminate]]).
+    */
+  def decontaminated(corpus: DataFrame, benchmark: DataFrame,
+                     idCol: String, textCol: String, n: Int = 3): DataFrame =
+    corpus.join(decontaminate(corpus, benchmark, idCol, textCol, n),
+      Seq(idCol), "left_anti")
+
+  /** Deterministic stratified sample: the `k` documents per stratum with
+    * the smallest id hash (ties broken by id). row_number() <= k plans as
+    * WindowGroupLimit — every map task pre-trims to its local top-k per
+    * stratum before the shuffle. Output adds `rn` (1-based rank within the
+    * stratum).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int, hashSeed: Long = 11L): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(idHash(col(idCol), hashSeed), col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Rebalance strata to ~`target` documents each by deterministic
+    * hash-Bernoulli thinning: stratum with n docs keeps each doc with
+    * probability min(1, target/n), selected by hash bucket — so the SAME
+    * documents survive on every run and every cluster. Returns one row per
+    * stratum: (stratumCol, n_before, n_after).
+    *
+    * This is the language/domain-rebalancing stage of corpus curation
+    * (downsample over-represented strata). Shape: one row per stratum
+    * aggregated, broadcast back onto the data for the thinning filter.
+    */
+  def rebalance(df: DataFrame, stratumCol: String, idCol: String,
+                target: Double, hashSeed: Long = 17L): DataFrame = {
+    val before = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_before"))
+    val rate = least(lit(1.0), lit(target) / col("n_before"))
+    val kept = df.select(col(stratumCol), col(idCol))
+      .join(broadcast(before), Seq(stratumCol))
+      .where(pmod(idHash(col(idCol), hashSeed), lit(1000000L)) <
+        floor(rate * 1000000.0))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n_after"))
+    before.join(kept, Seq(stratumCol), "left")
+      .select(col(stratumCol), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
+  /** Per-document top-`k` TF-IDF terms. tf = term occurrences in the doc
+    * (whitespace tokens, lowercased); df = number of documents containing
+    * the term; score = round(tf * (ln((N+1)/(df+1)) + 1), 4) — the
+    * smoothed-idf variant that keeps corpus-ubiquitous terms finite.
+    * Output: (idCol, rank, term, tfidf), rank 1..k by (score desc, term).
+    *
+    * Shuffle budget: ONE data-sized exchange (tf keyed on (doc, term));
+    * df aggregates the tf rows (vocabulary-sized) and joins back —
+    * broadcast at realistic vocabulary sizes, AQE's call otherwise; N is a
+    * one-row broadcast. The rank filter plans as WindowGroupLimit.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+
+  /** Deterministic sharded shuffle for training export: shard =
+    * id-hash mod `shards`, position = rank of an INDEPENDENT id hash
+    * within the shard. Together they define a reproducible global shuffle
+    * order ((shard, pos) lexicographic) with no global sort: each shard
+    * ranks independently — the exact layout of a sharded training-data
+    * export, where readers consume shards in parallel.
+    */
+  def shuffledExport(df: DataFrame, idCol: String, shards: Int = 16): DataFrame = {
+    val withShard = df.withColumn("shard", pmod(idHash(col(idCol), 7L), lit(shards.toLong)))
+    // independent multiplier (xxhash prime2) for the within-shard order —
+    // an affine shift of the shard hash would correlate pos with shard, and
+    // a multiplier below P would not wrap the modulus for small ids,
+    // leaving the "shuffle" monotone in id
+    val w = Window.partitionBy(col("shard"))
+      .orderBy((col(idCol) * 2246822519L + 13L) % P, col(idCol))
+    withShard.withColumn("pos", row_number().over(w).cast("long"))
+  }
+}

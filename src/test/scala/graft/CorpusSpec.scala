@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "pack my box with five dozen liquor jugs", "en"),
+    (3L, "the quick brown fox naps all day long", "en"),
+    (4L, "el gato duerme en la casa grande", "es"),
+    (5L, "la casa grande tiene un gato pequeno", "es"),
+    (6L, "completely unrelated content about spark engines", "en"),
+  ).toDF("doc_id", "text", "lang")
+
+  test("decontaminate counts distinct overlapping shingles; filter drops them") {
+    // benchmark shares the "the quick brown fox" 4 words = two 3-gram
+    // shingles with doc 1 and doc 3
+    val bench = Seq((100L, "the quick brown fox is a benchmark item")).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(docs, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (3L, 2L)))
+    val clean = Corpus.decontaminated(docs, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean === Seq(2L, 4L, 5L, 6L))
+  }
+
+  test("stratifiedSample keeps k per stratum, deterministic across runs") {
+    val s1 = Corpus.stratifiedSample(docs, "lang", "doc_id", k = 2)
+      .select("lang", "rn", "doc_id").collect().toSet
+    val s2 = Corpus.stratifiedSample(docs.repartition(7), "lang", "doc_id", k = 2)
+      .select("lang", "rn", "doc_id").collect().toSet
+    assert(s1 === s2)
+    val perLang = s1.groupBy(_.getString(0)).view.mapValues(_.size).toMap
+    assert(perLang === Map("en" -> 2, "es" -> 2))
+    // ranks are 1..k and follow the id-hash order
+    assert(s1.toSeq.map(_.getLong(1)).sorted === Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("rebalance keeps small strata whole and thins large ones deterministically") {
+    val big = (1L to 400L).map(i => (i, s"doc $i", if (i <= 300) "en" else "es"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.rebalance(big, "lang", "doc_id", target = 100.0)
+      .orderBy("lang").as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq("en", "es"))
+    val en = got(0); val es = got(1)
+    assert(en._2 === 300L && es._2 === 100L)
+    // es under target: rate 1.0 keeps everything
+    assert(es._3 === 100L)
+    // en thinned to ~100 (hash-Bernoulli, not exact): within a loose band
+    assert(en._3 > 60L && en._3 < 140L, s"en kept ${en._3}")
+    // deterministic under repartition
+    val again = Corpus.rebalance(big.repartition(5), "lang", "doc_id", target = 100.0)
+      .orderBy("lang").as[(String, Long, Long)].collect().toSeq
+    assert(again === got)
+  }
+
+  test("tfidfTopK ranks rare terms above ubiquitous ones") {
+    val d = Seq(
+      (1L, "common common rare"),
+      (2L, "common word"),
+      (3L, "common word zebra"),
+    ).toDF("doc_id", "text")
+    val got = Corpus.tfidfTopK(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    // every doc gets its rarest term first: df(common)=3 -> idf ln(4/4)+1 = 1
+    // df(rare)=df(zebra)=1 -> idf ln(2)+1; doc 1 tf(common)=2 outranks it
+    assert(got.contains((1L, 2L, "rare")) || got.contains((1L, 1L, "rare")))
+    assert(got.filter(_._1 == 3L).map(_._3).contains("zebra"))
+    // rank 1 of doc 3 is zebra (tfidf 1.6931 > 1.0)
+    assert(got.contains((3L, 1L, "zebra")))
+  }
+
+  test("shuffledExport: every doc exactly once, contiguous per-shard positions, deterministic") {
+    val d = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val exp = Corpus.shuffledExport(d, "doc_id", shards = 8)
+      .select("shard", "pos", "doc_id")
+    val rows = exp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sorted.toSeq === (1L to 200L))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length.toLong))
+    }
+    val again = Corpus.shuffledExport(d.repartition(3), "doc_id", shards = 8)
+      .select("shard", "pos", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet === rows.toSet)
+    // it is actually shuffled: within-shard id order differs from pos order
+    val shard0 = rows.filter(_._1 == rows.head._1).sortBy(_._2).map(_._3)
+    assert(shard0 !== shard0.sorted)
+  }
+}
