@@ -23,7 +23,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // Default min-of-2: a single-shot run is hostage to box noise (round-4's
+    // driver bench showed individual queries 2-20x their steady-state cost
+    // under concurrent load; min-of-2 recovered the true numbers). min, not
+    // mean — external interference only ever ADDS time.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): Unit =
       // Force FULL evaluation of every output column: a plain count() lets

@@ -1016,7 +1016,7 @@ object SparkEntry {
            |FROM tr JOIN ev USING (shingle)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q42_stratified_sample" ->
-        """WITH h AS (SELECT lang, doc_id, (doc_id*2654435761 + 11) % 1000000007 AS hv FROM documents),
+        """WITH h AS (SELECT lang, doc_id, ((doc_id % 1000000007)*2654435761 + 11) % 1000000007 AS hv FROM documents),
           | r AS (SELECT lang, doc_id,
           |         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)::BIGINT AS rn
           |       FROM h)
@@ -1036,8 +1036,8 @@ object SparkEntry {
           |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
       "q44_shuffled_export" ->
         """WITH h AS (SELECT doc_id,
-          |         (doc_id*2654435761 + 7) % 1000000007 AS h1,
-          |         (doc_id*2246822519 + 13) % 1000000007 AS h2 FROM documents)
+          |         ((doc_id % 1000000007)*2654435761 + 7) % 1000000007 AS h1,
+          |         ((doc_id % 1000000007)*2246822519 + 13) % 1000000007 AS h2 FROM documents)
           |SELECT (h1 % 16)::BIGINT AS shard,
           | row_number() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id)::BIGINT AS pos,
           | doc_id
@@ -1045,7 +1045,7 @@ object SparkEntry {
       "q45_rebalance" ->
         """WITH st AS (SELECT lang, count(*)::BIGINT AS n_before FROM documents GROUP BY 1),
           | sel AS (SELECT d.lang, d.doc_id, st.n_before,
-          |           (d.doc_id*2654435761 + 17) % 1000000007 AS hv
+          |           ((d.doc_id % 1000000007)*2654435761 + 17) % 1000000007 AS hv
           |         FROM documents d JOIN st USING (lang)),
           | kept AS (SELECT lang, count(*)::BIGINT AS n_after FROM sel
           |          WHERE hv % 1000000 < floor(least(1.0, 50.0/n_before)*1000000.0)

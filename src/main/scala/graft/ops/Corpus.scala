@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * ordering derive from portable integer hashes of stable ids, never from
   * `rand()` or partition order — so a re-run (or a different cluster size)
   * produces byte-identical curated corpora. The hash is the affine map
-  * h(id) = (id*A + b) mod P used by [[Dedup.mixConsts]]; all arithmetic
-  * stays in BIGINT range for any realistic id, so the same expression runs
-  * unchanged in any engine (the DuckDB oracle included).
+  * h(id) = ((id mod P)*A + b) mod P used by [[Dedup.mixConsts]]; reducing
+  * the id mod P FIRST keeps the product under 2^63 for ANY 64-bit id
+  * ((P-1)*A ≈ 2.7e18 < Long.MaxValue), so the expression is safe under
+  * Spark's ANSI overflow checks and runs unchanged in any engine (the
+  * DuckDB oracle included, where BIGINT overflow also errors). For ids
+  * already below P (every test table) the reduction is the identity.
   *
   * Scale shapes:
   *  - decontamination joins the corpus' shingles against the BENCHMARK
@@ -31,10 +34,12 @@ object Corpus {
 
   private val P = 1000000007L
 
-  /** Portable deterministic id hash: (id*A + b) mod P. `A` is the Knuth
-    * multiplicative constant; vary `b` to draw independent streams.
+  /** Portable deterministic id hash: ((id mod P)*A + b) mod P. `A` is the
+    * Knuth multiplicative constant; vary `b` to draw independent streams.
+    * pmod keeps negative ids non-negative before the multiply.
     */
-  def idHash(id: Column, b: Long): Column = (id * 2654435761L + b) % P
+  def idHash(id: Column, b: Long): Column =
+    (pmod(id, lit(P)) * 2654435761L + b) % P
 
   /** Documents of `corpus` sharing at least one word n-gram with
     * `benchmark` (the eval set being protected), with the count of distinct
@@ -78,11 +83,36 @@ object Corpus {
       .where(col("rn") <= k)
   }
 
+  /** The hash-Bernoulli survival predicate shared by [[rebalance]] and
+    * [[rebalanced]]: keep a row iff its id hash lands in the first
+    * floor(rate*1e6) of 1e6 buckets. Factored so the stats report and the
+    * data filter can never drift apart.
+    */
+  private def keepRow(idCol: String, rate: Column, hashSeed: Long): Column =
+    pmod(idHash(col(idCol), hashSeed), lit(1000000L)) < floor(rate * 1000000.0)
+
+  /** The thinned corpus itself (the filter form of [[rebalance]]): every
+    * input column, restricted to the rows the rebalance keeps. Strata join
+    * null-safely (`<=>`), so a NULL stratum is thinned like any other
+    * rather than silently dropped.
+    */
+  def rebalanced(df: DataFrame, stratumCol: String, idCol: String,
+                 target: Double, hashSeed: Long = 17L): DataFrame = {
+    val before = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_before"))
+      .withColumnRenamed(stratumCol, "_stratum")
+    val rate = least(lit(1.0), lit(target) / col("n_before"))
+    df.join(broadcast(before), col(stratumCol) <=> col("_stratum"))
+      .where(keepRow(idCol, rate, hashSeed))
+      .drop("_stratum", "n_before")
+  }
+
   /** Rebalance strata to ~`target` documents each by deterministic
     * hash-Bernoulli thinning: stratum with n docs keeps each doc with
     * probability min(1, target/n), selected by hash bucket — so the SAME
     * documents survive on every run and every cluster. Returns one row per
-    * stratum: (stratumCol, n_before, n_after).
+    * stratum: (stratumCol, n_before, n_after). NULL strata are counted and
+    * thinned like any other (null-safe joins throughout); use
+    * [[rebalanced]] for the surviving rows themselves.
     *
     * This is the language/domain-rebalancing stage of corpus curation
     * (downsample over-represented strata). Shape: one row per stratum
@@ -91,13 +121,10 @@ object Corpus {
   def rebalance(df: DataFrame, stratumCol: String, idCol: String,
                 target: Double, hashSeed: Long = 17L): DataFrame = {
     val before = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_before"))
-    val rate = least(lit(1.0), lit(target) / col("n_before"))
-    val kept = df.select(col(stratumCol), col(idCol))
-      .join(broadcast(before), Seq(stratumCol))
-      .where(pmod(idHash(col(idCol), hashSeed), lit(1000000L)) <
-        floor(rate * 1000000.0))
+    val kept = rebalanced(df, stratumCol, idCol, target, hashSeed)
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("n_after"))
-    before.join(kept, Seq(stratumCol), "left")
+      .withColumnRenamed(stratumCol, "_stratum")
+    before.join(kept, col(stratumCol) <=> col("_stratum"), "left")
       .select(col(stratumCol), col("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))
   }
@@ -142,9 +169,10 @@ object Corpus {
     // independent multiplier (xxhash prime2) for the within-shard order —
     // an affine shift of the shard hash would correlate pos with shard, and
     // a multiplier below P would not wrap the modulus for small ids,
-    // leaving the "shuffle" monotone in id
+    // leaving the "shuffle" monotone in id. Same mod-P-first reduction as
+    // idHash: (P-1)*2246822519 ≈ 2.2e18 stays below Long.MaxValue.
     val w = Window.partitionBy(col("shard"))
-      .orderBy((col(idCol) * 2246822519L + 13L) % P, col(idCol))
+      .orderBy((pmod(col(idCol), lit(P)) * 2246822519L + 13L) % P, col(idCol))
     withShard.withColumn("pos", row_number().over(w).cast("long"))
   }
 }

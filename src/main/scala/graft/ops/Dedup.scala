@@ -295,10 +295,21 @@ object Dedup {
     * match — up to `chunks` copies per pair (all 4 for exact duplicates,
     * the common case in a deduplicating corpus). Instead of a `distinct()`
     * shuffle over the multiply-emitted pairs, each pair is emitted only
-    * from its FIRST matching chunk: keep a joined row only when every
-    * lower-indexed byte of sig_a XOR sig_b is nonzero. Uniqueness then
-    * holds by construction, the dedup shuffle disappears, and the filter is
-    * codegen'd per-row bit arithmetic on columns the join already carries.
+    * from its first matching SURVIVING chunk: keep a joined row only when
+    * every lower-indexed matching byte of (sig_a, sig_b) sits in a bucket
+    * the `maxBucket` cap dropped. Uniqueness then holds by construction,
+    * the dedup shuffle disappears, and the filter is codegen'd per-row bit
+    * arithmetic on columns the join already carries.
+    *
+    * The cap-aware emission point is what preserves recall parity with the
+    * naive emit-everywhere-then-distinct form: a pair whose first matching
+    * chunk was capped away still emits from its next surviving matching
+    * chunk. It is affordable because the (chunk, byte) keyspace is FIXED at
+    * `chunks`*256 = 1024 buckets — the over-cap set is collected once
+    * (bounded by the keyspace, never by the data, so this scales to any
+    * corpus) and inlined into both the bucket filter and the first-match
+    * expression as literals. Pairs ONLY reachable through capped buckets
+    * are still lost — that is the cap's declared recall trade.
     */
   def simhashCandidatesFromSignatures(sigs: DataFrame, idCol: String,
                                       sigCol: String = "simhash",
@@ -312,17 +323,34 @@ object Dedup {
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
       .select(col(idCol), col("simhash"), col("_c.chunk"), col("_c.v"))
-    val capped = capBucket(chunked, Seq("chunk", "v"), maxBucket)
+    // Over-cap buckets, collected as (chunk*256 + byte) literals. The
+    // aggregate shuffles at most 1024 rows (the whole keyspace) no matter
+    // the corpus size, so the collect is safe at any scale — unlike the
+    // generic capBucket anti-join, which must stay distributed because its
+    // bucket keyspace (shingles, band signatures) is data-sized.
+    val droppedKeys: Seq[Long] =
+      if (maxBucket <= 0) Nil
+      else chunked.groupBy(col("chunk"), col("v"))
+        .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
+        .select((col("chunk") * 256L + col("v")).as("k"))
+        .collect().map(_.getLong(0)).toSeq
+    val capped =
+      if (droppedKeys.isEmpty) chunked
+      else chunked.where(!(col("chunk") * 256L + col("v")).isin(droppedKeys: _*))
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("v"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("v"))
     val x = col("sig_a").bitwiseXOR(col("sig_b"))
-    // chunk index of the first matching (zero-XOR) byte — the one emission
-    // point for this pair. NOTE: with a maxBucket cap that BINDS, a pair's
-    // first matching chunk can be in a dropped bucket; the pair is then not
-    // emitted at a later matching chunk either (same recall trade the cap
-    // already makes — capped blocking is explicitly lossy).
+    // chunk index of the first matching (zero-XOR) byte whose bucket
+    // survived the cap — the one emission point for this pair. When the
+    // byte matches, sig_a and sig_b share the bucket, so testing sig_a's
+    // byte against the dropped set decides survival for both sides.
+    def survived(c: Int): Column =
+      if (droppedKeys.isEmpty) lit(true)
+      else !(lit(c * 256L) + shiftright(col("sig_a"), c * 8).bitwiseAND(0xFFL))
+        .isin(droppedKeys: _*)
     val firstMatch = (0 until chunks).foldRight(lit(chunks): Column) { (c, rest) =>
-      when(shiftright(x, c * 8).bitwiseAND(0xFFL) === 0L, lit(c)).otherwise(rest)
+      when(shiftright(x, c * 8).bitwiseAND(0xFFL) === 0L && survived(c), lit(c))
+        .otherwise(rest)
     }
     a.join(b, Seq("chunk", "v"))
       .where(col("id_a") < col("id_b") && col("chunk") === firstMatch)

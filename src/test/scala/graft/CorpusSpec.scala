@@ -59,6 +59,58 @@ class CorpusSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("rebalanced returns the surviving rows the stats report counts") {
+    val big = (1L to 400L).map(i => (i, s"doc $i", if (i <= 300) "en" else "es"))
+      .toDF("doc_id", "text", "lang")
+    val stats = Corpus.rebalance(big, "lang", "doc_id", target = 100.0)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val kept = Corpus.rebalanced(big, "lang", "doc_id", target = 100.0)
+    assert(kept.columns.toSeq === Seq("doc_id", "text", "lang"))
+    val keptCounts = kept.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(keptCounts === stats)
+  }
+
+  test("rebalance treats a NULL stratum as a real stratum") {
+    val withNull = Seq(
+      (1L, "a", "en"), (2L, "b", "en"), (3L, "c", null),
+      (4L, "d", null), (5L, "e", null),
+    ).toDF("doc_id", "text", "lang")
+    // target above every stratum size: rate 1.0, nothing thinned
+    val got = Corpus.rebalance(withNull, "lang", "doc_id", target = 10.0)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((Some("en"), 2L, 2L), (None, 3L, 3L)))
+    val kept = Corpus.rebalanced(withNull, "lang", "doc_id", target = 10.0)
+    assert(kept.count() === 5L)
+    // and a binding target still thins the NULL stratum instead of dropping it
+    val nulls = (1L to 200L).map(i => (i, s"doc $i", null: String))
+      .toDF("doc_id", "text", "lang")
+    val thinned = Corpus.rebalance(nulls, "lang", "doc_id", target = 50.0)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(thinned.length === 1)
+    assert(thinned.head._1 === None && thinned.head._2 === 200L)
+    assert(thinned.head._3 > 20L && thinned.head._3 < 80L, s"kept ${thinned.head._3}")
+  }
+
+  test("id hashes survive 64-bit ids and negative ids under ANSI mode") {
+    // ids above Long.MaxValue/2654435761 ~ 3.47e9 overflowed the old raw
+    // multiply; pmod-first reduction must keep every op ANSI-safe
+    val huge = Seq(Long.MaxValue, Long.MaxValue - 1, 5000000000L, -42L, 0L, 7L)
+      .zipWithIndex.map { case (id, i) => (id, s"doc $i", if (i % 2 == 0) "en" else "es") }
+      .toDF("doc_id", "text", "lang")
+    val sampled = Corpus.stratifiedSample(huge, "lang", "doc_id", k = 3)
+    assert(sampled.count() === 6L)
+    val exported = Corpus.shuffledExport(huge, "doc_id", shards = 4)
+    assert(exported.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(Long.MaxValue, Long.MaxValue - 1, 5000000000L, -42L, 0L, 7L).sorted)
+    assert(Corpus.rebalance(huge, "lang", "doc_id", target = 10.0)
+      .agg(sum("n_after")).as[Long].head() === 6L)
+    // hash stays in [0, P) even for negative ids
+    val hv = huge.select(Corpus.idHash(col("doc_id"), 11L).as("h"))
+      .as[Long].collect()
+    assert(hv.forall(h => h >= 0L && h < 1000000007L))
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val d = Seq(
       (1L, "common common rare"),

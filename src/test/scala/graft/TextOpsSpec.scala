@@ -98,6 +98,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs(fromSigs) === pairs(Dedup.simhashCandidates(docs, "doc_id", "text", maxBucket = 10)))
   }
 
+  test("simhash pair emission survives a capped first matching chunk") {
+    // pair (1,2) matches at chunk 0 (byte 0x11 — shared with four filler
+    // docs, so bucket width 6 > cap 3 and the bucket is dropped), at
+    // chunk 1 (byte 0x22, width-2 bucket, survives), and at chunk 3
+    // (byte 0x00, width-2, survives). Cap-aware first-match must emit the
+    // pair exactly once from chunk 1; the pre-fix first-match pinned the
+    // emission to dropped chunk 0 and lost the pair entirely.
+    def sig(b0: Long, b1: Long, b2: Long, b3: Long): Long =
+      b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    val sigs = (Seq(
+      (1L, sig(0x11, 0x22, 0x01, 0x00)),
+      (2L, sig(0x11, 0x22, 0x02, 0x00)), // hamming vs doc 1 = 2 bits
+    ) ++ (3 to 6).map(i =>
+      (i.toLong, sig(0x11, 0x30L + i, 0x40L + i, 0x50L + i))))
+      .toDF("doc_id", "sig")
+    val got = Dedup.simhashCandidatesFromSignatures(sigs, "doc_id", "sig",
+      maxHamming = 3, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+    // pairs reachable ONLY through the capped bucket stay excluded
+    val only0 = (Seq(
+      (1L, sig(0x11, 0x01, 0x00, 0x60)),
+      (2L, sig(0x11, 0x02, 0x03, 0x61)),
+    ) ++ (3 to 6).map(i =>
+      (i.toLong, sig(0x11, 0x30L + i, 0x40L + i, 0x50L + i))))
+      .toDF("doc_id", "sig")
+    assert(Dedup.simhashCandidatesFromSignatures(only0, "doc_id", "sig",
+      maxHamming = 32, maxBucket = 3).count() === 0L)
+  }
+
   test("language id picks marker-matching language deterministically") {
     val got = Seq(
       (1, "the cat and the dog is a friend of mine"),
