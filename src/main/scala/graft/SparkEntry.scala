@@ -540,6 +540,66 @@ object SparkEntry {
       Corpus.rebalance(tbl(s, dir, "documents"), "lang", "doc_id", target = 50.0)
         .orderBy(col("lang"))
     }),
+
+    // temperature mixture sampling: w = sqrt(n) flattens the language mix
+    // toward uniform; rates from two tiny broadcast aggregates, the corpus
+    // side never shuffles (graft.ops.Corpus)
+    "q46_temperature_mix" -> ((s, dir) => {
+      Corpus.temperatureSample(tbl(s, dir, "documents"), "lang", "doc_id",
+          totalTarget = 200.0)
+        .orderBy(col("lang"))
+    }),
+
+    // zero-filled fixed-width value histogram: nBins-row map-combined
+    // aggregate + broadcast grid join (graft.ops.EventOps)
+    "q47_value_histogram" -> ((s, dir) =>
+      EventOps.valueHistogram(tbl(s, dir, "events"), "value",
+        width = 25.0, nBins = 20)),
+
+    // hot-key-safe equi-join via explicit salting: per-user purchase spend
+    // replicated across 8 salts, the event side salted by row hash; result
+    // equals the plain join bit-for-bit (graft.ops.Skew)
+    "q48_salted_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val spend = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value"), 4).cast(DecimalType(28, 4))).as("spend"))
+      Skew.saltedJoin(e, spend, Seq("user_id"), factor = 8)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") / col("spend").cast("double"), 6).as("share"))
+        .orderBy(col("event_id"))
+    }),
+
+    // point-in-interval range join WITHOUT a cross product: 1h windows
+    // after each high-value purchase, turned into an equi-join on the hour
+    // chunk + residual range filter (graft.ops.RangeJoin)
+    "q49_range_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val pts = e.select(col("event_id"), col("ts_ns"))
+      val iv = e.where(col("event_type") === "purchase" && col("value") > 220.0)
+        .select(col("event_id").as("interval_id"), col("ts_ns").as("start_ns"),
+          (col("ts_ns") + 3600000000000L).as("end_ns"))
+      RangeJoin.pointInInterval(pts, "ts_ns", iv, "start_ns", "end_ns",
+          chunkWidth = 3600000000000L)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy(col("interval_id"))
+    }),
+
+    // revenue pivot (priority x status): groupBy().pivot() with explicit
+    // status values — conditional aggregation, one shuffle, no Expand of
+    // the fact table
+    "q50_pivot_revenue" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0.0)).as("rev_f"),
+          coalesce(col("O"), lit(0.0)).as("rev_o"),
+          coalesce(col("P"), lit(0.0)).as("rev_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1053,6 +1113,48 @@ object SparkEntry {
           |SELECT st.lang, st.n_before, coalesce(kept.n_after, 0)::BIGINT AS n_after
           |FROM st LEFT JOIN kept USING (lang)
           |ORDER BY st.lang""".stripMargin,
+      "q46_temperature_mix" ->
+        """WITH st AS (SELECT lang, count(*)::BIGINT AS n_before FROM documents GROUP BY 1),
+          | w AS (SELECT lang, n_before, round(sqrt(n_before), 6) AS w FROM st),
+          | tot AS (SELECT sum(CAST(w AS DECIMAL(28,6))) AS totw FROM w),
+          | r AS (SELECT lang, n_before,
+          |         least(1.0, 200.0 * w / (totw::DOUBLE * n_before)) AS rate
+          |       FROM w CROSS JOIN tot),
+          | kept AS (SELECT d.lang, count(*)::BIGINT AS n_after
+          |          FROM documents d JOIN r USING (lang)
+          |          WHERE ((d.doc_id % 1000000007)*2654435761 + 29) % 1000000007 % 1000000
+          |                < floor(rate*1000000.0)
+          |          GROUP BY 1)
+          |SELECT st.lang, st.n_before, coalesce(kept.n_after, 0)::BIGINT AS n_after
+          |FROM st LEFT JOIN kept USING (lang)
+          |ORDER BY st.lang""".stripMargin,
+      "q47_value_histogram" ->
+        """WITH b AS (SELECT floor(value/25.0)::BIGINT AS bin, count(*)::BIGINT AS n
+          |           FROM events
+          |           WHERE floor(value/25.0) >= 0 AND floor(value/25.0) < 20
+          |           GROUP BY 1),
+          | g AS (SELECT unnest(generate_series(0, 19))::BIGINT AS bin)
+          |SELECT g.bin, round(g.bin*25.0, 4) AS lo, coalesce(b.n, 0)::BIGINT AS n
+          |FROM g LEFT JOIN b USING (bin) ORDER BY g.bin""".stripMargin,
+      "q48_salted_join" ->
+        """WITH sp AS (SELECT user_id, sum(CAST(round(value, 4) AS DECIMAL(28,4))) AS spend
+          |            FROM events WHERE event_type = 'purchase' GROUP BY 1)
+          |SELECT e.event_id, e.user_id, round(e.value / sp.spend::DOUBLE, 6) AS share
+          |FROM events e JOIN sp USING (user_id) ORDER BY e.event_id""".stripMargin,
+      "q49_range_join" ->
+        """WITH e AS (SELECT event_id, epoch_ns(ts)::BIGINT AS tn FROM events),
+          | iv AS (SELECT event_id AS interval_id, epoch_ns(ts)::BIGINT AS start_ns,
+          |          epoch_ns(ts)::BIGINT + 3600000000000 AS end_ns
+          |        FROM events WHERE event_type = 'purchase' AND value > 220.0)
+          |SELECT iv.interval_id, count(*)::BIGINT AS n_in_window
+          |FROM iv JOIN e ON e.tn >= iv.start_ns AND e.tn < iv.end_ns
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q50_pivot_revenue" ->
+        """SELECT o_orderpriority,
+          | coalesce(sum(CAST(round(o_totalprice,4) AS DECIMAL(28,4))) FILTER (WHERE o_orderstatus = 'F')::DOUBLE, 0.0) AS rev_f,
+          | coalesce(sum(CAST(round(o_totalprice,4) AS DECIMAL(28,4))) FILTER (WHERE o_orderstatus = 'O')::DOUBLE, 0.0) AS rev_o,
+          | coalesce(sum(CAST(round(o_totalprice,4) AS DECIMAL(28,4))) FILTER (WHERE o_orderstatus = 'P')::DOUBLE, 0.0) AS rev_p
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

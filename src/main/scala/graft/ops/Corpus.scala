@@ -129,6 +129,54 @@ object Corpus {
         coalesce(col("n_after"), lit(0L)).as("n_after"))
   }
 
+  /** Temperature-flattened mixture sampling — the standard training-mix
+    * reweighting (multinomial sampling with weights w_s = n_s^alpha,
+    * alpha < 1 flattens the stratum distribution toward uniform; alpha=0.5
+    * is the classic sqrt temperature). Stratum s with n_s documents is
+    * kept at rate min(1, T * w_s / (W * n_s)) where W = sum of all w_s and
+    * `totalTarget` T is the desired total sample size. Selection is the
+    * same hash-Bernoulli predicate as [[rebalanced]], so the SAME rows
+    * survive on every run and cluster layout.
+    *
+    * Cross-engine parity: alpha=0.5 uses sqrt (IEEE-exact in every engine,
+    * unlike libm pow which may differ at the last ulp); per-stratum weights
+    * are rounded to 6 decimals and W is summed as DECIMAL so the total is
+    * independent of stratum iteration order.
+    *
+    * Shape: two tiny aggregates (one row per stratum, then one row total)
+    * broadcast back onto the data — the corpus-sized side never shuffles.
+    */
+  def temperatureSampled(df: DataFrame, stratumCol: String, idCol: String,
+                         totalTarget: Double, alpha: Double = 0.5,
+                         hashSeed: Long = 29L): DataFrame = {
+    val w0 = if (alpha == 0.5) sqrt(col("n_before")) else pow(col("n_before"), alpha)
+    val strata = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_before"))
+      .withColumn("_w", round(w0, 6).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+    val tot = strata.agg(sum(col("_w")).as("_totW"))
+    val rates = strata.crossJoin(broadcast(tot))
+      .select(col(stratumCol).as("_stratum"),
+        least(lit(1.0), lit(totalTarget) * col("_w").cast("double") /
+          (col("_totW").cast("double") * col("n_before"))).as("_rate"))
+    df.join(broadcast(rates), col(stratumCol) <=> col("_stratum"))
+      .where(keepRow(idCol, col("_rate"), hashSeed))
+      .drop("_stratum", "_rate")
+  }
+
+  /** Stats form of [[temperatureSampled]]: one row per stratum,
+    * (stratumCol, n_before, n_after). Derived from the SAME predicate.
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        totalTarget: Double, alpha: Double = 0.5,
+                        hashSeed: Long = 29L): DataFrame = {
+    val before = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_before"))
+    val kept = temperatureSampled(df, stratumCol, idCol, totalTarget, alpha, hashSeed)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n_after"))
+      .withColumnRenamed(stratumCol, "_stratum")
+    before.join(kept, col(stratumCol) <=> col("_stratum"), "left")
+      .select(col(stratumCol), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
   /** Per-document top-`k` TF-IDF terms. tf = term occurrences in the doc
     * (whitespace tokens, lowercased); df = number of documents containing
     * the term; score = round(tf * (ln((N+1)/(df+1)) + 1), 4) — the

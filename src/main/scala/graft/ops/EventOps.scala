@@ -47,6 +47,27 @@ object EventOps {
       .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Fixed-width numeric histogram over `valueCol`, zero-filled across all
+    * `nBins` bins of width `width` starting at 0. Values outside
+    * [0, nBins*width) are dropped (callers bound the domain). Output:
+    * (bin, lo, n) ordered by bin — bin the 0-based index, lo its lower
+    * edge. Shape: one map-side-combined aggregation to nBins rows, then a
+    * broadcast-sized zero-fill join; the data never shuffles more than the
+    * nBins-row partial aggregate.
+    */
+  def valueHistogram(df: DataFrame, valueCol: String,
+                     width: Double, nBins: Int): DataFrame = {
+    val counts = df
+      .select(floor(col(valueCol) / width).cast("long").as("bin"))
+      .where(col("bin") >= 0 && col("bin") < nBins)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(nBins).select(col("id").as("bin"))
+    grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"), round(col("bin") * width, 4).as("lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bin"))
+  }
+
   /** Sessionization: split each user's event stream at inactivity gaps >
     * `gapSeconds` (gaps-and-islands over lag). Returns one row per
     * (user, session) with start/end/count. Scales: window partitions by

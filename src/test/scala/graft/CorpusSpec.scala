@@ -92,6 +92,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(thinned.head._3 > 20L && thinned.head._3 < 80L, s"kept ${thinned.head._3}")
   }
 
+  test("temperature sampling flattens the stratum mix toward uniform") {
+    // 900 en vs 100 es: raw mix is 9:1; sqrt temperature weights 30:10, so
+    // a 200-doc target should land ~150 en / ~50 es (3:1) — flatter than
+    // raw proportional sampling (180/20)
+    val big = (1L to 1000L).map(i => (i, s"doc $i", if (i <= 900) "en" else "es"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.temperatureSample(big, "lang", "doc_id", totalTarget = 200.0)
+      .orderBy("lang").as[(String, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq(("en", 900L), ("es", 100L)))
+    val en = got(0)._3.toDouble; val es = got(1)._3.toDouble
+    assert(en > 100 && en < 200, s"en kept $en")
+    assert(es > 25 && es < 75, s"es kept $es")
+    // ratio must sit well below the raw 9:1
+    assert(en / es < 6.0, s"ratio ${en / es} not flattened")
+    // filter form agrees with the stats and is deterministic under repartition
+    val kept = Corpus.temperatureSampled(big.repartition(7), "lang", "doc_id", 200.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept === got.map(t => t._1 -> t._3).toMap)
+  }
+
   test("id hashes survive 64-bit ids and negative ids under ANSI mode") {
     // ids above Long.MaxValue/2654435761 ~ 3.47e9 overflowed the old raw
     // multiply; pmod-first reduction must keep every op ANSI-safe

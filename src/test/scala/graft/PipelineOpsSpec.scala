@@ -138,6 +138,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"HLL distinct off: $approxD vs $exactD")
   }
 
+  test("valueHistogram zero-fills empty bins and drops out-of-domain values") {
+    val df = Seq(0.0, 0.5, 9.99, 10.0, 39.9, -1.0, 40.0, 1e9)
+      .toDF("value")
+    val got = graft.ops.EventOps.valueHistogram(df, "value", width = 10.0, nBins = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // -1.0, 40.0 and 1e9 fall outside [0, 40) and are dropped; bin 2 empty
+    assert(got === Seq((0L, 0.0, 3L), (1L, 10.0, 1L), (2L, 20.0, 0L), (3L, 30.0, 1L)))
+  }
+
   test("verifiedNearDups = minhash candidates filtered by exact jaccard") {
     val docs = Seq(
       (1, "the quick brown fox jumps over the lazy dog today"),

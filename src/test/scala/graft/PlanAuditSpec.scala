@@ -48,6 +48,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q49 range join is an equi-join — no nested-loop or cartesian product") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val plan = planOf("q49_range_join")
+      val bad = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(bad.isEmpty, "range predicate fell back to an O(n*m) join")
+    }
+  }
+
   test("q02 range predicate reaches the parquet scan (PushedFilters on raw ts)") {
     assume(new java.io.File(sf).isDirectory)
     withStaticPlans {
