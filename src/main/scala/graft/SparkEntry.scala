@@ -586,6 +586,24 @@ object SparkEntry {
         .orderBy(col("interval_id"))
     }),
 
+    // per-language length-quantile curation: drop each language's shortest
+    // quartile. Cutoffs come from the distributed exact-quantile plan (one
+    // row per lang) and broadcast back onto the corpus — integer n_chars
+    // with quarter fractions keeps the interpolated cutoff exactly dyadic,
+    // so the filter boundary is bit-identical across engines
+    // (graft.ops.Quantiles)
+    "q51_length_filter" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val cut = Quantiles.exactInterpolated(d, Seq("lang"), "n_chars",
+          Seq(0.25 -> "cutoff"))
+        .withColumnRenamed("lang", "_lang") // cut shares d's lineage: disambiguate
+      d.join(broadcast(cut), col("lang") === col("_lang")).drop("_lang")
+        .where(col("n_chars").cast("double") >= col("cutoff"))
+        .groupBy(col("lang"))
+        .agg(min(col("cutoff")).as("cutoff"), count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // revenue pivot (priority x status): groupBy().pivot() with explicit
     // status values — conditional aggregation, one shuffle, no Expand of
     // the fact table
@@ -1148,6 +1166,13 @@ object SparkEntry {
           |        FROM events WHERE event_type = 'purchase' AND value > 220.0)
           |SELECT iv.interval_id, count(*)::BIGINT AS n_in_window
           |FROM iv JOIN e ON e.tn >= iv.start_ns AND e.tn < iv.end_ns
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q51_length_filter" ->
+        """WITH c AS (SELECT lang, quantile_cont(n_chars, 0.25) AS cutoff
+          |           FROM documents GROUP BY 1)
+          |SELECT d.lang, min(c.cutoff) AS cutoff, count(*)::BIGINT AS n_kept
+          |FROM documents d JOIN c USING (lang)
+          |WHERE d.n_chars >= c.cutoff
           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q50_pivot_revenue" ->
         """SELECT o_orderpriority,
