@@ -191,6 +191,50 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // openers: (user, open_id, open_ts); points: (user, pt_id, ts)
+    val opens = Seq((1L, 100L, t("2025-08-01 10:00:00")),
+      (1L, 101L, t("2025-08-01 10:30:00")),
+      (2L, 200L, t("2025-08-01 10:30:00")))
+    val points = Seq(
+      (1L, 1L, t("2025-08-01 09:59:59")), // before every window
+      (1L, 2L, t("2025-08-01 10:00:00")), // in 100 only
+      (1L, 3L, t("2025-08-01 10:45:00")), // in 100 AND 101
+      (1L, 4L, t("2025-08-01 11:00:00")), // 100 closed (half-open), in 101
+      (2L, 5L, t("2025-08-01 10:10:00")), // before user 2's window
+      (2L, 6L, t("2025-08-01 10:45:00"))) // in 200; user isolation from 100/101
+    val oIn = MemoryStream[(Long, Long, Timestamp)]
+    val pIn = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.EnrichStream.pointsInWindows(
+      pIn.toDF().toDF("user_id", "pt_id", "ts"), "ts",
+      oIn.toDF().toDF("user_id", "open_id", "open_ts"), "open_ts",
+      windowSeconds = 3600L, keys = Seq("user_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    val got = try {
+      oIn.addData(opens: _*)
+      pIn.addData(points: _*)
+      q.processAllAvailable()
+      spark.table("enrich_out").select("pt_id", "open_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally q.stop()
+    // batch reference: the chunked RangeJoin on the same rows (epoch secs)
+    val bp = points.map { case (u, id, ts) => (u, id, ts.getTime / 1000) }
+      .toDF("user_id", "pt_id", "p")
+    val bo = opens.map { case (u, id, ts) =>
+      (u, id, ts.getTime / 1000, ts.getTime / 1000 + 3600L) }
+      .toDF("user_id", "open_id", "s", "e")
+    val batch = graft.ops.RangeJoin
+      .pointInInterval(bp, "p", bo, "s", "e", 3600L, keys = Seq("user_id"))
+      .select("pt_id", "open_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((2L, 100L), (3L, 100L), (3L, 101L), (4L, 101L), (6L, 200L)))
+    assert(got === batch)
+  }
+
   test("streaming sessionization: stateful gap sessions close on watermark, match batch semantics") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
