@@ -604,6 +604,37 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Z-order clustered scan: events re-laid-out on the Morton curve of
+    // (time, value), then a 2-D box predicate — the layout must preserve
+    // every row (the pruning win itself shows in per-file stats, not in
+    // results) (graft.ops.Layout)
+    "q52_zorder_scan" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), secs(col("ts")).as("ts_sec"), col("value"))
+      val clustered = Layout.zorderedBy(e, "ts_sec", 1704067200.0, 1706659200.0,
+        "value", 0.0, 500.0, partitions = 32)
+      clustered
+        .where(col("ts_sec") >= 1704844800L && col("ts_sec") < 1705449600L &&
+          col("value") >= 100.0 && col("value") < 200.0)
+        .orderBy(col("event_id"))
+    }),
+
+    // concurrent-session analysis: sessionize per user, then count
+    // overlapping session pairs across users via the chunked interval-
+    // overlap join — an equi-join on hour chunks, never the O(n^2)
+    // inequality self-join (graft.ops.EventOps + graft.ops.RangeJoin)
+    "q53_session_overlap" -> ((s, dir) => {
+      val sess = EventOps.sessionize(tbl(s, dir, "events"), 1800L)
+        .select(col("user_id"), secs(col("session_start")).as("s"),
+          (secs(col("session_end")) + 1L).as("e"))
+      val a = sess.select(col("user_id").as("u_a"), col("s").as("s_a"), col("e").as("e_a"))
+      val b = sess.select(col("user_id").as("u_b"), col("s").as("s_b"), col("e").as("e_b"))
+      RangeJoin.intervalOverlap(a, "s_a", "e_a", b, "s_b", "e_b", chunkWidth = 3600L)
+        .where(col("u_a") < col("u_b"))
+        .groupBy(col("u_a"), col("u_b")).agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("u_a"), col("u_b"))
+    }),
+
     // revenue pivot (priority x status): groupBy().pivot() with explicit
     // status values — conditional aggregation, one shuffle, no Expand of
     // the fact table
@@ -1167,6 +1198,24 @@ object SparkEntry {
           |SELECT iv.interval_id, count(*)::BIGINT AS n_in_window
           |FROM iv JOIN e ON e.tn >= iv.start_ns AND e.tn < iv.end_ns
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q52_zorder_scan" ->
+        """SELECT event_id, floor(epoch(ts))::BIGINT AS ts_sec, value
+          |FROM events
+          |WHERE floor(epoch(ts)) >= 1704844800 AND floor(epoch(ts)) < 1705449600
+          |  AND value >= 100.0 AND value < 200.0
+          |ORDER BY event_id""".stripMargin,
+      "q53_session_overlap" ->
+        """WITH x AS (SELECT user_id, floor(epoch(ts))::BIGINT AS tsec FROM events),
+          | y AS (SELECT user_id, tsec,
+          |   CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+          |   FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
+          | z AS (SELECT user_id, tsec,
+          |   sum(new_s) OVER (PARTITION BY user_id ORDER BY tsec ROWS UNBOUNDED PRECEDING) AS sid
+          |   FROM y),
+          | sess AS (SELECT user_id, sid, min(tsec) AS s, max(tsec) + 1 AS e FROM z GROUP BY 1, 2)
+          |SELECT a.user_id AS u_a, b.user_id AS u_b, count(*)::BIGINT AS n_overlaps
+          |FROM sess a JOIN sess b ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q51_length_filter" ->
         """WITH c AS (SELECT lang, quantile_cont(n_chars, 0.25) AS cutoff
           |           FROM documents GROUP BY 1)
