@@ -48,15 +48,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q49 range join is an equi-join — no nested-loop or cartesian product") {
+  test("q49/q53 range joins are equi-joins — no nested-loop or cartesian product") {
     assume(new java.io.File(sf).isDirectory)
     withStaticPlans {
-      val plan = planOf("q49_range_join")
-      val bad = plan.collect {
-        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
-        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      Seq("q49_range_join", "q53_session_overlap").foreach { name =>
+        val bad = planOf(name).collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        }
+        assert(bad.isEmpty, s"$name: range predicate fell back to an O(n*m) join")
       }
-      assert(bad.isEmpty, "range predicate fell back to an O(n*m) join")
     }
   }
 
