@@ -59,5 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_textstats",
         "graft_textstats(s) - one-pass struct(n_tokens, mean_word_len, punct_ratio, stopword_ratio, lang_*)"),
       (children: Seq[Expression]) => TextStats(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      info("graft_zorder", "graft_zorder(a, b) - Morton interleave of two [0, 2^31) bigints"),
+      (children: Seq[Expression]) => ZOrderBits(children(0), children(1))))
   }
 }

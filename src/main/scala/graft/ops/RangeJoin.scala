@@ -58,12 +58,17 @@ object RangeJoin {
       .drop("_chunk")
   }
 
-  /** Interval-overlap join: pairs of (left interval, right interval) that
-    * overlap, i.e. aStart < bEnd AND bStart < aEnd (half-open semantics).
-    * Same chunked equi-join shape as [[pointInInterval]], except BOTH sides
-    * explode to their overlapped chunks; a pair can now meet in several
-    * chunks, so the pair is kept only where the overlap's first chunk
-    * equals the join chunk — uniqueness by arithmetic, not a distinct.
+  /** Interval-overlap join: pairs of (left interval, right interval) whose
+    * half-open ranges have a NONEMPTY intersection — aStart < bEnd AND
+    * bStart < aEnd, restricted to non-empty intervals. (For non-empty
+    * intervals that inequality IS nonempty intersection; an empty [s, s)
+    * interval is the empty set and overlaps nothing, so it is dropped —
+    * note the bare inequality alone would call an empty interval strictly
+    * inside another "overlapping".) Same chunked equi-join shape as
+    * [[pointInInterval]], except BOTH sides explode to their overlapped
+    * chunks; a pair can now meet in several chunks, so the pair is kept
+    * only where the overlap's first chunk equals the join chunk —
+    * uniqueness by arithmetic, not a distinct.
     */
   def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
                       right: DataFrame, rStart: String, rEnd: String,

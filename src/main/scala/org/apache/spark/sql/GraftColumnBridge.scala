@@ -36,5 +36,7 @@ object GraftColumnBridge {
       "scala_udf")
     reg.createOrReplaceTempFunction("graft_textstats",
       (c: Seq[Expression]) => graft.functions.TextStats(c.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_zorder",
+      (c: Seq[Expression]) => graft.functions.ZOrderBits(c(0), c(1)), "scala_udf")
   }
 }

@@ -385,10 +385,12 @@ class PipelineSpec extends AnyFunSuite {
         "graft_polyhash('hello world abc') AS h, " +
         "size(graft_shingles('a b c d', 3)) AS s, " +
         "graft_simhash('hello world abc', 32) AS sh, " +
-        "graft_textstats('hello world abc').n_tokens AS nt").head
+        "graft_textstats('hello world abc').n_tokens AS nt, " +
+        "graft_zorder(3L, 0L) AS z").head
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 88643107L)
     assert(r.getInt(2) === 2)
+    assert(r.getAs[Long]("z") === 5L)
     // SQL surface == Column-API kernels
     import spark.implicits._
     val (expSh, expNt) = Seq("hello world abc").toDF("t")

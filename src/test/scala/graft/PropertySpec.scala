@@ -152,6 +152,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: chunked range joins == naive inequality joins across seeds/widths") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      // hash-scattered points and intervals over a [0, 10000) domain with
+      // interval lengths spanning zero to several chunk widths
+      val pts = spark.range(300)
+        .select(col("id").as("pid"), pmod(xxhash64(col("id"), lit(seed)), lit(10000L)).as("p"))
+      val iv = spark.range(80)
+        .select(col("id").as("iid"),
+          pmod(xxhash64(col("id"), lit(seed + 1)), lit(9000L)).as("s"))
+        // 1 + …: the naive a.s<b.e AND b.s<a.e reference treats an EMPTY
+        // interval strictly inside another as overlapping, while the point-
+        // set definition (and the chunked op) says the empty set overlaps
+        // nothing — keep intervals non-empty so both definitions coincide
+        .withColumn("e", col("s") + 1L + pmod(xxhash64(col("iid"), lit(seed + 2)), lit(899L)))
+      val naive = pts.join(iv, col("p") >= col("s") && col("p") < col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val naiveOv = iv.alias("a").join(iv.alias("b"),
+          col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+        .select(col("a.iid"), col("b.iid")).as[(Long, Long)].collect().toSet
+      for (w <- Seq(64L, 300L, 1024L)) {
+        val got = graft.ops.RangeJoin.pointInInterval(pts, "p", iv, "s", "e", w)
+          .select("pid", "iid").as[(Long, Long)].collect()
+        assert(got.length === got.toSet.size, s"seed=$seed w=$w: duplicates")
+        assert(got.toSet === naive, s"seed=$seed w=$w")
+        val b2 = iv.select(col("iid").as("iid2"), col("s").as("s2"), col("e").as("e2"))
+        val ov = graft.ops.RangeJoin.intervalOverlap(iv, "s", "e", b2, "s2", "e2", w)
+          .select("iid", "iid2").as[(Long, Long)].collect()
+        assert(ov.length === ov.toSet.size, s"seed=$seed w=$w: overlap duplicates")
+        assert(ov.toSet === naiveOv, s"seed=$seed w=$w overlap")
+      }
+    }
+  }
+
   test("property: day-scoped islands partition exactly the missing minutes") {
     for (seed <- seeds) {
       val days = SynthSource.m1(spark, s"S$seed", "2025-08-01", "2025-08-03", seed)
