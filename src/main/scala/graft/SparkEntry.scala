@@ -635,6 +635,18 @@ object SparkEntry {
         .orderBy(col("u_a"), col("u_b"))
     }),
 
+    // long-document chunking: overlapping 60-token windows every 50 tokens,
+    // pure per-row expression work (split/sequence/posexplode/slice);
+    // chunks verified by token count + portable polyhash checksum
+    // (graft.ops.TextAnalysis)
+    "q54_doc_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 60, overlap = 10)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          TextAnalysis.fingerprint(col("chunk_text")).as("checksum"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // revenue pivot (priority x status): groupBy().pivot() with explicit
     // status values — conditional aggregation, one shuffle, no Expand of
     // the fact table
@@ -1198,6 +1210,18 @@ object SparkEntry {
           |SELECT iv.interval_id, count(*)::BIGINT AS n_in_window
           |FROM iv JOIN e ON e.tn >= iv.start_ns AND e.tn < iv.end_ns
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q54_doc_chunks" ->
+        """WITH ws AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS l
+          |            FROM documents WHERE len(trim(text)) > 0),
+          | nz AS (SELECT doc_id, l, len(l) AS n FROM ws WHERE len(l) > 0),
+          | st AS (SELECT doc_id, l, n, unnest(generate_series(0, n-1, 50)) AS s FROM nz),
+          | ch AS (SELECT doc_id, (s//50)::BIGINT AS chunk_id,
+          |          l[s+1:least(s+60, n)] AS c FROM st)
+          |SELECT doc_id, chunk_id, len(c)::BIGINT AS n_tokens,
+          | list_reduce(list_prepend(0::BIGINT,
+          |   list_transform(string_split(array_to_string(c, ' '),''), x->ascii(x)::BIGINT)),
+          |   (a,b)->(a*31+b)%1000000007) AS checksum
+          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
       "q52_zorder_scan" ->
         """SELECT event_id, floor(epoch(ts))::BIGINT AS ts_sec, value
           |FROM events

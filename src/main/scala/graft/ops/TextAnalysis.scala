@@ -229,6 +229,37 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Split each document into overlapping token-window chunks — the
+    * standard long-document preprocessing step before tokenization/packing.
+    * Windows start every (maxTokens - overlap) tokens and take up to
+    * `maxTokens` tokens; the final window is the ragged remainder. Output:
+    * one row per chunk with (idCol, chunk_id, n_tokens, chunk_text),
+    * chunk_id 0-based. Documents with zero tokens produce zero chunks.
+    *
+    * Pure per-row expression work (split + sequence + posexplode + slice):
+    * no shuffle, no UDF; chunk explosion is the only data growth
+    * (x len/(maxTokens-overlap) rows, each bounded by maxTokens tokens).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    docs
+      // the whitespace tokenizer maps "" to [""] (one empty token), so
+      // blank docs need their own explicit exclusion
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), words(col(textCol)).as("_w"))
+      .where(size(col("_w")) > 0)
+      .select(col(idCol), col("_w"),
+        posexplode(sequence(lit(0), size(col("_w")) - 1, lit(step))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        slice(col("_w"), col("col") + 1, lit(maxTokens)).as("_c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        array_join(col("_c"), " ").as("chunk_text"))
+  }
+
   /** Convenience: full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -128,6 +128,29 @@ class TextOpsSpec extends AnyFunSuite {
       maxHamming = 32, maxBucket = 3).count() === 0L)
   }
 
+  test("chunkDocuments: overlapping windows, ragged tail, empty docs dropped") {
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")), // 12 tokens
+      (2L, "a b c"),                                  // shorter than a window
+      (3L, ""),                                       // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        maxTokens = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: starts 0,3,6,9 -> windows of 5,5,5,3 tokens
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(t => (t._2, t._3)).toSeq === Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 3L)))
+    assert(d1(0)._4 === "w1 w2 w3 w4 w5")
+    assert(d1(1)._4 === "w4 w5 w6 w7 w8") // 2-token overlap with chunk 0
+    assert(d1(3)._4 === "w10 w11 w12")
+    // every token of doc 1 appears in some chunk (windows cover the doc)
+    assert(d1.flatMap(_._4.split(" ")).toSet === (1 to 12).map(i => s"w$i").toSet)
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((0L, 3L, "a b c")))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("language id picks marker-matching language deterministically") {
     val got = Seq(
       (1, "the cat and the dog is a friend of mine"),
