@@ -49,18 +49,35 @@ object Bench {
         new java.io.File(warmDir).isDirectory) {
       queries.foreach { case (_, fn) => runOnce(fn, warmDir) }
     }
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        runOnce(fn, sfDir)
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      runOnce(fn, sfDir)
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = queries.map { case (name, fn) =>
+      // Drop every cached lineage the previous query (or warmup) pinned:
+      // 54 queries x repeats otherwise accumulate all .cache() calls ever
+      // taken, so late queries run under storage-memory pressure no real
+      // single-query deployment would see.
+      spark.catalog.clearCache()
+      val base = (1 to repeat).map(_ => timeOnce(fn))
+      // If the samples disagree by >2x the box was busy during one of them;
+      // take a tie-breaking third sample so min-of-N reflects steady state.
+      val times =
+        if (base.size >= 2 && base.max > 2 * base.min) base :+ timeOnce(fn)
+        else base
+      name -> times
+    }
+    // Per-query value stays min (interference only adds time), but the raw
+    // repeats are emitted too so a noisy run is visible in the artifact
+    // itself instead of needing an out-of-band rerun to diagnose.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw_repeats":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

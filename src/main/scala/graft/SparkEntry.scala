@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.Timeframe
+import graft.lake.{LakeReader, LakeWriter}
 import graft.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -611,8 +612,11 @@ object SparkEntry {
     "q52_zorder_scan" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
         .select(col("event_id"), secs(col("ts")).as("ts_sec"), col("value"))
+      // partition count derived from data size (64 KiB target at bench SF
+      // keeps tens of files so the per-file box property is real; at
+      // production scale the 128 MiB default applies)
       val clustered = Layout.zorderedBy(e, "ts_sec", 1704067200.0, 1706659200.0,
-        "value", 0.0, 500.0, partitions = 32)
+        "value", 0.0, 500.0, targetFileBytes = 64L << 10)
       clustered
         .where(col("ts_sec") >= 1704844800L && col("ts_sec") < 1705449600L &&
           col("value") >= 100.0 && col("value") < 200.0)
@@ -627,6 +631,8 @@ object SparkEntry {
       val sess = EventOps.sessionize(tbl(s, dir, "events"), 1800L)
         .select(col("user_id"), secs(col("session_start")).as("s"),
           (secs(col("session_end")) + 1L).as("e"))
+        .cache() // feeds both sides of the self-join: pay the sessionize
+                 // shuffle + per-user window once, not twice
       val a = sess.select(col("user_id").as("u_a"), col("s").as("s_a"), col("e").as("e_a"))
       val b = sess.select(col("user_id").as("u_b"), col("s").as("s_b"), col("e").as("e_b"))
       RangeJoin.intervalOverlap(a, "s_a", "e_a", b, "s_b", "e_b", chunkWidth = 3600L)
@@ -660,6 +666,38 @@ object SparkEntry {
           coalesce(col("O"), lit(0.0)).as("rev_o"),
           coalesce(col("P"), lit(0.0)).as("rev_p"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // end-to-end lake roundtrip (S1-S5 + K1 + P1 + W1 under the oracle gate):
+    // events -> symbol-keyed M1 candles -> LakeWriter.upsert (initial load),
+    // then a revised batch upserted on top (merge-dedupe keep-last), then
+    // LakeReader.readRange's half-open partition-pruned scan over the tree
+    // that was actually written. The oracle recomputes the same merge
+    // semantics directly over events, so what this verifies is the physical
+    // write+read path itself (reference: src/datalake/read/api.py:12-74
+    // read_range_df — the reference's single most-used entry point)
+    "q55_lake_roundtrip" -> ((s, dir) => {
+      val root = s"/root/repo/target/q55_lake_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sessionState.newHadoopConf()).delete(rootPath, true)
+      def t(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      val candles = EventOps.candles(ev, 60L, Seq("symbol"))
+        .withColumn("source", lit("evt"))
+        .withColumn("timeframe", lit("M1"))
+        .cache() // feeds both the initial load and the revision batch
+      LakeWriter.upsert(s, root, candles)
+      LakeWriter.upsert(s, root,
+        candles
+          .where(col("ts") >= lit(t("2024-01-12T00:00:00Z")) &&
+            col("ts") < lit(t("2024-01-18T00:00:00Z")))
+          .withColumn("close", col("close") + 1000.0))
+      LakeReader.readRange(s, root, "evt", "U1", "M1",
+          Some(t("2024-01-05T00:00:00Z")), Some(t("2024-01-25T00:00:00Z")))
+        .select(secs(col("ts")).as("ts_sec"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"))
+        .orderBy(col("ts_sec"))
     }),
   )
 
@@ -1253,6 +1291,22 @@ object SparkEntry {
           | coalesce(sum(CAST(round(o_totalprice,4) AS DECIMAL(28,4))) FILTER (WHERE o_orderstatus = 'O')::DOUBLE, 0.0) AS rev_o,
           | coalesce(sum(CAST(round(o_totalprice,4) AS DECIMAL(28,4))) FILTER (WHERE o_orderstatus = 'P')::DOUBLE, 0.0) AS rev_p
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      // epoch bounds: 2024-01-05 = 1704412800, 01-12 = 1705017600,
+      // 01-18 = 1705536000, 01-25 = 1706140800 (all UTC midnights)
+      "q55_lake_roundtrip" ->
+        """WITH m1 AS (
+          | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+          |  (floor(epoch(ts)/60)*60)::BIGINT AS ts_sec,
+          |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          |  arg_max(value, ts) AS close, count(*)::DOUBLE AS volume
+          | FROM events GROUP BY 1,2)
+          |SELECT ts_sec, open, high, low,
+          | CASE WHEN ts_sec >= 1705017600 AND ts_sec < 1705536000
+          |      THEN close + 1000 ELSE close END AS close,
+          | volume
+          |FROM m1
+          |WHERE symbol = 'U1' AND ts_sec >= 1704412800 AND ts_sec < 1706140800
+          |ORDER BY ts_sec""".stripMargin,
     )
   }
 }

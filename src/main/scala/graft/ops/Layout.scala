@@ -56,4 +56,54 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
   }
+
+  /** Partition count sized from the input, not caller magic: the optimizer's
+    * `sizeInBytes` estimate (for parquet scans: file bytes scaled by the
+    * filter/projection selectivity already in the plan) divided by the target
+    * on-disk file size. Driver-side plan inspection only — no job runs. The
+    * estimate is of INPUT bytes; re-encoded zstd parquet output is usually
+    * smaller, so the derived count leans toward files under `targetFileBytes`
+    * rather than over — the right side to miss on (row-group pruning still
+    * works; oversized files straddle more query boxes).
+    */
+  def partitionsFor(df: DataFrame, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((est + targetFileBytes - 1) / targetFileBytes)
+      .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+  }
+
+  /** [[zorderedBy]] with the partition count derived from data size
+    * ([[partitionsFor]]) instead of a caller-supplied constant. 128 MiB
+    * default target matches the usual parquet file-size sweet spot.
+    */
+  def zorderedBy(df: DataFrame, colA: String, aLo: Double, aHi: Double,
+                 colB: String, bLo: Double, bHi: Double,
+                 targetFileBytes: Long = 128L << 20): DataFrame =
+    zorderedBy(df, colA, aLo, aHi, colB, bLo, bHi,
+      partitionsFor(df, targetFileBytes))
+
+  /** [[zorderedBy]] with bounds taken from the data: ONE min/max aggregate
+    * over the two columns (map-side partials, 1-row result), then the
+    * single-pass cluster. Cost: the input is scanned twice — once for the
+    * bounds, once for the rewrite — so callers who already know the domain
+    * (partition ranges, schema contracts) should pass bounds explicitly.
+    * Degenerate domains (constant column, empty input) widen to a unit
+    * interval so `normalize`'s hi > lo contract holds.
+    */
+  def zorderedByAuto(df: DataFrame, colA: String, colB: String,
+                     targetFileBytes: Long = 128L << 20): DataFrame = {
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def bound(loIdx: Int, hiIdx: Int): (Double, Double) = {
+      val lo = if (r.isNullAt(loIdx)) 0.0 else r.getDouble(loIdx)
+      val hi = if (r.isNullAt(hiIdx)) 1.0 else r.getDouble(hiIdx)
+      if (hi > lo) (lo, hi) else (lo, lo + 1.0)
+    }
+    val (aLo, aHi) = bound(0, 1)
+    val (bLo, bHi) = bound(2, 3)
+    zorderedBy(df, colA, aLo, aHi, colB, bLo, bHi,
+      partitionsFor(df, targetFileBytes))
+  }
 }

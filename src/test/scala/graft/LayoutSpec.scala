@@ -71,4 +71,79 @@ class LayoutSpec extends AnyFunSuite {
       assert(maxRange(viaHelper, "a") <= 31L && maxRange(viaHelper, "b") <= 31L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("partitionsFor scales with input size; zorderedBy uses the derived count") {
+    val tmp = java.nio.file.Files.createTempDirectory("layout_pf").toString
+    def mk(n: Long, dir: String): org.apache.spark.sql.DataFrame = {
+      spark.range(n)
+        .select(col("id"), lpad(col("id").cast("string"), 64, "x").as("pad"))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val small = mk(2000L, s"$tmp/small")
+    val big = mk(20000L, s"$tmp/big")
+    val target = 8L << 10 // 8 KiB files so both inputs need several
+    val pSmall = Layout.partitionsFor(small, target)
+    val pBig = Layout.partitionsFor(big, target)
+    // 10x the rows -> ~10x the partitions (parquet overhead blurs the exact
+    // ratio; proportionality is the contract, not equality)
+    assert(pSmall >= 1 && pBig >= 5 * pSmall && pBig <= 20 * pSmall,
+      s"pSmall=$pSmall pBig=$pBig")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val z = Layout.zorderedBy(big.select(col("id").cast("double").as("a"),
+          (col("id") % 97).cast("double").as("b")),
+        "a", 0.0, 19999.0, "b", 0.0, 96.0, targetFileBytes = target)
+      assert(z.rdd.getNumPartitions === Layout.partitionsFor(big.select(
+        col("id").cast("double").as("a"), (col("id") % 97).cast("double").as("b")), target))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("zorderedByAuto: data-derived bounds preserve rows; constant column is safe") {
+    val df = spark.range(512)
+      .select((col("id") % 32).cast("double").as("a"), (col("id") / 32).cast("double").as("b"))
+    val z = Layout.zorderedByAuto(df, "a", "b", targetFileBytes = 1L << 20)
+    assert(z.count() === 512L)
+    assert(z.agg(min("a"), max("a"), min("b"), max("b")).head() ===
+      df.agg(min("a"), max("a"), min("b"), max("b")).head())
+    // constant column: degenerate [lo, lo] domain widens instead of throwing
+    val const = spark.range(16).select(lit(7.0).as("a"), col("id").cast("double").as("b"))
+    assert(Layout.zorderedByAuto(const, "a", "b").count() === 16L)
+  }
+
+  test("per-file boxes: z-order layout skips most files on a b-band; linear-by-a skips none") {
+    // Vanilla Spark prunes parquet at row-group level using exactly the
+    // per-file/row-group min-max the writer laid down — so measure THAT:
+    // write both layouts, recover each file's (b_min, b_max) box, and count
+    // files a b-band predicate must touch. This is the metrics form of the
+    // pruning claim q52 makes in prose.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val tmp = java.nio.file.Files.createTempDirectory("layout_files").toString
+    try {
+      val pts = spark.range(1L << 14)
+        .select((col("id") % 128).cast("double").as("a"),
+          (col("id") / 128).cast("double").as("b"))
+      Layout.zorderedBy(pts, "a", 0.0, 127.0, "b", 0.0, 127.0, 16)
+        .write.parquet(s"$tmp/z")
+      pts.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+        .write.parquet(s"$tmp/linear")
+      def boxes(dir: String): (Long, Long) = {
+        val perFile = spark.read.parquet(dir)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("b").as("blo"), max("b").as("bhi"))
+          .cache()
+        val total = perFile.count()
+        val hit = perFile.where(col("bhi") >= 0.0 && col("blo") <= 31.0).count()
+        perFile.unpersist()
+        (hit, total)
+      }
+      val (zHit, zTotal) = boxes(s"$tmp/z")
+      val (lHit, lTotal) = boxes(s"$tmp/linear")
+      assert(zTotal >= 8 && lTotal >= 8, s"want real file counts, got $zTotal/$lTotal")
+      // b in [0, 32): a quarter of the domain -> most z files skippable
+      assert(zHit * 2 <= zTotal, s"z-order: $zHit of $zTotal files intersect")
+      // the linear-by-a layout cannot prune on b at all
+      assert(lHit === lTotal, s"linear: $lHit of $lTotal")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -48,15 +48,47 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q49/q53 range joins are equi-joins — no nested-loop or cartesian product") {
+  // Queries whose CONTRACT is exact all-pairs comparison: the cross product
+  // is the declared algorithm (each has an LSH/IVF bucketed twin as the
+  // documented scale path). Everything else must plan equi-joins — a new
+  // range-shaped query that silently regresses to a nested loop fails here.
+  private val declaredExactAllPairs = Set(
+    "q14_sim_topk",          // exact brute-force cosine top-k (twin: q34 IVF)
+    "q15_embedding_near_dup" // exact near-dup pairs (twin: Similarity.lshNearDup)
+  )
+  // Queries where a BroadcastNestedLoopJoin is the INTENDED shape because the
+  // build side is bounded by an algorithm constant, not by data size — the
+  // cost is O(n * constant) map-side work with no shuffle. A data x data
+  // CartesianProduct is still forbidden for these.
+  private val declaredBoundedBroadcast = Set(
+    "q34_ivf_topk",   // IVF centroid assignment: rows x broadcast(<=16 centroids)
+    "q43_tfidf_topk", // IDF scaling: rows x broadcast(1-row global doc count)
+    "q46_temperature_mix" // per-stratum rates x broadcast(1-row weight total)
+  )
+
+  test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {
     assume(new java.io.File(sf).isDirectory)
     withStaticPlans {
-      Seq("q49_range_join", "q53_session_overlap").foreach { name =>
-        val bad = planOf(name).collect {
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        val plan = planOf(name)
+        val bnlj = plan.collect {
           case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }
+        val cartesian = plan.collect {
           case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
         }
-        assert(bad.isEmpty, s"$name: range predicate fell back to an O(n*m) join")
+        if (declaredExactAllPairs.contains(name))
+          assert(bnlj.nonEmpty || cartesian.nonEmpty,
+            s"$name is whitelisted as exact all-pairs but plans no cross product — drop it from the list")
+        else if (declaredBoundedBroadcast.contains(name)) {
+          assert(cartesian.isEmpty,
+            s"$name: bounded-broadcast query planned a data x data CartesianProduct")
+          assert(bnlj.nonEmpty,
+            s"$name is whitelisted as bounded-broadcast but plans no BNLJ — drop it from the list")
+        } else {
+          assert(bnlj.isEmpty && cartesian.isEmpty,
+            s"$name plans an O(n*m) cross join; equi-join it or declare it in a whitelist")
+        }
       }
     }
   }
@@ -127,6 +159,17 @@ class PlanAuditSpec extends AnyFunSuite {
         case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
       }
       assert(aggBelow.nonEmpty, "Expand consumes the raw scan — rollup is tripling the fact table")
+    }
+  }
+
+  test("q53 pays sessionize once: both self-join sides scan the cached relation") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val imts = planOf("q53_session_overlap").collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }
+      assert(imts.length >= 2,
+        s"expected the sessionize lineage cached and read on both sides, got ${imts.length} InMemoryTableScan")
     }
   }
 
