@@ -27,6 +27,17 @@ object EnrichStream {
     * `ptsTs`. Both inputs must be streaming DataFrames with TIMESTAMP
     * event-time columns; `delay` is the watermark (late-data allowance) for
     * both. Output carries the columns of both sides (keys once).
+    *
+    * The join carries the SAME chunk equi-key as the batch operator
+    * ([[graft.ops.RangeJoin.pointInInterval]]): each opener explodes to the
+    * (at most 2, since chunk width == window) chunks its window overlaps,
+    * each point owns exactly one chunk, so every matching pair meets in one
+    * chunk — no duplicate emission. Structured Streaming REQUIRES an
+    * equality predicate in a stream-stream join (a pure time-range join is
+    * rejected), so the chunk key is what makes the keyless form legal at
+    * all; with `keys` it additionally sharpens the state-store hash
+    * partitioning from (keys) to (keys, chunk). Chunk ids use integer DIV
+    * on unix_micros, mirroring the batch operator's no-double-division rule.
     */
   def pointsInWindows(points: DataFrame, ptsTs: String,
                       opens: DataFrame, openTs: String,
@@ -35,12 +46,19 @@ object EnrichStream {
     require(windowSeconds > 0, "windowSeconds must be positive")
     require(ptsTs != openTs,
       "rename one of the event-time columns: both sides in one output")
+    val cwMicros = windowSeconds * 1000000L
     val p = points.withWatermark(ptsTs, delay)
+      .withColumn("_chunk", expr(s"unix_micros(`$ptsTs`) DIV ${cwMicros}L"))
     val o = opens.withWatermark(openTs, delay)
-    val cond = (keys.map(k => p(k) === o(k)) :+
+      .withColumn("_chunk", explode(sequence(
+        expr(s"unix_micros(`$openTs`) DIV ${cwMicros}L"),
+        expr(s"(unix_micros(`$openTs`) + ${cwMicros}L - 1) DIV ${cwMicros}L"))))
+    val cond = ((p("_chunk") === o("_chunk")) +:
+      keys.map(k => p(k) === o(k)) :+
       (p(ptsTs) >= o(openTs)) :+
       (p(ptsTs) < o(openTs) + expr(s"INTERVAL $windowSeconds SECONDS")))
       .reduce(_ && _)
     keys.foldLeft(p.join(o, cond, "inner")) { (d, k) => d.drop(o(k)) }
+      .drop("_chunk")
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle-adjacent gate for the stateful streaming twins: run them to
+  * COMPLETION on the real (bounded) events table via foreachBatch into
+  * parquet, then compare that parquet against the DuckDB-oracled batch
+  * queries' results (q12 sessionize, q49 range join). Stateful streams have
+  * no SQL oracle of their own; equality with an oracled batch query is the
+  * strongest check available, and it runs on the driver-generated data, not
+  * hand-picked rows.
+  */
+class StreamingOracleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** events with µs ts (the same grain SparkEntry.loadEvents exposes). */
+  private def events() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val ns = if (raw.schema("ts").dataType.typeName == "long") raw.withColumnRenamed("ts", "ts_ns")
+      else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    ns.withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
+
+  test("SessionStream run to completion on real events == oracled q12 aggregate") {
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ev = events().select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    val maxTs = ev.map(_._2.getTime).max
+    val outDir = java.nio.file.Files.createTempDirectory("sess_stream").toString
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.SessionStream
+      .sessions(in.toDF().toDF("user_id", "ts"), gapSeconds = 1800L, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.SessionStream.ClosedSession], _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .start()
+    try {
+      // one batch carries ALL real events: the watermark only advances
+      // after a batch, so nothing is late-dropped and every intra-batch
+      // session split exercises the sorted fold
+      in.addData(ev: _*)
+      q.processAllAvailable()
+      // sentinel user advances the watermark past every last+gap...
+      in.addData((-1L, new Timestamp(maxTs + 3 * 1800 * 1000L)))
+      q.processAllAvailable()
+      // ...and one more batch fires the event-time timeouts under it
+      in.addData((-1L, new Timestamp(maxTs + 6 * 1800 * 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/data")
+      .where(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events_total"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = SparkEntry.queries("q12_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed === batch)
+  }
+
+  test("EnrichStream run to completion on real events == oracled q49 counts") {
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ev = events().cache()
+    val pts = ev.select(col("event_id"), col("ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    val opens = ev.where(col("event_type") === "purchase" && col("value") > 220.0)
+      .select(col("event_id"), col("ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("enrich_stream").toString
+    val pIn = MemoryStream[(Long, Timestamp)]
+    val oIn = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.EnrichStream.pointsInWindows(
+      pIn.toDF().toDF("event_id", "ts"), "ts",
+      oIn.toDF().toDF("interval_id", "open_ts"), "open_ts",
+      windowSeconds = 3600L, keys = Nil)
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .start()
+    try {
+      oIn.addData(opens: _*)
+      pIn.addData(pts: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/data")
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy(col("interval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = SparkEntry.queries("q49_range_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    ev.unpersist()
+    assert(streamed === batch)
+  }
+}
