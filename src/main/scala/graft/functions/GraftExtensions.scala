@@ -63,5 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_zorder"),
       info("graft_zorder", "graft_zorder(a, b) - Morton interleave of two [0, 2^31) bigints"),
       (children: Seq[Expression]) => ZOrderBits(children(0), children(1))))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_sessionize"),
+      info("graft_sessionize",
+        "graft_sessionize(events_view, gap_seconds[, user_col]) - per-user inactivity-gap sessions"),
+      GraftTvf.sessionize))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_asof"),
+      info("graft_asof",
+        "graft_asof(left_view, right_view[, on_col[, partition_cols_csv]]) - backward as-of join"),
+      GraftTvf.asof))
   }
 }

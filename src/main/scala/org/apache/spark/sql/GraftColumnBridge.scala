@@ -38,5 +38,10 @@ object GraftColumnBridge {
       (c: Seq[Expression]) => graft.functions.TextStats(c.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_zorder",
       (c: Seq[Expression]) => graft.functions.ZOrderBits(c(0), c(1)), "scala_udf")
+    val tvfReg = spark.sessionState.tableFunctionRegistry
+    tvfReg.createOrReplaceTempFunction("graft_sessionize",
+      graft.functions.GraftTvf.sessionize, "scala_udf")
+    tvfReg.createOrReplaceTempFunction("graft_asof",
+      graft.functions.GraftTvf.asof, "scala_udf")
   }
 }

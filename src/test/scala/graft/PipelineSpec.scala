@@ -420,6 +420,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("graft table functions: SQL graft_sessionize/graft_asof == Column-API operators") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    def t(s: String) = Timestamp.valueOf(s)
+    Seq((1L, t("2025-08-01 00:00:00")), (1L, t("2025-08-01 00:10:00")),
+      (1L, t("2025-08-01 02:00:00")), (2L, t("2025-08-01 01:00:00")))
+      .toDF("user_id", "ts").createOrReplaceTempView("tvf_events")
+    val viaSql = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events " +
+        "FROM graft_sessionize('tvf_events', 1800) ORDER BY user_id, session_start")
+    val viaApi = graft.ops.EventOps.sessionize(spark.table("tvf_events"), 1800L)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+    assert(viaSql.collect().toSeq === viaApi.collect().toSeq)
+
+    Seq((t("2025-08-01 00:00:30"), 1.0), (t("2025-08-01 00:02:10"), 2.0))
+      .toDF("ts", "px").createOrReplaceTempView("tvf_exec")
+    Seq((t("2025-08-01 00:00:00"), 10.0), (t("2025-08-01 00:02:00"), 20.0))
+      .toDF("ts", "ctx").createOrReplaceTempView("tvf_ctx")
+    val asofSql = spark.sql(
+      "SELECT ts, px, ctx FROM graft_asof('tvf_exec', 'tvf_ctx') ORDER BY ts")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(asofSql === Seq(
+      (t("2025-08-01 00:00:30"), 1.0, 10.0),
+      (t("2025-08-01 00:02:10"), 2.0, 20.0)))
+    // usable inside a larger SQL query (joins back onto a view)
+    val n = spark.sql(
+      "SELECT count(*) FROM graft_sessionize('tvf_events', 1800) s " +
+        "JOIN tvf_events e ON e.user_id = s.user_id").head.getLong(0)
+    assert(n === 7L) // u1: 3 events x 2 sessions = 6, u2: 1 x 1 = 1
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     // AQE hides the static plan shape; check the co-location guarantee with
