@@ -699,6 +699,28 @@ object SparkEntry {
           col("low"), col("close"), col("volume"))
         .orderBy(col("ts_sec"))
     }),
+
+    // cross-source contamination matrix: verified near-dup pairs (the
+    // oracled q36 pipeline) joined back to each side's source, aggregated
+    // per unordered source pair — the inter-source overlap report that
+    // decides dedup priorities when mixing corpora. The pair table is
+    // near-dup-sized (<< corpus), so the two source-map joins are cheap
+    // equi-joins; mean jaccard goes through the decimal-sum for
+    // order-independence (graft.ops.Dedup)
+    "q56_cross_source_dups" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val pairs = Dedup.verifiedNearDups(d, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.1)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), "id_b")
+        .groupBy(least(col("_sa"), col("_sb")).as("source_lo"),
+          greatest(col("_sa"), col("_sb")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(dsum(col("jaccard")) / count(lit(1)), 4).as("mean_jaccard"))
+        .orderBy(col("source_lo"), col("source_hi"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -729,6 +751,28 @@ object SparkEntry {
     val meanWlSql = "CASE WHEN len(l)>0 THEN list_sum(list_transform(l, w->length(w)))::DOUBLE/len(l) ELSE 0 END"
     val punctSql = "CASE WHEN length(text)>0 THEN length(regexp_replace(text,'[^.!?,;:]','','g'))::DOUBLE/length(text) ELSE 0 END"
     val cosSql = "round(list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),6)"
+    // MinHash-LSH candidates -> exact Jaccard verification (>= 0.1), the
+    // pair table shared by q36 (raw) and q56 (per-source-pair rollup)
+    val verifiedPairsSql =
+      s"""WITH sh AS ($shingleSql),
+         | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),
+         | sig AS (SELECT doc_id, t.i AS i,
+         |          min((hv*(2*t.i+3) + ((1442695040888963407%1000000007)*(t.i+1))%1000000007) % 1000000007) AS m
+         |         FROM h, range(0,16) t(i) GROUP BY 1,2),
+         | band AS (SELECT doc_id, (i//4)::INT AS band,
+         |           list_reduce(list_prepend(0::BIGINT, list(m ORDER BY i)), (a,b)->(a*31 + b%1000000007)%1000000007) AS band_sig
+         |          FROM sig GROUP BY 1,2),
+         | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM band a JOIN band b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
+         | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         | inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
+         |           FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+         |                        JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |           GROUP BY 1,2),
+         | j AS (SELECT id_a, id_b, inter,
+         |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
+         |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin
     Map(
       "q08_text_stats" ->
         s"""WITH ws AS ($wsSql)
@@ -1079,25 +1123,16 @@ object SparkEntry {
            | round(sum(n_chars)::DOUBLE / count(*), 4) AS avg_chars
            |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
       "q36_verified_near_dups" ->
-        s"""WITH sh AS ($shingleSql),
-           | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),
-           | sig AS (SELECT doc_id, t.i AS i,
-           |          min((hv*(2*t.i+3) + ((1442695040888963407%1000000007)*(t.i+1))%1000000007) % 1000000007) AS m
-           |         FROM h, range(0,16) t(i) GROUP BY 1,2),
-           | band AS (SELECT doc_id, (i//4)::INT AS band,
-           |           list_reduce(list_prepend(0::BIGINT, list(m ORDER BY i)), (a,b)->(a*31 + b%1000000007)%1000000007) AS band_sig
-           |          FROM sig GROUP BY 1,2),
-           | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |           FROM band a JOIN band b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
-           | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-           | inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
-           |           FROM pairs p JOIN sh a ON a.doc_id = p.id_a
-           |                        JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
-           |           GROUP BY 1,2),
-           | j AS (SELECT id_a, id_b, inter,
-           |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
-           |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
-           |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+        s"SELECT * FROM ($verifiedPairsSql) v ORDER BY id_a, id_b",
+      "q56_cross_source_dups" ->
+        s"""SELECT least(sa.source, sb.source) AS source_lo,
+           | greatest(sa.source, sb.source) AS source_hi,
+           | count(*) AS n_pairs,
+           | round(sum(CAST(round(jaccard,4) AS DECIMAL(28,4)))::DOUBLE / count(*), 4) AS mean_jaccard
+           |FROM ($verifiedPairsSql) v
+           |JOIN documents sa ON sa.doc_id = v.id_a
+           |JOIN documents sb ON sb.doc_id = v.id_b
+           |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
       "q40_dedup_clusters" ->
         s"""WITH RECURSIVE sh AS ($shingleSql),
            | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),
