@@ -173,6 +173,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q55 lake read prunes partitions: symbol/timeframe/year/month reach PartitionFilters") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val scans = planOf("q55_lake_roundtrip").collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScan over the written tree")
+      val pf = scans.map(_.partitionFilters.map(_.toString).mkString(" "))
+        .find(f => f.contains("symbol") && f.contains("year") && f.contains("month"))
+      assert(pf.nonEmpty,
+        s"partition predicates did not reach the scan: ${scans.map(_.partitionFilters)}")
+    }
+  }
+
   test("q28 exact quantiles plan no ObjectHashAggregate (no per-group value collection)") {
     assume(new java.io.File(sf).isDirectory)
     withStaticPlans {
