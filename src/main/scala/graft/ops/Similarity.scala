@@ -178,7 +178,10 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** LSH-bucketed near-dup pairs (approximate; scale path). */
+  /** LSH-bucketed near-dup pairs (approximate; scale path). Each vector
+    * hashes to exactly ONE bucket, so a pair can meet in at most one
+    * bucket — output is duplicate-free by construction, no distinct needed.
+    */
   def lshNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
@@ -194,6 +197,5 @@ object Similarity {
       .withColumn("cosine", round(pairCosine("_va", "_na", "_vb", "_nb"), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .distinct()
   }
 }

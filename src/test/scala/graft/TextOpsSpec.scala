@@ -184,6 +184,8 @@ class TextOpsSpec extends AnyFunSuite {
     val pairs = Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.999, nPlanes = 4, dim = 8)
     // all even ids identical to each other, all odd ids identical to each other
     assert(pairs.count() === 2 * (10 * 9 / 2))
+    // duplicate-free by construction (one bucket per vector) - no distinct
+    assert(pairs.select("id_a", "id_b").distinct().count() === pairs.count())
   }
 
   test("quality score is bounded and favors clean text") {
