@@ -721,6 +721,15 @@ object SparkEntry {
           round(dsum(col("jaccard")) / count(lit(1)), 4).as("mean_jaccard"))
         .orderBy(col("source_lo"), col("source_hi"))
     }),
+
+    // embedding-space QC: per-label centroid + intra-class cohesion
+    // (mean/min cosine to own centroid) — flags mislabeled or collapsed
+    // classes before training (graft.ops.Similarity.labelCentroidStats)
+    "q57_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroidStats(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy(col("label"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1133,6 +1142,23 @@ object SparkEntry {
            |JOIN documents sa ON sa.doc_id = v.id_a
            |JOIN documents sb ON sb.doc_id = v.id_b
            |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      "q57_label_centroids" ->
+        """WITH el AS (SELECT label, unnest(embedding)::DOUBLE AS x,
+          |                   unnest(generate_series(0, len(embedding)-1)) AS pos
+          |            FROM embeddings),
+          | cent AS (SELECT label, pos,
+          |           round(sum(CAST(round(x,4) AS DECIMAL(28,4)))::DOUBLE / count(*), 6) AS c
+          |          FROM el GROUP BY 1,2),
+          | ca AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+          | cosv AS (SELECT e.label,
+          |           round(list_dot_product(e.embedding::DOUBLE[], ca.cv) /
+          |             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          |              sqrt(list_dot_product(ca.cv, ca.cv))), 6) AS cos
+          |          FROM embeddings e JOIN ca USING (label))
+          |SELECT label, count(*) AS n,
+          | round(sum(CAST(round(cos,6) AS DECIMAL(28,6)))::DOUBLE / count(*), 4) AS mean_cos,
+          | min(cos) AS min_cos
+          |FROM cosv GROUP BY 1 ORDER BY 1""".stripMargin,
       "q40_dedup_clusters" ->
         s"""WITH RECURSIVE sh AS ($shingleSql),
            | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),

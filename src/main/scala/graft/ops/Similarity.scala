@@ -198,4 +198,45 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Embedding-space QC per class label: the label centroid (element-wise
+    * mean) and each vector's cosine to its own label's centroid, aggregated
+    * to (label, n, mean_cos, min_cos) — the intra-class cohesion report
+    * that flags mislabeled or collapsed classes before training.
+    *
+    * Determinism: element means and the final cosine mean go through
+    * decimal sums of per-element-rounded terms (order-independent, the
+    * engine-wide `dsum` convention); the cosine itself is the sequential
+    * IEEE fold of [[graft.functions.DotProduct]], which DuckDB's
+    * list_dot_product reproduces exactly.
+    *
+    * Shape at scale: ONE data-sized shuffle (the posexplode'd element
+    * aggregate, map-side combined on (label, pos) — at most labels x dims
+    * rows out); the centroid table is tiny and broadcast back, and the
+    * final per-label aggregate is again map-side combined. The vectors
+    * themselves never shuffle.
+    */
+  def labelCentroidStats(emb: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val elems = emb
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = elems.groupBy(col("label"), col("pos"))
+      .agg(round(sum(round(col("x"), 4).cast(DecimalType(28, 4))).cast("double") /
+        count(lit(1)), 6).as("c"))
+    // rebuild the centroid vector ordered by element index; labels x dims
+    // rows, so collect_list here is bounded by the schema, not the data
+    val centArr = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("_c"))
+    emb.select(col(labelCol).as("label"), col(vecCol).as("_v"))
+      .join(broadcast(centArr), "label")
+      .withColumn("cos", round(cosineNative(col("_v"), col("_c")), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("cos"), 6).cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1)), 4).as("mean_cos"),
+        min(col("cos")).as("min_cos"))
+  }
 }

@@ -188,6 +188,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.select("id_a", "id_b").distinct().count() === pairs.count())
   }
 
+  test("label centroid stats: identical-vector class coheres at 1, split class below") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f), 0L), (2L, Seq(1f, 0f, 0f), 0L),
+      (3L, Seq(0f, 1f, 0f), 1L), (4L, Seq(0f, 0f, 1f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val st = Similarity.labelCentroidStats(vecs, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+    assert(st.length === 2)
+    assert(st(0).getAs[Long]("n") === 2L)
+    assert(st(0).getAs[Double]("mean_cos") === 1.0)
+    assert(st(0).getAs[Double]("min_cos") === 1.0)
+    // label 1 centroid (0, .5, .5): each member's cosine = .5/sqrt(.5) ~ 0.7071
+    assert(math.abs(st(1).getAs[Double]("mean_cos") - 0.7071) < 1e-4)
+    assert(st(1).getAs[Double]("min_cos") < 1.0)
+  }
+
   test("quality score is bounded and favors clean text") {
     val scored = Seq(
       (1, "a perfectly reasonable sentence with a number of ordinary words in it repeated " * 3),
