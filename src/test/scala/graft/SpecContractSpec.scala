@@ -59,6 +59,12 @@ class SpecContractSpec extends AnyFunSuite {
     }
   }
 
+  test("every driver query has a DuckDB oracle entry (hard gate, not rows-only)") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet,
+      "queries and oracleSql must cover the same keys — a missing oracle " +
+        "silently downgrades the driver's check to rows-only")
+  }
+
   test("tf alias and default timeframe resolve through the Timeframe vocabulary") {
     val aliases = spec.get("aliases")
     assert(aliases.get("tf").asText() === "timeframe")
