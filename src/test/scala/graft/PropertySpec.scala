@@ -225,4 +225,28 @@ class PropertySpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$root/data").count() === 1440, s"seed=$seed")
     }
   }
+
+  test("property: labelCentroidStats invariant under row order and partitioning") {
+    import spark.implicits._
+    // decimal-sum determinism claim: identical stats regardless of how the
+    // input is partitioned or ordered (the exact property an executor-count
+    // change on a cluster exercises)
+    for (seed <- seeds) {
+      val rows = (0 until 300).map { i =>
+        val h = i * 2654435761L + seed * 97L
+        (i.toLong,
+          (0 until 16).map(j => (((h + j * 7919L) % 1000L) - 500L).toFloat / 250f),
+          (h % 5L).abs)
+      }
+      val base = rows.toDF("vec_id", "embedding", "label")
+      val a = graft.ops.Similarity
+        .labelCentroidStats(base.repartition(1), "vec_id", "embedding", "label")
+        .orderBy("label").collect().toSeq
+      val b = graft.ops.Similarity
+        .labelCentroidStats(
+          base.orderBy(col("vec_id").desc).repartition(13), "vec_id", "embedding", "label")
+        .orderBy("label").collect().toSeq
+      assert(a === b, s"seed=$seed")
+    }
+  }
 }
