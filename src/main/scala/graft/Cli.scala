@@ -119,6 +119,29 @@ object Cli {
       docs.withColumn("split", graft.ops.TextAnalysis.datasetSplit(col("text")))
         .groupBy("split").count().orderBy("split").show(5)
 
+    case "embed-qc" :: sfDir :: Nil =>
+      // embedding-space QC: per-label centroid cohesion (q57 shape)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      println("[cli] per-label centroid cohesion (mean/min cosine to own centroid):")
+      graft.ops.Similarity.labelCentroidStats(emb, "vec_id", "embedding", "label")
+        .orderBy("label").show(50, truncate = false)
+
+    case "xsource" :: docsParquet :: Nil =>
+      // cross-source contamination matrix (q56 shape)
+      import org.apache.spark.sql.functions.{col, count, greatest, least, lit}
+      val docs = spark.read.parquet(docsParquet)
+      val pairs = graft.ops.Dedup.verifiedNearDups(docs, "doc_id", "text", threshold = 0.1)
+      val src = docs.select(col("doc_id"), col("source"))
+      println("[cli] verified near-dup pairs per source pair:")
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), "id_b")
+        .groupBy(least(col("_sa"), col("_sb")).as("source_lo"),
+          greatest(col("_sa"), col("_sb")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("source_lo"))
+        .show(30, truncate = false)
+
     case "ann" :: sfDir :: k :: Nil =>
       // approximate nearest neighbors over the embeddings table (IVF cells)
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -192,7 +215,7 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | repair | resample | ann | corpus | validate")
+      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | repair | resample | ann | corpus | embed-qc | xsource | validate")
       sys.exit(2)
   }
 }
