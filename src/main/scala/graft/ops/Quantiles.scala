@@ -27,12 +27,20 @@ import org.apache.spark.sql.functions._
   * case), so results are bit-identical to `percentile()` and keep matching
   * a DuckDB `quantile_cont` oracle after 4-decimal rounding.
   *
-  * Scale note: stage 2's window partitions by the GROUP key, so per-group
-  * parallelism is bounded by the distinct-value count, not the row count —
-  * the right shape when values repeat. For few groups over a continuous
-  * high-cardinality column at extreme scale, exactness itself is the
-  * bottleneck; use `approx_percentile` (t-digest) and its error bound
-  * instead.
+  * Scale note: stage 2 does NOT window by the group key alone (a group with
+  * a continuous high-cardinality domain would serialize its whole distinct-
+  * value table onto one reducer). Instead the running sum is the engine's
+  * standard two-phase chunked prefix sum (like [[Fill]]/[[Packing]]): each
+  * value is bucketed into one of `defaultParallelism` chunks of its group's
+  * [min, max] value range (one group-sized bounds aggregate; bucketing is a
+  * pure, monotone function of the value, so re-executions of the lineage
+  * agree — unlike a sampled repartitionByRange id), within-chunk windows
+  * run in parallel, and carry-ins come from a tiny per-(group, chunk)
+  * summary self-join. Heavily skewed value distributions make chunks
+  * uneven (parallelism degrades toward the hot range, correctness is
+  * unaffected); when even the distinct-value table is too large for
+  * exactness, `approx_percentile` (t-digest) with its error bound is the
+  * escape hatch.
   */
 object Quantiles {
 
@@ -51,12 +59,58 @@ object Quantiles {
       .where(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("_c"))
-    val wCum = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    // chunked prefix sum over the distinct-value table (see scaladoc).
+    // Chunk ids must be a PURE function of the row — spark_partition_id
+    // after repartitionByRange would differ between the two executions of
+    // this lineage below (sampling), silently dropping rows at the carry
+    // join. Value-range bucketing from one group-sized bounds aggregate is
+    // deterministic, monotone in value (IEEE subtraction/division by a
+    // positive constant preserve order), and needs no cache.
+    val parts = math.max(counts.sparkSession.sparkContext.defaultParallelism, 2)
+    val bounds = counts.groupBy(g: _*)
+      .agg(min(col(valueCol).cast("double")).as("_vlo"),
+        max(col(valueCol).cast("double")).as("_vhi"))
+      .select(groupCols.map(c => col(c).as(s"_bndk_$c")) :+ col("_vlo") :+ col("_vhi"): _*)
+    val withBounds = counts.join(bounds,
+      groupCols.map(c => counts(c) <=> bounds(s"_bndk_$c")).reduce(_ && _))
+    val width = (col("_vhi") - col("_vlo")) / parts
+    val ranged = withBounds
+      .withColumn("_chunk",
+        when(col("_vhi") > col("_vlo"),
+          least(lit(parts - 1),
+            floor((col(valueCol).cast("double") - col("_vlo")) / width)))
+          .otherwise(lit(0L)).cast("long"))
+      .drop("_vlo", "_vhi")
+      .drop(groupCols.map(c => s"_bndk_$c"): _*)
+    val wLoc = Window.partitionBy((g :+ col("_chunk")): _*).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(g: _*)
-    val ranked = counts
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_n", sum(col("_c")).over(wAll))
+    val local = ranged.withColumn("_loc", sum(col("_c")).over(wLoc))
+    // per-(group, chunk) totals: tiny (one row per chunk a group touches);
+    // cached — read by the carry join AND the per-group total
+    val totals = ranged.groupBy((g :+ col("_chunk")): _*)
+      .agg(sum(col("_c")).as("_tot")).cache()
+    val ns = totals.groupBy(g: _*).agg(sum(col("_tot")).as("_n"))
+      .select(groupCols.map(c => col(c).as(s"_nk_$c")) :+ col("_n"): _*)
+    val src = totals.select(
+      groupCols.map(c => col(c).as(s"_bk_$c")) :+
+        col("_chunk").as("_bchunk") :+ col("_tot").as("_btot"): _*)
+    val tgt = totals.select((g :+ col("_chunk")): _*)
+    val carryCond = groupCols.map(c => tgt(c) <=> src(s"_bk_$c"))
+      .foldLeft(src("_bchunk") < tgt("_chunk"))(_ && _)
+    val carry = tgt.join(src, carryCond, "left")
+      .groupBy((g :+ col("_chunk")): _*)
+      .agg(coalesce(sum(col("_btot")), lit(0L)).as("_carry"))
+      .select(groupCols.map(c => col(c).as(s"_ck_$c")) :+
+        col("_chunk").as("_cchunk") :+ col("_carry"): _*)
+    // carry is (group, chunk)-sized and ns is group-sized: tiny for low-
+    // cardinality groups (AQE broadcasts them), ordinary equi-joins when
+    // groups are data-sized — never a forced broadcast of an unbounded side
+    val ranked = local
+      .join(carry,
+        groupCols.map(c => local(c) <=> carry(s"_ck_$c"))
+          .foldLeft(local("_chunk") === carry("_cchunk"))(_ && _))
+      .join(ns, groupCols.map(c => local(c) <=> ns(s"_nk_$c")).reduce(_ && _))
+      .withColumn("_cum", col("_loc") + col("_carry"))
 
     def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")
     // value covers ranks [_cum - _c, _cum)
