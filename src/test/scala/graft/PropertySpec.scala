@@ -27,7 +27,12 @@ class PropertySpec extends AnyFunSuite {
       val rows = (0 until 2000).map { i =>
         val h = (i * 2654435761L + seed * 40503L) & 0x7fffffffL
         (s"g${h % 3}", if (h % 20 == 0) None else Some((h % 500).toDouble / 7.0))
-      }
+      } ++
+        // degenerate chunking edges: a constant-value group (value range
+        // [c, c] -> single chunk) and a 2-value group (fewer distinct
+        // values than chunks)
+        (0 until 50).map(_ => ("gconst", Some(3.25))) ++
+        (0 until 50).map(i => ("gtwo", Some(if (i % 2 == 0) 1.0 else 9.0)))
       val df = rows.toDF("g", "v")
       val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
       val exact = graft.ops.Quantiles.exactInterpolated(df, Seq("g"), "v",
