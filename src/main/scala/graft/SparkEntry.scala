@@ -722,6 +722,24 @@ object SparkEntry {
         .orderBy(col("source_lo"), col("source_hi"))
     }),
 
+    // dedup compaction report: the q40 cluster labels rolled up per
+    // cluster size — how many clusters/docs each size bucket holds and how
+    // many chars dropping non-canonical members saves. The cluster table is
+    // corpus-sized but the rollup is one map-side-combined aggregate
+    // (graft.ops.Dedup)
+    "q58_dedup_compaction" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val cl = Dedup.nearDupClusters(d, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.1)
+      cl.join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("cluster_size"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("is_canonical"), col("n_chars")).otherwise(lit(0L)))
+            .cast("long").as("chars_removed"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // embedding-space QC: per-label centroid + intra-class cohesion
     // (mean/min cosine to own centroid) — flags mislabeled or collapsed
     // classes before training (graft.ops.Similarity.labelCentroidStats)
@@ -782,6 +800,37 @@ object SparkEntry {
          |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
          |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin
+    // LSH+verify edges -> recursive-CTE connected components -> cluster
+    // labels, shared by q40 (raw) and q58 (compaction rollup)
+    val clustersSql =
+      s"""WITH RECURSIVE sh AS ($shingleSql),
+         | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),
+         | sig AS (SELECT doc_id, t.i AS i,
+         |          min((hv*(2*t.i+3) + ((1442695040888963407%1000000007)*(t.i+1))%1000000007) % 1000000007) AS m
+         |         FROM h, range(0,16) t(i) GROUP BY 1,2),
+         | band AS (SELECT doc_id, (i//4)::INT AS band,
+         |           list_reduce(list_prepend(0::BIGINT, list(m ORDER BY i)), (a,b)->(a*31 + b%1000000007)%1000000007) AS band_sig
+         |          FROM sig GROUP BY 1,2),
+         | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM band a JOIN band b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
+         | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         | inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
+         |           FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+         |                        JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |           GROUP BY 1,2),
+         | edges AS (SELECT id_a AS a, id_b AS b FROM inter
+         |           JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |           WHERE round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) >= 0.1),
+         | sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         | reach(node, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node),
+         | comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT doc_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | doc_id = cluster_id AS is_canonical
+         |FROM comp""".stripMargin
     Map(
       "q08_text_stats" ->
         s"""WITH ws AS ($wsSql)
@@ -1160,34 +1209,13 @@ object SparkEntry {
           | min(cos) AS min_cos
           |FROM cosv GROUP BY 1 ORDER BY 1""".stripMargin,
       "q40_dedup_clusters" ->
-        s"""WITH RECURSIVE sh AS ($shingleSql),
-           | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),
-           | sig AS (SELECT doc_id, t.i AS i,
-           |          min((hv*(2*t.i+3) + ((1442695040888963407%1000000007)*(t.i+1))%1000000007) % 1000000007) AS m
-           |         FROM h, range(0,16) t(i) GROUP BY 1,2),
-           | band AS (SELECT doc_id, (i//4)::INT AS band,
-           |           list_reduce(list_prepend(0::BIGINT, list(m ORDER BY i)), (a,b)->(a*31 + b%1000000007)%1000000007) AS band_sig
-           |          FROM sig GROUP BY 1,2),
-           | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |           FROM band a JOIN band b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
-           | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-           | inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
-           |           FROM pairs p JOIN sh a ON a.doc_id = p.id_a
-           |                        JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
-           |           GROUP BY 1,2),
-           | edges AS (SELECT id_a AS a, id_b AS b FROM inter
-           |           JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-           |           WHERE round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) >= 0.1),
-           | sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-           | reach(node, r) AS (
-           |   SELECT doc_id, doc_id FROM documents
-           |   UNION
-           |   SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node),
-           | comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
-           |SELECT doc_id, cluster_id,
-           | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-           | doc_id = cluster_id AS is_canonical
-           |FROM comp ORDER BY doc_id""".stripMargin,
+        s"SELECT * FROM ($clustersSql) c ORDER BY doc_id",
+      "q58_dedup_compaction" ->
+        s"""SELECT c.cluster_size, count(DISTINCT c.cluster_id) AS n_clusters,
+           | count(*) AS n_docs,
+           | coalesce(sum(CASE WHEN NOT c.is_canonical THEN d.n_chars END), 0)::BIGINT AS chars_removed
+           |FROM ($clustersSql) c JOIN documents d USING (doc_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q39_repetition" ->
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, unnest(l) AS w, unnest(generate_series(1,len(l))) AS pos FROM ws),
