@@ -740,6 +740,35 @@ object SparkEntry {
         .orderBy(col("cluster_size"))
     }),
 
+    // event-rate anomaly detection: hourly counts per event type scored
+    // against the type's own mean/std (z-score). Variance comes from exact
+    // integer sums (count, sum n, sum n^2 in decimal — n^2 through decimal
+    // so a 3e9-events hour cannot overflow BIGINT under ANSI), so the
+    // doubles that reach the division are identical across engines. Stats
+    // are one tiny per-type aggregate broadcast back; the hourly table
+    // never shuffles twice
+    "q59_rate_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val hourly = tbl(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(CAST(ts AS LONG) DIV 3600) * 3600").as("hour_sec"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_h"),
+          sum(col("n").cast(DecimalType(28, 0))).cast("double").as("_s1"),
+          sum(col("n").cast(DecimalType(20, 0)) * col("n")).cast("double").as("_s2"))
+        .where(col("_h") >= 2)
+        .withColumn("_mean", col("_s1") / col("_h"))
+        .withColumn("_var", (col("_s2") - col("_s1") * col("_s1") / col("_h")) / (col("_h") - 1))
+        .where(col("_var") > 0.0)
+        .select(col("event_type").as("_et"), col("_mean"), col("_var"))
+      hourly.join(broadcast(stats), col("event_type") === col("_et"))
+        .withColumn("z", round((col("n") - col("_mean")) / sqrt(col("_var")), 4))
+        .where(abs(col("z")) >= 2.0)
+        .select(col("event_type"), col("hour_sec"), col("n"), col("z"))
+        .orderBy(col("event_type"), col("hour_sec"))
+    }),
+
     // embedding-space QC: per-label centroid + intra-class cohesion
     // (mean/min cosine to own centroid) — flags mislabeled or collapsed
     // classes before training (graft.ops.Similarity.labelCentroidStats)
@@ -1191,6 +1220,21 @@ object SparkEntry {
            |JOIN documents sa ON sa.doc_id = v.id_a
            |JOIN documents sb ON sb.doc_id = v.id_b
            |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      "q59_rate_anomaly" ->
+        """WITH hourly AS (SELECT event_type,
+          |        (floor(epoch(ts))::BIGINT // 3600) * 3600 AS hour_sec, count(*) AS n
+          |       FROM events GROUP BY 1,2),
+          | st AS (SELECT event_type, count(*) AS h,
+          |         sum(CAST(n AS DECIMAL(28,0)))::DOUBLE AS s1,
+          |         sum(n::HUGEINT * n)::DOUBLE AS s2
+          |        FROM hourly GROUP BY 1 HAVING count(*) >= 2),
+          | stv AS (SELECT event_type, s1/h AS m, (s2 - s1*s1/h)/(h - 1) AS v
+          |         FROM st),
+          | z AS (SELECT h.event_type, h.hour_sec, h.n,
+          |        round((h.n - stv.m) / sqrt(stv.v), 4) AS z
+          |       FROM hourly h JOIN stv USING (event_type) WHERE stv.v > 0.0)
+          |SELECT event_type, hour_sec, n, z FROM z WHERE abs(z) >= 2.0
+          |ORDER BY event_type, hour_sec""".stripMargin,
       "q57_label_centroids" ->
         """WITH el AS (SELECT label, unnest(embedding)::DOUBLE AS x,
           |                   unnest(generate_series(0, len(embedding)-1)) AS pos
