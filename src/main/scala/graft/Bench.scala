@@ -68,16 +68,31 @@ object Bench {
         else base
       name -> times
     }
-    // Per-query value stays min (interference only adds time), but the raw
-    // repeats are emitted too so a noisy run is visible in the artifact
-    // itself instead of needing an out-of-band rerun to diagnose.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
+    // Per-query value stays min (interference only adds time). The printed
+    // line must stay SHORT: the driver keeps only the last ~2000 chars of
+    // stdout, and r05/r06's line (full-precision mins + raw repeats for 59
+    // queries) overflowed that window, truncating the JSON head — so the
+    // artifact showed parsed:null and no per-query numbers at all. Print a
+    // compact line (3-decimal mins, no raw repeats) and write the full-
+    // precision record with raw per-repeat times to BENCH_RAW.json, where a
+    // noisy run is still diagnosable without an out-of-band rerun.
+    def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v.min) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+      s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw_repeats":$raw,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val rawLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw_repeats":$raw,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RAW_OUT",
+        "/root/repo/BENCH_RAW.json"))
+      java.nio.file.Files.write(p, (rawLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

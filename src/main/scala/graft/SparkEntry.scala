@@ -677,7 +677,12 @@ object SparkEntry {
     // write+read path itself (reference: src/datalake/read/api.py:12-74
     // read_range_df — the reference's single most-used entry point)
     "q55_lake_roundtrip" -> ((s, dir) => {
-      val root = s"/root/repo/target/q55_lake_${java.lang.Integer.toHexString(dir.hashCode)}"
+      // scratch tree under tmpdir, keyed by the SANITIZED full dir string
+      // (hashCode can collide across distinct dirs) plus the pid, so two
+      // concurrent runs over the same dir never race each other's
+      // delete/write/read cycle
+      val root = s"${sys.props("java.io.tmpdir")}/q55_lake_" +
+        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_p${ProcessHandle.current().pid()}"
       val rootPath = new org.apache.hadoop.fs.Path(root)
       rootPath.getFileSystem(s.sessionState.newHadoopConf()).delete(rootPath, true)
       def t(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))

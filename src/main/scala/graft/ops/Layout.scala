@@ -69,8 +69,16 @@ object Layout {
   def partitionsFor(df: DataFrame, targetFileBytes: Long): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    ((est + targetFileBytes - 1) / targetFileBytes)
-      .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+    // Plans with no computable stats report spark.sql.defaultSizeInBytes
+    // (Long.MaxValue by default) — a sentinel, not an estimate. Sizing from
+    // it would saturate the cap and request a ~1M-partition range shuffle,
+    // so fall back to the cluster's parallelism instead.
+    val unknown = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (est >= unknown)
+      math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    else
+      ((est + targetFileBytes - 1) / targetFileBytes)
+        .max(BigInt(1)).min(BigInt(1 << 20)).toInt
   }
 
   /** [[zorderedBy]] with the partition count derived from data size

@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
   * [min, max] value range (one group-sized bounds aggregate; bucketing is a
   * pure, monotone function of the value, so re-executions of the lineage
   * agree — unlike a sampled repartitionByRange id), within-chunk windows
-  * run in parallel, and carry-ins come from a tiny per-(group, chunk)
-  * summary self-join. Heavily skewed value distributions make chunks
+  * run in parallel, and carry-ins come from a window over the tiny
+  * per-(group, chunk) summary (≤ `parts` rows per group, so the group-keyed
+  * window is bounded). Heavily skewed value distributions make chunks
   * uneven (parallelism degrades toward the hot range, correctness is
   * unaffected); when even the distinct-value table is too large for
   * exactness, `approx_percentile` (t-digest) with its error bound is the
@@ -85,31 +86,33 @@ object Quantiles {
     val wLoc = Window.partitionBy((g :+ col("_chunk")): _*).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("_loc", sum(col("_c")).over(wLoc))
-    // per-(group, chunk) totals: tiny (one row per chunk a group touches);
-    // cached — read by the carry join AND the per-group total
+    // per-(group, chunk) totals: one row per chunk a group touches, so a
+    // group contributes at most `parts` rows. That bound makes a window
+    // keyed on the group alone safe HERE (over the raw distinct-value table
+    // it would serialize the group — the whole reason for the chunking):
+    // carry-in = running sum of the earlier chunks' totals, _n = the whole
+    // group's total, both from one pass over the tiny summary. No self-join,
+    // no second aggregate, and nothing cached (the .cache() this replaces
+    // was never unpersisted — every call leaked a pinned block-manager entry
+    // for the session's lifetime).
     val totals = ranged.groupBy((g :+ col("_chunk")): _*)
-      .agg(sum(col("_c")).as("_tot")).cache()
-    val ns = totals.groupBy(g: _*).agg(sum(col("_tot")).as("_n"))
-      .select(groupCols.map(c => col(c).as(s"_nk_$c")) :+ col("_n"): _*)
-    val src = totals.select(
-      groupCols.map(c => col(c).as(s"_bk_$c")) :+
-        col("_chunk").as("_bchunk") :+ col("_tot").as("_btot"): _*)
-    val tgt = totals.select((g :+ col("_chunk")): _*)
-    val carryCond = groupCols.map(c => tgt(c) <=> src(s"_bk_$c"))
-      .foldLeft(src("_bchunk") < tgt("_chunk"))(_ && _)
-    val carry = tgt.join(src, carryCond, "left")
-      .groupBy((g :+ col("_chunk")): _*)
-      .agg(coalesce(sum(col("_btot")), lit(0L)).as("_carry"))
+      .agg(sum(col("_c")).as("_tot"))
+    val wCarry = Window.partitionBy(g: _*).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val carry = totals
+      .withColumn("_carry", coalesce(sum(col("_tot")).over(wCarry), lit(0L)))
+      .withColumn("_n", sum(col("_tot")).over(wAll))
       .select(groupCols.map(c => col(c).as(s"_ck_$c")) :+
-        col("_chunk").as("_cchunk") :+ col("_carry"): _*)
-    // carry is (group, chunk)-sized and ns is group-sized: tiny for low-
-    // cardinality groups (AQE broadcasts them), ordinary equi-joins when
-    // groups are data-sized — never a forced broadcast of an unbounded side
+        col("_chunk").as("_cchunk") :+ col("_carry") :+ col("_n"): _*)
+    // carry is (group, chunk)-sized: tiny for low-cardinality groups (AQE
+    // broadcasts it), an ordinary equi-join when groups are data-sized —
+    // never a forced broadcast of an unbounded side
     val ranked = local
       .join(carry,
         groupCols.map(c => local(c) <=> carry(s"_ck_$c"))
           .foldLeft(local("_chunk") === carry("_cchunk"))(_ && _))
-      .join(ns, groupCols.map(c => local(c) <=> ns(s"_nk_$c")).reduce(_ && _))
       .withColumn("_cum", col("_loc") + col("_carry"))
 
     def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")

@@ -46,6 +46,11 @@ object EnrichStream {
     require(windowSeconds > 0, "windowSeconds must be positive")
     require(ptsTs != openTs,
       "rename one of the event-time columns: both sides in one output")
+    // the join key below is materialized as a `_chunk` working column on
+    // both inputs; an input already carrying one would be silently
+    // overwritten and then dropped from the output
+    require(!points.columns.contains("_chunk") && !opens.columns.contains("_chunk"),
+      "inputs must not carry a `_chunk` column (reserved working name)")
     val cwMicros = windowSeconds * 1000000L
     val p = points.withWatermark(ptsTs, delay)
       .withColumn("_chunk", expr(s"unix_micros(`$ptsTs`) DIV ${cwMicros}L"))
