@@ -782,6 +782,67 @@ object SparkEntry {
           "vec_id", "embedding", "label")
         .orderBy(col("label"))
     }),
+
+    // span-level exact-substring duplication (Lee et al.-style signal):
+    // 20-token windows every 10 tokens, fingerprinted; per doc the window
+    // count, cross-document duplicated windows, and first-occurrence-owned
+    // windows (graft.ops.Dedup.duplicateSpans)
+    "q60_duplicate_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(tbl(s, dir, "documents"), "doc_id", "text",
+          window = 20, stride = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // bloom-accelerated decontamination: fixed-size bit array built from
+    // the eval split's shingle hashes pre-filters the corpus side before
+    // the exact verifying join — no false negatives, so the output is
+    // exactly Corpus.decontaminate's (graft.ops.Sketches.bloomDecontaminate)
+    "q61_bloom_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Sketches.bloomDecontaminate(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // graded contamination: per corpus doc the distinct-shingle count,
+    // eval overlap count, and rate in integer basis points — the
+    // threshold-not-boolean form of q41 (graft.ops.Corpus.contaminationRate)
+    "q62_contamination_rate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Corpus.contaminationRate(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // KMV distinct-count sketch: distinct users per event type estimated
+    // from the 64 smallest portable hashes — integer-exact estimator, so
+    // the ESTIMATE itself is under the oracle gate
+    // (graft.ops.Sketches.kmvDistinct)
+    "q63_kmv_distinct" -> ((s, dir) => {
+      Sketches.kmvDistinct(tbl(s, dir, "events"), "event_type", "user_id",
+          k = 64)
+        .orderBy(col("event_type"))
+    }),
+
+    // count-min frequency sketch: per-user event-count estimates for the
+    // first 100 users from a 4x1024 sketch, joined against the exact
+    // counts so the upward-bias invariant est >= exact is in the artifact
+    // (graft.ops.Sketches.countMinSketch/countMinEstimate)
+    "q64_countmin_freq" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sketch = Sketches.countMinSketch(ev, "user_id", depth = 4, width = 1024)
+      val keys = ev.select(col("user_id")).where(col("user_id") < 100).distinct()
+      val exact = ev.where(col("user_id") < 100)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+      Sketches.countMinEstimate(sketch, keys, "user_id", depth = 4, width = 1024)
+        .join(exact, "user_id")
+        .select(col("user_id"), col("est_count"), col("exact_count"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -809,6 +870,20 @@ object SparkEntry {
          | sh0 AS (SELECT doc_id, w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle,
          |                lead(w,2) OVER win AS w2 FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
          |SELECT DISTINCT doc_id, shingle FROM sh0 WHERE w2 IS NOT NULL""".stripMargin
+    val deconSql =
+      s"""WITH sh AS ($shingleSql),
+         | ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+         | tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+         |SELECT tr.doc_id, count(*)::BIGINT AS n_overlap
+         |FROM tr JOIN ev USING (shingle)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    // count-min cell formulas, generated from the SAME mixing constants the
+    // engine uses (graft.ops.Sketches.mixConsts) so sketch parity is by
+    // construction, not by copied literals
+    def cmCellSql(src: String): String =
+      graft.ops.Sketches.mixConsts(4).zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT user_id, $i AS rw, ((user_id % 1000000007) * $a + $b) % 1000000007 % 1024 AS cell FROM $src"
+      }.mkString(" UNION ALL ")
     val meanWlSql = "CASE WHEN len(l)>0 THEN list_sum(list_transform(l, w->length(w)))::DOUBLE/len(l) ELSE 0 END"
     val punctSql = "CASE WHEN length(text)>0 THEN length(regexp_replace(text,'[^.!?,;:]','','g'))::DOUBLE/length(text) ELSE 0 END"
     val cosSql = "round(list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),6)"
@@ -1305,13 +1380,55 @@ object SparkEntry {
            | count(DISTINCT source) AS n_sources,
            | round(sum(CAST(round(q,4) AS DECIMAL(28,4)))::DOUBLE / count(*), 4) AS mean_quality
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
-      "q41_decontaminate" ->
+      // shared by q41 (plain broadcast decontamination) and q61 (bloom
+      // pre-filter + exact verify — no false negatives, so same output)
+      "q41_decontaminate" -> deconSql,
+      "q61_bloom_decontaminate" -> deconSql,
+      "q62_contamination_rate" ->
         s"""WITH sh AS ($shingleSql),
            | ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
-           | tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
-           |SELECT tr.doc_id, count(*)::BIGINT AS n_overlap
-           |FROM tr JOIN ev USING (shingle)
-           |GROUP BY 1 ORDER BY 1""".stripMargin,
+           | tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+           | tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+           | ov AS (SELECT tr.doc_id, count(*) AS n_overlap
+           |        FROM tr JOIN ev USING (shingle) GROUP BY 1)
+           |SELECT t.doc_id, t.n_shingles::BIGINT AS n_shingles,
+           | coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+           | (coalesce(o.n_overlap, 0) * 10000 // t.n_shingles)::BIGINT AS contamination_bps
+           |FROM tot t LEFT JOIN ov o USING (doc_id) ORDER BY 1""".stripMargin,
+      "q60_duplicate_spans" ->
+        s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\\s+') AS l
+           |            FROM documents WHERE len(trim(text)) > 0),
+           | nz AS (SELECT doc_id, l, len(l) AS n FROM ws WHERE len(l) > 0),
+           | st AS (SELECT doc_id, l, n, unnest(generate_series(0, n-1, 10)) AS s FROM nz),
+           | ch AS (SELECT doc_id, array_to_string(l[s+1:least(s+20, n)], ' ') AS c FROM st),
+           | f AS (SELECT doc_id, ${fpSql("c")} AS fp FROM ch),
+           | stats AS (SELECT fp, count(DISTINCT doc_id) AS nd, min(doc_id) AS fst
+           |           FROM f GROUP BY 1)
+           |SELECT f.doc_id, count(*)::BIGINT AS n_spans,
+           | sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+           | sum(CASE WHEN s.fst = f.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_owned_spans
+           |FROM f JOIN stats s USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q63_kmv_distinct" ->
+        """WITH h AS (SELECT DISTINCT event_type,
+          |        ((user_id % 1000000007) * 2654435761 + 11) % 1000000007 AS hv
+          |       FROM events),
+          | r AS (SELECT event_type, hv,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+          | t AS (SELECT event_type, count(*) AS n_seen, max(hv) AS kth
+          |       FROM r WHERE rn <= 64 GROUP BY 1)
+          |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
+          | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
+          |FROM t ORDER BY 1""".stripMargin,
+      "q64_countmin_freq" ->
+        s"""WITH rc AS (${cmCellSql("events")}),
+           | sk AS (SELECT rw, cell, count(*) AS cnt FROM rc GROUP BY 1, 2),
+           | kc AS (${cmCellSql("(SELECT DISTINCT user_id FROM events WHERE user_id < 100) kq")}),
+           | est AS (SELECT user_id, min(coalesce(sk.cnt, 0)) AS est_count
+           |         FROM kc LEFT JOIN sk USING (rw, cell) GROUP BY 1),
+           | ex AS (SELECT user_id, count(*) AS exact_count
+           |        FROM events WHERE user_id < 100 GROUP BY 1)
+           |SELECT user_id, est_count::BIGINT AS est_count, exact_count::BIGINT AS exact_count
+           |FROM est JOIN ex USING (user_id) ORDER BY 1""".stripMargin,
       "q42_stratified_sample" ->
         """WITH h AS (SELECT lang, doc_id, ((doc_id % 1000000007)*2654435761 + 11) % 1000000007 AS hv FROM documents),
           | r AS (SELECT lang, doc_id,

@@ -69,6 +69,34 @@ object Corpus {
     corpus.join(decontaminate(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
+  /** Graded contamination report: for EVERY corpus document (including the
+    * clean ones [[decontaminate]] omits), the distinct-shingle count, the
+    * eval-set overlap count, and the contamination rate in integer basis
+    * points (n_overlap · 10000 ÷ n_shingles, floor division — exact across
+    * engines, no floating point). The boolean decontamination filter drops
+    * a doc over a single 3-gram hit; pipelines that instead threshold on
+    * the RATE (e.g. quarantine > 500 bps) need this graded form.
+    *
+    * Same scale shape as [[decontaminate]]: the eval-set shingle set is
+    * broadcast, the corpus side never shuffles data-sized rows — the only
+    * aggregates are keyed on the doc id.
+    */
+  def contaminationRate(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val csh = Dedup.shingles(corpus, idCol, textCol, n).cache() // two aggregates below
+    val bsh = benchmark
+      .select(explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val totals = csh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val overlap = csh.join(broadcast(bsh), "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    totals.join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contamination_bps",
+        expr("(n_overlap * 10000) DIV n_shingles"))
+  }
+
   /** Deterministic stratified sample: the `k` documents per stratum with
     * the smallest id hash (ties broken by id). row_number() <= k plans as
     * WindowGroupLimit — every map task pre-trims to its local top-k per

@@ -357,4 +357,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Span-level exact-substring duplication report (the signal behind
+    * "Deduplicating Training Data Makes Language Models Better"-style
+    * exact substring dedup): slide a `window`-token window every `stride`
+    * tokens over each document, fingerprint each window, and attribute
+    * every fingerprint to its first-occurrence document (smallest id).
+    *
+    * Output, one row per document that produced at least one window:
+    *   - n_spans:       window count for the doc
+    *   - n_dup_spans:   windows whose fingerprint also appears in ANOTHER
+    *                    doc (cross-document duplication — the memorization
+    *                    risk measure)
+    *   - n_owned_spans: windows whose fingerprint's global first-occurrence
+    *                    doc is this doc (novelty credit: a span counts for
+    *                    exactly one document corpus-wide)
+    *
+    * Scale: windowing is per-row expression work ([[TextAnalysis.chunkDocuments]]
+    * — split/sequence/posexplode, no shuffle); the only data-sized
+    * shuffles are the fingerprint-stats aggregate and the join back, both
+    * equi-keyed on the fingerprint (high-cardinality, no skew: a ubiquitous
+    * span fingerprint aggregates to ONE stats row before the join). The
+    * span table is len/stride × input rows — the same bounded explosion
+    * chunkDocuments already pays.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 20, stride: Int = 10): DataFrame = {
+    require(stride >= 1 && stride <= window, "need 1 <= stride <= window")
+    val spans = TextAnalysis
+      .chunkDocuments(docs, idCol, textCol, maxTokens = window,
+        overlap = window - stride)
+      .select(col(idCol), TextAnalysis.fingerprint(col("chunk_text")).as("fp"))
+      .cache() // feeds both the stats aggregate and the join back
+    val stats = spans.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("_ndocs"), min(col(idCol)).as("_first"))
+    spans.join(stats, "fp")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("_first") === col(idCol), 1L).otherwise(0L)).as("n_owned_spans"))
+  }
 }

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketches for 100 TB pipelines: KMV distinct-count,
+  * count-min frequency, and a bloom membership filter.
+  *
+  * At scale the exact forms of these questions are expensive or impossible
+  * to co-locate: `count(DISTINCT user)` shuffles every distinct key,
+  * per-key frequency tables are data-sized, and "is this shingle in the
+  * eval set" needs the whole eval-set on every executor. Each sketch here
+  * compresses the answer into a bounded structure (k values, depth×width
+  * cells, m bits) that map-side-combines or broadcasts for free.
+  *
+  * All hashing is the same portable polynomial/multiplicative arithmetic
+  * used across graft (mod P = 1e9+7, see [[Dedup.P]]) — never
+  * engine-internal xxhash64 — so every estimate is bit-reproducible in any
+  * engine, including the DuckDB oracle: the estimates themselves are under
+  * the hard correctness gate, not just "close enough".
+  *
+  * Scale design:
+  *  - KMV: one distinct on (group, hash) then a per-group top-k window that
+  *    plans as WindowGroupLimit — every map task pre-trims to its local
+  *    k smallest hashes before the shuffle, so the shuffle carries
+  *    O(groups × k), not O(distinct values).
+  *  - count-min: the only shuffle is keyed on (row, cell) — at most
+  *    depth × width distinct keys, so map-side combine collapses each
+  *    partition's contribution to a bounded partial no matter how many
+  *    input rows (or how skewed the keys). The finished sketch is
+  *    depth × width rows and broadcasts for estimate joins.
+  *  - bloom: the bit array is fixed-size (mBits), built with one bounded
+  *    aggregation (bit_or over ≤ mBits/64 word rows) and carried to the
+  *    probe side as a literal array inside codegen — membership tests are
+  *    pure per-row expression work, no join, no shuffle.
+  */
+object Sketches {
+
+  val P: Long = Dedup.P
+
+  /** Portable 64-bit-safe hash of a long key into [0, P). Same shape as
+    * [[Corpus.idHash]]: mod-P FIRST so the multiply cannot overflow.
+    */
+  def longHash(c: Column, a: Long = 2654435761L, b: Long = 11L): Column =
+    (pmod(c.cast("long"), lit(P)) * a + b) % P
+
+  /** Deterministic per-row mixing constants, shared with MinHash/LSH so the
+    * oracle SQL can be generated from the same values.
+    */
+  def mixConsts(k: Int): Seq[(Long, Long)] = Dedup.mixConsts(k)
+
+  // ---------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct-count estimate
+  // ---------------------------------------------------------------------
+
+  /** Per-group distinct-count estimate from the k smallest hash values.
+    *
+    * If a group has fewer than k distinct hashes the estimate is the exact
+    * distinct count (the sketch has seen everything); otherwise the
+    * classic KMV estimator (k-1) * P / kth_min — integer division on
+    * integer-exact inputs, so the output is bit-identical across engines.
+    *
+    * Output: (groupCol, n_seen = min(count, k), kth = max retained hash,
+    * est_distinct). One distinct-shuffle on (group, hash) and one
+    * WindowGroupLimit-pruned top-k — the final shuffle carries only
+    * O(groups × k) rows.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_hv"))
+    df.select(col(groupCol), longHash(col(valueCol)).as("_hv"))
+      .distinct()
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_seen"), max(col("_hv")).as("kth"))
+      .select(col(groupCol), col("n_seen"), col("kth"),
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"${(k - 1).toLong * P}L DIV kth"))
+          .as("est_distinct"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Count-min frequency sketch
+  // ---------------------------------------------------------------------
+
+  /** Cell index of a key under hash row i: ((key mod P)·a_i + b_i) mod P
+    * mod width.
+    */
+  private def cellOf(key: Column, a: Long, b: Long, width: Int): Column =
+    longHash(key, a, b) % width
+
+  /** Build a count-min sketch over a long key column. Output:
+    * (row, cell, cnt) with at most depth × width rows. The groupBy key
+    * space is bounded, so map-side combine caps every partition's shuffle
+    * contribution at depth × width partial counts regardless of input
+    * size or key skew — this is the whole point of the sketch at 100 TB.
+    */
+  def countMinSketch(df: DataFrame, keyCol: String,
+                     depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    val rows = mixConsts(depth).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"), cellOf(col(keyCol), a, b, width).as("cell"))
+    }
+    df.select(explode(array(rows: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate frequencies for `keys` (a one-column DataFrame of long
+    * keys) against a built sketch: est(key) = min over rows of the key's
+    * cell counter (the classic upward-biased count-min estimate). The
+    * sketch is at most depth × width rows, so it broadcasts; the probe
+    * never shuffles the keys.
+    */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                       depth: Int = 4, width: Int = 1024): DataFrame = {
+    val rows = mixConsts(depth).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"), cellOf(col(keyCol), a, b, width).as("cell"))
+    }
+    keys.select(col(keyCol), explode(array(rows: _*)).as("rc"))
+      .select(col(keyCol), col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
+  /** Convenience: build the sketch over `df` and estimate every key in
+    * `keys` in one call.
+    */
+  def countMinFrequencies(df: DataFrame, keyCol: String, keys: DataFrame,
+                          depth: Int = 4, width: Int = 1024): DataFrame =
+    countMinEstimate(countMinSketch(df, keyCol, depth, width), keys, keyCol,
+      depth, width)
+
+  // ---------------------------------------------------------------------
+  // Bloom membership filter
+  // ---------------------------------------------------------------------
+
+  /** Bit positions of a hash value under the j-th bloom hash. */
+  private def bloomPos(h: Column, a: Long, b: Long, mBits: Int): Column =
+    ((pmod(h, lit(P)) * a + b) % P) % mBits
+
+  /** 1L << bits with a COLUMN shift amount (the public `shiftleft` only
+    * takes a constant Int shift).
+    */
+  private def shl1(bits: Column): Column =
+    GraftColumnBridge.toColumn(ShiftLeft(
+      GraftColumnBridge.toExpression(lit(1L)),
+      GraftColumnBridge.toExpression(bits.cast("int"))))
+
+  /** Build the bloom bit array (as mBits/64 longs) from a column of long
+    * hash values. The aggregation output is bounded by the FIXED word
+    * keyspace (mBits/64 rows — e.g. 1024 longs for 64 Kbit), so the
+    * `collect()` is safe at any input scale, same argument as the bounded
+    * bucket collect in [[Dedup]].
+    */
+  def bloomBits(items: DataFrame, hashCol: String, mBits: Int = 65536,
+                k: Int = 4): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
+    val words = new Array[Long](mBits / 64)
+    val positions = mixConsts(k).map { case (a, b) =>
+      bloomPos(col(hashCol), a, b, mBits)
+    }
+    items.select(explode(array(positions: _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("w"),
+        shl1(col("p") % 64).as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Membership predicate: all k bloom bits set for hash column `h`.
+    * The bit array rides into codegen as a literal array — element_at +
+    * mask tests, no join, no shuffle, no UDF.
+    */
+  def bloomContains(bits: Array[Long], mBits: Int, k: Int)(h: Column): Column = {
+    val arr = lit(bits)
+    mixConsts(k).map { case (a, b) =>
+      val p = bloomPos(h, a, b, mBits)
+      (element_at(arr, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(shl1(p % 64)) =!= 0L)
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-accelerated decontamination: same exact output as
+    * [[Corpus.decontaminate]] (per-doc count of distinct eval-set shingle
+    * overlaps) but the corpus side is pre-filtered by a bloom built from
+    * the benchmark's shingle hashes BEFORE the verifying join. Bloom
+    * filters have no false negatives, so the verify join sees every true
+    * overlap and the result is exact — the sketch only prunes work.
+    *
+    * At 100 TB this is the shape that matters: the bit array (mBits/8
+    * bytes, e.g. 8 KiB at the default) goes to every task as a literal,
+    * and only the tiny surviving fraction of corpus shingles pays the
+    * broadcast-join probe. With a large eval suite the full shingle set
+    * may be too big to broadcast comfortably — the bloom stays fixed-size
+    * no matter what.
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         mBits: Int = 65536, k: Int = 4): DataFrame = {
+    val bsh = benchmark
+      .select(explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
+        .as("shingle"))
+      .distinct()
+    val bits = bloomBits(
+      bsh.select(Dedup.shingleHash(col("shingle")).as("h")), "h", mBits, k)
+    Dedup.shingles(corpus, idCol, textCol, n)
+      .where(bloomContains(bits, mBits, k)(Dedup.shingleHash(col("shingle"))))
+      .join(broadcast(bsh), "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+}

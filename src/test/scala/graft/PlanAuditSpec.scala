@@ -133,6 +133,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 KMV top-k plans WindowGroupLimit (sketch never shuffles more than groups x k)") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      val limits = planOf("q63_kmv_distinct").collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      assert(limits.length >= 2, s"expected partial+final WindowGroupLimit, got ${limits.length}")
+    }
+  }
+
   test("q32 PII scrub plans no shuffle except the final output sort") {
     assume(new java.io.File(sf).isDirectory)
     withStaticPlans {

@@ -1,0 +1,137 @@
+package graft
+
+import graft.ops.{Corpus, Dedup, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // -------------------------------------------------------------------
+  // KMV distinct-count
+  // -------------------------------------------------------------------
+
+  test("kmvDistinct: groups under k report the exact distinct count") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 7L))
+      .toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, "g", "v", k = 8)
+      .select("g", "est_distinct").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("kmvDistinct: estimate is within 50% of truth at k=64 and is partition-invariant") {
+    val n = 5000
+    val df = (0 until n).map(i => ("g", i.toLong)).toDF("g", "v")
+    val est = Sketches.kmvDistinct(df, "g", "v", k = 64)
+      .select("est_distinct").as[Long].head()
+    assert(est > n / 2 && est < n * 2, s"KMV estimate $est too far from $n")
+    val est1 = Sketches.kmvDistinct(df.repartition(13), "g", "v", k = 64)
+      .select("est_distinct").as[Long].head()
+    assert(est === est1, "KMV must not depend on partitioning")
+  }
+
+  // -------------------------------------------------------------------
+  // Count-min
+  // -------------------------------------------------------------------
+
+  test("countMin: estimates are upward-biased (est >= exact) and exact when the sketch is wide") {
+    val keys = (0 until 500).map(i => (i % 37).toLong) // skewed: key 0..36
+    val df = keys.toDF("k")
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val queryKeys = exact.keys.toSeq.toDF("k")
+    val est = Sketches.countMinFrequencies(df, "k", queryKeys,
+        depth = 4, width = 1024)
+      .as[(Long, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"count-min under-estimated key $k: ${est(k)} < $c")
+    }
+    // 37 keys in a 4x1024 sketch: collisions essentially impossible per
+    // row, and min-over-rows removes any residual — estimates are exact
+    assert(est === exact)
+  }
+
+  test("countMin: narrow sketch overestimates but never underestimates") {
+    val keys = (0 until 2000).map(i => (i % 211).toLong)
+    val df = keys.toDF("k")
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = Sketches.countMinFrequencies(df, "k", exact.keys.toSeq.toDF("k"),
+        depth = 4, width = 64) // 211 keys >> 64 cells: forced collisions
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (k, c) => assert(est(k) >= c) }
+    assert(est.values.sum > exact.values.sum, "collisions must inflate some estimate")
+  }
+
+  // -------------------------------------------------------------------
+  // Bloom filter
+  // -------------------------------------------------------------------
+
+  test("bloom: no false negatives; false-positive rate is small at the default sizing") {
+    val members = (0 until 1000).map(i => i.toLong * 7919L)
+    val bits = Sketches.bloomBits(
+      members.toDF("h"), "h", mBits = 65536, k = 4)
+    val probe = ((0 until 1000).map(i => i.toLong * 7919L) ++ // members
+      (0 until 1000).map(i => i.toLong * 7919L + 1L))         // non-members
+      .toDF("h")
+    val got = probe
+      .select(col("h"), Sketches.bloomContains(bits, 65536, 4)(col("h")).as("m"))
+      .as[(Long, Boolean)].collect()
+    val memberSet = members.toSet
+    got.filter(r => memberSet(r._1)).foreach { case (h, m) =>
+      assert(m, s"false negative for member $h")
+    }
+    val fp = got.count(r => !memberSet(r._1) && r._2)
+    // 1000 items in 64 Kbit with 4 hashes: theoretical fpp ~ 4e-6; allow
+    // generous slack for the non-independent polynomial hashes
+    assert(fp <= 10, s"false-positive count $fp too high")
+  }
+
+  test("bloomDecontaminate output is exactly Corpus.decontaminate's") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the quick brown fox naps all day long"),
+      (6L, "completely unrelated content about spark engines"),
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox is a benchmark item")).toDF("doc_id", "text")
+    val plain = Corpus.decontaminate(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val bloom = Sketches.bloomDecontaminate(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(bloom === plain)
+    assert(plain.nonEmpty)
+  }
+
+  // -------------------------------------------------------------------
+  // duplicateSpans / contaminationRate
+  // -------------------------------------------------------------------
+
+  test("duplicateSpans: cross-doc duplicated windows and first-occurrence ownership") {
+    val thirty = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, thirty),                 // spans at 0,10,20 -> 3 spans
+      (2L, thirty),                 // identical: all 3 duplicated, none owned
+      (3L, "u1 u2 u3 u4 u5"),       // 1 unique span
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", window = 20, stride = 10)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, 3L), // all spans shared with doc 2; doc 1 owns them (min id)
+      (2L, 3L, 3L, 0L),
+      (3L, 1L, 0L, 1L)))
+  }
+
+  test("contaminationRate: graded bps including zero-overlap docs, integer-exact") {
+    val corpus = Seq(
+      (1L, "a b c d e"),            // 3 shingles: "a b c","b c d","c d e"
+      (2L, "x y z w"),              // 2 shingles, no overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d q")).toDF("doc_id", "text") // shares "a b c","b c d"
+    val got = Corpus.contaminationRate(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, 6666L), // 2*10000 DIV 3
+      (2L, 2L, 0L, 0L)))
+  }
+}
