@@ -828,6 +828,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Lloyd's k-means over embeddings (k=8, 2 iterations, deterministic
+    // smallest-id seeding): per-cluster size + inertia — the clustering
+    // primitive behind SemDeDup-style curation; centroids are driver-side
+    // literals so assignment is pure codegen expression work
+    // (graft.ops.Similarity.kmeans/kmeansReport)
+    "q65_kmeans" -> ((s, dir) => {
+      Similarity.kmeansReport(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy(col("cluster"))
+    }),
+
     // count-min frequency sketch: per-user event-count estimates for the
     // first 100 users from a 4x1024 sketch, joined against the exact
     // counts so the upward-bias invariant est >= exact is in the artifact
@@ -1419,6 +1430,32 @@ object SparkEntry {
           |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
           | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
           |FROM t ORDER BY 1""".stripMargin,
+      "q65_kmeans" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          | c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
+          | d1 AS (SELECT e.vec_id, e.v, c0.cid,
+          |         list_dot_product(e.v,e.v) - 2*list_dot_product(e.v,c0.c)
+          |           + list_dot_product(c0.c,c0.c) AS d2
+          |        FROM e CROSS JOIN c0),
+          | a1 AS (SELECT vec_id, v, cid FROM
+          |         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          |          FROM d1) WHERE rn = 1),
+          | el AS (SELECT cid, unnest(v) AS x,
+          |               unnest(generate_series(0, len(v)-1)) AS pos FROM a1),
+          | ce AS (SELECT cid, pos,
+          |         round(sum(CAST(round(x,4) AS DECIMAL(28,4)))::DOUBLE / count(*), 6) AS c
+          |        FROM el GROUP BY 1,2),
+          | c1 AS (SELECT cid, list(c ORDER BY pos) AS c FROM ce GROUP BY 1),
+          | d2_ AS (SELECT e.vec_id, c1.cid,
+          |         list_dot_product(e.v,e.v) - 2*list_dot_product(e.v,c1.c)
+          |           + list_dot_product(c1.c,c1.c) AS d2
+          |        FROM e CROSS JOIN c1),
+          | a2 AS (SELECT vec_id, cid, round(d2, 4) AS d2 FROM
+          |         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          |          FROM d2_) WHERE rn = 1)
+          |SELECT cid AS cluster, count(*)::BIGINT AS n,
+          | round(sum(CAST(round(d2,4) AS DECIMAL(28,4)))::DOUBLE, 4) AS inertia
+          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
       "q64_countmin_freq" ->
         s"""WITH rc AS (${cmCellSql("events")}),
            | sk AS (SELECT rw, cell, count(*) AS cnt FROM rc GROUP BY 1, 2),

@@ -239,4 +239,83 @@ object Similarity {
           count(lit(1)), 4).as("mean_cos"),
         min(col("cos")).as("min_cos"))
   }
+
+  /** Lloyd's k-means over the embedding column with DETERMINISTIC seeding
+    * (the k smallest ids' vectors; cluster label = the seed's id) and a
+    * fixed iteration count — the clustering primitive behind
+    * SemDeDup-style semantic dedup and cluster-balanced curation.
+    *
+    * Per iteration, the centroids live on the DRIVER as literal arrays
+    * (k × dim doubles — schema-sized, the same bounded-collect argument as
+    * the sketch tables): assignment is then a pure per-row expression —
+    * `least()` over k (distance, cluster) structs with the native codegen
+    * [[graft.functions.DotProduct]] — no join, no shuffle, no window. The
+    * only shuffle per iteration is the (cluster, pos) centroid mean, whose
+    * output is k × dim rows. At 100 TB that is ONE data-sized aggregation
+    * per iteration, which is Lloyd's lower bound on any engine.
+    *
+    * Determinism contract (oracle-parity): distances are evaluated as
+    * dot(v,v) - 2·dot(v,c) + dot(c,c) in IEEE order (the same sequential
+    * fold DuckDB's list_dot_product computes), centroid elements go
+    * through the decimal-mean round trip (round-4 terms, round-6 result)
+    * so they are independent of partitioning, and distance ties break to
+    * the smallest cluster id. Clusters that lose all members simply drop
+    * out (both engines compute the survivor set identically).
+    *
+    * Returns the final assignment: (idCol, cluster, d2) — d2 the final
+    * squared distance, rounded to 4 decimals.
+    */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1 && iters >= 1, "need k >= 1, iters >= 1")
+    val v = toDouble(col(vecCol))
+    // seeds: the k smallest ids' vectors, cluster label = seed id
+    var cents: Array[(Long, Array[Double])] =
+      emb.select(col(idCol).cast("long"), v).orderBy(col(idCol)).limit(k)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def assignCol: Column = {
+      val cands = cents.map { case (cid, c) =>
+        val cl = array(c.map(lit): _*)
+        val d2 = dotNative(v, v) - lit(2.0) * dotNative(v, cl) +
+          dotNative(cl, cl)
+        struct(d2.as("d2"), lit(cid).as("cluster"))
+      }
+      least(cands: _*)
+    }
+    // Lloyd iterations: reassign, then decimal-mean new centroids back to
+    // the driver (k x dim rows — bounded by schema, not data)
+    for (_ <- 1 until iters) {
+      val next = emb
+        .select(assignCol.getField("cluster").as("cluster"), posexplode(v).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(sum(round(col("x"), 4).cast(DecimalType(28, 4))).cast("double") /
+          count(lit(1)), 6).as("c"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Double](rows.length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          cid -> arr
+        }
+      cents = next.toArray.sortBy(_._1)
+    }
+    val a = assignCol
+    emb.select(col(idCol), a.getField("cluster").as("cluster"),
+      round(a.getField("d2"), 4).as("d2"))
+  }
+
+  /** Cluster-level k-means report: size and inertia (decimal-summed round-4
+    * distances) per surviving cluster.
+    */
+  def kmeansReport(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    kmeans(emb, idCol, vecCol, k, iters)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("d2"), 4).cast(DecimalType(28, 4))).cast("double"), 4)
+          .as("inertia"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Dedup, Sketches}
+import graft.ops.{Corpus, Dedup, Similarity, Sketches}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -120,6 +120,30 @@ class SketchesSpec extends AnyFunSuite {
       (1L, 3L, 3L, 3L), // all spans shared with doc 2; doc 1 owns them (min id)
       (2L, 3L, 3L, 0L),
       (3L, 1L, 0L, 1L)))
+  }
+
+  test("kmeans: separable clusters recovered; deterministic under repartitioning") {
+    // even ids near (+10, 0), odd ids near (-10, 5): the two smallest ids
+    // (0, 1) seed one centroid in each true cluster
+    val vecs = (0 until 40).map { i =>
+      val jitter = (i % 5) * 0.01f
+      if (i % 2 == 0) (i.toLong, Array(10.0f + jitter, 0.0f))
+      else (i.toLong, Array(-10.0f - jitter, 5.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got.size === 40)
+    vecs.foreach { case (id, _) =>
+      assert(got(id) === (if (id % 2 == 0) 0L else 1L),
+        s"vector $id assigned to ${got(id)}")
+    }
+    val again = Similarity.kmeans(df.repartition(7), "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(again === got, "kmeans must be partition-invariant")
+    val report = Similarity.kmeansReport(df, "vec_id", "embedding", k = 2, iters = 3)
+      .select("n").as[Long].collect()
+    assert(report.sum === 40L)
   }
 
   test("contaminationRate: graded bps including zero-overlap docs, integer-exact") {
