@@ -122,6 +122,26 @@ class SketchesSpec extends AnyFunSuite {
       (3L, 1L, 0L, 1L)))
   }
 
+  test("streaming KMV: final estimates bit-match the batch sketch on the same bounded input") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val chunks = Seq(
+      (0 until 40).map(i => ("a", i.toLong)) ++ Seq(("b", 1L), ("b", 2L)),
+      (30 until 70).map(i => ("a", i.toLong)) ++ Seq(("b", 2L), ("b", 3L)),
+      (60 until 100).map(i => ("a", i.toLong)))
+    val input = MemoryStream[(String, Long)]
+    chunks.foreach(c => input.addData(c)) // three micro-batches, overlapping values
+    val streamed = graft.streaming.SketchStream
+      .kmvFinal(input.toDF().toDF("g", "v"), "g", "v", k = 8, queryName = "kmv_out")
+      .orderBy("group").as[(String, Long, Long, Long)].collect().toSeq
+    val batch = Sketches.kmvDistinct(chunks.flatten.toDF("g", "v"), "g", "v", k = 8)
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+    // sanity: "a" saw 100 distincts through an 8-value state; "b" stays exact
+    assert(batch.find(_._1 == "b").get._4 === 3L)
+    assert(batch.find(_._1 == "a").get._2 === 8L)
+  }
+
   test("kmeans: separable clusters recovered; deterministic under repartitioning") {
     // even ids near (+10, 0), odd ids near (-10, 5): the two smallest ids
     // (0, 1) seed one centroid in each true cluster
