@@ -828,6 +828,15 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // quality-filter funnel: cumulative survivor counts through the
+    // hygiene cascade (nonempty -> tokens -> punctuation -> repetition ->
+    // quality) — the per-snapshot observability report of a curation
+    // pipeline (graft.ops.TextAnalysis.filterFunnel)
+    "q66_filter_funnel" -> ((s, dir) => {
+      TextAnalysis.filterFunnel(tbl(s, dir, "documents"), "text")
+        .orderBy(col("stage"))
+    }),
+
     // Lloyd's k-means over embeddings (k=8, 2 iterations, deterministic
     // smallest-id seeding): per-cluster size + inertia — the clustering
     // primitive behind SemDeDup-style curation; centroids are driver-side
@@ -1430,6 +1439,30 @@ object SparkEntry {
           |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
           | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
           |FROM t ORDER BY 1""".stripMargin,
+      "q66_filter_funnel" ->
+        s"""WITH ws AS ($wsSql),
+           | m AS (SELECT doc_id, text, len(trim(text)) > 0 AS ne, len(l) AS nt,
+           |        round($punctSql, 4) AS pr,
+           |        round(CASE WHEN len(l)>0 THEN 1.0 - len(list_distinct(l))::DOUBLE/len(l) ELSE 0.0 END, 4) AS dwf,
+           |        round((least(length(text)::DOUBLE/200.0, 1.0)
+           |          + CASE WHEN ($meanWlSql) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+           |          + 1.0 - least(($punctSql)*5.0, 1.0))/3.0, 4) AS q
+           |       FROM ws),
+           | f AS (SELECT count(*) AS n0,
+           |        sum(CASE WHEN ne THEN 1 ELSE 0 END) AS n1,
+           |        sum(CASE WHEN ne AND nt >= 10 THEN 1 ELSE 0 END) AS n2,
+           |        sum(CASE WHEN ne AND nt >= 10 AND pr <= 0.1 THEN 1 ELSE 0 END) AS n3,
+           |        sum(CASE WHEN ne AND nt >= 10 AND pr <= 0.1 AND dwf <= 0.3 THEN 1 ELSE 0 END) AS n4,
+           |        sum(CASE WHEN ne AND nt >= 10 AND pr <= 0.1 AND dwf <= 0.3 AND q >= 0.5 THEN 1 ELSE 0 END) AS n5
+           |       FROM m)
+           |SELECT * FROM (
+           | SELECT 0::BIGINT AS stage, 'total' AS stage_name, n0::BIGINT AS n_pass FROM f
+           | UNION ALL SELECT 1, 'nonempty', n1::BIGINT FROM f
+           | UNION ALL SELECT 2, 'min_tokens', n2::BIGINT FROM f
+           | UNION ALL SELECT 3, 'low_punct', n3::BIGINT FROM f
+           | UNION ALL SELECT 4, 'low_dup_words', n4::BIGINT FROM f
+           | UNION ALL SELECT 5, 'min_quality', n5::BIGINT FROM f)
+           |ORDER BY stage""".stripMargin,
       "q65_kmeans" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           | c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),

@@ -260,6 +260,41 @@ object TextAnalysis {
         array_join(col("_c"), " ").as("chunk_text"))
   }
 
+  /** Quality-filter funnel: how many documents survive each stage of the
+    * standard hygiene cascade, CUMULATIVELY — the observability report a
+    * curation pipeline publishes per snapshot so a filter regression (one
+    * stage suddenly eating the corpus) is visible at a glance.
+    *
+    * Stages: total → nonempty → ≥ minTokens tokens → punctuation ratio ≤
+    * maxPunct → duplicate-word fraction ≤ maxDupWords → quality score ≥
+    * minQuality. Thresholds compare the same round-4 values the profile
+    * queries export, so the funnel is bit-consistent with them.
+    *
+    * One pass, one 1-row aggregate (conditional sums), exploded to a
+    * 6-row report — no shuffle of document rows at any width.
+    */
+  def filterFunnel(docs: DataFrame, textCol: String, minTokens: Int = 10,
+                   maxPunct: Double = 0.1, maxDupWords: Double = 0.3,
+                   minQuality: Double = 0.5): DataFrame = {
+    val t = col(textCol)
+    val c1 = length(trim(t)) > 0
+    val c2 = c1 && tokenCount(t) >= minTokens
+    val c3 = c2 && round(punctRatio(t), 4) <= maxPunct
+    val c4 = c3 && round(dupWordFraction(t), 4) <= maxDupWords
+    val c5 = c4 && qualityScore(t) >= minQuality
+    def n(c: Column): Column = sum(c.cast("long"))
+    val names = Seq("total", "nonempty", "min_tokens", "low_punct",
+      "low_dup_words", "min_quality")
+    docs
+      .agg(count(lit(1)).as("n0"), n(c1).as("n1"), n(c2).as("n2"),
+        n(c3).as("n3"), n(c4).as("n4"), n(c5).as("n5"))
+      .select(explode(array(names.zipWithIndex.map { case (nm, i) =>
+        struct(lit(i.toLong).as("stage"), lit(nm).as("stage_name"),
+          col(s"n$i").as("n_pass"))
+      }: _*)).as("s"))
+      .select(col("s.stage"), col("s.stage_name"), col("s.n_pass"))
+  }
+
   /** Convenience: full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

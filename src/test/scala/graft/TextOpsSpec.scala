@@ -214,4 +214,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(scored(1) > scored(2))
     assert(scored.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("filterFunnel: cumulative survivor counts through the hygiene cascade") {
+    val docs = Seq(
+      (1L, ""),                                          // fails nonempty
+      (2L, "one two three"),                             // < 10 tokens
+      (3L, (1 to 12).map(i => s"w$i").mkString(" ")),    // passes everything
+      (4L, Seq.fill(12)("yes").mkString(" ")),           // dup-word frac 11/12
+      (5L, ('a' to 'j').map(c => s"$c.").mkString(" ")), // punct ratio 1/3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.filterFunnel(docs, "text")
+      .orderBy("stage").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, "total", 5L),
+      (1L, "nonempty", 4L),
+      (2L, "min_tokens", 3L),
+      (3L, "low_punct", 2L),
+      (4L, "low_dup_words", 1L),
+      (5L, "min_quality", 1L)))
+  }
 }
