@@ -828,6 +828,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // hard-negative mining: per anchor (vec_id < 10) the 3 most-similar
+    // vectors with a DIFFERENT label — the contrastive-training data-prep
+    // op; declared-exact all-pairs, IVF/LSH twin is the scale path
+    // (graft.ops.Similarity.hardNegatives)
+    "q67_hard_negatives" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
     // quality-filter funnel: cumulative survivor counts through the
     // hygiene cascade (nonempty -> tokens -> punctuation -> repetition ->
     // quality) — the per-snapshot observability report of a curation
@@ -1439,6 +1450,14 @@ object SparkEntry {
           |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
           | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
           |FROM t ORDER BY 1""".stripMargin,
+      "q67_hard_negatives" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           | s AS (SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id, $cosSql AS cosine
+           |       FROM e a JOIN e b ON a.label <> b.label WHERE a.vec_id < 10),
+           | r AS (SELECT anchor_id, negative_id, cosine,
+           |        row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rank FROM s)
+           |SELECT anchor_id, rank, negative_id, cosine FROM r WHERE rank <= 3
+           |ORDER BY anchor_id, rank""".stripMargin,
       "q66_filter_funnel" ->
         s"""WITH ws AS ($wsSql),
            | m AS (SELECT doc_id, text, len(trim(text)) > 0 AS ne, len(l) AS nt,

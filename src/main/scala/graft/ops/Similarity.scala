@@ -84,6 +84,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the k
+    * most-similar vectors carrying a DIFFERENT label — the negatives that
+    * actually teach a retriever/encoder something (easy negatives are
+    * already far away). Exact form of the standard ANN-based miner.
+    *
+    * Same declared-exact all-pairs contract as [[topKJoin]] (and the same
+    * scale twin: run the candidate generation through [[ivfTopK]]/[[lshTopK]]
+    * and post-filter labels when the corpus is too big for brute force).
+    * The label-mismatch predicate rides INSIDE the pair join, so same-label
+    * pairs are discarded before the top-k window; per-row norms are
+    * precomputed (one dot per pair, not three).
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("anchor_id"), col(labelCol).as("_al"),
+      col(vecCol).as("_qv"), normNative(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("negative_id"), col(labelCol).as("_nl"),
+      col(vecCol).as("_cv"), normNative(col(vecCol)).as("_cn"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id"))
+    spread(q).crossJoin(c)
+      .where(col("_al") =!= col("_nl"))
+      .withColumn("cosine", round(pairCosine("_qv", "_qn", "_cv", "_cn"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"), col("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * derived from a portable integer hash, mapped to [-1, 1).
     */

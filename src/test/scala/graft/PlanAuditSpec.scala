@@ -53,8 +53,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // documented scale path). Everything else must plan equi-joins — a new
   // range-shaped query that silently regresses to a nested loop fails here.
   private val declaredExactAllPairs = Set(
-    "q14_sim_topk",          // exact brute-force cosine top-k (twin: q34 IVF)
-    "q15_embedding_near_dup" // exact near-dup pairs (twin: Similarity.lshNearDup)
+    "q14_sim_topk",           // exact brute-force cosine top-k (twin: q34 IVF)
+    "q15_embedding_near_dup", // exact near-dup pairs (twin: Similarity.lshNearDup)
+    "q67_hard_negatives"      // exact hard-negative miner (twin: ivfTopK + label filter)
   )
   // Queries where a BroadcastNestedLoopJoin is the INTENDED shape because the
   // build side is bounded by an algorithm constant, not by data size — the

@@ -215,6 +215,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(scored.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("hardNegatives: only cross-label neighbors, nearest first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), "x"),
+      (1L, Array(0.99f, 0.1f), "x"), // most similar overall but same label
+      (2L, Array(0.9f, 0.3f), "y"),
+      (3L, Array(0.0f, 1.0f), "y"),
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.hardNegatives(
+        emb.where(col("vec_id") === 0), emb, "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._3) === Seq(2L, 3L)) // nearest cross-label first, id 1 excluded
+    assert(got.map(_._2) === Seq(1L, 2L))
+  }
+
   test("filterFunnel: cumulative survivor counts through the hygiene cascade") {
     val docs = Seq(
       (1L, ""),                                          // fails nonempty
