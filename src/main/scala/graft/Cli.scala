@@ -119,6 +119,32 @@ object Cli {
       docs.withColumn("split", graft.ops.TextAnalysis.datasetSplit(col("text")))
         .groupBy("split").count().orderBy("split").show(5)
 
+    case "funnel" :: docsParquet :: Nil =>
+      // quality-filter funnel (q66 shape)
+      println("[cli] hygiene-cascade survivor counts:")
+      graft.ops.TextAnalysis.filterFunnel(spark.read.parquet(docsParquet), "text")
+        .orderBy("stage").show(10, truncate = false)
+
+    case "sketch" :: sfDir :: Nil =>
+      // cardinality + frequency sketches over events (q63/q64 shapes)
+      import org.apache.spark.sql.functions.col
+      val ev = SparkEntry.loadEventsFor(spark, sfDir)
+      println("[cli] KMV distinct-user estimates per event type (k=64):")
+      graft.ops.Sketches.kmvDistinct(ev, "event_type", "user_id", k = 64)
+        .orderBy("event_type").show(20, truncate = false)
+      println("[cli] count-min frequency estimates, users 0-19 (4x1024):")
+      val keys = ev.select(col("user_id")).where(col("user_id") < 20).distinct()
+      graft.ops.Sketches.countMinFrequencies(ev, "user_id", keys)
+        .orderBy("user_id").show(20, truncate = false)
+
+    case "kmeans" :: sfDir :: k :: iters :: Nil =>
+      // embedding clustering report (q65 shape)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      println(s"[cli] k-means (k=$k, iters=$iters) cluster sizes + inertia:")
+      graft.ops.Similarity.kmeansReport(emb, "vec_id", "embedding",
+          k.toInt, iters.toInt)
+        .orderBy("cluster").show(50, truncate = false)
+
     case "embed-qc" :: sfDir :: Nil =>
       // embedding-space QC: per-label centroid cohesion (q57 shape)
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -215,7 +241,7 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | repair | resample | ann | corpus | embed-qc | xsource | validate")
+      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | repair | resample | ann | corpus | embed-qc | xsource | funnel | sketch | kmeans | validate")
       sys.exit(2)
   }
 }

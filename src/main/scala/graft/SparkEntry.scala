@@ -38,6 +38,9 @@ object SparkEntry {
     asNs.withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
   }
 
+  /** Public form of the events loader for the CLI and demos. */
+  def loadEventsFor(s: SparkSession, dir: String): DataFrame = loadEvents(s, dir)
+
   private def secs(c: Column): Column = c.cast("long")
 
   /** Order-insensitive exact sum of a double expression: round each term to 4
