@@ -79,7 +79,9 @@ object Corpus {
     *
     * Same scale shape as [[decontaminate]]: the eval-set shingle set is
     * broadcast, the corpus side never shuffles data-sized rows — the only
-    * aggregates are keyed on the doc id.
+    * aggregates are keyed on the doc id. The shingle projection is cached
+    * because it feeds both aggregates; lifecycle follows the [[Dedup]]
+    * convention (long-lived services `clearCache()` between jobs).
     */
   def contaminationRate(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String, n: Int = 3): DataFrame = {

@@ -292,11 +292,21 @@ object Similarity {
     *
     * Returns the final assignment: (idCol, cluster, d2) — d2 the final
     * squared distance, rounded to 4 decimals.
+    *
+    * Practical bound: the assignment expression embeds k × dim literal
+    * doubles in generated code, so keep k × dim ≲ 2·10^5 (enforced). For
+    * larger k, assign through the [[ivfTopK]]-style cell equi-join
+    * instead of literal centroids.
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
              iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(k >= 1 && iters >= 1, "need k >= 1, iters >= 1")
+    val dimRow = emb.select(size(col(vecCol))).limit(1).collect()
+    require(dimRow.nonEmpty, "kmeans needs a non-empty input")
+    require(k.toLong * dimRow(0).getInt(0) <= 200000L,
+      s"k x dim = ${k.toLong * dimRow(0).getInt(0)} literal centroid elements " +
+        "would blow up codegen; use a join-based assignment for this size")
     val v = toDouble(col(vecCol))
     // seeds: the k smallest ids' vectors, cluster label = seed id
     var cents: Array[(Long, Array[Double])] =

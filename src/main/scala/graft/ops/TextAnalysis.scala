@@ -282,12 +282,16 @@ object TextAnalysis {
     val c3 = c2 && round(punctRatio(t), 4) <= maxPunct
     val c4 = c3 && round(dupWordFraction(t), 4) <= maxDupWords
     val c5 = c4 && qualityScore(t) >= minQuality
-    def n(c: Column): Column = sum(c.cast("long"))
+    def n(c: String): Column = sum(col(c).cast("long"))
     val names = Seq("total", "nonempty", "min_tokens", "low_punct",
       "low_dup_words", "min_quality")
     docs
-      .agg(count(lit(1)).as("n0"), n(c1).as("n1"), n(c2).as("n2"),
-        n(c3).as("n3"), n(c4).as("n4"), n(c5).as("n5"))
+      // one projection computes every cascade flag, so codegen
+      // subexpression elimination evaluates the TextStats/words kernels
+      // once per row — not once per stage condition
+      .select(c1.as("c1"), c2.as("c2"), c3.as("c3"), c4.as("c4"), c5.as("c5"))
+      .agg(count(lit(1)).as("n0"), n("c1").as("n1"), n("c2").as("n2"),
+        n("c3").as("n3"), n("c4").as("n4"), n("c5").as("n5"))
       .select(explode(array(names.zipWithIndex.map { case (nm, i) =>
         struct(lit(i.toLong).as("stage"), lit(nm).as("stage_name"),
           col(s"n$i").as("n_pass"))
