@@ -831,6 +831,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ordered conversion funnel: users completing view -> click ->
+    // purchase IN ORDER (first qualifying event per stage at-or-after the
+    // previous stage's time, exact ns timestamps)
+    // (graft.ops.EventOps.conversionFunnel)
+    "q68_conversion_funnel" -> ((s, dir) => {
+      EventOps.conversionFunnel(tbl(s, dir, "events"),
+          Seq("view" -> "view", "click_after_view" -> "click",
+            "purchase_after_click" -> "purchase"))
+        .orderBy(col("stage"))
+    }),
+
+    // retention cohorts: users by first-activity UTC day x day offset 0-7,
+    // distinct active users per cell (graft.ops.EventOps.retentionCohorts)
+    "q69_retention_cohorts" -> ((s, dir) => {
+      EventOps.retentionCohorts(tbl(s, dir, "events"), maxOffsetDays = 7)
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // hard-negative mining: per anchor (vec_id < 10) the 3 most-similar
     // vectors with a DIFFERENT label — the contrastive-training data-prep
     // op; declared-exact all-pairs, IVF/LSH twin is the scale path
@@ -1453,6 +1471,26 @@ object SparkEntry {
           |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
           | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
           |FROM t ORDER BY 1""".stripMargin,
+      "q68_conversion_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)::BIGINT AS tn FROM events),
+          | s1 AS (SELECT user_id, min(tn) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+          | s2 AS (SELECT e.user_id, min(e.tn) AS t FROM e JOIN s1 USING (user_id)
+          |        WHERE e.event_type = 'click' AND e.tn >= s1.t GROUP BY 1),
+          | s3 AS (SELECT e.user_id, min(e.tn) AS t FROM e JOIN s2 USING (user_id)
+          |        WHERE e.event_type = 'purchase' AND e.tn >= s2.t GROUP BY 1)
+          |SELECT * FROM (
+          | SELECT 1::BIGINT AS stage, 'view' AS stage_name,
+          |        (SELECT count(*) FROM s1)::BIGINT AS n_users
+          | UNION ALL SELECT 2, 'click_after_view', (SELECT count(*) FROM s2)
+          | UNION ALL SELECT 3, 'purchase_after_click', (SELECT count(*) FROM s3))
+          |ORDER BY stage""".stripMargin,
+      "q69_retention_cohorts" ->
+        """WITH d AS (SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS day FROM events),
+          | f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+          | j AS (SELECT d.user_id, f.cohort_day, d.day - f.cohort_day AS day_offset
+          |       FROM d JOIN f USING (user_id) WHERE d.day - f.cohort_day <= 7)
+          |SELECT cohort_day, day_offset, count(DISTINCT user_id)::BIGINT AS n_active
+          |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q67_hard_negatives" ->
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
            | s AS (SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id, $cosSql AS cosine

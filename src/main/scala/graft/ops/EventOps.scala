@@ -73,6 +73,68 @@ object EventOps {
     * (user, session) with start/end/count. Scales: window partitions by
     * user — the natural shuffle key; no global sort.
     */
+  /** Ordered conversion funnel: per stage, the number of users whose FIRST
+    * qualifying event of stage i happened at-or-after their qualifying
+    * time for stage i-1 (the standard ordered-funnel definition — doing
+    * the steps out of order does not count).
+    *
+    * `stages` maps stage names to event types, in order. `tsCol` should be
+    * an exact integer timestamp (ts_ns) so "at-or-after" has no precision
+    * ambiguity. Output: (stage, stage_name, n_users), stage 1-based.
+    *
+    * Scale: one user-keyed aggregate per stage plus a broadcast-free
+    * user-keyed join chain — every shuffle is on user_id (high
+    * cardinality); stage count is a constant. No windows, no data-sized
+    * driver state.
+    */
+  def conversionFunnel(events: DataFrame, stages: Seq[(String, String)],
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts_ns"): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    import events.sparkSession.implicits._
+    // reach[i] = (user, first time the user completed stages 0..i in order);
+    // cached because stage i+1 both joins against it and counts it (at real
+    // scale, checkpoint instead — lifecycle per the Dedup convention)
+    var reach = events.where(col(typeCol) === stages.head._2)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      .cache()
+    var counts = Vector((1L, stages.head._1, reach.count()))
+    stages.drop(1).zipWithIndex.foreach { case ((name, tpe), i) =>
+      reach = events.where(col(typeCol) === tpe)
+        .join(reach, userCol)
+        .where(col(tsCol) >= col("_t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+        .cache()
+      counts :+= ((i + 2L, name, reach.count()))
+    }
+    counts.toDF("stage", "stage_name", "n_users")
+  }
+
+  /** Retention cohorts: users grouped by first-activity UTC day, with the
+    * count of distinct active users at each day offset 0..`maxOffsetDays`.
+    * Output: (cohort_day epoch-day BIGINT, day_offset, n_active).
+    *
+    * Scale: first-day per user is one user-keyed aggregate; the join back
+    * is user-keyed (both sides data-sized but equi-keyed, no skew beyond
+    * user activity itself); the final aggregate is (cohort, offset) —
+    * bounded by days², tiny. countDistinct(user) shuffles (cohort, offset,
+    * user) — the unavoidable distinct at this grain.
+    */
+  def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 7,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val day = expr(s"CAST(`$tsCol` AS LONG) DIV 86400")
+    val firstDay = events.select(col(userCol), day.as("_d"))
+      .groupBy(col(userCol)).agg(min(col("_d")).as("cohort_day"))
+    events.select(col(userCol), day.as("_d"))
+      .join(firstDay, userCol)
+      .withColumn("day_offset", col("_d") - col("cohort_day"))
+      .where(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
+
   def sessionize(events: DataFrame, gapSeconds: Long, userCol: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("ts"))
     events

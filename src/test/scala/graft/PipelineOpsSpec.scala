@@ -173,4 +173,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     // verified jaccard values agree with the exact all-pairs computation
     got.foreach(t => assert(t._4 === exact((t._1, t._2))))
   }
+
+  test("conversionFunnel: ordered stages only — out-of-order steps do not count") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full path
+      (2L, "click", 8L), (2L, "view", 10L),                         // click BEFORE view
+      (3L, "view", 10L), (3L, "purchase", 12L), (3L, "click", 15L), // purchase before click
+      (4L, "purchase", 5L),                                         // never viewed
+    ).toDF("user_id", "event_type", "ts_ns")
+    val got = graft.ops.EventOps.conversionFunnel(ev,
+        Seq("view" -> "view", "click_after_view" -> "click",
+          "purchase_after_click" -> "purchase"))
+      .orderBy("stage").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "view", 3L),                 // users 1, 2, 3
+      (2L, "click_after_view", 2L),     // users 1, 3
+      (3L, "purchase_after_click", 1L)))// user 1 only
+  }
+
+  test("retentionCohorts: first-day cohorts x day offsets, distinct users, offset cap") {
+    def t(day: Long, sec: Long) = new java.sql.Timestamp((day * 86400L + sec) * 1000L)
+    val ev = Seq(
+      (1L, t(0, 10)), (1L, t(1, 5)), (1L, t(9, 0)), // offset 9 excluded
+      (2L, t(1, 0)), (2L, t(3, 0)), (2L, t(3, 60)), // same-day repeat counts once
+      (3L, t(0, 50)),
+    ).toDF("user_id", "ts")
+    val got = graft.ops.EventOps.retentionCohorts(ev, maxOffsetDays = 7)
+      .orderBy("cohort_day", "day_offset").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
 }
