@@ -77,7 +77,11 @@ object Bench {
     // precision record with raw per-repeat times to BENCH_RAW.json, where a
     // noisy run is still diagnosable without an out-of-band rerun.
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v.min) }
+    // 2 decimals in the compact line: at 69 queries the 3-decimal line plus
+    // sbt's [info] prefix and [success] trailer already grazed the driver's
+    // ~2000-char stdout window; BENCH_RAW.json keeps full precision
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v.min) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
