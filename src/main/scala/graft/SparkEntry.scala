@@ -831,6 +831,31 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Deequ-style per-column data profile over events: rows, nulls, exact
+    // distincts, numeric min/max — the per-ingest drift snapshot
+    // (graft.ops.Qc.columnProfile)
+    "q70_data_profile" -> ((s, dir) => {
+      Qc.columnProfile(tbl(s, dir, "events"),
+          Seq("event_id", "user_id", "event_type", "value"))
+        .orderBy(col("column_name"))
+    }),
+
+    // constraint-suite verification over events (Deequ's check shape):
+    // named row-wise predicates -> (check, n_violations, passed), nulls
+    // count as violations; includes a deliberately failing range check so
+    // the violation path is exercised (graft.ops.Qc.checkConstraints)
+    "q71_constraint_checks" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      Qc.checkConstraints(ev, Seq(
+          "event_id_nonnull" -> col("event_id").isNotNull,
+          "user_id_nonnegative" -> (col("user_id") >= 0L),
+          "event_type_in_domain" ->
+            col("event_type").isin("click", "error", "purchase", "signup", "view"),
+          "value_in_range" -> (col("value") >= 0.0 && col("value") < 1000.0),
+          "value_below_200" -> (col("value") < 200.0)))
+        .orderBy(col("check_name"))
+    }),
+
     // ordered conversion funnel: users completing view -> click ->
     // purchase IN ORDER (first qualifying event per stage at-or-after the
     // previous stage's time, exact ns timestamps)
@@ -1471,6 +1496,41 @@ object SparkEntry {
           |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
           | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
           |FROM t ORDER BY 1""".stripMargin,
+      "q70_data_profile" ->
+        """SELECT * FROM (
+          | SELECT 'event_id' AS column_name, count(*)::BIGINT AS n_rows,
+          |        sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+          |        count(DISTINCT event_id)::BIGINT AS n_distinct,
+          |        min(event_id)::DOUBLE AS min_num, max(event_id)::DOUBLE AS max_num
+          | FROM events
+          | UNION ALL
+          | SELECT 'user_id', count(*), sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+          |        count(DISTINCT user_id), min(user_id)::DOUBLE, max(user_id)::DOUBLE
+          | FROM events
+          | UNION ALL
+          | SELECT 'event_type', count(*), sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+          |        count(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE
+          | FROM events
+          | UNION ALL
+          | SELECT 'value', count(*), sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+          |        count(DISTINCT value), min(value)::DOUBLE, max(value)::DOUBLE
+          | FROM events)
+          |ORDER BY column_name""".stripMargin,
+      "q71_constraint_checks" ->
+        """WITH v AS (SELECT
+          |  sum(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS v0,
+          |  sum(CASE WHEN user_id >= 0 THEN 0 ELSE 1 END) AS v1,
+          |  sum(CASE WHEN event_type IN ('click','error','purchase','signup','view') THEN 0 ELSE 1 END) AS v2,
+          |  sum(CASE WHEN value >= 0.0 AND value < 1000.0 THEN 0 ELSE 1 END) AS v3,
+          |  sum(CASE WHEN value < 200.0 THEN 0 ELSE 1 END) AS v4
+          | FROM events)
+          |SELECT * FROM (
+          | SELECT 'event_id_nonnull' AS check_name, v0::BIGINT AS n_violations, v0 = 0 AS passed FROM v
+          | UNION ALL SELECT 'user_id_nonnegative', v1::BIGINT, v1 = 0 FROM v
+          | UNION ALL SELECT 'event_type_in_domain', v2::BIGINT, v2 = 0 FROM v
+          | UNION ALL SELECT 'value_in_range', v3::BIGINT, v3 = 0 FROM v
+          | UNION ALL SELECT 'value_below_200', v4::BIGINT, v4 = 0 FROM v)
+          |ORDER BY check_name""".stripMargin,
       "q68_conversion_funnel" ->
         """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)::BIGINT AS tn FROM events),
           | s1 AS (SELECT user_id, min(tn) AS t FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -36,4 +36,56 @@ object Qc {
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .where(col("n") > 1)
+
+  /** Deequ-style per-column data profile: row count, null count, exact
+    * distinct count, and numeric min/max (null for non-numeric columns).
+    * The observability snapshot a pipeline publishes per ingest so schema
+    * drift (a column suddenly 40% null, a categorical exploding in
+    * cardinality) is caught before training.
+    *
+    * One aggregation pass PER COLUMN (k small, scans parallelize; the
+    * exact distinct is the only data-sized shuffle and is per-column
+    * equi-keyed). For wide tables prefer profiling the columns that
+    * matter; approximate distinct at 100 TB is [[Sketches.kmvDistinct]]'s
+    * job.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val profiles = cols.map { c =>
+      val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
+      val v = col(c)
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(v).as("n_distinct"),
+        (if (numeric) min(v).cast("double") else lit(null).cast("double")).as("min_num"),
+        (if (numeric) max(v).cast("double") else lit(null).cast("double")).as("max_num"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"))
+    }
+    profiles.reduce(_ unionByName _)
+  }
+
+  /** Constraint-suite check (Deequ's verification shape): each named
+    * predicate is evaluated over the whole table and reported as
+    * (check, n_violations, passed). Constraints are arbitrary boolean
+    * Columns — rows where the constraint is FALSE or NULL count as
+    * violations (null-hostile by design: an unexpected NULL is a data
+    * bug, not a pass).
+    *
+    * One conditional-sum aggregate evaluates every constraint in a single
+    * scan; the report is constraint-count rows.
+    */
+  def checkConstraints(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one constraint")
+    val sums = checks.zipWithIndex.map { case ((_, c), i) =>
+      sum(when(c, 0L).otherwise(1L)).as(s"_v$i")
+    }
+    df.agg(sums.head, sums.tail: _*)
+      .select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check_name"), col(s"_v$i").as("n_violations"),
+          (col(s"_v$i") === 0L).as("passed"))
+      }: _*)).as("r"))
+      .select(col("r.check_name"), col("r.n_violations"), col("r.passed"))
+  }
 }

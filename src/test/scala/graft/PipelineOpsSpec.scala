@@ -191,6 +191,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, "purchase_after_click", 1L)))// user 1 only
   }
 
+  test("columnProfile: nulls, distincts, numeric-only min/max") {
+    val df = Seq(
+      (Some(1L), "a", 2.0), (Some(2L), "b", 4.0), (None, "a", 4.0),
+    ).toDF("id", "cat", "v")
+    val got = graft.ops.Qc.columnProfile(df, Seq("id", "cat", "v"))
+      .orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(got === Seq(
+      ("cat", 3L, 0L, 2L, None, None),
+      ("id", 3L, 1L, 2L, Some(1.0), Some(2.0)),
+      ("v", 3L, 0L, 2L, Some(2.0), Some(4.0))))
+  }
+
+  test("checkConstraints: false AND null rows count as violations") {
+    val df = Seq(Some(5L), Some(-1L), None).toDF("x")
+    val got = graft.ops.Qc.checkConstraints(df, Seq(
+        "x_nonneg" -> (col("x") >= 0L), // -1 fails, NULL is a violation too
+        "x_nonnull" -> col("x").isNotNull))
+      .orderBy("check_name").as[(String, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("x_nonneg", 2L, false), ("x_nonnull", 1L, false)))
+  }
+
   test("retentionCohorts: first-day cohorts x day offsets, distinct users, offset cap") {
     def t(day: Long, sec: Long) = new java.sql.Timestamp((day * 86400L + sec) * 1000L)
     val ev = Seq(
