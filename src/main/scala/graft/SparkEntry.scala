@@ -831,6 +831,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // technical indicators over per-symbol M5 candles: SMA(10), truncated
+    // EMA(10), Bollinger(20, 2sigma), RSI(14), per-day VWAP — the feature
+    // layer every backtesting user computes next; all windows partitioned
+    // by symbol (graft.ops.Indicators)
+    "q72_indicators" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      Indicators.enrich(EventOps.candles(ev, 300L, Seq("symbol")), Seq("symbol"))
+        .select(col("symbol"), secs(col("ts")).as("ts_sec"), col("close"),
+          col("sma"), col("ema"), col("bb_mid"), col("bb_up"), col("bb_lo"),
+          col("rsi"), col("vwap_day"))
+        .orderBy(col("symbol"), col("ts_sec"))
+    }),
+
     // Deequ-style per-column data profile over events: rows, nulls, exact
     // distincts, numeric min/max — the per-ingest drift snapshot
     // (graft.ops.Qc.columnProfile)
@@ -1496,6 +1510,60 @@ object SparkEntry {
           |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
           | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
           |FROM t ORDER BY 1""".stripMargin,
+      "q72_indicators" -> {
+        // EMA weights from the SAME doubles the engine uses (Double.toString
+        // round-trips exactly, so the SQL literal parses to the same bits)
+        val alpha = 2.0 / 11.0
+        val ws = Iterator.iterate(alpha)(_ * (1.0 - alpha)).take(10).toSeq
+        val emaNum = ws.zipWithIndex.map { case (w, k) =>
+          s"CASE WHEN lag(close, $k) OVER ow IS NOT NULL THEN lag(close, $k) OVER ow * $w ELSE 0.0 END"
+        }.mkString(" + ")
+        val emaDen = ws.zipWithIndex.map { case (w, k) =>
+          s"CASE WHEN lag(close, $k) OVER ow IS NOT NULL THEN $w ELSE 0.0 END"
+        }.mkString(" + ")
+        val dec4 = "CAST(round(%s,4) AS DECIMAL(28,4))"
+        s"""WITH c AS (
+           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+           |  (floor(epoch(ts)/300)*300)::BIGINT AS ts_sec,
+           |  arg_max(value, ts) AS close, count(*)::DOUBLE AS volume
+           | FROM events GROUP BY 1,2),
+           | d AS (SELECT symbol, ts_sec, close, volume,
+           |        close - lag(close, 1) OVER (PARTITION BY symbol ORDER BY ts_sec) AS diff,
+           |        ts_sec // 86400 AS day
+           |       FROM c),
+           | f AS (SELECT *, CASE WHEN diff > 0.0 THEN diff ELSE 0.0 END AS gain,
+           |                 CASE WHEN diff < 0.0 THEN -diff ELSE 0.0 END AS loss FROM d),
+           | g AS (SELECT symbol, ts_sec, close, diff,
+           |        sum(${dec4.format("close")}) OVER w10::DOUBLE AS s1_10,
+           |        count(*) OVER w10 AS n10,
+           |        sum(${dec4.format("close")}) OVER w20::DOUBLE AS s1_20,
+           |        sum(${dec4.format("close*close")}) OVER w20::DOUBLE AS s2_20,
+           |        count(*) OVER w20 AS n20,
+           |        $emaNum AS ema_num, $emaDen AS ema_den,
+           |        sum(CASE WHEN diff IS NOT NULL THEN ${dec4.format("gain")} END) OVER w14::DOUBLE AS g14,
+           |        sum(CASE WHEN diff IS NOT NULL THEN ${dec4.format("loss")} END) OVER w14::DOUBLE AS l14,
+           |        sum(${dec4.format("close*volume")}) OVER wd::DOUBLE AS pv,
+           |        sum(${dec4.format("volume")}) OVER wd::DOUBLE AS vv
+           |       FROM f
+           |       WINDOW ow AS (PARTITION BY symbol ORDER BY ts_sec),
+           |        w10 AS (PARTITION BY symbol ORDER BY ts_sec ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+           |        w20 AS (PARTITION BY symbol ORDER BY ts_sec ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+           |        w14 AS (PARTITION BY symbol ORDER BY ts_sec ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+           |        wd AS (PARTITION BY symbol, day))
+           |SELECT symbol, ts_sec, close,
+           | round(s1_10 / n10, 6) AS sma,
+           | round(ema_num / ema_den, 6) AS ema,
+           | round(s1_20 / n20, 6) AS bb_mid,
+           | round(s1_20 / n20 + 2.0 * (CASE WHEN n20 > 1 AND (s2_20 - s1_20*s1_20/n20)/(n20-1) > 0.0
+           |   THEN sqrt((s2_20 - s1_20*s1_20/n20)/(n20-1)) ELSE 0.0 END), 6) AS bb_up,
+           | round(s1_20 / n20 - 2.0 * (CASE WHEN n20 > 1 AND (s2_20 - s1_20*s1_20/n20)/(n20-1) > 0.0
+           |   THEN sqrt((s2_20 - s1_20*s1_20/n20)/(n20-1)) ELSE 0.0 END), 6) AS bb_lo,
+           | CASE WHEN diff IS NULL THEN NULL
+           |      WHEN l14 = 0.0 THEN 100.0
+           |      ELSE round(100.0 - 100.0 / (1.0 + g14 / l14), 4) END AS rsi,
+           | round(pv / vv, 6) AS vwap_day
+           |FROM g ORDER BY symbol, ts_sec""".stripMargin
+      },
       "q70_data_profile" ->
         """SELECT * FROM (
           | SELECT 'event_id' AS column_name, count(*)::BIGINT AS n_rows,

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Technical indicators over candle tables — the feature layer a
+  * backtesting user of the reference lake computes on every series
+  * (reference scope ends at OHLCV + OR levels; indicators are the standard
+  * next step: SMA / truncated EMA / Bollinger bands / RSI / per-day VWAP).
+  *
+  * Scale shape: every indicator is a window function PARTITIONED BY the
+  * series keys (symbol) and ordered by ts with a bounded row frame — the
+  * canonical distributed time-series shape (state per partition is the
+  * frame, shuffle is one exchange on the series key). Nothing here uses an
+  * unpartitioned window or per-group collection.
+  *
+  * Determinism contract (DuckDB-oracle parity, the repo-wide rules):
+  *  - frame sums of doubles go through round-4 DECIMAL terms, so they are
+  *    independent of evaluation order;
+  *  - derived doubles (variance, RS, EMA) are computed by the SAME
+  *    expression tree both engines evaluate left-to-right in IEEE order;
+  *  - EMA weights are driver-computed doubles injected as literals via
+  *    Double.toString (shortest round-trip repr — parses back to the same
+  *    bit pattern in any engine);
+  *  - every exported value is rounded (4-6 dp) at the end.
+  */
+object Indicators {
+
+  private def dec(c: Column): Column =
+    round(c, 4).cast(DecimalType(28, 4))
+
+  /** Decimal frame-sum of a rounded double term. */
+  private def fsum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(dec(c)).over(w).cast("double")
+
+  /** Simple moving average of `c` over the trailing `n` rows (shorter at
+    * the head of the series — standard expanding warmup).
+    */
+  def smaCols(keys: Seq[String], orderCol: String, c: Column, n: Int): Column = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-(n - 1), 0)
+    round(fsum(c, w) / count(lit(1)).over(w), 6)
+  }
+
+  /** Truncated exponential moving average: the N-term EMA expansion
+    * EMA_t = Σ_{k<N} w_k·p_{t-k} / Σ_{k<N, lag k exists} w_k with
+    * w_k = α·(1-α)^k, α = 2/(n+1). Truncation makes the recursion a pure
+    * lag-chain expression — distributable, and exactly reproducible in any
+    * engine (the untruncated recursion would need sequential state).
+    */
+  def emaCols(keys: Seq[String], orderCol: String, c: Column, n: Int): Column = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val alpha = 2.0 / (n + 1)
+    val b = 1.0 - alpha
+    val weights = Iterator.iterate(alpha)(_ * b).take(n).toSeq
+    val lags = (0 until n).map(k => lag(c, k).over(w))
+    val num = weights.zip(lags).map { case (wt, l) =>
+      when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = weights.zip(lags).map { case (wt, l) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    round(num / den, 6)
+  }
+
+  /** Bollinger bands over the trailing `n` rows: (mid, upper, lower) with
+    * `k` standard deviations (sample variance; null until 2 rows exist).
+    */
+  def bollingerCols(keys: Seq[String], orderCol: String, c: Column, n: Int,
+                    k: Double = 2.0): (Column, Column, Column) = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-(n - 1), 0)
+    val cnt = count(lit(1)).over(w)
+    val s1 = fsum(c, w)
+    val s2 = fsum(c * c, w) // square in double, round-4, decimal-sum
+    val mid = s1 / cnt
+    val variance = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    val std = when(cnt > 1 && variance > 0.0, sqrt(variance)).otherwise(lit(0.0))
+    (round(mid, 6), round(mid + lit(k) * std, 6), round(mid - lit(k) * std, 6))
+  }
+
+  /** RSI over the trailing `n` diffs (SMA flavor). 100 when there are no
+    * losses in the frame (both engines take the same CASE branch — no
+    * division-by-zero semantics in play), null on the first row.
+    */
+  def rsiCols(keys: Seq[String], orderCol: String, c: Column, n: Int): Column = {
+    val wl = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val wf = wl.rowsBetween(-(n - 1), 0)
+    val diff = c - lag(c, 1).over(wl)
+    val gain = when(diff > 0.0, diff).otherwise(lit(0.0))
+    val loss = when(diff < 0.0, -diff).otherwise(lit(0.0))
+    // decimal frame-sums of the rounded gains/losses; counts exclude the
+    // null first-diff automatically via the when(isNotNull) guard
+    val g = sum(when(diff.isNotNull, dec(gain))).over(wf).cast("double")
+    val l = sum(when(diff.isNotNull, dec(loss))).over(wf).cast("double")
+    when(diff.isNull, lit(null).cast("double"))
+      .when(l === 0.0, lit(100.0))
+      .otherwise(round(lit(100.0) - lit(100.0) / (lit(1.0) + g / l), 4))
+  }
+
+  /** Per-(keys, UTC day) volume-weighted average price over the candle
+    * close. Window over the day partition — no separate join.
+    */
+  def vwapDayCols(keys: Seq[String], tsCol: String, price: Column,
+                  volume: Column): Column = {
+    val day = expr(s"CAST(`$tsCol` AS LONG) DIV 86400")
+    val w = Window.partitionBy((keys.map(col) :+ day): _*)
+    round(fsum(price * volume, w) / fsum(volume, w), 6)
+  }
+
+  /** Convenience: enrich a candle table (keys + ts/open/high/low/close/
+    * volume) with the standard indicator set.
+    */
+  def enrich(candles: DataFrame, keys: Seq[String], smaN: Int = 10,
+             emaN: Int = 10, bbN: Int = 20, rsiN: Int = 14): DataFrame = {
+    val c = col("close")
+    val (mid, up, lo) = bollingerCols(keys, "ts", c, bbN)
+    candles
+      .withColumn("sma", smaCols(keys, "ts", c, smaN))
+      .withColumn("ema", emaCols(keys, "ts", c, emaN))
+      .withColumn("bb_mid", mid)
+      .withColumn("bb_up", up)
+      .withColumn("bb_lo", lo)
+      .withColumn("rsi", rsiCols(keys, "ts", c, rsiN))
+      .withColumn("vwap_day", vwapDayCols(keys, "ts", c, col("volume")))
+  }
+}

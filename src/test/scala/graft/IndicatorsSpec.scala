@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Indicators
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndicatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def candles(closes: Seq[Double], symbol: String = "A") =
+    closes.zipWithIndex.map { case (c, i) =>
+      (symbol, new java.sql.Timestamp((1700000000L + i * 300L) * 1000L), c, 1.0)
+    }.toDF("symbol", "ts", "close", "volume")
+
+  test("SMA: expanding warmup then trailing mean; constant series is flat") {
+    val df = Indicators.enrich(candles(Seq.fill(15)(5.0)), Seq("symbol"))
+    val sma = df.orderBy("ts").select("sma").as[Double].collect()
+    assert(sma.forall(_ === 5.0))
+    val rising = Indicators.enrich(candles((1 to 12).map(_.toDouble)), Seq("symbol"))
+      .orderBy("ts").select("sma").as[Double].collect()
+    assert(rising(0) === 1.0)           // warmup: mean of first row only
+    assert(rising(2) === 2.0)           // mean(1,2,3)
+    assert(rising(11) === 7.5)          // mean(3..12), full 10-row frame
+  }
+
+  test("Bollinger: constant series has zero-width bands; bands bracket the mid") {
+    val flat = Indicators.enrich(candles(Seq.fill(25)(7.0)), Seq("symbol"))
+      .orderBy("ts").select("bb_mid", "bb_up", "bb_lo")
+      .as[(Double, Double, Double)].collect()
+    flat.foreach { case (m, u, l) => assert(m === 7.0 && u === 7.0 && l === 7.0) }
+    val noisy = Indicators.enrich(candles(Seq(1, 9, 2, 8, 3, 7, 4, 6, 5, 5).map(_.toDouble)),
+        Seq("symbol"))
+      .orderBy("ts").select("bb_mid", "bb_up", "bb_lo")
+      .as[(Double, Double, Double)].collect()
+    noisy.drop(1).foreach { case (m, u, l) => assert(u > m && m > l) }
+  }
+
+  test("RSI: null on first row, 100 on monotonic gains, 0-100 bounded") {
+    val up = Indicators.enrich(candles((1 to 20).map(_.toDouble)), Seq("symbol"))
+      .orderBy("ts").select(col("rsi")).collect()
+    assert(up.head.isNullAt(0))
+    up.drop(1).foreach(r => assert(r.getDouble(0) === 100.0))
+    val mixed = Indicators.enrich(candles(Seq(5, 6, 4, 7, 3, 8, 2).map(_.toDouble)),
+        Seq("symbol")).orderBy("ts").select(col("rsi")).collect().drop(1)
+    mixed.foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 100.0))
+  }
+
+  test("EMA: truncated weights favor recent values; flat series is exact") {
+    val flat = Indicators.enrich(candles(Seq.fill(12)(3.0)), Seq("symbol"))
+      .orderBy("ts").select("ema").as[Double].collect()
+    flat.foreach(v => assert(math.abs(v - 3.0) < 1e-9))
+    val jump = Indicators.enrich(candles(Seq.fill(10)(1.0) ++ Seq(11.0)), Seq("symbol"))
+      .orderBy("ts").select("ema", "sma").as[(Double, Double)].collect().last
+    assert(jump._1 > jump._2, "EMA must react faster than SMA to the jump")
+  }
+
+  test("VWAP: per-day volume weighting; symbols independent") {
+    val df = Seq(
+      ("A", new java.sql.Timestamp(86400L * 1000L), 10.0, 1.0),
+      ("A", new java.sql.Timestamp((86400L + 300) * 1000L), 20.0, 3.0),
+      ("A", new java.sql.Timestamp(2 * 86400L * 1000L), 50.0, 2.0), // next day
+      ("B", new java.sql.Timestamp(86400L * 1000L), 7.0, 1.0),
+    ).toDF("symbol", "ts", "close", "volume")
+    val got = Indicators.enrich(df, Seq("symbol"))
+      .select("symbol", "ts", "vwap_day").orderBy("symbol", "ts")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+    assert(got(0)._3 === 17.5) // (10*1 + 20*3) / 4
+    assert(got(1)._3 === 17.5)
+    assert(got(2)._3 === 50.0) // new day resets
+    assert(got(3)._3 === 7.0)  // symbol B untouched by A
+  }
+}
