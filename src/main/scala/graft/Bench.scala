@@ -77,12 +77,17 @@ object Bench {
     // precision record with raw per-repeat times to BENCH_RAW.json, where a
     // noisy run is still diagnosable without an out-of-band rerun.
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    // 2 decimals in the compact line: at 69 queries the 3-decimal line plus
-    // sbt's [info] prefix and [success] trailer already grazed the driver's
-    // ~2000-char stdout window; BENCH_RAW.json keeps full precision
-    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v.min) }
-      .mkString("{", ",", "}")
+    // Compact line must fit the driver's ~2000-char stdout window WITH
+    // sbt's [info] prefix and [success] trailer; per-query precision
+    // degrades adaptively as the query count grows (BENCH_RAW.json always
+    // keeps full precision + raw repeats)
+    def fp(dec: Int)(d: Double): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = Iterator(2, 1)
+      .map(dec => results.map { case (k, v) => s"\"" + k + "\":" + fp(dec)(v.min) }
+        .mkString("{", ",", "}"))
+      .find(_.length <= 1700)
+      .getOrElse(s"""{"n":${results.size}}""") // >~130 queries: raw file only
     val raw = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
