@@ -83,19 +83,29 @@ object Bench {
     // keeps full precision + raw repeats)
     def fp(dec: Int)(d: Double): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = Iterator(2, 1)
-      .map(dec => results.map { case (k, v) => s"\"" + k + "\":" + fp(dec)(v.min) }
-        .mkString("{", ",", "}"))
-      .find(_.length <= 1700)
-      .getOrElse(s"""{"n":${results.size}}""") // >~130 queries: raw file only
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    def lineWith(qs: String): String =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The whole printed line (not just the query map) must stay under the
+    // window budget: ~2000 chars minus sbt's [success] trailer. Query NAMES
+    // dominate the length, so decimal trimming only buys a little — past
+    // ~85 queries the per-query map drops out of stdout entirely and lives
+    // only in BENCH_RAW.json.
+    val line = Iterator(2, 1)
+      .map(dec => lineWith(results.map { case (k, v) =>
+        s"\"" + k + "\":" + fp(dec)(v.min)
+      }.mkString("{", ",", "}")))
+      .find(_.length <= 1900)
+      .getOrElse(lineWith(s"""{"n":${results.size}}"""))
+    // the raw artifact ALWAYS carries full-precision mins + raw repeats,
+    // independent of whatever compaction stdout needed
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + f(v.min) }
+      .mkString("{", ",", "}")
     val raw = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val rawLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw_repeats":$raw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_repeats":$raw,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RAW_OUT",
         "/root/repo/BENCH_RAW.json"))
