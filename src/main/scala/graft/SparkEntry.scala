@@ -841,7 +841,7 @@ object SparkEntry {
       Indicators.enrich(EventOps.candles(ev, 300L, Seq("symbol")), Seq("symbol"))
         .select(col("symbol"), secs(col("ts")).as("ts_sec"), col("close"),
           col("sma"), col("ema"), col("bb_mid"), col("bb_up"), col("bb_lo"),
-          col("rsi"), col("vwap_day"))
+          col("rsi"), col("atr"), col("stoch_k"), col("vwap_day"))
         .orderBy(col("symbol"), col("ts_sec"))
     }),
 
@@ -1525,14 +1525,19 @@ object SparkEntry {
         s"""WITH c AS (
            | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
            |  (floor(epoch(ts)/300)*300)::BIGINT AS ts_sec,
-           |  arg_max(value, ts) AS close, count(*)::DOUBLE AS volume
+           |  arg_max(value, ts) AS close, max(value) AS high, min(value) AS low,
+           |  count(*)::DOUBLE AS volume
            | FROM events GROUP BY 1,2),
-           | d AS (SELECT symbol, ts_sec, close, volume,
+           | d AS (SELECT symbol, ts_sec, close, high, low, volume,
            |        close - lag(close, 1) OVER (PARTITION BY symbol ORDER BY ts_sec) AS diff,
+           |        lag(close, 1) OVER (PARTITION BY symbol ORDER BY ts_sec) AS pc,
            |        ts_sec // 86400 AS day
            |       FROM c),
            | f AS (SELECT *, CASE WHEN diff > 0.0 THEN diff ELSE 0.0 END AS gain,
-           |                 CASE WHEN diff < 0.0 THEN -diff ELSE 0.0 END AS loss FROM d),
+           |                 CASE WHEN diff < 0.0 THEN -diff ELSE 0.0 END AS loss,
+           |                 CASE WHEN pc IS NULL THEN high - low
+           |                      ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+           |                 END AS tr FROM d),
            | g AS (SELECT symbol, ts_sec, close, diff,
            |        sum(${dec4.format("close")}) OVER w10::DOUBLE AS s1_10,
            |        count(*) OVER w10 AS n10,
@@ -1542,6 +1547,9 @@ object SparkEntry {
            |        $emaNum AS ema_num, $emaDen AS ema_den,
            |        sum(CASE WHEN diff IS NOT NULL THEN ${dec4.format("gain")} END) OVER w14::DOUBLE AS g14,
            |        sum(CASE WHEN diff IS NOT NULL THEN ${dec4.format("loss")} END) OVER w14::DOUBLE AS l14,
+           |        sum(${dec4.format("tr")}) OVER w14::DOUBLE AS trs,
+           |        count(*) OVER w14 AS n14,
+           |        max(high) OVER w14 AS hh, min(low) OVER w14 AS ll,
            |        sum(${dec4.format("close*volume")}) OVER wd::DOUBLE AS pv,
            |        sum(${dec4.format("volume")}) OVER wd::DOUBLE AS vv
            |       FROM f
@@ -1561,6 +1569,9 @@ object SparkEntry {
            | CASE WHEN diff IS NULL THEN NULL
            |      WHEN l14 = 0.0 THEN 100.0
            |      ELSE round(100.0 - 100.0 / (1.0 + g14 / l14), 4) END AS rsi,
+           | round(trs / n14, 6) AS atr,
+           | CASE WHEN hh = ll THEN 50.0
+           |      ELSE round((close - ll) / (hh - ll) * 100.0, 4) END AS stoch_k,
            | round(pv / vv, 6) AS vwap_day
            |FROM g ORDER BY symbol, ts_sec""".stripMargin
       },

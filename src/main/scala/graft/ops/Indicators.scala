@@ -110,11 +110,41 @@ object Indicators {
     round(fsum(price * volume, w) / fsum(volume, w), 6)
   }
 
+  /** Average True Range (SMA flavor) over the trailing `n` bars:
+    * TR = max(high-low, |high-prevClose|, |low-prevClose|); first bar's TR
+    * is its own range (no previous close).
+    */
+  def atrCols(keys: Seq[String], orderCol: String, high: Column, low: Column,
+              close: Column, n: Int): Column = {
+    val wl = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val wf = wl.rowsBetween(-(n - 1), 0)
+    val pc = lag(close, 1).over(wl)
+    val tr = when(pc.isNull, high - low)
+      .otherwise(greatest(high - low, abs(high - pc), abs(low - pc)))
+    round(sum(dec(tr)).over(wf).cast("double") / count(lit(1)).over(wf), 6)
+  }
+
+  /** Stochastic %K over the trailing `n` bars:
+    * 100·(close − lowestLow)/(highestHigh − lowestLow); 50 on a flat
+    * window (both engines take the same CASE branch). min/max need no
+    * decimal round-trip — they are order-independent already.
+    */
+  def stochKCols(keys: Seq[String], orderCol: String, high: Column,
+                 low: Column, close: Column, n: Int): Column = {
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-(n - 1), 0)
+    val hh = max(high).over(wf)
+    val ll = min(low).over(wf)
+    when(hh === ll, lit(50.0))
+      .otherwise(round((close - ll) / (hh - ll) * 100.0, 4))
+  }
+
   /** Convenience: enrich a candle table (keys + ts/open/high/low/close/
     * volume) with the standard indicator set.
     */
   def enrich(candles: DataFrame, keys: Seq[String], smaN: Int = 10,
-             emaN: Int = 10, bbN: Int = 20, rsiN: Int = 14): DataFrame = {
+             emaN: Int = 10, bbN: Int = 20, rsiN: Int = 14,
+             atrN: Int = 14, stochN: Int = 14): DataFrame = {
     val c = col("close")
     val (mid, up, lo) = bollingerCols(keys, "ts", c, bbN)
     candles
@@ -124,6 +154,8 @@ object Indicators {
       .withColumn("bb_up", up)
       .withColumn("bb_lo", lo)
       .withColumn("rsi", rsiCols(keys, "ts", c, rsiN))
+      .withColumn("atr", atrCols(keys, "ts", col("high"), col("low"), c, atrN))
+      .withColumn("stoch_k", stochKCols(keys, "ts", col("high"), col("low"), c, stochN))
       .withColumn("vwap_day", vwapDayCols(keys, "ts", c, col("volume")))
   }
 }

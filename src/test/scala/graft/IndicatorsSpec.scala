@@ -10,8 +10,9 @@ class IndicatorsSpec extends AnyFunSuite {
 
   private def candles(closes: Seq[Double], symbol: String = "A") =
     closes.zipWithIndex.map { case (c, i) =>
-      (symbol, new java.sql.Timestamp((1700000000L + i * 300L) * 1000L), c, 1.0)
-    }.toDF("symbol", "ts", "close", "volume")
+      (symbol, new java.sql.Timestamp((1700000000L + i * 300L) * 1000L),
+        c + 1.0, c - 1.0, c, 1.0) // high/low bracket close by 1
+    }.toDF("symbol", "ts", "high", "low", "close", "volume")
 
   test("SMA: expanding warmup then trailing mean; constant series is flat") {
     val df = Indicators.enrich(candles(Seq.fill(15)(5.0)), Seq("symbol"))
@@ -55,13 +56,33 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(jump._1 > jump._2, "EMA must react faster than SMA to the jump")
   }
 
+  test("ATR: flat series ATR equals the bar range; jumps widen it") {
+    val flat = Indicators.enrich(candles(Seq.fill(20)(10.0)), Seq("symbol"))
+      .orderBy("ts").select("atr").as[Double].collect()
+    flat.foreach(v => assert(v === 2.0)) // high-low = 2, no close jumps
+    val jumpy = Indicators.enrich(candles(Seq(10.0, 20.0, 10.0, 20.0)), Seq("symbol"))
+      .orderBy("ts").select("atr").as[Double].collect()
+    assert(jumpy.last > 2.0) // |high - prevClose| = 11 dominates
+  }
+
+  test("stochastic %K: 50 on a flat window, 0-100 at the extremes") {
+    val flat = Indicators.enrich(candles(Seq.fill(16)(4.0)), Seq("symbol"))
+      .orderBy("ts").select("stoch_k").as[Double].collect()
+    flat.foreach(v => assert(v === 50.0))
+    val rising = Indicators.enrich(candles((1 to 16).map(_.toDouble)), Seq("symbol"))
+      .orderBy("ts").select("stoch_k").as[Double].collect()
+    rising.foreach(v => assert(v >= 0.0 && v <= 100.0))
+    // close sits 1 below the window high and 1 above its low: never at the poles
+    assert(rising.last > 50.0 && rising.last < 100.0)
+  }
+
   test("VWAP: per-day volume weighting; symbols independent") {
     val df = Seq(
-      ("A", new java.sql.Timestamp(86400L * 1000L), 10.0, 1.0),
-      ("A", new java.sql.Timestamp((86400L + 300) * 1000L), 20.0, 3.0),
-      ("A", new java.sql.Timestamp(2 * 86400L * 1000L), 50.0, 2.0), // next day
-      ("B", new java.sql.Timestamp(86400L * 1000L), 7.0, 1.0),
-    ).toDF("symbol", "ts", "close", "volume")
+      ("A", new java.sql.Timestamp(86400L * 1000L), 11.0, 9.0, 10.0, 1.0),
+      ("A", new java.sql.Timestamp((86400L + 300) * 1000L), 21.0, 19.0, 20.0, 3.0),
+      ("A", new java.sql.Timestamp(2 * 86400L * 1000L), 51.0, 49.0, 50.0, 2.0), // next day
+      ("B", new java.sql.Timestamp(86400L * 1000L), 8.0, 6.0, 7.0, 1.0),
+    ).toDF("symbol", "ts", "high", "low", "close", "volume")
     val got = Indicators.enrich(df, Seq("symbol"))
       .select("symbol", "ts", "vwap_day").orderBy("symbol", "ts")
       .as[(String, java.sql.Timestamp, Double)].collect()
