@@ -845,6 +845,19 @@ object SparkEntry {
         .orderBy(col("symbol"), col("ts_sec"))
     }),
 
+    // MACD(12,26,9) over per-symbol M5 candles: the two-layer window
+    // composition (signal = EMA over the macd column, itself a window
+    // product) — truncated EMAs keep both layers engine-reproducible
+    // (graft.ops.Indicators.withMacd)
+    "q73_macd" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      Indicators.withMacd(EventOps.candles(ev, 300L, Seq("symbol")), Seq("symbol"))
+        .select(col("symbol"), secs(col("ts")).as("ts_sec"), col("close"),
+          col("macd"), col("macd_signal"), col("macd_hist"))
+        .orderBy(col("symbol"), col("ts_sec"))
+    }),
+
     // Deequ-style per-column data profile over events: rows, nulls, exact
     // distincts, numeric min/max — the per-ingest drift snapshot
     // (graft.ops.Qc.columnProfile)
@@ -975,6 +988,20 @@ object SparkEntry {
       graft.ops.Sketches.mixConsts(4).zipWithIndex.map { case ((a, b), i) =>
         s"SELECT user_id, $i AS rw, ((user_id % 1000000007) * $a + $b) % 1000000007 % 1024 AS cell FROM $src"
       }.mkString(" UNION ALL ")
+    // truncated-EMA lag-chain SQL, generated from the SAME weights
+    // graft.ops.Indicators.emaCols computes (Double.toString round-trips
+    // exactly, so the literals parse to identical bits in DuckDB)
+    def emaChainSql(c: String, n: Int, over: String): (String, String) = {
+      val alpha = 2.0 / (n + 1)
+      val ws = Iterator.iterate(alpha)(_ * (1.0 - alpha)).take(n).toSeq
+      val num = ws.zipWithIndex.map { case (w, k) =>
+        s"CASE WHEN lag($c, $k) OVER $over IS NOT NULL THEN lag($c, $k) OVER $over * $w ELSE 0.0 END"
+      }.mkString(" + ")
+      val den = ws.zipWithIndex.map { case (w, k) =>
+        s"CASE WHEN lag($c, $k) OVER $over IS NOT NULL THEN $w ELSE 0.0 END"
+      }.mkString(" + ")
+      (num, den)
+    }
     val meanWlSql = "CASE WHEN len(l)>0 THEN list_sum(list_transform(l, w->length(w)))::DOUBLE/len(l) ELSE 0 END"
     val punctSql = "CASE WHEN length(text)>0 THEN length(regexp_replace(text,'[^.!?,;:]','','g'))::DOUBLE/length(text) ELSE 0 END"
     val cosSql = "round(list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),6)"
@@ -1510,17 +1537,27 @@ object SparkEntry {
           |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
           | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
           |FROM t ORDER BY 1""".stripMargin,
+      "q73_macd" -> {
+        val (f12n, f12d) = emaChainSql("close", 12, "ow")
+        val (s26n, s26d) = emaChainSql("close", 26, "ow")
+        val (sg9n, sg9d) = emaChainSql("macd", 9, "ow2")
+        s"""WITH c AS (
+           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+           |  (floor(epoch(ts)/300)*300)::BIGINT AS ts_sec,
+           |  arg_max(value, ts) AS close
+           | FROM events GROUP BY 1,2),
+           | m AS (SELECT symbol, ts_sec, close,
+           |        round(round(($f12n) / ($f12d), 6) - round(($s26n) / ($s26d), 6), 6) AS macd
+           |       FROM c WINDOW ow AS (PARTITION BY symbol ORDER BY ts_sec)),
+           | sg AS (SELECT symbol, ts_sec, close, macd,
+           |         round(($sg9n) / ($sg9d), 6) AS macd_signal
+           |        FROM m WINDOW ow2 AS (PARTITION BY symbol ORDER BY ts_sec))
+           |SELECT symbol, ts_sec, close, macd, macd_signal,
+           | round(macd - macd_signal, 6) AS macd_hist
+           |FROM sg ORDER BY symbol, ts_sec""".stripMargin
+      },
       "q72_indicators" -> {
-        // EMA weights from the SAME doubles the engine uses (Double.toString
-        // round-trips exactly, so the SQL literal parses to the same bits)
-        val alpha = 2.0 / 11.0
-        val ws = Iterator.iterate(alpha)(_ * (1.0 - alpha)).take(10).toSeq
-        val emaNum = ws.zipWithIndex.map { case (w, k) =>
-          s"CASE WHEN lag(close, $k) OVER ow IS NOT NULL THEN lag(close, $k) OVER ow * $w ELSE 0.0 END"
-        }.mkString(" + ")
-        val emaDen = ws.zipWithIndex.map { case (w, k) =>
-          s"CASE WHEN lag(close, $k) OVER ow IS NOT NULL THEN $w ELSE 0.0 END"
-        }.mkString(" + ")
+        val (emaNum, emaDen) = emaChainSql("close", 10, "ow")
         val dec4 = "CAST(round(%s,4) AS DECIMAL(28,4))"
         s"""WITH c AS (
            | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,

@@ -139,6 +139,25 @@ object Indicators {
       .otherwise(round((close - ll) / (hh - ll) * 100.0, 4))
   }
 
+  /** MACD with signal line — the canonical TWO-LAYER window composition:
+    * macd = EMA(fast) − EMA(slow) of close (layer 1), signal = EMA of the
+    * macd COLUMN (layer 2 — a window over a window-derived column),
+    * histogram = macd − signal. Truncated EMAs throughout, so both layers
+    * stay pure lag-chain expressions and the whole thing remains exactly
+    * reproducible in any engine.
+    */
+  def withMacd(candles: DataFrame, keys: Seq[String], fast: Int = 12,
+               slow: Int = 26, signal: Int = 9): DataFrame = {
+    require(fast < slow, "need fast < slow")
+    val c = col("close")
+    val macd = round(
+      emaCols(keys, "ts", c, fast) - emaCols(keys, "ts", c, slow), 6)
+    candles
+      .withColumn("macd", macd)
+      .withColumn("macd_signal", emaCols(keys, "ts", col("macd"), signal))
+      .withColumn("macd_hist", round(col("macd") - col("macd_signal"), 6))
+  }
+
   /** Convenience: enrich a candle table (keys + ts/open/high/low/close/
     * volume) with the standard indicator set.
     */

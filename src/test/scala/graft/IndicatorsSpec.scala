@@ -76,6 +76,19 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(rising.last > 50.0 && rising.last < 100.0)
   }
 
+  test("MACD: zero on a flat series; positive in an uptrend; hist = macd - signal") {
+    val flat = Indicators.withMacd(candles(Seq.fill(40)(5.0)), Seq("symbol"))
+      .orderBy("ts").select("macd", "macd_signal", "macd_hist")
+      .as[(Double, Double, Double)].collect()
+    flat.foreach { case (m, s, h) => assert(m === 0.0 && s === 0.0 && h === 0.0) }
+    val up = Indicators.withMacd(candles((1 to 40).map(_.toDouble)), Seq("symbol"))
+      .orderBy("ts").select("macd", "macd_signal", "macd_hist")
+      .as[(Double, Double, Double)].collect()
+    assert(up.last._1 > 0.0, "fast EMA must lead slow EMA in an uptrend")
+    up.foreach { case (m, s, h) => assert(math.abs(h - BigDecimal(m - s).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9) }
+  }
+
   test("VWAP: per-day volume weighting; symbols independent") {
     val df = Seq(
       ("A", new java.sql.Timestamp(86400L * 1000L), 11.0, 9.0, 10.0, 1.0),
