@@ -845,6 +845,16 @@ object SparkEntry {
         .orderBy(col("symbol"), col("ts_sec"))
     }),
 
+    // rolling 20-bar Pearson correlation of every symbol pair's aligned
+    // M5 closes — pairs-trading / diversification analytics; windows
+    // partition by pair (graft.ops.Indicators.rollingPairCorr)
+    "q74_rolling_corr" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      Indicators.rollingPairCorr(EventOps.candles(ev, 300L, Seq("symbol")), "symbol", n = 20)
+        .orderBy(col("pair"), col("ts_sec"))
+    }),
+
     // MACD(12,26,9) over per-symbol M5 candles: the two-layer window
     // composition (signal = EMA over the macd column, itself a window
     // product) — truncated EMAs keep both layers engine-reproducible
@@ -1537,6 +1547,29 @@ object SparkEntry {
           |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
           | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
           |FROM t ORDER BY 1""".stripMargin,
+      "q74_rolling_corr" ->
+        """WITH c AS (
+          | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+          |  (floor(epoch(ts)/300)*300)::BIGINT AS ts_sec,
+          |  arg_max(value, ts) AS close
+          | FROM events GROUP BY 1,2),
+          | j AS (SELECT a.symbol || '-' || b.symbol AS pair, a.ts_sec,
+          |        a.close AS x, b.close AS y
+          |       FROM c a JOIN c b ON a.ts_sec = b.ts_sec AND a.symbol < b.symbol),
+          | g AS (SELECT pair, ts_sec,
+          |        count(*) OVER w AS n,
+          |        sum(CAST(round(x,4) AS DECIMAL(28,4))) OVER w::DOUBLE AS sx,
+          |        sum(CAST(round(y,4) AS DECIMAL(28,4))) OVER w::DOUBLE AS sy,
+          |        sum(CAST(round(x*y,4) AS DECIMAL(28,4))) OVER w::DOUBLE AS sxy,
+          |        sum(CAST(round(x*x,4) AS DECIMAL(28,4))) OVER w::DOUBLE AS sx2,
+          |        sum(CAST(round(y*y,4) AS DECIMAL(28,4))) OVER w::DOUBLE AS sy2
+          |       FROM j
+          |       WINDOW w AS (PARTITION BY pair ORDER BY ts_sec ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          |SELECT pair, ts_sec,
+          | CASE WHEN n > 1 AND n*sx2 - sx*sx > 0.0 AND n*sy2 - sy*sy > 0.0
+          |      THEN round((n*sxy - sx*sy) / (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 4)
+          |      ELSE NULL END AS corr
+          |FROM g ORDER BY pair, ts_sec""".stripMargin,
       "q73_macd" -> {
         val (f12n, f12d) = emaChainSql("close", 12, "ow")
         val (s26n, s26d) = emaChainSql("close", 26, "ow")

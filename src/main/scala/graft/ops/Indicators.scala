@@ -158,6 +158,42 @@ object Indicators {
       .withColumn("macd_hist", round(col("macd") - col("macd_signal"), 6))
   }
 
+  /** Rolling Pearson correlation of every symbol PAIR's aligned closes
+    * over the trailing `n` bars — the cross-asset signal behind pairs
+    * trading and portfolio-diversification checks.
+    *
+    * Alignment is an equi-join on the bar timestamp (only bars BOTH
+    * symbols printed); the correlation windows partition by the pair key,
+    * so thousands of pairs parallelize — never a global window. All five
+    * frame sums go through the decimal round-trip; the Pearson formula is
+    * one shared expression tree, null where the frame has < 2 bars or
+    * either side is degenerate (zero variance).
+    *
+    * Output: (pair, ts_sec BIGINT, corr). The pair join is all-pairs in
+    * the number of SYMBOLS (not rows) — s² pairs of aligned series; cap
+    * the symbol universe upstream, as any pairs-trading screen does.
+    */
+  def rollingPairCorr(candles: DataFrame, symbolCol: String, n: Int): DataFrame = {
+    val a = candles.select(col(symbolCol).as("sym_a"),
+      col("ts").cast("long").as("ts_sec"), col("close").as("x"))
+    val b = candles.select(col(symbolCol).as("sym_b"),
+      col("ts").cast("long").as("ts_sec"), col("close").as("y"))
+    val joined = a.join(b, "ts_sec").where(col("sym_a") < col("sym_b"))
+      .withColumn("pair", concat(col("sym_a"), lit("-"), col("sym_b")))
+    val w = Window.partitionBy(col("pair")).orderBy(col("ts_sec"))
+      .rowsBetween(-(n - 1), 0)
+    def s(c: Column): Column = sum(dec(c)).over(w).cast("double")
+    val (x, y) = (col("x"), col("y"))
+    val cnt = count(lit(1)).over(w)
+    val (sx, sy, sxy, sx2, sy2) = (s(x), s(y), s(x * y), s(x * x), s(y * y))
+    val d1 = cnt * sx2 - sx * sx
+    val d2 = cnt * sy2 - sy * sy
+    val corr = when(cnt > 1 && d1 > 0.0 && d2 > 0.0,
+      round((cnt * sxy - sx * sy) / (sqrt(d1) * sqrt(d2)), 4))
+      .otherwise(lit(null).cast("double"))
+    joined.select(col("pair"), col("ts_sec"), corr.as("corr"))
+  }
+
   /** Convenience: enrich a candle table (keys + ts/open/high/low/close/
     * volume) with the standard indicator set.
     */

@@ -89,6 +89,24 @@ class IndicatorsSpec extends AnyFunSuite {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9) }
   }
 
+  test("rollingPairCorr: +1 for linearly rising pairs, -1 for opposed, null when flat") {
+    def series(sym: String, f: Int => Double) = (0 until 25).map { i =>
+      (sym, new java.sql.Timestamp((1700000000L + i * 300L) * 1000L), f(i))
+    }
+    val df = (series("A", i => 1.0 + i) ++ series("B", i => 5.0 + 2 * i) ++
+      series("C", i => 100.0 - 3 * i) ++ series("D", _ => 7.0))
+      .toDF("symbol", "ts", "close")
+    val got = Indicators.rollingPairCorr(df, "symbol", n = 20)
+      .orderBy("pair", "ts_sec").collect()
+      .groupBy(_.getString(0)).map { case (p, rows) =>
+        p -> rows.last.getAs[Any]("corr")
+      }
+    assert(got("A-B") === 1.0)   // both linear up
+    assert(got("A-C") === -1.0)  // opposed
+    assert(got("A-D") === null)  // D has zero variance
+    assert(got.keySet === Set("A-B", "A-C", "A-D", "B-C", "B-D", "C-D"))
+  }
+
   test("VWAP: per-day volume weighting; symbols independent") {
     val df = Seq(
       ("A", new java.sql.Timestamp(86400L * 1000L), 11.0, 9.0, 10.0, 1.0),
