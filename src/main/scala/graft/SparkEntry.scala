@@ -845,6 +845,18 @@ object SparkEntry {
         .orderBy(col("symbol"), col("ts_sec"))
     }),
 
+    // equity-curve metrics per symbol: on-balance volume, running close
+    // high, drawdown from the high — unbounded frames partitioned by
+    // symbol (graft.ops.Indicators.cumulative)
+    "q75_drawdown_obv" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      Indicators.cumulative(EventOps.candles(ev, 300L, Seq("symbol")), Seq("symbol"))
+        .select(col("symbol"), secs(col("ts")).as("ts_sec"), col("close"),
+          col("obv"), col("run_max"), col("drawdown"))
+        .orderBy(col("symbol"), col("ts_sec"))
+    }),
+
     // rolling 20-bar Pearson correlation of every symbol pair's aligned
     // M5 closes — pairs-trading / diversification analytics; windows
     // partition by pair (graft.ops.Indicators.rollingPairCorr)
@@ -1547,6 +1559,27 @@ object SparkEntry {
           |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
           | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
           |FROM t ORDER BY 1""".stripMargin,
+      "q75_drawdown_obv" ->
+        """WITH c AS (
+          | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+          |  (floor(epoch(ts)/300)*300)::BIGINT AS ts_sec,
+          |  arg_max(value, ts) AS close, count(*)::DOUBLE AS volume
+          | FROM events GROUP BY 1,2),
+          | d AS (SELECT symbol, ts_sec, close, volume,
+          |        close - lag(close, 1) OVER ow AS diff
+          |       FROM c WINDOW ow AS (PARTITION BY symbol ORDER BY ts_sec)),
+          | f AS (SELECT symbol, ts_sec, close,
+          |        CASE WHEN diff IS NULL THEN 0.0
+          |             WHEN diff > 0.0 THEN volume
+          |             WHEN diff < 0.0 THEN -volume ELSE 0.0 END AS sv
+          |       FROM d)
+          |SELECT symbol, ts_sec, close,
+          | round(sum(CAST(round(sv,4) AS DECIMAL(28,4))) OVER wu::DOUBLE, 4) AS obv,
+          | max(close) OVER wu AS run_max,
+          | round(close / max(close) OVER wu - 1.0, 6) AS drawdown
+          |FROM f
+          |WINDOW wu AS (PARTITION BY symbol ORDER BY ts_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY symbol, ts_sec""".stripMargin,
       "q74_rolling_corr" ->
         """WITH c AS (
           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,

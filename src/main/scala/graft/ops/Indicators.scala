@@ -139,6 +139,27 @@ object Indicators {
       .otherwise(round((close - ll) / (hh - ll) * 100.0, 4))
   }
 
+  /** Cumulative series metrics: on-balance volume (running signed-volume
+    * sum), running close high, and drawdown from that high — the equity-
+    * curve risk metrics every backtest report carries. Unbounded-preceding
+    * frames PARTITIONED BY the series keys (running state per symbol, no
+    * global window); OBV terms ride the decimal round-trip, the running
+    * max is order-independent as-is.
+    */
+  def cumulative(candles: DataFrame, keys: Seq[String]): DataFrame = {
+    val (c, v) = (col("close"), col("volume"))
+    val wl = Window.partitionBy(keys.map(col): _*).orderBy(col("ts"))
+    val wu = wl.rowsBetween(Window.unboundedPreceding, 0)
+    val diff = c - lag(c, 1).over(wl)
+    val signedVol = when(diff.isNull, lit(0.0))
+      .when(diff > 0.0, v).when(diff < 0.0, -v).otherwise(lit(0.0))
+    val runMax = max(c).over(wu)
+    candles
+      .withColumn("obv", round(sum(dec(signedVol)).over(wu).cast("double"), 4))
+      .withColumn("run_max", runMax)
+      .withColumn("drawdown", round(c / runMax - 1.0, 6))
+  }
+
   /** MACD with signal line — the canonical TWO-LAYER window composition:
     * macd = EMA(fast) − EMA(slow) of close (layer 1), signal = EMA of the
     * macd COLUMN (layer 2 — a window over a window-derived column),

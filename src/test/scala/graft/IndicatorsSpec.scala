@@ -107,6 +107,18 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(got.keySet === Set("A-B", "A-C", "A-D", "B-C", "B-D", "C-D"))
   }
 
+  test("cumulative: OBV signs volume by close direction; drawdown tracks the running high") {
+    val got = Indicators.cumulative(candles(Seq(10.0, 12.0, 8.0, 8.0, 16.0, 4.0)), Seq("symbol"))
+      .orderBy("ts").select("obv", "run_max", "drawdown")
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(0.0, 1.0, 0.0, 0.0, 1.0, 0.0)) // +v, -v, flat, +v, -v
+    assert(got.map(_._2) === Seq(10.0, 12.0, 12.0, 12.0, 16.0, 16.0))
+    assert(got(2)._3 === BigDecimal(8.0 / 12.0 - 1.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(4)._3 === 0.0) // at a new high, drawdown is zero
+    assert(got(5)._3 === -0.75)
+  }
+
   test("VWAP: per-day volume weighting; symbols independent") {
     val df = Seq(
       ("A", new java.sql.Timestamp(86400L * 1000L), 11.0, 9.0, 10.0, 1.0),
