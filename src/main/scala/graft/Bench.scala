@@ -1,7 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark runner. Prints ONE compact JSON line on stdout (the driver
+  * keeps only the last ~2000 chars) and writes a full-precision record with
+  * raw per-repeat samples to BENCH_RAW.json.
+  *
+  * Wall-clock budget (round-8): three consecutive driver benches produced no
+  * numbers (r05 load-inflated, r06 stdout overflow, r07 rc=124 timeout). The
+  * suite's steady-state cost is ~58 s, but under concurrent box load queries
+  * inflate 5-30x, so an un-bounded warmup + min-of-2 pass can outlive any
+  * plausible driver timeout. SPARK_GRAFT_BUDGET_S (default 240 s) bounds the
+  * run: as the budget is consumed the runner degrades gracefully -
+  *   1. skip the remaining sf0.01 warmup pass          (>30% consumed)
+  *   2. drop to repeat=1 for the remaining queries     (>70% consumed)
+  *   3. stop timing entirely, count the rest skipped   (>100% consumed)
+  * - and ALWAYS emits the compact line, flagging "degraded":true and
+  * "skipped":N when it had to shed work. A JVM shutdown hook additionally
+  * emits the partial line on SIGTERM — best-effort only: under `sbt run`
+  * (forked) the child's stdout pipe dies with sbt, so the budget finishing
+  * BEFORE any external timeout is the primary defense; the hook still
+  * persists the partial BENCH_RAW.json either way, and delivers stdout when
+  * the JVM is signalled directly (java -cp invocation).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val budget = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).getOrElse(240.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -12,6 +37,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec logs "No Partition Defined" at WARN for the bounded carry
+    // tables in Fill/Packing/Quantiles (groups x chunks rows, never
+    // data-sized - machine-checked by PlanAuditSpec's no-unpartitioned-
+    // data-window audit). Benign but it spams the bench tail the driver
+    // grades, so silence that one logger here (bench runner only).
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     // warm the session (codegen, file listing) so the first timed query
     // doesn't absorb fixed startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -36,6 +70,78 @@ object Bench {
       // toRdd executes the final plan exactly as written.
       try { fn(spark, dir).queryExecution.toRdd.count(); () } catch { case _: Throwable => () }
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // ---- incremental state, visible to the shutdown hook ----------------
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[Double])]()
+    @volatile var degraded = false
+    @volatile var skipped = 0
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def fp(dec: Int)(d: Double): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
+    // Compact line must fit the driver's ~2000-char stdout window WITH
+    // sbt's [info] prefix and [success] trailer; per-query precision
+    // degrades adaptively as the query count grows (BENCH_RAW.json always
+    // keeps full precision + raw repeats). Query NAMES dominate the length,
+    // so past ~85 queries the map drops out of stdout entirely and lives
+    // only in BENCH_RAW.json.
+    def buildLine(): String = {
+      import scala.jdk.CollectionConverters._
+      val results = done.asScala.toVector
+      val total = results.map(_._2.min).sum
+      val flags = (if (degraded) List("\"degraded\":true") else Nil) ++
+        (if (skipped > 0) List(s"\"skipped\":$skipped") else Nil)
+      val flagStr = if (flags.isEmpty) "" else flags.mkString(",", ",", "")
+      def lineWith(qs: String): String =
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$flagStr,"sf":"$sfDir"}"""
+      Iterator(2, 1)
+        .map(dec => lineWith(results.map { case (k, v) =>
+          s"\"" + k + "\":" + fp(dec)(v.min)
+        }.mkString("{", ",", "}")))
+        .find(_.length <= 1900)
+        .getOrElse(lineWith(s"""{"n":${results.size}}"""))
+    }
+    def writeRaw(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val results = done.asScala.toVector
+      val total = results.map(_._2.min).sum
+      val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + f(v.min) }
+        .mkString("{", ",", "}")
+      val raw = results.map { case (k, v) =>
+        s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val rawLine =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"sf":"$sfDir"}"""
+      try {
+        val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RAW_OUT",
+          "/root/repo/BENCH_RAW.json"))
+        java.nio.file.Files.write(p, (rawLine + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
+    def emit(viaFd: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
+      writeRaw()
+      if (viaFd) {
+        // shutdown-hook path: sbt's logger redirects System.out and may be
+        // mid-teardown when the hook fires, silently dropping a println —
+        // write the line straight to the process's fd 1 (the stdout the
+        // driver captures), bypassing every wrapper.
+        try {
+          val out = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+          out.write((buildLine() + "\n").getBytes("UTF-8"))
+          out.flush()
+        } catch { case _: Throwable => () }
+      } else {
+        println(buildLine())
+        System.out.flush()
+      }
+    }
+    // Backstop: if an external `timeout` SIGTERMs this JVM mid-suite, still
+    // print whatever was measured so far — a partial artifact with
+    // "degraded":true beats rc=124 with no numbers at all (round-7's fate).
+    val hook = new Thread(() => { degraded = true; emit(viaFd = true) })
+    Runtime.getRuntime.addShutdownHook(hook)
+
     // Steady-state measurement (JMH-style): run every query once at a SMALL
     // scale factor before timing, so the timed numbers measure the engine's
     // execution cost at sfDir — not Janino codegen compilation and JVM JIT
@@ -47,71 +153,43 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
     if (warmDir.nonEmpty && warmDir != sfDir &&
         new java.io.File(warmDir).isDirectory) {
-      queries.foreach { case (_, fn) => runOnce(fn, warmDir) }
+      val it = queries.iterator
+      var warmCut = false
+      while (it.hasNext && !warmCut) {
+        val (_, fn) = it.next()
+        runOnce(fn, warmDir)
+        if (elapsed > budget * 0.3) { warmCut = true; degraded = true }
+      }
     }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+      val s = System.nanoTime()
       runOnce(fn, sfDir)
-      (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - s) / 1e9
     }
-    val results = queries.map { case (name, fn) =>
-      // Drop every cached lineage the previous query (or warmup) pinned:
-      // 54 queries x repeats otherwise accumulate all .cache() calls ever
-      // taken, so late queries run under storage-memory pressure no real
-      // single-query deployment would see.
-      spark.catalog.clearCache()
-      val base = (1 to repeat).map(_ => timeOnce(fn))
-      // If the samples disagree by >2x the box was busy during one of them;
-      // take a tie-breaking third sample so min-of-N reflects steady state.
-      val times =
-        if (base.size >= 2 && base.max > 2 * base.min) base :+ timeOnce(fn)
-        else base
-      name -> times
+    for ((name, fn) <- queries) {
+      if (elapsed > budget) { skipped += 1; degraded = true }
+      else {
+        // Drop every cached lineage the previous query (or warmup) pinned:
+        // 75 queries x repeats otherwise accumulate all .cache() calls ever
+        // taken, so late queries run under storage-memory pressure no real
+        // single-query deployment would see.
+        spark.catalog.clearCache()
+        val first = timeOnce(fn)
+        val base =
+          if (repeat >= 2 && elapsed <= budget * 0.7) Seq(first, timeOnce(fn))
+          else { if (repeat >= 2) degraded = true; Seq(first) }
+        // If the samples disagree by >2x the box was busy during one of
+        // them; take a tie-breaking third sample (budget permitting) so
+        // min-of-N reflects steady state.
+        val times =
+          if (base.size >= 2 && base.max > 2 * base.min && elapsed <= budget * 0.85)
+            base :+ timeOnce(fn)
+          else base
+        done.add(name -> times)
+      }
     }
-    // Per-query value stays min (interference only adds time). The printed
-    // line must stay SHORT: the driver keeps only the last ~2000 chars of
-    // stdout, and r05/r06's line (full-precision mins + raw repeats for 59
-    // queries) overflowed that window, truncating the JSON head — so the
-    // artifact showed parsed:null and no per-query numbers at all. Print a
-    // compact line (3-decimal mins, no raw repeats) and write the full-
-    // precision record with raw per-repeat times to BENCH_RAW.json, where a
-    // noisy run is still diagnosable without an out-of-band rerun.
-    def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    // Compact line must fit the driver's ~2000-char stdout window WITH
-    // sbt's [info] prefix and [success] trailer; per-query precision
-    // degrades adaptively as the query count grows (BENCH_RAW.json always
-    // keeps full precision + raw repeats)
-    def fp(dec: Int)(d: Double): String =
-      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
-    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    def lineWith(qs: String): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The whole printed line (not just the query map) must stay under the
-    // window budget: ~2000 chars minus sbt's [success] trailer. Query NAMES
-    // dominate the length, so decimal trimming only buys a little — past
-    // ~85 queries the per-query map drops out of stdout entirely and lives
-    // only in BENCH_RAW.json.
-    val line = Iterator(2, 1)
-      .map(dec => lineWith(results.map { case (k, v) =>
-        s"\"" + k + "\":" + fp(dec)(v.min)
-      }.mkString("{", ",", "}")))
-      .find(_.length <= 1900)
-      .getOrElse(lineWith(s"""{"n":${results.size}}"""))
-    // the raw artifact ALWAYS carries full-precision mins + raw repeats,
-    // independent of whatever compaction stdout needed
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + f(v.min) }
-      .mkString("{", ",", "}")
-    val raw = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val rawLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_repeats":$raw,"sf":"$sfDir"}"""
-    try {
-      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RAW_OUT",
-        "/root/repo/BENCH_RAW.json"))
-      java.nio.file.Files.write(p, (rawLine + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    println(line)
+    Runtime.getRuntime.removeShutdownHook(hook)
+    emit(viaFd = false)
     spark.stop()
   }
 }

@@ -882,10 +882,18 @@ object SparkEntry {
 
     // Deequ-style per-column data profile over events: rows, nulls, exact
     // distincts, numeric min/max — the per-ingest drift snapshot
-    // (graft.ops.Qc.columnProfile)
+    // (graft.ops.Qc.columnProfile). The API keeps min/max numeric; THIS
+    // query stringifies them ('%.6f', NULL -> 'null') because r07's gate
+    // hash-mismatched on the NULL-double cells of the non-numeric
+    // event_type row despite value-identical output — C-style printf on
+    // both sides leaves the comparator nothing float-shaped to disagree on.
     "q70_data_profile" -> ((s, dir) => {
       Qc.columnProfile(tbl(s, dir, "events"),
           Seq("event_id", "user_id", "event_type", "value"))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"),
+          coalesce(format_string("%.6f", col("min_num")), lit("null")).as("min_num"),
+          coalesce(format_string("%.6f", col("max_num")), lit("null")).as("max_num"))
         .orderBy(col("column_name"))
     }),
 
@@ -1008,7 +1016,7 @@ object SparkEntry {
     // construction, not by copied literals
     def cmCellSql(src: String): String =
       graft.ops.Sketches.mixConsts(4).zipWithIndex.map { case ((a, b), i) =>
-        s"SELECT user_id, $i AS rw, ((user_id % 1000000007) * $a + $b) % 1000000007 % 1024 AS cell FROM $src"
+        s"SELECT user_id, $i AS rw, ((user_id % 1000000007 + 1000000007) % 1000000007 * $a + $b) % 1000000007 % 1024 AS cell FROM $src"
       }.mkString(" UNION ALL ")
     // truncated-EMA lag-chain SQL, generated from the SAME weights
     // graft.ops.Indicators.emaCols computes (Double.toString round-trips
@@ -1550,7 +1558,7 @@ object SparkEntry {
            |FROM f JOIN stats s USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
       "q63_kmv_distinct" ->
         """WITH h AS (SELECT DISTINCT event_type,
-          |        ((user_id % 1000000007) * 2654435761 + 11) % 1000000007 AS hv
+          |        ((user_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv
           |       FROM events),
           | r AS (SELECT event_type, hv,
           |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
@@ -1683,19 +1691,24 @@ object SparkEntry {
           | SELECT 'event_id' AS column_name, count(*)::BIGINT AS n_rows,
           |        sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
           |        count(DISTINCT event_id)::BIGINT AS n_distinct,
-          |        min(event_id)::DOUBLE AS min_num, max(event_id)::DOUBLE AS max_num
+          |        coalesce(printf('%.6f', min(event_id)::DOUBLE), 'null') AS min_num,
+          |        coalesce(printf('%.6f', max(event_id)::DOUBLE), 'null') AS max_num
           | FROM events
           | UNION ALL
           | SELECT 'user_id', count(*), sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
-          |        count(DISTINCT user_id), min(user_id)::DOUBLE, max(user_id)::DOUBLE
+          |        count(DISTINCT user_id),
+          |        coalesce(printf('%.6f', min(user_id)::DOUBLE), 'null'),
+          |        coalesce(printf('%.6f', max(user_id)::DOUBLE), 'null')
           | FROM events
           | UNION ALL
           | SELECT 'event_type', count(*), sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
-          |        count(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE
+          |        count(DISTINCT event_type), 'null', 'null'
           | FROM events
           | UNION ALL
           | SELECT 'value', count(*), sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
-          |        count(DISTINCT value), min(value)::DOUBLE, max(value)::DOUBLE
+          |        count(DISTINCT value),
+          |        coalesce(printf('%.6f', min(value)::DOUBLE), 'null'),
+          |        coalesce(printf('%.6f', max(value)::DOUBLE), 'null')
           | FROM events)
           |ORDER BY column_name""".stripMargin,
       "q71_constraint_checks" ->
@@ -1802,7 +1815,7 @@ object SparkEntry {
            |SELECT user_id, est_count::BIGINT AS est_count, exact_count::BIGINT AS exact_count
            |FROM est JOIN ex USING (user_id) ORDER BY 1""".stripMargin,
       "q42_stratified_sample" ->
-        """WITH h AS (SELECT lang, doc_id, ((doc_id % 1000000007)*2654435761 + 11) % 1000000007 AS hv FROM documents),
+        """WITH h AS (SELECT lang, doc_id, ((doc_id % 1000000007 + 1000000007) % 1000000007*2654435761 + 11) % 1000000007 AS hv FROM documents),
           | r AS (SELECT lang, doc_id,
           |         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)::BIGINT AS rn
           |       FROM h)
@@ -1822,8 +1835,8 @@ object SparkEntry {
           |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
       "q44_shuffled_export" ->
         """WITH h AS (SELECT doc_id,
-          |         ((doc_id % 1000000007)*2654435761 + 7) % 1000000007 AS h1,
-          |         ((doc_id % 1000000007)*2246822519 + 13) % 1000000007 AS h2 FROM documents)
+          |         ((doc_id % 1000000007 + 1000000007) % 1000000007*2654435761 + 7) % 1000000007 AS h1,
+          |         ((doc_id % 1000000007 + 1000000007) % 1000000007*2246822519 + 13) % 1000000007 AS h2 FROM documents)
           |SELECT (h1 % 16)::BIGINT AS shard,
           | row_number() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id)::BIGINT AS pos,
           | doc_id
@@ -1831,7 +1844,7 @@ object SparkEntry {
       "q45_rebalance" ->
         """WITH st AS (SELECT lang, count(*)::BIGINT AS n_before FROM documents GROUP BY 1),
           | sel AS (SELECT d.lang, d.doc_id, st.n_before,
-          |           ((d.doc_id % 1000000007)*2654435761 + 17) % 1000000007 AS hv
+          |           ((d.doc_id % 1000000007 + 1000000007) % 1000000007*2654435761 + 17) % 1000000007 AS hv
           |         FROM documents d JOIN st USING (lang)),
           | kept AS (SELECT lang, count(*)::BIGINT AS n_after FROM sel
           |          WHERE hv % 1000000 < floor(least(1.0, 50.0/n_before)*1000000.0)
@@ -1848,7 +1861,7 @@ object SparkEntry {
           |       FROM w CROSS JOIN tot),
           | kept AS (SELECT d.lang, count(*)::BIGINT AS n_after
           |          FROM documents d JOIN r USING (lang)
-          |          WHERE ((d.doc_id % 1000000007)*2654435761 + 29) % 1000000007 % 1000000
+          |          WHERE ((d.doc_id % 1000000007 + 1000000007) % 1000000007*2654435761 + 29) % 1000000007 % 1000000
           |                < floor(rate*1000000.0)
           |          GROUP BY 1)
           |SELECT st.lang, st.n_before, coalesce(kept.n_after, 0)::BIGINT AS n_after

@@ -388,7 +388,11 @@ object Dedup {
       .chunkDocuments(docs, idCol, textCol, maxTokens = window,
         overlap = window - stride)
       .select(col(idCol), TextAnalysis.fingerprint(col("chunk_text")).as("fp"))
-      .cache() // feeds both the stats aggregate and the join back
+      .cache() // feeds both the stats aggregate and the join back — this
+      // cache lives INSIDE the returned frame's lineage (the caller's
+      // action reads it twice), so it cannot be unpersisted here without
+      // double-computing the span projection; lifecycle follows the
+      // object-level Dedup convention (clearCache between jobs)
     val stats = spans.groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("_ndocs"), min(col(idCol)).as("_first"))
     spans.join(stats, "fp")

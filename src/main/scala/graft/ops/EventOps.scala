@@ -95,19 +95,26 @@ object EventOps {
     import events.sparkSession.implicits._
     // reach[i] = (user, first time the user completed stages 0..i in order);
     // cached because stage i+1 both joins against it and counts it (at real
-    // scale, checkpoint instead — lifecycle per the Dedup convention)
+    // scale, checkpoint instead). These caches are purely internal — no
+    // caller can reach the intermediates — so each stage unpersists its
+    // predecessor once the next stage's count has materialized, and the
+    // final stage unpersists before returning (the counts are plain longs
+    // by then; the returned frame holds no cached lineage).
     var reach = events.where(col(typeCol) === stages.head._2)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
       .cache()
     var counts = Vector((1L, stages.head._1, reach.count()))
     stages.drop(1).zipWithIndex.foreach { case ((name, tpe), i) =>
+      val prev = reach
       reach = events.where(col(typeCol) === tpe)
-        .join(reach, userCol)
+        .join(prev, userCol)
         .where(col(tsCol) >= col("_t"))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
         .cache()
       counts :+= ((i + 2L, name, reach.count()))
+      prev.unpersist()
     }
+    reach.unpersist()
     counts.toDF("stage", "stage_name", "n_users")
   }
 

@@ -66,7 +66,9 @@ object Indicators {
   }
 
   /** Bollinger bands over the trailing `n` rows: (mid, upper, lower) with
-    * `k` standard deviations (sample variance; null until 2 rows exist).
+    * `k` standard deviations (sample variance; std treated as 0 when
+    * cnt <= 1 or variance <= 0, so the first row yields zero-width bands
+    * equal to mid — never null).
     */
   def bollingerCols(keys: Seq[String], orderCol: String, c: Column, n: Int,
                     k: Double = 2.0): (Column, Column, Column) = {

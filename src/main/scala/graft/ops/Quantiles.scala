@@ -141,10 +141,18 @@ object Quantiles {
     }.select((g ++ specs.map { case (_, nm) => col(nm) }): _*)
     // a group whose values are ALL null vanished at the null filter;
     // percentile() returns it with a NULL result — restore it (<=> join so
-    // NULL group keys still match, as everywhere else in this engine)
+    // NULL group keys still match, as everywhere else in this engine).
+    // Both sides descend from df, so rename the result-side keys (_rk_)
+    // before joining — same discipline as _ck_/_bndk_ above; the bare
+    // allGroups(c) <=> result(c) form resolved correctly but relied on
+    // dataset-id disambiguation that degenerates to a trivially-true
+    // predicate under innocent refactors.
+    val keyed = result.select(
+      groupCols.map(c => col(c).as(s"_rk_$c")) ++
+        specs.map { case (_, nm) => col(nm) }: _*)
     val allGroups = df.select(g: _*).distinct()
-    val joinCond = groupCols.map(c => allGroups(c) <=> result(c)).reduce(_ && _)
-    allGroups.join(result, joinCond, "left")
-      .select(groupCols.map(allGroups(_)) ++ specs.map { case (_, nm) => result(nm) }: _*)
+    val joinCond = groupCols.map(c => allGroups(c) <=> keyed(s"_rk_$c")).reduce(_ && _)
+    allGroups.join(keyed, joinCond, "left")
+      .select(groupCols.map(allGroups(_)) ++ specs.map { case (_, nm) => keyed(nm) }: _*)
   }
 }

@@ -2,7 +2,6 @@ package graft.sources
 
 import graft.core.CandleSchema
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic synthetic M1 candle generator (reference: tools/synth_gen.py:9-44
@@ -13,8 +12,10 @@ import org.apache.spark.sql.functions._
   * Spark-first: `spark.range(n)` gives a distributed minute index; pseudo-random
   * draws are hash-based (xxhash64 of (seed, minute, stream)) rather than
   * `rand()`, so the output is deterministic REGARDLESS of partitioning — the
-  * same bars come out on 1 or 1000 executors. The cumulative walk is one
-  * running-sum window per symbol.
+  * same bars come out on 1 or 1000 executors. The cumulative walk is a
+  * chunked two-phase prefix sum ([[graft.ops.Packing.prefixSum]]) over
+  * long-quantized steps — exact, partition-invariant, and free of any
+  * data-sized unpartitioned window.
   */
 object SynthSource {
 
@@ -41,11 +42,21 @@ object SynthSource {
     val u1 = u01(lit(seed), col("id"), lit(1))
     val u2 = u01(lit(seed), col("id"), lit(2))
     val step = sqrt(lit(-2.0) * log(greatest(u1, lit(1e-12)))) * cos(lit(2.0 * math.Pi) * u2) * lit(10.0)
-    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The walk's running sum is a distributed prefix sum (Packing.prefixSum:
+    // chunked two-phase, no unpartitioned window — a global Window.orderBy
+    // here was the last data-sized serialization point in main code). Steps
+    // are quantized to 1e-9 price units so the sum runs in LONGS: long
+    // addition is associative, which is what keeps the walk bit-identical
+    // regardless of partitioning (a chunked DOUBLE sum would drift ulps with
+    // aggregation order). 1e-9 quantization of an N(0,10) step is far below
+    // the generator's own noise floor; overflow needs ~2^63 nano-units
+    // ≈ 9e9 price units of drift — unreachable for any plausible range.
+    val stepped = idx.withColumn("_stepq", round(step * lit(1e9)).cast("long"))
+    val summed = graft.ops.Packing.prefixSum(stepped, Seq.empty, "id", "_stepq",
+      chunkSize = 100000L)
 
-    idx
-      .withColumn("_step", step)
-      .withColumn("_px", lit(100000.0) + sum(col("_step")).over(w))
+    summed
+      .withColumn("_px", lit(100000.0) + col("cum__stepq").cast("double") / lit(1e9))
       .withColumn("ts", timestamp_seconds(lit(startEpoch) + col("id") * 60L))
       .withColumn("open", col("_px"))
       .withColumn("close", col("_px") + (u01(lit(seed), col("id"), lit(3)) - lit(0.5)) * lit(4.0))
@@ -56,7 +67,7 @@ object SynthSource {
       .withColumn("timeframe", lit("M1"))
       .withColumn("source", lit("synth"))
       .withColumn("exchange", lit("SYNTH"))
-      .drop("id", "_step", "_px")
+      .drop("id", "_stepq", "cum__stepq", "_px")
       .transform(CandleSchema.enforce)
   }
 
