@@ -857,6 +857,46 @@ object SparkEntry {
         .orderBy(col("symbol"), col("ts_sec"))
     }),
 
+    // end-to-end repair pipeline (the reference's repair_day orchestration,
+    // commands/repair_day.py:6-70, as ONE oracle-gated flow): build M1
+    // candles from events, deterministically damage them (every 37th minute
+    // dropped), upsert the damaged series into a scratch lake, read it back,
+    // detect+fill the grid gaps from the lake's OWN data (Gaps.synthFill —
+    // prior real close, else next real open, else 0; volume 0,
+    // is_synth=true), upsert the fill batch on top, and read the repaired
+    // series back out. The oracle recomputes damage+fill directly over
+    // events, so a green hash proves detect -> refill -> merge-upsert ->
+    // partitioned re-read as one chain, not just the pieces.
+    // UpsertCore's pre-write materialization is load-bearing here: the fill
+    // batch's lineage reads the very files the second upsert overwrites.
+    "q76_repair_day" -> ((s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/q76_repair_" +
+        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_p${ProcessHandle.current().pid()}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sessionState.newHadoopConf()).delete(rootPath, true)
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      val damaged = EventOps.candles(ev, 60L, Seq("symbol"))
+        .withColumn("source", lit("evt"))
+        .withColumn("timeframe", lit("M1"))
+        .where(expr("((CAST(ts AS LONG) DIV 60) % 37) != 5"))
+      LakeWriter.upsert(s, root, damaged)
+      val stored = LakeReader.readRange(s, root, "evt", "U1", "M1", None, None)
+      val fillBatch = Gaps.synthFill(
+          stored.select(col("ts"), col("open"), col("high"), col("low"),
+            col("close"), col("volume")), Nil, 60L)
+        .where(col("is_synth"))
+        .withColumn("symbol", lit("U1"))
+        .withColumn("source", lit("evt"))
+        .withColumn("timeframe", lit("M1"))
+      LakeWriter.upsert(s, root, fillBatch)
+      LakeReader.readRange(s, root, "evt", "U1", "M1", None, None)
+        .select(secs(col("ts")).as("ts_sec"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"),
+          coalesce(col("is_synth"), lit(false)).as("is_synth"))
+        .orderBy(col("ts_sec"))
+    }),
+
     // rolling 20-bar Pearson correlation of every symbol pair's aligned
     // M5 closes — pairs-trading / diversification analytics; windows
     // partition by pair (graft.ops.Indicators.rollingPairCorr)
@@ -1933,6 +1973,33 @@ object SparkEntry {
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
       // epoch bounds: 2024-01-05 = 1704412800, 01-12 = 1705017600,
       // 01-18 = 1705536000, 01-25 = 1706140800 (all UTC midnights)
+      "q76_repair_day" ->
+        """WITH m1 AS (
+          | SELECT (floor(epoch(ts)/60)*60)::BIGINT AS ts_sec,
+          |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          |  arg_max(value, ts) AS close, count(*)::DOUBLE AS volume
+          | FROM events WHERE user_id % 3 = 1 GROUP BY 1),
+          | dmg AS (SELECT * FROM m1 WHERE ((ts_sec // 60) % 37) != 5),
+          | b AS (SELECT min(ts_sec) AS mn, max(ts_sec) AS mx FROM dmg),
+          | grid AS (SELECT unnest(range(mn, mx + 60, 60)) AS ts_sec FROM b),
+          | j AS (SELECT g.ts_sec AS ts_sec, d.open, d.high, d.low, d.close,
+          |        d.volume, d.ts_sec IS NOT NULL AS realrow
+          |       FROM grid g LEFT JOIN dmg d ON g.ts_sec = d.ts_sec),
+          | f AS (SELECT *,
+          |        last_value(CASE WHEN realrow THEN close END IGNORE NULLS)
+          |          OVER (ORDER BY ts_sec ROWS UNBOUNDED PRECEDING) AS pc,
+          |        first_value(CASE WHEN realrow THEN open END IGNORE NULLS)
+          |          OVER (ORDER BY ts_sec
+          |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+          |       FROM j)
+          |SELECT ts_sec,
+          | CASE WHEN realrow THEN open ELSE coalesce(pc, nxt, 0.0) END AS open,
+          | CASE WHEN realrow THEN high ELSE coalesce(pc, nxt, 0.0) END AS high,
+          | CASE WHEN realrow THEN low ELSE coalesce(pc, nxt, 0.0) END AS low,
+          | CASE WHEN realrow THEN close ELSE coalesce(pc, nxt, 0.0) END AS close,
+          | CASE WHEN realrow THEN volume ELSE 0.0 END AS volume,
+          | NOT realrow AS is_synth
+          |FROM f ORDER BY ts_sec""".stripMargin,
       "q55_lake_roundtrip" ->
         """WITH m1 AS (
           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
