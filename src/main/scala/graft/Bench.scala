@@ -175,9 +175,11 @@ object Bench {
         // single-query deployment would see.
         spark.catalog.clearCache()
         val first = timeOnce(fn)
-        val base =
-          if (repeat >= 2 && elapsed <= budget * 0.7) Seq(first, timeOnce(fn))
-          else { if (repeat >= 2) degraded = true; Seq(first) }
+        val base = first +: (2 to repeat).takeWhile { _ =>
+          val ok = elapsed <= budget * 0.7
+          if (!ok) degraded = true
+          ok
+        }.map(_ => timeOnce(fn))
         // If the samples disagree by >2x the box was busy during one of
         // them; take a tie-breaking third sample (budget permitting) so
         // min-of-N reflects steady state.

@@ -238,9 +238,13 @@ object SparkEntry {
     // Unkeyed is now scale-safe: the fill is Fill.ffill/bfill's two-phase
     // chunked scan (day-chunk windows + tiny carry join), not a global window.
     "q19_synth_fill" -> ((s, dir) => {
-      // cached like q04's m1: the candle aggregation feeds the grid bounds,
-      // the full-outer grid join, and both phases of the chunked fill
-      Gaps.synthFill(m1Candles(s, dir).cache())
+      // deliberately NOT cached: synthFill consumes its input three times
+      // (bounds + both fill phases), but the candle agg is two cheap
+      // shuffles — measured at sf0.1, recomputing costs ~0.25 s/scan while
+      // the cache materialize+read path costs ~1 s extra (block-manager
+      // write + read of a data-sized frame). Cache only when the input
+      // lineage is expensive relative to its size.
+      Gaps.synthFill(m1Candles(s, dir))
         .select(secs(col("ts")).as("ts_sec"), col("open"), col("close"),
           col("volume"), col("is_synth"))
         .orderBy(col("ts_sec"))
