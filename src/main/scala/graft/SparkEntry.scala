@@ -861,6 +861,50 @@ object SparkEntry {
         .orderBy(col("symbol"), col("ts_sec"))
     }),
 
+    // multi-column (3-D) Z-order clustering: the OPTIMIZE ZORDER BY
+    // (ts, value, user) form — balanced-tree composition of the 2-way
+    // magic-mask kernel (graft.ops.Layout.zorderN), box predicate on all
+    // three dims. The oracle checks values are preserved through the
+    // physical rewrite, like q52; the layout property itself is pinned by
+    // LayoutSpec's per-partition bounding-box assertions
+    "q78_zorder_multi" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), secs(col("ts")).as("ts_sec"), col("value"),
+          col("user_id"))
+      val clustered = Layout.zorderedByDims(e, Seq(
+          ("ts_sec", 1704067200.0, 1706659200.0),
+          ("value", 0.0, 500.0),
+          ("user_id", 0.0, 1000.0)),
+        targetFileBytes = 64L << 10)
+      clustered
+        .where(col("ts_sec") >= 1704844800L && col("ts_sec") < 1705449600L &&
+          col("value") >= 100.0 && col("value") < 200.0 &&
+          col("user_id") >= 100L && col("user_id") < 600L)
+        .orderBy(col("event_id"))
+    }),
+
+    // approximate quantiles from the bounded decimal log-histogram sketch
+    // (graft.ops.Quantiles.histogramQuantiles — the 100 TB twin of q28's
+    // exact path, like q63's KMV vs exact distinct), reported side-by-side
+    // with the exact interpolated percentiles so the estimate bound is
+    // visible in the artifact itself
+    "q77_hist_quantiles" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val est = Quantiles.histogramQuantiles(d, Seq("lang"), "n_chars",
+        Seq(0.5 -> "p50_est", 0.9 -> "p90_est", 0.99 -> "p99_est"))
+      val exact = Quantiles.exactInterpolated(d, Seq("lang"), "n_chars",
+        Seq(0.5 -> "p50_exact", 0.9 -> "p90_exact", 0.99 -> "p99_exact"))
+      est.join(exact, "lang")
+        .select(col("lang"),
+          round(col("p50_est"), 4).as("p50_est"),
+          round(col("p50_exact"), 4).as("p50_exact"),
+          round(col("p90_est"), 4).as("p90_est"),
+          round(col("p90_exact"), 4).as("p90_exact"),
+          round(col("p99_est"), 4).as("p99_est"),
+          round(col("p99_exact"), 4).as("p99_exact"))
+        .orderBy(col("lang"))
+    }),
+
     // end-to-end repair pipeline (the reference's repair_day orchestration,
     // commands/repair_day.py:6-70, as ONE oracle-gated flow): build M1
     // candles from events, deterministically damage them (every 37th minute
@@ -1977,6 +2021,47 @@ object SparkEntry {
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
       // epoch bounds: 2024-01-05 = 1704412800, 01-12 = 1705017600,
       // 01-18 = 1705536000, 01-25 = 1706140800 (all UTC midnights)
+      "q78_zorder_multi" ->
+        """SELECT event_id, floor(epoch(ts))::BIGINT AS ts_sec, value, user_id
+          |FROM events
+          |WHERE floor(epoch(ts)) >= 1704844800 AND floor(epoch(ts)) < 1705449600
+          |  AND value >= 100.0 AND value < 200.0
+          |  AND user_id >= 100 AND user_id < 600
+          |ORDER BY event_id""".stripMargin,
+      "q77_hist_quantiles" ->
+        """WITH wd AS (SELECT lang, n_chars::BIGINT AS v, abs(n_chars::BIGINT) AS av
+          |       FROM documents WHERE n_chars IS NOT NULL),
+          | bk AS (SELECT lang, v, av,
+          |         CASE WHEN length(av::VARCHAR) <= 2 THEN 1
+          |              ELSE rpad('1', (length(av::VARCHAR) - 1)::INTEGER, '0')::BIGINT END AS w
+          |        FROM wd),
+          | bu AS (SELECT lang, w,
+          |         CASE WHEN v < 0 THEN -((av // w) * w + w)
+          |              ELSE (av // w) * w END AS lo,
+          |         count(*)::BIGINT AS cnt
+          |        FROM bk GROUP BY 1, 2, 3),
+          | c AS (SELECT lang, lo, w, cnt,
+          |        coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY lo
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+          |        sum(cnt) OVER (PARTITION BY lang) AS n
+          |       FROM bu),
+          | est AS (SELECT lang,
+          |   max(CASE WHEN cb <= 0.5*(n-1) AND 0.5*(n-1) < cb + cnt
+          |            THEN lo + w * ((0.5*(n-1) - cb) / cnt) END) AS p50_est,
+          |   max(CASE WHEN cb <= 0.9*(n-1) AND 0.9*(n-1) < cb + cnt
+          |            THEN lo + w * ((0.9*(n-1) - cb) / cnt) END) AS p90_est,
+          |   max(CASE WHEN cb <= 0.99*(n-1) AND 0.99*(n-1) < cb + cnt
+          |            THEN lo + w * ((0.99*(n-1) - cb) / cnt) END) AS p99_est
+          |  FROM c GROUP BY 1),
+          | ex AS (SELECT lang,
+          |   quantile_cont(n_chars, 0.5) AS p50_exact,
+          |   quantile_cont(n_chars, 0.9) AS p90_exact,
+          |   quantile_cont(n_chars, 0.99) AS p99_exact
+          |  FROM documents GROUP BY 1)
+          |SELECT lang, round(p50_est, 4) AS p50_est, round(p50_exact, 4) AS p50_exact,
+          | round(p90_est, 4) AS p90_est, round(p90_exact, 4) AS p90_exact,
+          | round(p99_est, 4) AS p99_est, round(p99_exact, 4) AS p99_exact
+          |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin,
       "q76_repair_day" ->
         """WITH m1 AS (
           | SELECT (floor(epoch(ts)/60)*60)::BIGINT AS ts_sec,

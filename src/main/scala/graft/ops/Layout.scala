@@ -40,6 +40,44 @@ object Layout {
   /** The Z-address of two normalized [0, 2^31) coordinates. */
   def zorder(a: Column, b: Column): Column = ZOrderBits.zorder(a, b)
 
+  /** Per-dimension coordinate resolution for an N-way Z-address
+    * ([[zorderN]]): 31 bits for 2 dims, 15 for 3-4, 7 for 5-8. The budget
+    * halves per tree level so every intermediate interleave fits the 2-way
+    * kernel's 31-bit operand window and the final address stays positive
+    * in 63 bits. Even 7 bits = 128 cells/dim is far above any realistic
+    * file count, so the per-FILE bounding-box property is unaffected.
+    */
+  def bitsForDims(n: Int): Int = {
+    require(n >= 2 && n <= 8, "zorderN supports 2-8 dimensions")
+    val levels = 32 - Integer.numberOfLeadingZeros(n - 1) // ceil(log2 n)
+    31 >> (levels - 1)
+  }
+
+  /** N-dimensional Z-address composed from the 2-way magic-mask kernel as a
+    * balanced binary tree. The tree must interleave EQUAL bit widths at
+    * every level — passing an odd dimension up unchanged would park its
+    * bits in the low positions of the final address, where they never
+    * influence file placement (verified the hard way: the 3-dim naive tree
+    * leaves the odd dimension completely unbounded per partition). So the
+    * dimension list is zero-padded to the next power of two first; with the
+    * pairing (d0,d2)(d1,d3)… the result is exactly the Morton interleave
+    * bit 4i → d0_i, 4i+1 → d1_i, 4i+2 → d2_i, … with zero dims contributing
+    * permanent 0 bits (wasted positions, not wrong ones). Inputs must be
+    * normalized to [0, 2^bitsForDims(n)) ([[normalize]] with that bits).
+    */
+  def zorderN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2 && cols.size <= 8, "zorderN supports 2-8 dimensions")
+    val p = Integer.highestOneBit(cols.size * 2 - 1) // next power of two
+    var level: Seq[Column] = cols ++ Seq.fill(p - cols.size)(lit(0L))
+    while (level.size > 1) {
+      val half = level.size / 2
+      // pair element i with i+half: keeps original dims in ascending bit
+      // significance within each interleaved level (Morton order)
+      level = (0 until half).map(i => ZOrderBits.zorder(level(i), level(i + half)))
+    }
+    level.head
+  }
+
   /** Cluster `df` for writing: range-repartition then sort within
     * partitions by the Z-address of (colA, colB), each normalized by its
     * given bounds. Downstream `.write.parquet` then produces one file per
@@ -90,6 +128,21 @@ object Layout {
                  targetFileBytes: Long = 128L << 20): DataFrame =
     zorderedBy(df, colA, aLo, aHi, colB, bLo, bHi,
       partitionsFor(df, targetFileBytes))
+
+  /** N-dimensional [[zorderedBy]]: cluster by the [[zorderN]] address of
+    * `dims` = (column, lo, hi) triples, partition count from
+    * [[partitionsFor]]. The 2-column overload remains the common case;
+    * this is the OPTIMIZE ZORDER BY (a, b, c, ...) form.
+    */
+  def zorderedByDims(df: DataFrame, dims: Seq[(String, Double, Double)],
+                     targetFileBytes: Long = 128L << 20): DataFrame = {
+    val bits = bitsForDims(dims.size)
+    val z = zorderN(dims.map { case (c, lo, hi) => normalize(col(c), lo, hi, bits) })
+    df.withColumn("_z", z)
+      .repartitionByRange(partitionsFor(df, targetFileBytes), col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
 
   /** [[zorderedBy]] with bounds taken from the data: ONE min/max aggregate
     * over the two columns (map-side partials, 1-row result), then the

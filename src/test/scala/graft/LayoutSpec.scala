@@ -146,4 +146,55 @@ class LayoutSpec extends AnyFunSuite {
       assert(lHit === lTotal, s"linear: $lHit of $lTotal")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("bitsForDims: budget halves per tree level, rejects bad arity") {
+    assert(Layout.bitsForDims(2) === 31)
+    assert(Layout.bitsForDims(3) === 15)
+    assert(Layout.bitsForDims(4) === 15)
+    assert(Layout.bitsForDims(5) === 7)
+    assert(Layout.bitsForDims(8) === 7)
+    intercept[IllegalArgumentException](Layout.bitsForDims(1))
+    intercept[IllegalArgumentException](Layout.bitsForDims(9))
+  }
+
+  test("3-D zorderN layout bounds ALL THREE dimensions per partition") {
+    // 16x16x16 grid, 4-bit coordinates; 8 range partitions of 512 cells.
+    // A balanced interleave keeps each partition inside a small box of
+    // (a, b, c); a linear a-sort leaves b and c unbounded.
+    val grid = spark.range(16L * 16L * 16L)
+      .select(expr("id % 16").as("a"), expr("(id DIV 16) % 16").as("b"),
+        expr("id DIV 256").as("c"))
+    def maxRange(df: org.apache.spark.sql.DataFrame, col0: String): Long = df
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg((max(col(col0)) - min(col(col0))).as("r"))
+      .agg(max(col("r"))).as[Long].head()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // default range sampling (100 rows/partition) can put a boundary far
+    // enough inside an octant that one partition straddles a major-bit
+    // edge and wraps a dimension; sample densely so boundaries land on
+    // (or next to) the octant edges the layout creates
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "2000")
+    try {
+      val z = grid.withColumn("_z", Layout.zorderN(Seq(
+          Layout.normalize(col("a"), 0.0, 15.0, 4),
+          Layout.normalize(col("b"), 0.0, 15.0, 4),
+          Layout.normalize(col("c"), 0.0, 15.0, 4))))
+        .repartitionByRange(8, col("_z")).sortWithinPartitions(col("_z"))
+      // boundaries can still sit a few cells off an octant edge: each dim
+      // stays far below the full 15-cell domain
+      assert(maxRange(z, "a") <= 9L)
+      assert(maxRange(z, "b") <= 9L)
+      assert(maxRange(z, "c") <= 9L)
+      val linear = grid.repartitionByRange(8, col("a"))
+      assert(maxRange(linear, "b") === 15L && maxRange(linear, "c") === 15L)
+      // the DataFrame helper preserves rows exactly
+      val viaHelper = Layout.zorderedByDims(grid.toDF(),
+        Seq(("a", 0.0, 15.0), ("b", 0.0, 15.0), ("c", 0.0, 15.0)),
+        targetFileBytes = 64L << 10)
+      assert(viaHelper.count() === 4096L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+    }
+  }
 }

@@ -225,4 +225,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy("cohort_day", "day_offset").as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
+
+  test("histogramQuantiles: exact on the 0-99 singleton buckets, ~10% bound above, negatives mirrored") {
+    import graft.ops.Quantiles
+    // values 0..99 get width-1 buckets -> the sketch IS the exact
+    // interpolated percentile
+    val small = (0 to 99).map(v => ("g", v.toLong)).toDF("g", "v")
+    val se = Quantiles.histogramQuantiles(small, Seq("g"), "v",
+      Seq(0.5 -> "p50", 0.9 -> "p90")).head
+    val sx = Quantiles.exactInterpolated(small, Seq("g"), "v",
+      Seq(0.5 -> "p50", 0.9 -> "p90")).head
+    assert(se.getDouble(1) === sx.getDouble(1))
+    assert(se.getDouble(2) === sx.getDouble(2))
+
+    // 3-5 digit values: bucket width = 10% of magnitude bounds the error
+    val big = (1 to 2000).map(i => ("g", ((i.toLong * 7919) % 99000) + 100))
+      .toDF("g", "v")
+    val be = Quantiles.histogramQuantiles(big, Seq("g"), "v",
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")).head
+    val bx = Quantiles.exactInterpolated(big, Seq("g"), "v",
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")).head
+    (1 to 3).foreach { i =>
+      val (est, exact) = (be.getDouble(i), bx.getDouble(i))
+      assert(math.abs(est - exact) <= 0.1 * exact + 1.0,
+        s"spec $i: est=$est exact=$exact")
+    }
+    assert(be.getDouble(1) <= be.getDouble(2) && be.getDouble(2) <= be.getDouble(3))
+
+    // negative values land in mirrored decades, rank order preserved
+    val neg = (1 to 500).map(i => ("g", -(((i.toLong * 104729) % 900) + 100)))
+      .toDF("g", "v")
+    val ne = Quantiles.histogramQuantiles(neg, Seq("g"), "v", Seq(0.5 -> "p50")).head
+    val nx = Quantiles.exactInterpolated(neg, Seq("g"), "v", Seq(0.5 -> "p50")).head
+    assert(math.abs(ne.getDouble(1) - nx.getDouble(1)) <= 0.1 * math.abs(nx.getDouble(1)) + 10.0,
+      s"neg: est=${ne.getDouble(1)} exact=${nx.getDouble(1)}")
+  }
 }
