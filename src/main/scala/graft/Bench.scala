@@ -28,7 +28,12 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val budget = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).getOrElse(240.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine's cores, not a constant: an unset
+    // SPARK_GRAFT_CPUS used to mean local[4] on a 32-core box — a 4-8x
+    // wall-clock tax on exactly the runs (driver benches) that have a
+    // timeout to beat
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
