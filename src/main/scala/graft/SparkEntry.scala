@@ -861,6 +861,29 @@ object SparkEntry {
         .orderBy(col("symbol"), col("ts_sec"))
     }),
 
+    // directional as-of with tolerance (the full pandas merge_asof surface;
+    // the reference uses backward only): per-symbol M1 execs pick the
+    // NEAREST M5 context close within 120 s (ties prefer backward), plus an
+    // untolerated FORWARD join — both through one union-tag + biFill pass
+    // per join, no data-sized unpartitioned window
+    // (graft.ops.AsofJoin.directed)
+    "q79_asof_directed" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      val m1 = EventOps.candles(ev, 60L, Seq("symbol"))
+        .select(col("symbol"), col("ts"), col("close").as("m1_close"))
+      val m5 = EventOps.candles(ev, 300L, Seq("symbol"))
+      val near = AsofJoin.directed(m1,
+        m5.select(col("symbol"), col("ts"), col("close").as("close_near")),
+        partitionCols = Seq("symbol"), direction = "nearest", tolerance = Some(120L))
+      val both = AsofJoin.directed(near,
+        m5.select(col("symbol"), col("ts"), col("close").as("close_fwd")),
+        partitionCols = Seq("symbol"), direction = "forward")
+      both.select(col("symbol"), secs(col("ts")).as("ts_sec"), col("m1_close"),
+          col("close_near"), col("close_fwd"))
+        .orderBy(col("symbol"), col("ts_sec"))
+    }),
+
     // multi-column (3-D) Z-order clustering: the OPTIMIZE ZORDER BY
     // (ts, value, user) form — balanced-tree composition of the 2-way
     // magic-mask kernel (graft.ops.Layout.zorderN), box predicate on all
@@ -2021,6 +2044,33 @@ object SparkEntry {
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
       // epoch bounds: 2024-01-05 = 1704412800, 01-12 = 1705017600,
       // 01-18 = 1705536000, 01-25 = 1706140800 (all UTC midnights)
+      "q79_asof_directed" ->
+        """WITH m1 AS (
+          | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+          |  (floor(epoch(ts)/60)*60)::BIGINT AS ts_sec,
+          |  arg_max(value, ts) AS m1_close
+          | FROM events GROUP BY 1, 2),
+          | m5 AS (
+          | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+          |  (floor(epoch(ts)/300)*300)::BIGINT AS ts_sec,
+          |  arg_max(value, ts) AS close
+          | FROM events GROUP BY 1, 2),
+          | p AS (SELECT l.symbol, l.ts_sec, l.m1_close, r.ts_sec AS pts, r.close AS pc
+          |       FROM m1 l ASOF LEFT JOIN m5 r
+          |         ON l.symbol = r.symbol AND l.ts_sec >= r.ts_sec),
+          | m5n AS (SELECT symbol, -ts_sec AS neg, ts_sec AS nts, close AS nc FROM m5),
+          | f AS (SELECT p.*, r.nts, r.nc
+          |       FROM p ASOF LEFT JOIN m5n r
+          |         ON p.symbol = r.symbol AND -p.ts_sec >= r.neg)
+          |SELECT symbol, ts_sec, m1_close,
+          | CASE WHEN pts IS NOT NULL AND ts_sec - pts <= 120
+          |           AND (nts IS NULL OR nts - ts_sec > 120
+          |                OR ts_sec - pts <= nts - ts_sec)
+          |      THEN pc
+          |      WHEN nts IS NOT NULL AND nts - ts_sec <= 120 THEN nc
+          | END AS close_near,
+          | nc AS close_fwd
+          |FROM f ORDER BY symbol, ts_sec""".stripMargin,
       "q78_zorder_multi" ->
         """SELECT event_id, floor(epoch(ts))::BIGINT AS ts_sec, value, user_id
           |FROM events

@@ -114,6 +114,80 @@ object AsofJoin {
       .drop("_rts", "_next")
   }
 
+  /** Directional as-of join with an optional match tolerance — the full
+    * pandas `merge_asof(direction=..., tolerance=...)` surface (the
+    * reference only ever uses backward, api.py:76-88; forward/nearest round
+    * out the family for users of the wider pandas contract).
+    *
+    *  - `backward`: latest right with right.ts <= left.ts (== [[backward]])
+    *  - `forward`:  earliest right with right.ts >= left.ts
+    *  - `nearest`:  whichever of the two is closer; exact ties prefer the
+    *    backward match (documented, deterministic)
+    *  - `tolerance` (units of `on` cast to long): matches farther than this
+    *    yield nulls for that row — the row itself is kept (left-join shape)
+    *
+    * One pass for ALL directions: union-tag both sides, then [[Fill.biFill]]
+    * forward-fills the previous ctx row's values and backward-fills the
+    * next's in the same two-phase chunked scan (no data-sized unpartitioned
+    * window even unkeyed; `chunk` is in `on`-cast-long units). The matched
+    * right timestamp rides along as a filled column, so tolerance and
+    * nearest-selection are pure per-row expression work afterwards.
+    */
+  def directed(left: DataFrame, right: DataFrame, on: String = "ts",
+               partitionCols: Seq[String] = Nil, direction: String = "backward",
+               tolerance: Option[Long] = None, chunk: Long = 86400L): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val rightVals = right.columns.toSeq.filterNot(c => c == on || partitionCols.contains(c))
+    val leftCols = left.columns.toSeq
+    require(rightVals.intersect(leftCols).isEmpty,
+      s"column collision: ${rightVals.intersect(leftCols).mkString(",")}")
+    val needP = direction != "forward"
+    val needN = direction != "backward"
+    val pCols = if (needP) rightVals.map(c => s"_p_$c") :+ "_p_ts" else Nil
+    val nCols = if (needN) rightVals.map(c => s"_n_$c") :+ "_n_ts" else Nil
+
+    val rSchema = right.schema
+    val leftSide = (pCols ++ nCols).foldLeft(left.withColumn("_side", lit(1))) { (d, c) =>
+      val src = c.stripPrefix("_p_").stripPrefix("_n_")
+      d.withColumn(c, lit(null).cast(if (src == "ts") rSchema(on).dataType else rSchema(src).dataType))
+    }
+    val rightTagged = right.withColumn("_side", lit(0))
+    val rightSide = leftCols.filterNot(c => c == on || partitionCols.contains(c))
+      .foldLeft((pCols ++ nCols).foldLeft(rightTagged) { (d, c) =>
+        val src = c.stripPrefix("_p_").stripPrefix("_n_")
+        d.withColumn(c, col(if (src == "ts") on else src))
+      }.drop(rightVals: _*)) { (d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val unioned = leftSide.unionByName(rightSide)
+    val filled = Fill.biFill(unioned, pCols, nCols, partitionCols, on, chunk,
+      tie = Some("_side"))
+    val execRows = filled.where(col("_side") === 1)
+
+    val lts = col(on).cast("long")
+    def ok(mts: String, dist: org.apache.spark.sql.Column) =
+      col(mts).isNotNull && tolerance.fold(lit(true))(t => dist <= t)
+    val pOk = if (needP) ok("_p_ts", lts - col("_p_ts").cast("long")) else lit(false)
+    val nOk = if (needN) ok("_n_ts", col("_n_ts").cast("long") - lts) else lit(false)
+    val usePrev = direction match {
+      case "backward" => pOk
+      case "forward" => lit(false)
+      case "nearest" =>
+        pOk && (!nOk || (lts - col("_p_ts").cast("long")) <= (col("_n_ts").cast("long") - lts))
+    }
+    val out = rightVals.foldLeft(execRows) { (d, c) =>
+      val nullV = lit(null).cast(rSchema(c).dataType)
+      val v =
+        if (!needN) when(pOk, col(s"_p_$c")).otherwise(nullV)
+        else if (!needP) when(nOk, col(s"_n_$c")).otherwise(nullV)
+        else when(usePrev, col(s"_p_$c"))
+          .otherwise(when(nOk, col(s"_n_$c")).otherwise(nullV))
+      d.withColumn(c, v)
+    }
+    out.drop("_side").drop(pCols ++ nCols: _*)
+  }
+
   /** Multi-timeframe join (reference: src/datalake/read/api.py:80-87 loop):
     * joins each (tfCode -> ctx frame) onto exec in ascending-minutes order
     * (reference: mtf.py:5,20 TF_ORDER), suffixing ctx value columns with

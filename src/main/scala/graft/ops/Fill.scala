@@ -63,8 +63,13 @@ object Fill {
     val dirs: Seq[(String, Boolean)] = fcols.map(_ -> false) ++ bcols.map(_ -> true)
     val withChunk = df.withColumn("_chunk",
       floor(col(ts).cast("long") / chunkSeconds).cast("long"))
+    // tie semantics: at equal ts, SMALLER tie is the donor and is visible
+    // to larger-tie rows in BOTH traversal directions (ascending for
+    // forward fill, descending for backward fill) — which is exactly what
+    // an as-of join needs for exact-timestamp matches in either direction.
+    // Hence tie sorts ASC in the desc traversal too.
     val ordAsc = col(ts) +: tie.map(col).toSeq
-    val ordDesc = col(ts).desc +: tie.map(col(_).desc).toSeq
+    val ordDesc = col(ts).desc +: tie.map(col(_).asc).toSeq
 
     // phase 1: within-chunk fill (parallel across (keys, chunk)). Forward
     // cols run on the ascending order; backward cols on the fully REVERSED

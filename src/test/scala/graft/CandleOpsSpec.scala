@@ -204,4 +204,38 @@ class CandleOpsSpec extends AnyFunSuite {
     assert(Timeframe("m15") === Timeframe.M15)
     assertThrows[IllegalArgumentException](Timeframe("M7"))
   }
+
+  test("directed as-of: forward/nearest/tolerance semantics; backward == backward()") {
+    import spark.implicits._
+    def t(secs: Long*) = secs
+    val left = t(0L, 10L, 20L).toDF("s")
+      .select(timestamp_seconds(col("s")).as("ts"), col("s").as("exec_id"))
+    val right = t(8L, 20L).toDF("s")
+      .select(timestamp_seconds(col("s")).as("ts"), col("s").as("v"))
+    def vals(direction: String, tol: Option[Long]) =
+      AsofJoin.directed(left, right, direction = direction, tolerance = tol, chunk = 100L)
+        .orderBy(col("exec_id")).select(col("v")).collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    // backward: latest right <= ts (exact match included)
+    assert(vals("backward", None) === Seq(-1L, 8L, 20L))
+    // forward: earliest right >= ts (exact match included)
+    assert(vals("forward", None) === Seq(8L, 20L, 20L))
+    // nearest: 0 -> 8 (only next), 10 -> 8 (2 < 10), 20 -> exact
+    assert(vals("nearest", None) === Seq(8L, 8L, 20L))
+    // tolerance masks far matches but keeps the row
+    assert(vals("backward", Some(5L)) === Seq(-1L, 8L, 20L))
+    assert(vals("forward", Some(5L)) === Seq(-1L, -1L, 20L))
+    assert(vals("nearest", Some(5L)) === Seq(-1L, 8L, 20L))
+
+    // directed(backward, no tolerance) reproduces the flagship backward()
+    // on real candle data
+    val bars = day.select(col("ts"), col("close").as("exec_close"))
+    val ctx = Resample.ohlcv(day, Timeframe.M15)
+      .select(col("ts"), col("close").as("ctx_close"))
+    val a = AsofJoin.backward(bars, ctx)
+      .orderBy(col("ts")).select(col("ctx_close")).collect().toSeq
+    val b = AsofJoin.directed(bars, ctx, direction = "backward")
+      .orderBy(col("ts")).select(col("ctx_close")).collect().toSeq
+    assert(a === b)
+  }
 }
