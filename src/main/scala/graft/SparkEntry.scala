@@ -105,7 +105,12 @@ object SparkEntry {
     // WindowExec). backward()/broadcastRange() remain the general paths for
     // unaligned ctx (CandleOpsSpec proves all three agree).
     "q04_asof_mtf" -> ((s, dir) => {
-      val m1 = m1Candles(s, dir).cache() // feeds both the exec side and the M5 resample
+      // NOT cached despite feeding both the exec side and the M5 resample:
+      // measured like q19, the block-manager materialize+read of the
+      // data-sized candle frame costs ~1.6 s/run at sf0.1 while the candle
+      // agg it saves recomputes in ~0.25 s/scan (q53's sessionize cache is
+      // the counter-example that genuinely pays — see PLANS.md)
+      val m1 = m1Candles(s, dir)
       val m5 = Resample.ohlcv(m1, Timeframe.M5)
       val joined = AsofJoin.bucketJoin(
         m1.select(col("ts"), col("close")),

@@ -184,13 +184,19 @@ object Quantiles {
                          specs: Seq[(Double, String)]): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty (global sketch: group by a literal)")
     val g = groupCols.map(col)
+    // width = 10^(digits(|v|) - 2), floored at 1 — as a long comparison
+    // cascade, not string length/rpad: pure branch-compare codegen in the
+    // per-row hot path, same boundaries as the SQL mirror's VARCHAR-length
+    // form (av < 10^k  <=>  length(av::VARCHAR) <= k for non-negative longs)
+    val widthCascade = (2 to 18).foldLeft(when(col("_av") < 100L, lit(1L))) {
+      (acc, d) => acc.when(col("_av") < math.pow(10, d + 1).toLong, {
+        var w = 1L; (2 to d).foreach(_ => w *= 10); lit(w)
+      })
+    }.otherwise(lit(100000000000000000L)) // 19-digit longs: w = 10^17
     val base = df
       .where(col(valueCol).isNotNull)
       .withColumn("_av", abs(col(valueCol).cast("long")))
-      // width = 10^(digits(|v|) - 2), floored at 1: pure integer/string ops
-      .withColumn("_w",
-        when(length(col("_av").cast("string")) <= 2, lit(1L))
-          .otherwise(expr("CAST(rpad('1', CAST(length(CAST(_av AS STRING)) AS INT) - 1, '0') AS BIGINT)")))
+      .withColumn("_w", widthCascade)
       .withColumn("_alo", expr("(_av DIV _w) * _w"))
       // mirror negative values: the bucket [alo, alo+w) of |v| becomes
       // [-(alo+w), -alo) on the negative axis — ordering by _lo stays
