@@ -54,6 +54,32 @@ object SparkEntry {
   private def m1Candles(s: SparkSession, dir: String): DataFrame =
     EventOps.candles(tbl(s, dir, "events"), 60L)
 
+  /** Scratch lake root for a physical-write query: tmpdir/<prefix>_<dir
+    * sanitized>_p<pid>. The pid suffix keeps concurrent runs over the same
+    * dir from racing each other's delete/write/read cycle — but it also
+    * means each JVM leaves a tree behind, and those accumulate (a bench
+    * session was measured at 60 stale trees). So before creating this run's
+    * root, delete siblings whose embedded pid is no longer alive: precise —
+    * never touches a live run, always reclaims dead ones.
+    */
+  private def scratchRoot(s: SparkSession, prefix: String, dir: String): String = {
+    val tmp = sys.props("java.io.tmpdir")
+    val base = s"${prefix}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_p"
+    val root = s"$tmp/$base${ProcessHandle.current().pid()}"
+    try {
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(s.sessionState.newHadoopConf())
+      val stale = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/$base*"))
+      if (stale != null) stale.foreach { st =>
+        val pid = st.getPath.getName.stripPrefix(base)
+        val dead = pid.forall(_.isDigit) && pid.nonEmpty &&
+          ProcessHandle.of(pid.toLong).map[Boolean](_ => false).orElse(true)
+        if (dead) fs.delete(st.getPath, true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    } catch { case _: Throwable => () }
+    root
+  }
+
   /** Flagship query on sf=0.001 — the reference's MTF as-of join
     * (SURVEY §2.4 J1) over event-derived candles; driver smoke-checks rows>0.
     */
@@ -689,14 +715,7 @@ object SparkEntry {
     // write+read path itself (reference: src/datalake/read/api.py:12-74
     // read_range_df — the reference's single most-used entry point)
     "q55_lake_roundtrip" -> ((s, dir) => {
-      // scratch tree under tmpdir, keyed by the SANITIZED full dir string
-      // (hashCode can collide across distinct dirs) plus the pid, so two
-      // concurrent runs over the same dir never race each other's
-      // delete/write/read cycle
-      val root = s"${sys.props("java.io.tmpdir")}/q55_lake_" +
-        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_p${ProcessHandle.current().pid()}"
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      rootPath.getFileSystem(s.sessionState.newHadoopConf()).delete(rootPath, true)
+      val root = scratchRoot(s, "q55_lake", dir)
       def t(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))
       val ev = tbl(s, dir, "events")
         .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
@@ -946,10 +965,7 @@ object SparkEntry {
     // UpsertCore's pre-write materialization is load-bearing here: the fill
     // batch's lineage reads the very files the second upsert overwrites.
     "q76_repair_day" -> ((s, dir) => {
-      val root = s"${sys.props("java.io.tmpdir")}/q76_repair_" +
-        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_p${ProcessHandle.current().pid()}"
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      rootPath.getFileSystem(s.sessionState.newHadoopConf()).delete(rootPath, true)
+      val root = scratchRoot(s, "q76_repair", dir)
       val ev = tbl(s, dir, "events")
         .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
       val damaged = EventOps.candles(ev, 60L, Seq("symbol"))
