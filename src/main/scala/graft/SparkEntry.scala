@@ -891,6 +891,36 @@ object SparkEntry {
     // untolerated FORWARD join — both through one union-tag + biFill pass
     // per join, no data-sized unpartitioned window
     // (graft.ops.AsofJoin.directed)
+    // HyperLogLog distinct-count per event_type (graft.ops.Sketches
+    // .hllDistinct — the register-merge sketch: NO distinct pass, the one
+    // shuffle carries at most groups x 1024 register partials however big
+    // or skewed the input; partial sketches max-merge without rescanning).
+    // Reported beside the exact distinct so the estimate error is visible
+    // in the artifact, like q63/q77. All sketch arithmetic is
+    // integer-exact except one correctly-rounded IEEE division, so the
+    // ESTIMATE itself is under the hash gate.
+    "q80_hll_distinct" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      Sketches.hllDistinct(ev, "event_type", "user_id", p = 10)
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct")), "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // deterministic weighted priority sampling: 20 docs per language with
+    // selection probability rising in n_chars (graft.ops.Corpus
+    // .weightedSample — u/w priorities, WindowGroupLimit top-k per
+    // stratum; the quality/length-weighted corpus-sampling stage with
+    // bit-reproducibility as a hard property)
+    "q81_weighted_sample" -> ((s, dir) => {
+      Corpus.weightedSample(
+          tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", "n_chars", k = 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
+          col("priority"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     "q79_asof_directed" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
         .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
@@ -2065,6 +2095,40 @@ object SparkEntry {
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
       // epoch bounds: 2024-01-05 = 1704412800, 01-12 = 1705017600,
       // 01-18 = 1705536000, 01-25 = 1706140800 (all UTC midnights)
+      "q80_hll_distinct" ->
+        s"""WITH h AS (SELECT event_type,
+          |        ((user_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv
+          |       FROM events),
+          | m AS (SELECT event_type,
+          |        ((hv * hv % 1000000007 * 2654435761 + 11) % 1000000007 << 33) // 1000000007 AS g
+          |       FROM h),
+          | r AS (SELECT event_type, g % 1024 AS bkt,
+          |        MAX(CASE WHEN g // 1024 = 0 THEN 24
+          |                 ELSE 24 - length(bin(g // 1024)) END) AS reg
+          |       FROM m GROUP BY 1, 2),
+          | g AS (SELECT event_type, count(*)::BIGINT AS n_buckets_hit,
+          |        SUM((1::BIGINT << (24 - reg)))::BIGINT AS zhit
+          |       FROM r GROUP BY 1),
+          | z AS (SELECT event_type, n_buckets_hit,
+          |        (zhit + (1024 - n_buckets_hit) * 16777216)::BIGINT AS z_scaled
+          |       FROM g),
+          | x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+          |       FROM events GROUP BY 1)
+          |SELECT z.event_type, n_buckets_hit, z_scaled,
+          | CAST(floor(${Sketches.hllNumerSql(10)} / z_scaled) AS BIGINT) AS est_distinct,
+          | x.exact_distinct
+          |FROM z JOIN x ON z.event_type = x.event_type
+          |ORDER BY 1""".stripMargin,
+      "q81_weighted_sample" ->
+        """WITH p AS (SELECT doc_id, lang, n_chars,
+          |        (((doc_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 37) % 1000000007 % 1000000 + 1)::DOUBLE
+          |          / n_chars::DOUBLE AS priority
+          |       FROM documents),
+          | r AS (SELECT lang, doc_id, n_chars, priority,
+          |         row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id)::BIGINT AS rn
+          |       FROM p)
+          |SELECT lang, rn, doc_id, n_chars, priority
+          |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
       "q79_asof_directed" ->
         """WITH m1 AS (
           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,

@@ -113,6 +113,39 @@ object Corpus {
       .where(col("rn") <= k)
   }
 
+  /** Deterministic weighted priority sample: the `k` rows per stratum with
+    * the SMALLEST priority u / w, where u = (id hash mod 1e6) + 1 ∈
+    * [1, 1e6] and w = `weightCol` (> 0). Higher-weight rows draw
+    * stochastically smaller priorities, so selection probability rises
+    * with weight — the division-only surrogate for Efraimidis–Spirakis
+    * exponential keys (-ln(U)/w), chosen because IEEE division is
+    * correctly rounded and therefore bit-identical in every engine (the
+    * DuckDB oracle included), while ln's last ulp is not portable across
+    * libm builds. The same row set survives on every run, cluster size,
+    * and partitioning; ties break by id. This is the "sample documents
+    * proportional to quality/length" stage of corpus curation, with
+    * reproducibility as a hard property.
+    *
+    * Scale: priorities are pure per-row expression work and the
+    * per-stratum top-k plans as WindowGroupLimit — every map task pre-trims
+    * to its local k before the one bounded shuffle, exactly like
+    * [[stratifiedSample]]. Merge-friendly: the k smallest priorities
+    * globally are the k smallest of any union of partition-wise top-k sets,
+    * so partial samples combine without rescanning.
+    *
+    * Output: every input column + (priority, rn), rn = 1..k per stratum.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     weightCol: String, k: Int,
+                     hashSeed: Long = 37L): DataFrame = {
+    val u = pmod(idHash(col(idCol), hashSeed), lit(1000000L)) + lit(1L)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("priority"), col(idCol))
+    df.withColumn("priority", u.cast("double") / col(weightCol).cast("double"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** The hash-Bernoulli survival predicate shared by [[rebalance]] and
     * [[rebalanced]]: keep a row iff its id hash lands in the first
     * floor(rate*1e6) of 1e6 buckets. Factored so the stats report and the

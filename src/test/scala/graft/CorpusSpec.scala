@@ -41,6 +41,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(s1.toSeq.map(_.getLong(1)).sorted === Seq(1L, 1L, 2L, 2L))
   }
 
+  test("weightedSample: k per stratum, heavy rows dominate, partition-invariant") {
+    // one stratum, ids 0..99 weight 1, ids 100..199 weight 100: the 20
+    // smallest u/w priorities should be overwhelmingly heavy rows
+    val df = (0 until 200)
+      .map(i => (i.toLong, "en", if (i < 100) 1L else 100L))
+      .toDF("doc_id", "lang", "wt")
+    val got = Corpus.weightedSample(df, "lang", "doc_id", "wt", k = 20)
+      .select("doc_id", "rn").as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.length === 20)
+    assert(got.map(_._2).toSeq === (1L to 20L), "rn must be dense 1..k")
+    val heavy = got.count(_._1 >= 100)
+    assert(heavy >= 15, s"only $heavy/20 sampled rows are heavy-weight")
+    val again = Corpus.weightedSample(df.repartition(7), "lang", "doc_id", "wt", k = 20)
+      .select("doc_id", "rn").as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq === again.toSeq, "weighted sample must be deterministic")
+  }
+
   test("rebalance keeps small strata whole and thins large ones deterministically") {
     val big = (1L to 400L).map(i => (i, s"doc $i", if (i <= 300) "en" else "es"))
       .toDF("doc_id", "text", "lang")

@@ -32,6 +32,45 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // HyperLogLog
+  // -------------------------------------------------------------------
+
+  test("hllDistinct: estimate near truth at p=10; partition-invariant; duplicates free") {
+    val n = 5000
+    val df = (0 until n).map(i => ("g", i.toLong)).toDF("g", "v")
+    val est = Sketches.hllDistinct(df, "g", "v", p = 10)
+      .select("est_distinct").as[Long].head()
+    // standard error ~1.04/sqrt(1024) ~ 3.3%; allow ~3 sigma
+    assert(math.abs(est - n) < n * 0.10, s"HLL estimate $est too far from $n")
+    val est1 = Sketches.hllDistinct(df.repartition(13), "g", "v", p = 10)
+      .select("est_distinct").as[Long].head()
+    assert(est === est1, "HLL must not depend on partitioning")
+    // registers are max-aggregates: duplicated input changes NOTHING —
+    // the property KMV only gets by paying a distinct-shuffle first
+    val est2 = Sketches.hllDistinct(df.union(df).union(df), "g", "v", p = 10)
+      .select("est_distinct").as[Long].head()
+    assert(est === est2, "HLL must absorb duplicates without drift")
+  }
+
+  test("hllDistinct: per-group sketches, z_scaled integer-exact invariants") {
+    val df = Seq.tabulate(3000)(i => (s"g${i % 3}", (i / 3).toLong * (i % 3 + 1)))
+      .toDF("g", "v")
+    val rows = Sketches.hllDistinct(df, "g", "v", p = 10)
+      .select("g", "n_buckets_hit", "z_scaled", "est_distinct")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted === Array("g0", "g1", "g2"))
+    rows.foreach { case (g, hit, z, est) =>
+      assert(hit >= 1 && hit <= 1024, s"$g: bucket count $hit out of range")
+      // every register contributes at least 2^0 = 1 and at most 2^24;
+      // empty buckets contribute exactly 2^24 each
+      val zMin = (1024 - hit) * 16777216L + hit
+      val zMax = 1024L * 16777216L
+      assert(z >= zMin && z <= zMax, s"$g: z_scaled $z outside [$zMin,$zMax]")
+      assert(est > 0, s"$g: estimate must be positive")
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Count-min
   // -------------------------------------------------------------------
 
