@@ -921,6 +921,27 @@ object SparkEntry {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // KMV set-overlap: estimated shared-user count (and union size) for
+    // every event-type pair from the SAME k-min sketches q63 keeps — the
+    // theta-sketch set-operation pattern; the raw sets are never joined,
+    // the pair stage touches O(groups^2 x k) sketch rows only. Exact
+    // intersection reported beside the estimate, like q63/q77/q80
+    // (graft.ops.Sketches.kmvOverlap)
+    "q82_kmv_overlap" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val du = ev.select(col("event_type").cast("string").as("g"),
+        col("user_id").as("v")).distinct()
+      val exact = du.withColumnRenamed("g", "g1")
+        .join(du.withColumnRenamed("g", "g2"), Seq("v"))
+        .where(col("g1") < col("g2"))
+        .groupBy("g1", "g2").agg(count(lit(1)).as("exact_intersection"))
+      Sketches.kmvOverlap(ev, "event_type", "user_id", k = 512)
+        .join(exact, Seq("g1", "g2"), "left")
+        .withColumn("exact_intersection",
+          coalesce(col("exact_intersection"), lit(0L)))
+        .orderBy(col("g1"), col("g2"))
+    }),
+
     "q79_asof_directed" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
         .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
@@ -2129,6 +2150,40 @@ object SparkEntry {
           |       FROM p)
           |SELECT lang, rn, doc_id, n_chars, priority
           |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+      "q82_kmv_overlap" ->
+        """WITH h AS (SELECT DISTINCT event_type AS g,
+          |        ((user_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv
+          |       FROM events),
+          | sk AS (SELECT g, hv FROM (
+          |         SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h)
+          |        WHERE rn <= 512),
+          | gs AS (SELECT DISTINCT g FROM sk),
+          | pr AS (SELECT a.g AS g1, b.g AS g2 FROM gs a, gs b WHERE a.g < b.g),
+          | un AS (SELECT g1, g2, hv, max(s1) AS in1, max(s2) AS in2 FROM (
+          |         SELECT pr.g1, pr.g2, sk.hv, 1 AS s1, 0 AS s2 FROM pr JOIN sk ON sk.g = pr.g1
+          |         UNION ALL
+          |         SELECT pr.g1, pr.g2, sk.hv, 0 AS s1, 1 AS s2 FROM pr JOIN sk ON sk.g = pr.g2)
+          |        GROUP BY 1, 2, 3),
+          | rk AS (SELECT g1, g2, hv, in1, in2,
+          |         row_number() OVER (PARTITION BY g1, g2 ORDER BY hv) AS rn FROM un),
+          | st AS (SELECT g1, g2, count(*)::BIGINT AS n_union_seen, max(hv)::BIGINT AS theta,
+          |         SUM(in1 * in2)::BIGINT AS n_common
+          |        FROM rk WHERE rn <= 512 GROUP BY 1, 2),
+          | es AS (SELECT g1, g2, n_union_seen, theta, n_common,
+          |         (CASE WHEN n_union_seen < 512 THEN n_union_seen
+          |               ELSE 511000003577 // theta END)::BIGINT AS est_union
+          |        FROM st),
+          | ei AS (SELECT g1, g2, n_union_seen, theta, n_common, est_union,
+          |         (CASE WHEN n_union_seen < 512 THEN n_common
+          |               ELSE n_common * est_union // 512 END)::BIGINT AS est_intersection
+          |        FROM es),
+          | du AS (SELECT DISTINCT event_type AS g, user_id AS v FROM events),
+          | ex AS (SELECT a.g AS g1, b.g AS g2, count(*)::BIGINT AS exact_intersection
+          |        FROM du a JOIN du b ON a.v = b.v AND a.g < b.g GROUP BY 1, 2)
+          |SELECT ei.g1, ei.g2, n_union_seen, theta, n_common, est_union, est_intersection,
+          | COALESCE(ex.exact_intersection, 0)::BIGINT AS exact_intersection
+          |FROM ei LEFT JOIN ex ON ei.g1 = ex.g1 AND ei.g2 = ex.g2
+          |ORDER BY 1, 2""".stripMargin,
       "q79_asof_directed" ->
         """WITH m1 AS (
           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,

@@ -176,6 +176,72 @@ object Sketches {
     "%.17E".formatLocal(java.util.Locale.ROOT, hllNumer(p))
 
   // ---------------------------------------------------------------------
+  // KMV set-overlap (intersection / Jaccard) estimate
+  // ---------------------------------------------------------------------
+
+  /** Pairwise set-overlap estimates between every two groups' distinct
+    * value sets, from the same k-minimum-values sketches [[kmvDistinct]]
+    * keeps — the theta-sketch set-operation pattern (Dasgupta et al.,
+    * "Theta-Sketch Framework", 2016) on KMV state: "how many users do
+    * event types A and B share" without ever joining the raw sets.
+    *
+    * Estimator: merge two groups' sketches and re-truncate to the k
+    * smallest — lossless for KMV, so this IS the union's sketch; its kth
+    * value theta gives est_union = (k-1)·P/theta, and the fraction rho =
+    * n_common/k of union-sketch members present in BOTH input sketches is
+    * an unbiased Jaccard estimate, so est_intersection = n_common ·
+    * est_union / k (floored integer arithmetic end to end — the estimates
+    * are hash-gate portable). When the union sketch holds fewer than k
+    * hashes both inputs were exhaustive and every output is EXACT —
+    * same contract as [[kmvDistinct]]'s small-side exactness.
+    *
+    * Scale: one distinct-shuffle on (group, hash) — the only data-sized
+    * stage, shared with [[kmvDistinct]]; per-group top-k plans as
+    * WindowGroupLimit so the sketch table is O(groups × k) rows. The pair
+    * stage (group-pair generation + merged re-rank) touches only sketch
+    * rows: O(groups² × k), documented like the pair-correlation join —
+    * thousands of groups are fine, data size is irrelevant to it.
+    *
+    * Output: (g1, g2 [g1 < g2], n_union_seen, theta, n_common,
+    * est_union, est_intersection) per unordered group pair.
+    */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val w = Window.partitionBy(col("_g")).orderBy(col("_hv"))
+    val sk = df.select(col(groupCol).cast("string").as("_g"),
+        longHash(col(valueCol)).as("_hv"))
+      .distinct()
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+    val groups = sk.select(col("_g")).distinct()
+    // unordered group pairs — a groups²-bounded cartesian, never data-sized
+    val pairs = groups.select(col("_g").as("g1"))
+      .crossJoin(groups.select(col("_g").as("g2")))
+      .where(col("g1") < col("g2"))
+    val side1 = pairs.join(sk.withColumnRenamed("_g", "g1"), Seq("g1"))
+      .select(col("g1"), col("g2"), col("_hv"), lit(1).as("_s1"), lit(0).as("_s2"))
+    val side2 = pairs.join(sk.withColumnRenamed("_g", "g2"), Seq("g2"))
+      .select(col("g1"), col("g2"), col("_hv"), lit(0).as("_s1"), lit(1).as("_s2"))
+    val wp = Window.partitionBy(col("g1"), col("g2")).orderBy(col("_hv"))
+    side1.union(side2)
+      .groupBy(col("g1"), col("g2"), col("_hv"))
+      .agg(max(col("_s1")).as("_in1"), max(col("_s2")).as("_in2"))
+      .withColumn("_rn", row_number().over(wp))
+      .where(col("_rn") <= k)
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_union_seen"), max(col("_hv")).as("theta"),
+        sum(col("_in1") * col("_in2")).cast("long").as("n_common"))
+      .withColumn("est_union",
+        when(col("n_union_seen") < k, col("n_union_seen"))
+          .otherwise(expr(s"${(k - 1).toLong * P}L DIV theta")))
+      .withColumn("est_intersection",
+        when(col("n_union_seen") < k, col("n_common"))
+          .otherwise(expr(s"n_common * est_union DIV ${k}L")))
+  }
+
+  // ---------------------------------------------------------------------
   // Count-min frequency sketch
   // ---------------------------------------------------------------------
 

@@ -66,6 +66,99 @@ object SketchStream {
     KmvEstimate(group, nSeen, kept.last, est)
   }
 
+  // -------------------------------------------------------------------
+  // Streaming HyperLogLog
+  // -------------------------------------------------------------------
+
+  /** m max-registers, one byte each (rho <= 24 at any supported p). */
+  case class HllState(regs: Array[Byte])
+
+  case class HllEstimate(group: String, n_buckets_hit: Long, z_scaled: Long,
+                         est_distinct: Long)
+
+  /** Streaming HyperLogLog distinct-count — the streaming twin of the batch
+    * `Sketches.hllDistinct` (q80), as [[kmvDistinct]] is of q63.
+    *
+    * Registers merge by element-wise MAX, the canonical mergeable-sketch
+    * state: per-group state is m = 2^p bytes FOREVER (1 KiB at p=10),
+    * duplicates across micro-batches are absorbed for free, and the final
+    * estimate over a bounded input is BIT-IDENTICAL to the batch
+    * operator's (asserted by the parity spec). The hash chain runs through
+    * the same Catalyst expressions as batch up to the rescaled g2; bucket /
+    * rho / register / Z are exact integer JVM arithmetic that mirrors the
+    * batch formulas term for term, and the only float op is the same one
+    * IEEE division.
+    */
+  def hllDistinct(events: DataFrame, groupCol: String, valueCol: String,
+                  p: Int = 10): Dataset[HllEstimate] = {
+    require(p >= 7 && p <= 14, "need 7 <= p <= 14 (alpha assumes m >= 128)")
+    import events.sparkSession.implicits._
+    events
+      .selectExpr(s"CAST($groupCol AS STRING) AS group",
+        s"(pmod(CAST($valueCol AS LONG), ${P}L) * 2654435761L + 11L) % ${P}L AS _h")
+      .selectExpr("group",
+        s"shiftleft((_h * _h % ${P}L * 2654435761L + 11L) % ${P}L, 33)" +
+          s" DIV ${P}L AS hv")
+      .as[Keyed]
+      .groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(hllStateFn(p))
+  }
+
+  private def hllStateFn(p: Int)(
+      group: String, rows: Iterator[Keyed],
+      state: GroupState[HllState]): HllEstimate = {
+    val m = 1 << p
+    val kMax = 33 - p + 1
+    val regs = state.getOption.map(_.regs).getOrElse(new Array[Byte](m))
+    rows.foreach { r =>
+      val g = r.hv
+      val bkt = (g % m).toInt
+      val sfx = g >>> p
+      // batch: rho = kMax for an all-zero suffix, else
+      // kMax - length(bin(sfx)); bitlength of a positive long is
+      // 64 - numberOfLeadingZeros
+      val rho =
+        if (sfx == 0L) kMax
+        else kMax - (64 - java.lang.Long.numberOfLeadingZeros(sfx))
+      if (rho > regs(bkt)) regs(bkt) = rho.toByte
+    }
+    state.update(HllState(regs))
+    var hit = 0L
+    var z = 0L
+    var i = 0
+    while (i < m) {
+      val r = regs(i)
+      if (r == 0) z += 1L << kMax // never-hit bucket: 2^kMax, as batch
+      else { hit += 1; z += 1L << (kMax - r) }
+      i += 1
+    }
+    val est = math.floor(graft.ops.Sketches.hllNumer(p) / z).toLong
+    HllEstimate(group, hit, z, est)
+  }
+
+  /** Run the stream to completion over a bounded input and return the final
+    * HLL estimate per group — the batch-parity surface used by the spec.
+    */
+  def hllFinal(events: DataFrame, groupCol: String, valueCol: String,
+               p: Int, queryName: String): DataFrame = {
+    val spark = events.sparkSession
+    val q = hllDistinct(events, groupCol, valueCol, p)
+      .writeStream.outputMode("update").format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // Registers only grow, so across a group's update rows n_buckets_hit
+    // only grows and z_scaled only shrinks — the final state is the row
+    // with (max hit, min z), no sink ordering assumed.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("n_buckets_hit").desc, col("z_scaled").asc)
+    spark.table(queryName)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Run the stream to completion over a bounded input and return the final
     * estimate per group — the batch-parity surface used by the spec.
     */

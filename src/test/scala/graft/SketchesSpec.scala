@@ -71,6 +71,43 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // KMV set-overlap
+  // -------------------------------------------------------------------
+
+  test("kmvOverlap: exact when union fits the sketch; all pairs emitted") {
+    // a = {0..49}, b = {30..79} (overlap 20), c = {100..109} (disjoint)
+    val df = ((0 until 50).map(("a", _)) ++ (30 until 80).map(("b", _)) ++
+      (100 until 110).map(("c", _))).map { case (g, v) => (g, v.toLong) }
+      .toDF("g", "v")
+    val got = Sketches.kmvOverlap(df, "g", "v", k = 256)
+      .orderBy("g1", "g2")
+      .select("g1", "g2", "n_union_seen", "n_common", "est_union", "est_intersection")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", "b", 80L, 20L, 80L, 20L),
+      ("a", "c", 60L, 0L, 60L, 0L),
+      ("b", "c", 60L, 0L, 60L, 0L)))
+  }
+
+  test("kmvOverlap: estimates near truth past the sketch bound; partition-invariant") {
+    // a = {0..3999}, b = {2000..5999}: union 6000, intersection 2000
+    val df = ((0 until 4000).map(("a", _)) ++ (2000 until 6000).map(("b", _)))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    val Seq((u, c, eu, ei)) = Sketches.kmvOverlap(df, "g", "v", k = 512)
+      .select("n_union_seen", "n_common", "est_union", "est_intersection")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(u === 512L)
+    // KMV standard error ~1/sqrt(k) ~ 4.4%; allow ~3 sigma on the union,
+    // wider on the intersection (rho adds binomial noise)
+    assert(math.abs(eu - 6000L) < 850, s"union estimate $eu too far from 6000")
+    assert(math.abs(ei - 2000L) < 500, s"intersection estimate $ei too far from 2000")
+    assert(c > 0 && c <= 512)
+    val again = Sketches.kmvOverlap(df.repartition(11), "g", "v", k = 512)
+      .select("est_intersection").as[Long].head()
+    assert(ei === again, "overlap estimate must not depend on partitioning")
+  }
+
+  // -------------------------------------------------------------------
   // Count-min
   // -------------------------------------------------------------------
 
@@ -179,6 +216,26 @@ class SketchesSpec extends AnyFunSuite {
     // sanity: "a" saw 100 distincts through an 8-value state; "b" stays exact
     assert(batch.find(_._1 == "b").get._4 === 3L)
     assert(batch.find(_._1 == "a").get._2 === 8L)
+  }
+
+  test("streaming HLL: final estimates bit-match the batch sketch on the same bounded input") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val chunks = Seq(
+      (0 until 2000).map(i => ("a", i.toLong)) ++ Seq(("b", 1L), ("b", 2L)),
+      (1500 until 3500).map(i => ("a", i.toLong)) ++ Seq(("b", 2L), ("b", 3L)),
+      (3000 until 5000).map(i => ("a", i.toLong)))
+    val input = MemoryStream[(String, Long)]
+    chunks.foreach(c => input.addData(c)) // three micro-batches, overlapping values
+    val streamed = graft.streaming.SketchStream
+      .hllFinal(input.toDF().toDF("g", "v"), "g", "v", p = 10, queryName = "hll_out")
+      .orderBy("group").as[(String, Long, Long, Long)].collect().toSeq
+    val batch = Sketches.hllDistinct(chunks.flatten.toDF("g", "v"), "g", "v", p = 10)
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+    // sanity: "a" saw 5000 distincts through 1 KiB of state, within ~3 sigma
+    val estA = batch.find(_._1 == "a").get._4
+    assert(math.abs(estA - 5000L) < 500, s"streamed/batch HLL estimate $estA off")
   }
 
   test("kmeans: separable clusters recovered; deterministic under repartitioning") {
