@@ -942,6 +942,25 @@ object SparkEntry {
         .orderBy(col("g1"), col("g2"))
     }),
 
+    // schema-on-read JSON extraction + payload-health report: per
+    // event_type stats over props.$.k with corrupt/absent accounting —
+    // expression-only Catalyst JSON (get_json_object + try_cast inside
+    // codegen), no UDF, map-side-combined aggregate
+    // (graft.ops.JsonOps.fieldStats)
+    "q83_json_extract" -> ((s, dir) => {
+      JsonOps.fieldStats(tbl(s, dir, "events"), "props", "$.k", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // Markov path mining: event-type transition counts within sessions
+    // (same 1800 s gap rule as q12) — "what do users do after X";
+    // user-keyed window then a |types|^2-bounded count
+    // (graft.ops.EventOps.transitions)
+    "q84_session_paths" -> ((s, dir) => {
+      EventOps.transitions(tbl(s, dir, "events"), gapSeconds = 1800L)
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "q79_asof_directed" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
         .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
@@ -2184,6 +2203,23 @@ object SparkEntry {
           | COALESCE(ex.exact_intersection, 0)::BIGINT AS exact_intersection
           |FROM ei LEFT JOIN ex ON ei.g1 = ex.g1 AND ei.g2 = ex.g2
           |ORDER BY 1, 2""".stripMargin,
+      "q83_json_extract" ->
+        """WITH x AS (SELECT event_type,
+          |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+          |       FROM events)
+          |SELECT event_type, count(*)::BIGINT AS n,
+          | SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+          | MIN(v)::BIGINT AS min_v, MAX(v)::BIGINT AS max_v,
+          | SUM(v)::BIGINT AS sum_v
+          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q84_session_paths" ->
+        """WITH x AS (SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS tsec FROM events),
+          | l AS (SELECT user_id, event_type, tsec,
+          |         lag(tsec) OVER w AS ptsec, lag(event_type) OVER w AS ptype
+          |       FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+          |SELECT ptype AS from_type, event_type AS to_type, count(*)::BIGINT AS n
+          |FROM l WHERE ptype IS NOT NULL AND tsec - ptsec <= 1800
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q79_asof_directed" ->
         """WITH m1 AS (
           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,

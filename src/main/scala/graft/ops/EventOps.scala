@@ -142,6 +142,42 @@ object EventOps {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Markov transition (bigram) counts over each user's event stream: how
+    * often `from_type` is immediately followed by `to_type` within the
+    * same session — the path-mining aggregate behind "what do users do
+    * after X" product analytics and behavioral-feature extraction.
+    *
+    * Session semantics match [[sessionize]]'s gap rule without needing its
+    * session ids: a pair is counted iff the two events are consecutive for
+    * the user AND at most `gapSeconds` apart, which is exactly
+    * "consecutive within one session" (a wider gap would have started a
+    * new session, and the first event of a session has no predecessor).
+    *
+    * Scale: one user-keyed window (data-sized but keyed — parallelizes by
+    * user like [[sessionize]]/q12) then a map-side-combined count whose
+    * shuffle is bounded by |event types|² rows. Counts are exact integers,
+    * so the output is oracle-portable bit-for-bit. Ordering is
+    * second-grain (the same truncation the gap rule uses) with `idCol` as
+    * a stable tiebreaker, so same-second events order identically in any
+    * engine instead of by sub-second digits one side may not retain.
+    */
+  def transitions(events: DataFrame, gapSeconds: Long,
+                  userCol: String = "user_id",
+                  typeCol: String = "event_type",
+                  tsCol: String = "ts",
+                  idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_tsec"), col(idCol))
+    events
+      .withColumn("_tsec", col(tsCol).cast("long"))
+      .withColumn("_prev_ts", lag(col("_tsec"), 1).over(w))
+      .withColumn("_prev_type", lag(col(typeCol), 1).over(w))
+      .where(col("_prev_type").isNotNull &&
+        col("_tsec") - col("_prev_ts") <= gapSeconds)
+      .groupBy(col("_prev_type").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def sessionize(events: DataFrame, gapSeconds: Long, userCol: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("ts"))
     events

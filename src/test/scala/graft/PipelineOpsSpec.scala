@@ -226,6 +226,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("transitions: within-gap consecutive pairs only; same-second ties break by id") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: a->b (10 s), b->c (gap 2000 s breaks the session), c->a (5 s)
+      (1L, 1L, "a", t(100)), (2L, 1L, "b", t(110)),
+      (3L, 1L, "c", t(2110)), (4L, 1L, "a", t(2115)),
+      // user 2: same-second pair — id order decides direction (b->a)
+      (6L, 2L, "b", t(500)), (7L, 2L, "a", t(500)),
+      // user 3: single event, no pair
+      (8L, 3L, "a", t(900)),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ops.EventOps.transitions(ev, gapSeconds = 1800L)
+      .orderBy("from_type", "to_type").as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 1L), ("b", "a", 1L), ("c", "a", 1L)))
+  }
+
+  test("JsonOps.fieldStats: typed extraction with corrupt/absent payload accounting") {
+    import graft.ops.JsonOps
+    val df = Seq(
+      (1L, "g", """{"k": 5}"""),
+      (2L, "g", """{"k": 7, "x": 1}"""),
+      (3L, "g", """{"x": 2}"""), // absent key
+      (4L, "g", """not json"""), // malformed document
+      (5L, "g", """{"k": "abc"}"""), // wrong type -> try_cast NULL
+      (6L, "h", """{"k": -3}"""),
+    ).toDF("id", "grp", "props")
+    val got = JsonOps.fieldStats(df, "props", "$.k", "grp")
+      .orderBy("grp").as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got === Seq(
+      ("g", 5L, 3L, Some(5L), Some(7L), Some(12L)),
+      ("h", 1L, 0L, Some(-3L), Some(-3L), Some(-3L))))
+  }
+
   test("histogramQuantiles: exact on the 0-99 singleton buckets, ~10% bound above, negatives mirrored") {
     import graft.ops.Quantiles
     // values 0..99 get width-1 buckets -> the sketch IS the exact
