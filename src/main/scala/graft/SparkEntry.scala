@@ -961,6 +961,18 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // per-group OLS drift: value-over-time slope/intercept per event_type
+    // — ONE windowless aggregation over the five OLS sums (exact-integer
+    // x sums after min-centering, decimal-round-trip y sums, fixed IEEE
+    // closing chain: the FIT ITSELF is hash-gated)
+    // (graft.ops.Regression.linearTrend)
+    "q85_linear_trend" -> ((s, dir) => {
+      Regression.linearTrend(
+          tbl(s, dir, "events").withColumn("ts_sec", col("ts").cast("long")),
+          "event_type", "ts_sec", "value")
+        .orderBy(col("event_type"))
+    }),
+
     "q79_asof_directed" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
         .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
@@ -2220,6 +2232,26 @@ object SparkEntry {
           |SELECT ptype AS from_type, event_type AS to_type, count(*)::BIGINT AS n
           |FROM l WHERE ptype IS NOT NULL AND tsec - ptsec <= 1800
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q85_linear_trend" ->
+        """WITH b AS (SELECT event_type, floor(epoch(ts))::BIGINT AS x, value AS y FROM events),
+          | m AS (SELECT event_type, min(x) AS x0 FROM b GROUP BY 1),
+          | j AS (SELECT b.event_type, m.x0, b.x - m.x0 AS xs, b.y
+          |       FROM b JOIN m ON b.event_type = m.event_type),
+          | a AS (SELECT event_type, x0, count(*)::BIGINT AS n,
+          |        SUM(xs)::DECIMAL(38,0) AS sx,
+          |        SUM(xs*xs)::DECIMAL(38,0) AS sxx,
+          |        SUM(CAST(round(y, 4) AS DECIMAL(28,4))) AS sy,
+          |        SUM(CAST(round(xs*y, 4) AS DECIMAL(28,4))) AS sxy
+          |       FROM j GROUP BY 1, 2),
+          | d AS (SELECT event_type, n, x0,
+          |        n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+          |        n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den,
+          |        sy::DOUBLE AS syd, sx::DOUBLE AS sxd
+          |       FROM a)
+          |SELECT event_type, n, x0,
+          | CASE WHEN den > 0.0 THEN round(num / den, 6) END AS slope,
+          | CASE WHEN den > 0.0 THEN round((syd - num / den * sxd) / n::DOUBLE, 4) END AS intercept_at_x0
+          |FROM d ORDER BY 1""".stripMargin,
       "q79_asof_directed" ->
         """WITH m1 AS (
           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,

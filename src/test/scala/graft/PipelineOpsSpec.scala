@@ -260,6 +260,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("h", 1L, 0L, Some(-3L), Some(-3L), Some(-3L))))
   }
 
+  test("linearTrend: recovers a known line, nulls on constant x, partition-invariant") {
+    import graft.ops.Regression
+    val pts = (0 until 10).map(i => ("up", 1000L + i, 2.0 + 3.0 * i)) ++
+      (0 until 8).map(i => ("flat", 500L + i, 7.25)) ++
+      (0 until 5).map(_ => ("degen", 42L, 1.0)) // constant x: no slope
+    val df = pts.toDF("g", "x", "y")
+    val got = Regression.linearTrend(df, "g", "x", "y")
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got === Seq(
+      ("degen", 5L, 42L, None, None),
+      ("flat", 8L, 500L, Some(0.0), Some(7.25)),
+      ("up", 10L, 1000L, Some(3.0), Some(2.0))))
+    val again = Regression.linearTrend(df.repartition(7), "g", "x", "y")
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got === again, "OLS sums must be order/partitioning-independent")
+  }
+
   test("histogramQuantiles: exact on the 0-99 singleton buckets, ~10% bound above, negatives mirrored") {
     import graft.ops.Quantiles
     // values 0..99 get width-1 buckets -> the sketch IS the exact
