@@ -64,7 +64,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private val declaredBoundedBroadcast = Set(
     "q34_ivf_topk",   // IVF centroid assignment: rows x broadcast(<=16 centroids)
     "q43_tfidf_topk", // IDF scaling: rows x broadcast(1-row global doc count)
-    "q46_temperature_mix" // per-stratum rates x broadcast(1-row weight total)
+    "q46_temperature_mix", // per-stratum rates x broadcast(1-row weight total)
+    "q82_kmv_overlap" // pair generation: groups x broadcast(groups) — the
+                      // group UNIVERSE (like q74's symbols²), never row data;
+                      // every sketch-row join around it is an equi-join
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {
