@@ -973,6 +973,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // time-weighted average per symbol/day by trapezoidal integration
+    // over irregular observation times (plain AVG over-weights tick
+    // bursts) — (symbol, day)-keyed window + decimal-path integral, one
+    // IEEE closing division (graft.ops.Indicators.twa)
+    "q86_twap" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      Indicators.twa(ev, Seq("symbol"))
+        .orderBy(col("symbol"), col("day"))
+    }),
+
     "q79_asof_directed" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
         .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
@@ -2252,6 +2263,24 @@ object SparkEntry {
           | CASE WHEN den > 0.0 THEN round(num / den, 6) END AS slope,
           | CASE WHEN den > 0.0 THEN round((syd - num / den * sxd) / n::DOUBLE, 4) END AS intercept_at_x0
           |FROM d ORDER BY 1""".stripMargin,
+      "q86_twap" ->
+        """WITH x AS (SELECT 'U' || (user_id % 3)::VARCHAR AS symbol, event_id,
+          |        floor(epoch(ts))::BIGINT AS tsec, value AS v FROM events),
+          | d AS (SELECT symbol, event_id, tsec, tsec // 86400 AS day, v FROM x),
+          | l AS (SELECT symbol, day, tsec, v,
+          |        lag(tsec) OVER w AS pt, lag(v) OVER w AS pv
+          |       FROM d WINDOW w AS (PARTITION BY symbol, day ORDER BY tsec, event_id)),
+          | t AS (SELECT symbol, day, tsec,
+          |        CASE WHEN pt IS NULL THEN NULL
+          |             ELSE (tsec - pt)::DOUBLE * (v + pv) / 2.0 END AS term
+          |       FROM l),
+          | a AS (SELECT symbol, day, count(*)::BIGINT AS n,
+          |        (max(tsec) - min(tsec))::BIGINT AS span_sec,
+          |        SUM(CAST(round(term, 4) AS DECIMAL(28,4)))::DOUBLE AS area
+          |       FROM t GROUP BY 1, 2)
+          |SELECT symbol, day, n, span_sec,
+          | CASE WHEN span_sec > 0 THEN round(area / span_sec::DOUBLE, 4) END AS twa
+          |FROM a ORDER BY 1, 2""".stripMargin,
       "q79_asof_directed" ->
         """WITH m1 AS (
           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,

@@ -162,6 +162,50 @@ object Indicators {
       .withColumn("drawdown", round(c / runMax - 1.0, 6))
   }
 
+  /** Time-weighted average value per (keys, UTC day) by trapezoidal
+    * integration over IRREGULARLY-spaced observations — the TWAP/TWA
+    * primitive behind execution benchmarks and "average state over time"
+    * metrics, where a plain AVG over-weights bursts of dense ticks.
+    *
+    * twa = Σ (t_i − t_{i−1}) · (v_i + v_{i−1})/2 over consecutive
+    * observations within the day, divided by the observed span
+    * (t_last − t_first); NULL when the day has one observation or zero
+    * span. Ordering is second-grain with `idCol` as a stable tiebreaker
+    * (same convention as EventOps.transitions): same-second neighbors
+    * contribute zero width, but WHICH value pairs with the next real
+    * interval depends on order, so the tiebreak is part of the contract.
+    *
+    * Scale: one window partitioned by (keys, day) — keyed, parallelizes
+    * by series and day — then a map-side-combined per-day aggregate;
+    * trapezoid terms ride the round-4 decimal path so the integral is
+    * summation-order-independent, and the closing division is one IEEE
+    * op: the metric is oracle-portable bit-for-bit.
+    *
+    * Output: keys ++ (day, n, span_sec, twa).
+    */
+  def twa(df: DataFrame, keys: Seq[String], tsCol: String = "ts",
+          valueCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy((keys :+ "_day").map(col): _*)
+      .orderBy(col("_tsec"), col(idCol))
+    val v = col(valueCol)
+    val pv = lag(v, 1).over(w)
+    val dt = col("_tsec") - lag(col("_tsec"), 1).over(w)
+    val term = when(dt.isNull, lit(null).cast("double"))
+      .otherwise(dt.cast("double") * (v + pv) / 2.0)
+    df.withColumn("_tsec", col(tsCol).cast("long"))
+      .withColumn("_day", expr("_tsec DIV 86400"))
+      .withColumn("_term", term)
+      .groupBy((keys :+ "_day").map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (max(col("_tsec")) - min(col("_tsec"))).as("span_sec"),
+        sum(dec(col("_term"))).cast("double").as("_area"))
+      .withColumn("twa",
+        when(col("span_sec") > 0L,
+          round(col("_area") / col("span_sec").cast("double"), 4)))
+      .withColumnRenamed("_day", "day")
+      .drop("_area")
+  }
+
   /** MACD with signal line — the canonical TWO-LAYER window composition:
     * macd = EMA(fast) − EMA(slow) of close (layer 1), signal = EMA of the
     * macd COLUMN (layer 2 — a window over a window-derived column),

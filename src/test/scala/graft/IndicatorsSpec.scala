@@ -119,6 +119,26 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(got(5)._3 === -0.75)
   }
 
+  test("twa: trapezoidal integral over irregular spacing; day resets; degenerate days null") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      // A day 1: v=10 for 60 s then ramp 10->20 over 40 s:
+      // area = 60*10 + 40*15 = 1200, span 100, twa 12.0
+      (1L, "A", t(86400), 10.0), (2L, "A", t(86460), 10.0), (3L, "A", t(86500), 20.0),
+      // A day 2: single observation -> null
+      (4L, "A", t(2 * 86400 + 50), 99.0),
+      // B day 1: two same-second observations -> span 0 -> null
+      (5L, "B", t(86400), 1.0), (6L, "B", t(86400), 3.0),
+    ).toDF("event_id", "symbol", "ts", "value")
+    val got = Indicators.twa(df, Seq("symbol"))
+      .orderBy("symbol", "day")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      ("A", 1L, 3L, 100L, Some(12.0)),
+      ("A", 2L, 1L, 0L, None),
+      ("B", 1L, 2L, 0L, None)))
+  }
+
   test("VWAP: per-day volume weighting; symbols independent") {
     val df = Seq(
       ("A", new java.sql.Timestamp(86400L * 1000L), 11.0, 9.0, 10.0, 1.0),
