@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming Markov transition mining — the streaming twin of the batch
+  * `EventOps.transitions` (q84): emit a (from_type, to_type) pair for every
+  * consecutive same-user event pair at most `gapSeconds` apart.
+  *
+  * Batch gets consecutiveness from a lag window; a stream keeps the ONE
+  * row lag needs as state: per user, the last seen (second, id, type) —
+  * O(active users) forever, the smallest state any stateful op here
+  * carries. Pairs are emitted in Append mode as soon as the second event
+  * arrives; a downstream `groupBy(from, to).count` (or the sink itself)
+  * accumulates the transition matrix incrementally.
+  *
+  * Ordering matches the batch contract: second-grain with event_id as the
+  * stable tiebreaker. Within a micro-batch events are sorted on that key
+  * (arrival order inside a batch is not time order); across micro-batches
+  * the fold follows arrival, so with batches delivered in time order —
+  * the parity spec's setup, and what a watermarked source provides — the
+  * emitted pair multiset is EXACTLY the batch operator's.
+  */
+object TransitionStream {
+
+  case class Ev(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
+
+  /** The lag row: last seen (second, id, type) for the user. */
+  case class LastEv(tsec: Long, id: Long, typ: String)
+
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** events(user_id, event_id, event_type, ts) -> stream of transition
+    * pairs, one per qualifying consecutive event pair.
+    */
+  def transitions(events: DataFrame, gapSeconds: Long = 1800L): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "event_id", "event_type", "ts")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        stateFn(gapSeconds))
+  }
+
+  private def stateFn(gapSeconds: Long)(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[LastEv]): Iterator[Transition] = {
+    val sorted = events
+      .map(e => LastEv(e.ts.getTime / 1000L, e.event_id, e.event_type)).toArray
+      .sortBy(e => (e.tsec, e.id))
+    val out = Vector.newBuilder[Transition]
+    var last = state.getOption
+    sorted.foreach { e =>
+      last match {
+        case Some(p) if e.tsec - p.tsec <= gapSeconds =>
+          out += Transition(userId, p.typ, e.typ)
+        case _ => () // first event, or the gap broke the session: no pair
+      }
+      last = Some(e)
+    }
+    last.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Run the stream to completion over a bounded input and return the
+    * final (from_type, to_type, n) counts — the batch-parity surface used
+    * by the spec.
+    */
+  def transitionsFinal(events: DataFrame, gapSeconds: Long,
+                       queryName: String): DataFrame = {
+    val spark = events.sparkSession
+    val q = transitions(events, gapSeconds)
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.functions._
+    spark.table(queryName)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

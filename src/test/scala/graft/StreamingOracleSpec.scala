@@ -69,6 +69,29 @@ class StreamingOracleSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("TransitionStream over time-ordered micro-batches == oracled q84 counts") {
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // chunk the real events into three TIME-ORDERED micro-batches on the
+    // batch op's own ordering key, so cross-batch state carry is exercised
+    // on every user whose stream straddles a boundary
+    val ev = events().select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, Timestamp)].collect().toSeq
+      .sortBy { case (_, id, _, ts) => (ts.getTime / 1000L, id) }
+    val chunks = ev.grouped((ev.size + 2) / 3).toSeq
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    chunks.foreach(c => in.addData(c: _*))
+    val streamed = graft.streaming.TransitionStream
+      .transitionsFinal(in.toDF().toDF("user_id", "event_id", "event_type", "ts"),
+        gapSeconds = 1800L, queryName = "trans_out")
+      .orderBy(col("from_type"), col("to_type"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = SparkEntry.queries("q84_session_paths")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed === batch)
+  }
+
   test("EnrichStream run to completion on real events == oracled q49 counts") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
