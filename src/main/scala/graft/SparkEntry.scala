@@ -973,6 +973,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // prefix-filtered exact Jaccard join (SSJoin/AllPairs prefix
+    // completeness theorem): only each doc's rarest
+    // |r| - ceil(t|r|) + 1 shingles enter the pair join — the common
+    // wide-posting shingles drop out of the index first — then exact
+    // verification on candidates only; output bit-identical to the full
+    // inverted-index join at the same threshold
+    // (graft.ops.Dedup.prefixJaccardPairs)
+    "q87_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          3, 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // time-weighted average per symbol/day by trapezoidal integration
     // over irregular observation times (plain AVG over-weights tick
     // bursts) — (symbol, day)-keyed window + decimal-path integral, one
@@ -1366,6 +1379,18 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      // q87 = the prefix-filtered plan for the SAME exact-Jaccard semantics:
+      // the oracle is the q16 formula at t=0.5 — prefix filtering must not
+      // change the result, only the join size
+      "q87_prefix_jaccard" ->
+        s"""WITH sh AS ($shingleSql),
+           | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |           FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+           | j AS (SELECT id_a, id_b, inter,
+           |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
+           |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+           |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
       "q17_minhash_candidates" ->
         s"""WITH sh AS ($shingleSql),
            | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),

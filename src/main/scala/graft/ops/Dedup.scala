@@ -156,6 +156,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** Exact-threshold Jaccard pairs through PREFIX FILTERING (Chaudhuri et
+    * al. SSJoin 2006 / Bayardo et al. "Scaling Up All Pairs" 2007) — the
+    * 100 TB twin of [[jaccardPairs]], same output, far smaller join.
+    *
+    * [[jaccardPairs]] joins the FULL inverted index: every shared shingle
+    * of every pair becomes a join row, at any threshold. Prefix filtering
+    * uses the classic completeness theorem: order every doc's shingles by
+    * one global canonical order (rarest first — ascending document
+    * frequency, shingle text as tiebreak) and keep only the first
+    * |r| − ⌈t·|r|⌉ + 1 as join keys; any pair with Jaccard ≥ t MUST share
+    * a prefix shingle, so joining prefixes loses nothing, while at t=0.5
+    * half of every posting disappears — and it is the COMMON (stopword-
+    * like, widest-posting) shingles that drop out of the index first,
+    * exactly the ones whose posting lists explode the full join. The
+    * ⌈·⌉ uses scaled-integer arithmetic (threshold in basis points), so
+    * prefix lengths are exact — no float edge can shorten a prefix and
+    * silently lose a pair.
+    *
+    * Candidates then verify EXACTLY: intersection counts are recomputed
+    * from the full postings restricted to candidate pairs (candidate-
+    * bounded work, like [[verifiedNearDups]]), so the output is
+    * bit-identical to [[jaccardPairs]] at the same threshold — q87 gates
+    * that equality against the q16-family DuckDB oracle.
+    *
+    * Stages: shingle DF count (one data-sized groupBy, the same cost the
+    * inverted index already pays), per-doc prefix rank (doc-keyed window),
+    * prefix-posting self-join, candidate verify. No data-sized stage is
+    * new relative to [[jaccardPairs]]; the pair-explosion stage shrinks.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "need 0 < threshold < 1")
+    val tBp = math.round(threshold * 10000).toInt // basis points, exact
+    val arr = docs.select(col(idCol),
+      graft.functions.TextFunctions.wordShingles(col(textCol), n).as("_arr"))
+      .cache() // feeds index, sizes, and verify (object cache convention)
+    val sh = arr.select(col(idCol), explode(col("_arr")).as("shingle"))
+    val sizes = arr.select(col(idCol), size(col("_arr")).cast("long").as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    // prefix = the (sz - ceil(t*sz) + 1) rarest shingles per doc; integer
+    // ceil on basis points: ceil(t*sz) = (tBp*sz + 9999) DIV 10000
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("_rn", row_number().over(wd))
+      .join(sizes, idCol)
+      .where(col("_rn") <=
+        col("sz") - expr(s"($tBp * sz + 9999) DIV 10000") + lit(1L))
+      .select(col(idCol), col("shingle"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
   /** 32-bit SimHash over word hashes: bit j of the signature is the sign of
     * sum over words of (2*bit_j(hash(word)) - 1). Portable arithmetic
     * (polynomial word hash + div/mod bit extraction, no engine intrinsics).

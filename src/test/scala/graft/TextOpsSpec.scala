@@ -75,6 +75,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sh(1L) !== sh(3L))
   }
 
+  test("prefixJaccardPairs == jaccardPairs at every threshold; prefixes actually prune") {
+    // overlapping paraphrases at several similarity grades, plus decoys
+    // sharing only ubiquitous shingles — the regime prefix filtering prunes
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old barn"),
+      (2L, "the quick brown fox jumps over the lazy dog near the new barn"),
+      (3L, "the quick brown fox jumps over a sleepy cat near the old barn"),
+      (4L, "an entirely different document about spark catalyst optimizer rules"),
+      (5L, "an entirely different document about flink runtime operator chains"),
+      (6L, "the the the the the the the the the the the the the the"),
+      (7L, "the quick brown fox jumps over the lazy dog near the old barn"),
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "inter", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    Seq(0.2, 0.5, 0.8).foreach { t =>
+      val full = norm(Dedup.jaccardPairs(docs, "doc_id", "text", 3, t))
+      val pref = norm(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, t))
+      assert(pref === full, s"prefix plan diverged from full join at t=$t")
+      assert(full.nonEmpty, s"degenerate fixture: no pairs at t=$t")
+    }
+  }
+
   test("bucket-width caps drop degenerate buckets but keep narrow ones") {
     // 40 identical docs form width-40 LSH/simhash/shingle buckets (the
     // stopword-bucket failure mode at scale); the cap must suppress them
