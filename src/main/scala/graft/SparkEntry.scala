@@ -973,6 +973,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // full CUBE with grouping_id: revenue across every subset of
+    // (status, priority) in ONE pass over the aggregated intermediate
+    // (pre-aggregate to the finest grain first, like q24's rollup — the
+    // expansion multiplies group rows, never fact rows); gid bitmask
+    // distinguishes subtotal NULLs from data NULLs
+    "q88_cube_revenue" -> ((s, dir) => {
+      val base = tbl(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(round(col("o_totalprice"), 4).cast(DecimalType(28, 4))).as("_rev"),
+          count(lit(1)).as("n"))
+      base.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          sum(col("_rev")).cast("double").as("revenue"), sum(col("n")).as("n"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+          col("revenue"), col("n"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // prefix-filtered exact Jaccard join (SSJoin/AllPairs prefix
     // completeness theorem): only each doc's rarest
     // |r| - ceil(t|r|) + 1 shingles enter the pair join — the common
@@ -1379,6 +1398,13 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q88_cube_revenue" ->
+        """SELECT o_orderstatus, o_orderpriority,
+          | GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+          | sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4)))::DOUBLE AS revenue,
+          | count(*) AS n
+          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
       // q87 = the prefix-filtered plan for the SAME exact-Jaccard semantics:
       // the oracle is the q16 formula at t=0.5 — prefix filtering must not
       // change the result, only the join size
