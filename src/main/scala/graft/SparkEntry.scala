@@ -973,6 +973,35 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // bucketed co-located fact-to-fact join UNDER THE HARD GATE: both
+    // per-user aggregates are physically written bucketed by user_id
+    // (external tables on the q55-style scratch root), then joined with
+    // NO exchange on either side — the 100 TB fact-join layout invariant
+    // as an oracled query, not just a spec assertion (the write is eager
+    // per run, like q55's upserts; PipelineSpec pins the shuffle-free
+    // plan property) (graft.lake.Bucketing)
+    "q89_bucketed_join" -> ((s, dir) => {
+      val root = scratchRoot(s, "q89_bkt", dir)
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value"), 4).cast(DecimalType(28, 4)))
+            .cast("double").as("purchase_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+      graft.lake.Bucketing.writeBucketed(purchases, "q89_purch", Seq("user_id"),
+        8, Seq("user_id"), Some(s"$root/purch"))
+      graft.lake.Bucketing.writeBucketed(clicks, "q89_clicks", Seq("user_id"),
+        8, Seq("user_id"), Some(s"$root/clicks"))
+      graft.lake.Bucketing.coLocatedJoin(s, "q89_purch", "q89_clicks",
+          Seq("user_id"))
+        .select(col("user_id"), col("n_purchases"), col("purchase_value"),
+          col("n_clicks"))
+        .orderBy(col("user_id"))
+    }),
+
     // full CUBE with grouping_id: revenue across every subset of
     // (status, priority) in ONE pass over the aggregated intermediate
     // (pre-aggregate to the finest grain first, like q24's rollup — the
@@ -1398,6 +1427,15 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q89_bucketed_join" ->
+        """WITH p AS (SELECT user_id, count(*)::BIGINT AS n_purchases,
+          |        SUM(CAST(round(value, 4) AS DECIMAL(28,4)))::DOUBLE AS purchase_value
+          |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          | c AS (SELECT user_id, count(*)::BIGINT AS n_clicks
+          |       FROM events WHERE event_type = 'click' GROUP BY 1)
+          |SELECT p.user_id, n_purchases, purchase_value, n_clicks
+          |FROM p JOIN c ON p.user_id = c.user_id
+          |ORDER BY 1""".stripMargin,
       "q88_cube_revenue" ->
         """SELECT o_orderstatus, o_orderpriority,
           | GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,

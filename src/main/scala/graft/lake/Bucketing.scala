@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
-  /** Write a DataFrame as a bucketed, sorted table. */
+  /** Write a DataFrame as a bucketed, sorted table. `path` makes it an
+    * EXTERNAL table at that location (bucket metadata still lives in the
+    * catalog — only `saveAsTable` records it); default is a managed table
+    * under the session warehouse dir.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+                    nBuckets: Int, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
+    val w0 = df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w = path.fold(w0)(p => w0.option("path", p))
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.format("parquet").saveAsTable(table)
   }

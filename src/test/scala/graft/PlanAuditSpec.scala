@@ -210,4 +210,17 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(objAggs.isEmpty, "percentile()-style collect-all-values aggregate in the plan")
     }
   }
+
+  test("q89 bucketed join reads co-located: the ONLY exchange is the output sort's") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      // planOf triggers the eager bucketed writes (q55-style physical
+      // query), then plans the returned join-of-bucketed-scans
+      val exchanges = planOf("q89_bucketed_join").collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length <= 1,
+        s"bucketed SMJ must not shuffle its sides; found ${exchanges.length} exchanges")
+    }
+  }
 }
