@@ -973,6 +973,16 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // robust outlier detection: median/MAD bands per event_type (heavy-
+    // tail-safe twin of q59's mean/var z-score) — two exact-quantile
+    // passes, round-stabilized band edges so the outlier COUNTS are
+    // hash-gated (graft.ops.Quantiles.madOutliers)
+    "q90_mad_outliers" -> ((s, dir) => {
+      Quantiles.madOutliers(tbl(s, dir, "events"), Seq("event_type"),
+          "value", k = 3.0)
+        .orderBy(col("event_type"))
+    }),
+
     // bucketed co-located fact-to-fact join UNDER THE HARD GATE: both
     // per-user aggregates are physically written bucketed by user_id
     // (external tables on the q55-style scratch root), then joined with
@@ -1427,6 +1437,26 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q90_mad_outliers" ->
+        s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+          |       FROM events WHERE value IS NOT NULL GROUP BY 1),
+          | dev AS (SELECT e.event_type, e.value, med.med,
+          |          abs(e.value - med.med) AS absdev
+          |         FROM events e JOIN med ON e.event_type = med.event_type
+          |         WHERE e.value IS NOT NULL),
+          | mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+          |         FROM dev GROUP BY 1),
+          | b AS (SELECT dev.event_type, dev.value,
+          |        round(dev.med, 4) AS medr, round(mad.mad, 4) AS madr
+          |       FROM dev JOIN mad ON dev.event_type = mad.event_type)
+          |SELECT event_type, count(*)::BIGINT AS n,
+          | min(medr) AS median, min(madr) AS mad,
+          | min(medr - ${Quantiles.madScaleSql(3.0)} * madr) AS thr_lo,
+          | min(medr + ${Quantiles.madScaleSql(3.0)} * madr) AS thr_hi,
+          | SUM(CASE WHEN value < medr - ${Quantiles.madScaleSql(3.0)} * madr
+          |           OR value > medr + ${Quantiles.madScaleSql(3.0)} * madr
+          |          THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
       "q89_bucketed_join" ->
         """WITH p AS (SELECT user_id, count(*)::BIGINT AS n_purchases,
           |        SUM(CAST(round(value, 4) AS DECIMAL(28,4)))::DOUBLE AS purchase_value

@@ -222,4 +222,56 @@ object Quantiles {
     }
     cum.groupBy(g: _*).agg(aggs.head, aggs.drop(1): _*)
   }
+
+  /** Robust (median / MAD) outlier report per group — the heavy-tail-safe
+    * twin of mean/stddev z-scoring (q59): median and the median absolute
+    * deviation are immune to the very outliers being counted, so one
+    * corrupt burst cannot widen its own acceptance band. Scaled by the
+    * standard 1.4826 normal-consistency constant; a value is an outlier
+    * outside median ± k·1.4826·MAD.
+    *
+    * Portability around a knife-edge: the band edges are computed from the
+    * ROUND-4 median/MAD (the same 4-dp contract q28 banks on for quantile
+    * parity), then one fixed IEEE chain with the k·1.4826 product embedded
+    * as a single round-trip literal — so both engines compare every value
+    * against bit-identical thresholds, and the outlier COUNTS are under
+    * the hash gate, not just the summary stats.
+    *
+    * Scale: two [[exactInterpolated]] passes (value, then |value−median|)
+    * — each one map-side-combined aggregate, no per-group value
+    * collection — plus groups-sized broadcast joins; for the 100 TB
+    * approximate path swap in [[histogramQuantiles]] medians upstream.
+    *
+    * Output: (groupCols, n, median, mad, thr_lo, thr_hi, n_outliers).
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val g = groupCols.map(col)
+    val c = k * 1.4826
+    val med = exactInterpolated(df, groupCols, valueCol, Seq(0.5 -> "_med"))
+    val dev = df.select((g :+ col(valueCol)): _*)
+      .where(col(valueCol).isNotNull)
+      .join(med, groupCols)
+      .withColumn("_absdev", abs(col(valueCol) - col("_med")))
+    val mad = exactInterpolated(dev, groupCols, "_absdev", Seq(0.5 -> "_mad"))
+    dev.join(mad, groupCols)
+      .withColumn("_medr", round(col("_med"), 4))
+      .withColumn("_madr", round(col("_mad"), 4))
+      .withColumn("_lo", col("_medr") - lit(c) * col("_madr"))
+      .withColumn("_hi", col("_medr") + lit(c) * col("_madr"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("_medr")).as("median"),
+        min(col("_madr")).as("mad"),
+        min(col("_lo")).as("thr_lo"),
+        min(col("_hi")).as("thr_hi"),
+        sum(when(col(valueCol) < col("_lo") || col(valueCol) > col("_hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** The k·1.4826 scale constant as a round-trip SQL double literal, for
+    * oracle generation (same convention as `Sketches.hllNumerSql`).
+    */
+  def madScaleSql(k: Double): String =
+    "%.17E".formatLocal(java.util.Locale.ROOT, k * 1.4826)
 }

@@ -260,6 +260,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("h", 1L, 0L, Some(-3L), Some(-3L), Some(-3L))))
   }
 
+  test("madOutliers: robust to the outliers it counts; mean/std would widen the band") {
+    import graft.ops.Quantiles
+    // 19 inliers near 10 and two wild points: median=10, MAD small, both
+    // wild points flagged. A mean/std band at k=3 would swallow them.
+    val vals = (1 to 19).map(i => 10.0 + (i % 5 - 2) * 0.1) ++ Seq(1000.0, -980.0)
+    val df = vals.map(("g", _)).toDF("g", "value")
+    val got = Quantiles.madOutliers(df, Seq("g"), "value", k = 3.0)
+      .select("n", "median", "mad", "n_outliers")
+      .as[(Long, Double, Double, Long)].head()
+    assert(got._1 === 21L)
+    assert(got._2 === 10.0)
+    assert(got._3 === 0.1)
+    assert(got._4 === 2L, s"expected exactly the two wild points, got ${got._4}")
+    // NULL values occupy no rank and are not counted
+    val withNulls = (vals.map(v => ("g", Option(v))) :+ (("g", Option.empty[Double])))
+      .toDF("g", "value")
+    val n2 = Quantiles.madOutliers(withNulls, Seq("g"), "value")
+      .select("n").as[Long].head()
+    assert(n2 === 21L)
+  }
+
   test("linearTrend: recovers a known line, nulls on constant x, partition-invariant") {
     import graft.ops.Regression
     val pts = (0 until 10).map(i => ("up", 1000L + i, 2.0 + 3.0 * i)) ++
