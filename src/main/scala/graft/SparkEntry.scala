@@ -973,6 +973,16 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // equal-frequency feature binning: 10 ntile bins of value per
+    // event_type with exact [lo, hi] edges — the discretization stage of
+    // feature pipelines; group-keyed window, (value, event_id) tiebreak
+    // (graft.ops.Quantiles.ntileBins)
+    "q91_ntile_bins" -> ((s, dir) => {
+      Quantiles.ntileBins(tbl(s, dir, "events"), Seq("event_type"),
+          "value", nBins = 10, tieCol = "event_id")
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // robust outlier detection: median/MAD bands per event_type (heavy-
     // tail-safe twin of q59's mean/var z-score) — two exact-quantile
     // passes, round-stabilized band edges so the outlier COUNTS are
@@ -1437,6 +1447,13 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q91_ntile_bins" ->
+        """WITH b AS (SELECT event_type, value,
+          |        ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS bin
+          |       FROM events WHERE value IS NOT NULL)
+          |SELECT event_type, bin, count(*)::BIGINT AS n,
+          | min(value) AS lo, max(value) AS hi
+          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q90_mad_outliers" ->
         s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
           |       FROM events WHERE value IS NOT NULL GROUP BY 1),

@@ -274,4 +274,32 @@ object Quantiles {
     */
   def madScaleSql(k: Double): String =
     "%.17E".formatLocal(java.util.Locale.ROOT, k * 1.4826)
+
+  /** Equal-frequency (ntile) binning report: per (group, bin) the row
+    * count and the bin's [lo, hi] value range — the feature-engineering
+    * discretization that makes every bin equally populated (equal-WIDTH
+    * binning is `EventOps.valueHistogram`; equal frequency is what
+    * monotonic-feature models and calibration curves want). Ordering is
+    * (value, tieCol), so ties split deterministically and identically in
+    * any engine; ntile's fill rule (first N mod k bins get the extra row)
+    * is SQL-standard and engine-portable.
+    *
+    * Scale: one group-keyed window (no global sort) then a
+    * map-side-combined aggregate to groups × bins rows. Bin EDGES come
+    * out as exact min/max pass-throughs of input values — no arithmetic,
+    * nothing to round.
+    *
+    * Output: (groupCols, bin 1..nBins, n, lo, hi).
+    */
+  def ntileBins(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                nBins: Int, tieCol: String): DataFrame = {
+    require(nBins >= 2, "need nBins >= 2")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol), col(tieCol))
+    df.where(col(valueCol).isNotNull)
+      .withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy((g :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

@@ -260,6 +260,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("h", 1L, 0L, Some(-3L), Some(-3L), Some(-3L))))
   }
 
+  test("ntileBins: equal-frequency fill rule, exact edges, deterministic ties") {
+    import graft.ops.Quantiles
+    // 23 rows into 5 bins: sizes 5,5,5,4,4 (first N mod k bins get the extra)
+    val df = (1 to 23).map(i => ("g", i.toLong, (i % 7).toDouble)).toDF("g", "id", "v")
+    val got = Quantiles.ntileBins(df, Seq("g"), "v", nBins = 5, tieCol = "id")
+      .orderBy("bin").select("bin", "n", "lo", "hi")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) === (1L to 5L))
+    assert(got.map(_._2) === Seq(5L, 5L, 5L, 4L, 4L))
+    assert(got.head._3 === 0.0 && got.last._4 === 6.0)
+    // bins tile the sorted order: each bin's hi <= the next bin's lo
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._4 <= b._3) }
+    val again = Quantiles.ntileBins(df.repartition(9), Seq("g"), "v", 5, "id")
+      .orderBy("bin").select("bin", "n", "lo", "hi")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === again, "tie-broken ntile must be partition-invariant")
+  }
+
   test("madOutliers: robust to the outliers it counts; mean/std would widen the band") {
     import graft.ops.Quantiles
     // 19 inliers near 10 and two wild points: median=10, MAD small, both
