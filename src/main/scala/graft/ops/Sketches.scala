@@ -248,7 +248,7 @@ object Sketches {
   /** Cell index of a key under hash row i: ((key mod P)·a_i + b_i) mod P
     * mod width.
     */
-  private def cellOf(key: Column, a: Long, b: Long, width: Int): Column =
+  private[graft] def cellOf(key: Column, a: Long, b: Long, width: Int): Column =
     longHash(key, a, b) % width
 
   /** Build a count-min sketch over a long key column. Output:

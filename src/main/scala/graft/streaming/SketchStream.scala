@@ -159,6 +159,53 @@ object SketchStream {
       .drop("_rn")
   }
 
+  // -------------------------------------------------------------------
+  // Streaming count-min
+  // -------------------------------------------------------------------
+
+  /** Streaming count-min sketch — the streaming twin of the batch
+    * `Sketches.countMinSketch` (q64), and deliberately the SIMPLEST twin
+    * in this file: a count-min sketch IS a streaming aggregation with
+    * bounded state. Each event maps to `depth` (row, cell) coordinates
+    * through the same portable hash family as batch; `groupBy(row,
+    * cell).count()` in Update mode maintains the counters incrementally
+    * with state bounded by depth × width cells FOREVER, no custom
+    * `mapGroupsWithState` needed. Counter cells are exact integers, so
+    * the final cells over a bounded input are BIT-IDENTICAL to the batch
+    * sketch's (asserted by the parity spec) — and any cell's point
+    * estimate (min over rows) therefore matches too.
+    */
+  def countMin(events: DataFrame, keyCol: String,
+               depth: Int = 4, width: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Sketches.mixConsts(depth).zipWithIndex.map {
+      case ((a, b), i) =>
+        struct(lit(i).as("row"),
+          graft.ops.Sketches.cellOf(col(keyCol), a, b, width).as("cell"))
+    }
+    events.select(explode(array(rows: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Run the stream to completion over a bounded input and return the
+    * final sketch cells — the batch-parity surface used by the spec.
+    */
+  def countMinFinal(events: DataFrame, keyCol: String, depth: Int,
+                    width: Int, queryName: String): DataFrame = {
+    val spark = events.sparkSession
+    val q = countMin(events, keyCol, depth, width)
+      .writeStream.outputMode("update").format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode re-emits a cell's row whenever its count grows; the
+    // final value per cell is simply the max count ever emitted
+    import org.apache.spark.sql.functions._
+    spark.table(queryName)
+      .groupBy(col("row"), col("cell"))
+      .agg(max(col("cnt")).as("cnt"))
+  }
+
   /** Run the stream to completion over a bounded input and return the final
     * estimate per group — the batch-parity surface used by the spec.
     */

@@ -238,6 +238,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(estA - 5000L) < 500, s"streamed/batch HLL estimate $estA off")
   }
 
+  test("streaming count-min: final cells bit-match the batch sketch on the same bounded input") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val chunks = Seq(
+      (0 until 500).map(i => i.toLong % 37),
+      (0 until 700).map(i => i.toLong % 53),
+      (0 until 300).map(i => i.toLong % 11))
+    val input = MemoryStream[Long]
+    chunks.foreach(c => input.addData(c))
+    val streamed = graft.streaming.SketchStream
+      .countMinFinal(input.toDF().toDF("k"), "k", depth = 4, width = 64,
+        queryName = "cm_out")
+      .orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq
+    val batch = Sketches.countMinSketch(chunks.flatten.toDF("k"), "k",
+        depth = 4, width = 64)
+      .orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._3).sum === 1500L * 4, "every event lands in every row")
+  }
+
   test("kmeans: separable clusters recovered; deterministic under repartitioning") {
     // even ids near (+10, 0), odd ids near (-10, 5): the two smallest ids
     // (0, 1) seed one centroid in each true cluster
