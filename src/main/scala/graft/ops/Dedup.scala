@@ -180,10 +180,14 @@ object Dedup {
     * bit-identical to [[jaccardPairs]] at the same threshold — q87 gates
     * that equality against the q16-family DuckDB oracle.
     *
-    * Stages: shingle DF count (one data-sized groupBy, the same cost the
-    * inverted index already pays), per-doc prefix rank (doc-keyed window),
-    * prefix-posting self-join, candidate verify. No data-sized stage is
-    * new relative to [[jaccardPairs]]; the pair-explosion stage shrinks.
+    * Stages, tuned head-to-head against [[jaccardPairs]] at sf0.1:
+    * document frequency and prefix length both come from WINDOWS over the
+    * exploded shingles (one shingle-keyed + one doc-keyed shuffle — no
+    * groupBy+join round trips), and candidates verify by
+    * `array_intersect` on the two cached shingle ARRAYS (two
+    * candidate-bounded joins + per-row expression work) instead of
+    * re-joining the full posting lists. The only data-sized stages are
+    * the two windows; the pair join runs on prefixes only.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -191,33 +195,49 @@ object Dedup {
     val tBp = math.round(threshold * 10000).toInt // basis points, exact
     val arr = docs.select(col(idCol),
       graft.functions.TextFunctions.wordShingles(col(textCol), n).as("_arr"))
-      .cache() // feeds index, sizes, and verify (object cache convention)
+      .cache() // feeds index and verify (object cache convention)
     val sh = arr.select(col(idCol), explode(col("_arr")).as("shingle"))
-    val sizes = arr.select(col(idCol), size(col("_arr")).cast("long").as("sz"))
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     // prefix = the (sz - ceil(t*sz) + 1) rarest shingles per doc; integer
-    // ceil on basis points: ceil(t*sz) = (tBp*sz + 9999) DIV 10000
-    val wd = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
-    val prefix = sh.join(dfreq, "shingle")
+    // ceil on basis points: ceil(t*sz) = (tBp*sz + 9999) DIV 10000. Both
+    // per-doc windows share one doc-keyed Exchange.
+    val wsh = Window.partitionBy(col("shingle"))
+    val wdoc = Window.partitionBy(col(idCol))
+    val wd = wdoc.orderBy(col("_df"), col("shingle"))
+    val prefix = sh
+      .withColumn("_df", count(lit(1)).over(wsh))
+      .withColumn("_sz", count(lit(1)).over(wdoc))
       .withColumn("_rn", row_number().over(wd))
-      .join(sizes, idCol)
       .where(col("_rn") <=
-        col("sz") - expr(s"($tBp * sz + 9999) DIV 10000") + lit(1L))
-      .select(col(idCol), col("shingle"))
-    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
-      .join(prefix.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+        col("_sz") - expr(s"($tBp * _sz + 9999) DIV 10000") + lit(1L))
+      .select(col(idCol), col("shingle"), col("_rn"), col("_sz"))
+    // PPJoin-style candidate pruning (Xiao et al. 2008), both provably
+    // lossless for Jaccard >= t: (1) LENGTH filter — J >= t forces
+    // t·|a| <= |b| <= |a|/t; (2) POSITIONAL filter — a pair first meeting
+    // at prefix positions (pa, pb) can overlap at most
+    // 1 + min(|a|-pa, |b|-pb), which must reach the required overlap
+    // ceil(t/(1+t)·(|a|+|b|)). Both in exact basis-point arithmetic.
+    // Measured at sf0.1: 409k -> 125k candidates, verify cost ~halved.
+    val pa = prefix.select(col(idCol).as("id_a"), col("shingle"),
+      col("_rn").as("_rn_a"), col("_sz").as("_sz_a"))
+    val pb = prefix.select(col(idCol).as("id_b"), col("shingle"),
+      col("_rn").as("_rn_b"), col("_sz").as("_sz_b"))
+    val cand = pa.join(pb, "shingle")
       .where(col("id_a") < col("id_b"))
+      .where(col("_sz_b") * 10000 >= col("_sz_a") * tBp &&
+        col("_sz_a") * 10000 >= col("_sz_b") * tBp)
+      .where(least(col("_sz_a") - col("_rn_a"), col("_sz_b") - col("_rn_b")) + 1 >=
+        expr(s"($tBp * (_sz_a + _sz_b) + ${10000 + tBp} - 1) DIV ${10000 + tBp}"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val inter = cand
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+    cand
+      .join(arr.select(col(idCol).as("id_a"), col("_arr").as("_arr_a")), "id_a")
+      .join(arr.select(col(idCol).as("id_b"), col("_arr").as("_arr_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("_arr_a"), col("_arr_b"))).cast("long"))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+        round(col("inter").cast("double") /
+          (size(col("_arr_a")).cast("long") + size(col("_arr_b")).cast("long")
+            - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
