@@ -973,6 +973,15 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // last-touch attribution: each purchase credited to the user's most
+    // recent other event within 30 min (else "direct") — one user-keyed
+    // running last(ignoreNulls) window, |types|-bounded aggregate
+    // (graft.ops.EventOps.lastTouchAttribution)
+    "q92_attribution" -> ((s, dir) => {
+      EventOps.lastTouchAttribution(tbl(s, dir, "events"), gapSeconds = 1800L)
+        .orderBy(col("attributed"))
+    }),
+
     // equal-frequency feature binning: 10 ntile bins of value per
     // event_type with exact [lo, hi] edges — the discretization stage of
     // feature pipelines; group-keyed window, (value, event_id) tiebreak
@@ -1447,6 +1456,22 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q92_attribution" ->
+        """WITH x AS (SELECT user_id, event_id, event_type, value,
+          |        floor(epoch(ts))::BIGINT AS tsec FROM events),
+          | l AS (SELECT user_id, event_id, event_type, value, tsec,
+          |        last_value(CASE WHEN event_type <> 'purchase' THEN tsec END IGNORE NULLS)
+          |          OVER w AS lt_ts,
+          |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+          |          OVER w AS lt_ty
+          |       FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          | p AS (SELECT CASE WHEN lt_ty IS NULL OR tsec - lt_ts > 1800
+          |               THEN 'direct' ELSE lt_ty END AS attributed, value
+          |       FROM l WHERE event_type = 'purchase')
+          |SELECT attributed, count(*)::BIGINT AS n_conversions,
+          | SUM(CAST(round(value, 4) AS DECIMAL(28,4)))::DOUBLE AS revenue
+          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
       "q91_ntile_bins" ->
         """WITH b AS (SELECT event_type, value,
           |        ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS bin

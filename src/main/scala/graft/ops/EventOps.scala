@@ -178,6 +178,42 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Last-touch attribution: credit each `targetType` event (a purchase)
+    * to the user's most recent OTHER event within `gapSeconds` before it,
+    * or to `"direct"` when none qualifies — the marketing-attribution
+    * aggregate behind "which activity drives conversions".
+    *
+    * One user-keyed window pass: a running `last(..., ignoreNulls)` over
+    * rows-before-current carries the last non-target (type, second)
+    * forward; the two carried columns null out on exactly the same rows,
+    * so they always describe one event. Ordering is second-grain with the
+    * id tiebreak ([[transitions]]' convention). Counts and decimal-path
+    * revenue per attributed type — a |types|-bounded aggregate.
+    */
+  def lastTouchAttribution(events: DataFrame, gapSeconds: Long,
+                           targetType: String = "purchase",
+                           userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           tsCol: String = "ts",
+                           idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_tsec"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonTarget = col(typeCol) =!= targetType
+    events
+      .withColumn("_tsec", col(tsCol).cast("long"))
+      .withColumn("_lt_ts", last(when(nonTarget, col("_tsec")), ignoreNulls = true).over(w))
+      .withColumn("_lt_ty", last(when(nonTarget, col(typeCol)), ignoreNulls = true).over(w))
+      .where(col(typeCol) === targetType)
+      .withColumn("attributed",
+        when(col("_lt_ty").isNull || col("_tsec") - col("_lt_ts") > gapSeconds,
+          lit("direct")).otherwise(col("_lt_ty")))
+      .groupBy(col("attributed"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(round(col("value"), 4).cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .cast("double").as("revenue"))
+  }
+
   def sessionize(events: DataFrame, gapSeconds: Long, userCol: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("ts"))
     events

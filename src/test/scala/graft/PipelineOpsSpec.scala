@@ -226,6 +226,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("lastTouchAttribution: last qualifying touch wins; stale and first-event go direct") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: click then view then purchase 60 s later -> view credited
+      (1L, 1L, "click", t(100), 0.0), (2L, 1L, "view", t(160), 0.0),
+      (3L, 1L, "purchase", t(220), 10.0),
+      // user 2: click 3000 s before purchase -> stale -> direct
+      (4L, 2L, "click", t(500), 0.0), (5L, 2L, "purchase", t(3500), 20.0),
+      // user 3: purchase with no prior events -> direct
+      (6L, 3L, "purchase", t(900), 30.0),
+      // user 4: two purchases back to back: click credits the FIRST; the
+      // second's last non-purchase touch is still the click (within gap)
+      (7L, 4L, "click", t(1000), 0.0), (8L, 4L, "purchase", t(1010), 5.0),
+      (9L, 4L, "purchase", t(1020), 7.0),
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = graft.ops.EventOps.lastTouchAttribution(ev, gapSeconds = 1800L)
+      .orderBy("attributed").as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("click", 2L, 12.0), ("direct", 2L, 50.0), ("view", 1L, 10.0)))
+  }
+
   test("transitions: within-gap consecutive pairs only; same-second ties break by id") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
