@@ -973,6 +973,16 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // SCD2 dimension history from the event stream: per user, consecutive
+    // event_type repeats compacted away, remainder interval-ized into
+    // half-open (valid_from, valid_to) versions, open version NULL —
+    // the CDC -> warehouse-history build; keyed windows only
+    // (graft.ops.EventOps.scd2History)
+    "q93_scd2" -> ((s, dir) => {
+      EventOps.scd2History(tbl(s, dir, "events"), "user_id", "event_type")
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // last-touch attribution: each purchase credited to the user's most
     // recent other event within 30 min (else "direct") — one user-keyed
     // running last(ignoreNulls) window, |types|-bounded aggregate
@@ -1456,6 +1466,20 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q93_scd2" ->
+        """WITH x AS (SELECT user_id, event_id, event_type,
+          |        floor(epoch(ts))::BIGINT AS tsec FROM events),
+          | c AS (SELECT user_id, event_id, event_type, tsec,
+          |        lag(event_type) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev
+          |       FROM x),
+          | f AS (SELECT user_id, event_id, event_type, tsec FROM c
+          |       WHERE prev IS NULL OR prev <> event_type),
+          | v AS (SELECT user_id, event_type, tsec AS valid_from,
+          |        lead(tsec) OVER w AS valid_to,
+          |        row_number() OVER w AS version
+          |       FROM f WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+          |SELECT user_id, event_type, valid_from, valid_to, version::BIGINT AS version
+          |FROM v ORDER BY user_id, version""".stripMargin,
       "q92_attribution" ->
         """WITH x AS (SELECT user_id, event_id, event_type, value,
           |        floor(epoch(ts))::BIGINT AS tsec FROM events),

@@ -214,6 +214,35 @@ object EventOps {
           .cast("double").as("revenue"))
   }
 
+  /** Slowly-changing-dimension (SCD type 2) history from an event/CDC
+    * stream: per key, compact consecutive repeats of `attrCol` away and
+    * interval-ize what remains into (valid_from, valid_to, version) rows —
+    * valid_to NULL on the open (current) version. The standard
+    * change-stream → dimension-history build every warehouse load runs;
+    * half-open [from, to) intervals, so a point-in-time lookup is
+    * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)` and versions
+    * tile time with no gaps or overlaps by construction.
+    *
+    * Two passes over one key-partitioned ordering (lag to drop no-op
+    * changes, lead/row_number to close intervals) — keyed windows, no
+    * data-sized unpartitioned stage; ordering is second-grain with the id
+    * tiebreak ([[transitions]]' convention).
+    */
+  def scd2History(df: DataFrame, keyCol: String, attrCol: String,
+                  tsCol: String = "ts",
+                  idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_tsec"), col(idCol))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"), col(idCol))
+    df.withColumn("_tsec", col(tsCol).cast("long"))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .where(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .withColumn("valid_from", col("_tsec"))
+      .withColumn("valid_to", lead(col("_tsec"), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("version"))
+  }
+
   def sessionize(events: DataFrame, gapSeconds: Long, userCol: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("ts"))
     events

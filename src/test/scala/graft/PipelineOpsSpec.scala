@@ -226,6 +226,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("scd2History: consecutive repeats compacted, intervals tile, open version null") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, "a", t(100)), (2L, 1L, "a", t(200)), // repeat compacted
+      (3L, 1L, "b", t(300)), (4L, 1L, "a", t(400)), // back to a = new version
+      (5L, 2L, "x", t(50)),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ops.EventOps.scd2History(ev, "user_id", "event_type")
+      .orderBy("user_id", "version")
+      .as[(Long, String, Long, Option[Long], Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 100L, Some(300L), 1L),
+      (1L, "b", 300L, Some(400L), 2L),
+      (1L, "a", 400L, None, 3L),
+      (2L, "x", 50L, None, 1L)))
+    // half-open intervals tile: each version's valid_to == next valid_from
+    got.filter(_._1 == 1L).sliding(2).foreach {
+      case Seq(a, b) => assert(a._4.contains(b._3))
+      case _ => ()
+    }
+  }
+
   test("lastTouchAttribution: last qualifying touch wins; stale and first-event go direct") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
