@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // product-quantization ANN (Jegou et al. 2011): vectors encoded as 4
+    // subspace codes (64x compression at dim=64), queries scan CODES via
+    // per-subspace ADC distance tables — never full vectors; codebooks =
+    // id-seeded sub-slices (kmeans refines); approximate AND exact
+    // distances both hash-gated (graft.ops.Similarity.pqTopK)
+    "q94_pq_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.pqTopK(emb.where(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SCD2 dimension history from the event stream: per user, consecutive
     // event_type repeats compacted away, remainder interval-ized into
     // half-open (valid_from, valid_to) versions, open version NULL —
@@ -1466,6 +1478,39 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q94_pq_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          | vs AS (SELECT vec_id, t.mi, list_slice(v, t.mi*16+1, t.mi*16+16) AS sv
+          |        FROM e, range(0,4) t(mi)),
+          | cb0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
+          | cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM cb0),
+          | cbn AS (SELECT c, t.mi, list_slice(v, t.mi*16+1, t.mi*16+16) AS cv
+          |         FROM cb, range(0,4) t(mi)),
+          | ds AS (SELECT vs.vec_id, vs.mi, cbn.c,
+          |         list_dot_product(vs.sv, vs.sv) - 2*list_dot_product(vs.sv, cbn.cv)
+          |           + list_dot_product(cbn.cv, cbn.cv) AS d
+          |        FROM vs JOIN cbn ON vs.mi = cbn.mi),
+          | code AS (SELECT vec_id, mi, c FROM (
+          |           SELECT vec_id, mi, c,
+          |            row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, c) AS rn
+          |           FROM ds) WHERE rn = 1),
+          | ad AS (SELECT qd.vec_id AS query_id, cx.vec_id AS neighbor_id,
+          |         list_reduce(list_prepend(0.0, list(qd.d ORDER BY qd.mi)), (a,b) -> a + b) AS adr
+          |        FROM code cx JOIN ds qd ON qd.mi = cx.mi AND qd.c = cx.c
+          |        WHERE qd.vec_id < 5 AND qd.vec_id <> cx.vec_id
+          |        GROUP BY 1, 2),
+          | ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |         list_dot_product(a.v,a.v) - 2*list_dot_product(a.v,b.v)
+          |           + list_dot_product(b.v,b.v) AS xd
+          |        FROM e a JOIN e b ON a.vec_id <> b.vec_id WHERE a.vec_id < 5),
+          | r AS (SELECT ad.query_id, ad.neighbor_id, round(adr, 6) AS adist,
+          |        round(ex.xd, 6) AS exact_d2,
+          |        row_number() OVER (PARTITION BY ad.query_id
+          |          ORDER BY round(adr, 6), ad.neighbor_id) AS rank
+          |       FROM ad JOIN ex ON ad.query_id = ex.query_id
+          |         AND ad.neighbor_id = ex.neighbor_id)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id, adist, exact_d2
+          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q93_scd2" ->
         """WITH x AS (SELECT user_id, event_id, event_type,
           |        floor(epoch(ts))::BIGINT AS tsec FROM events),

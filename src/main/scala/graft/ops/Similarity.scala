@@ -356,4 +356,84 @@ object Similarity {
         round(sum(round(col("d2"), 4).cast(DecimalType(28, 4))).cast("double"), 4)
           .as("inertia"))
   }
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * COMPRESSED 100 TB path beside IVF's partitioned one: vectors are
+    * encoded as `m` small codes (here m bytes instead of dim·4 — a 64×
+    * compression at dim=64), and queries scan CODES through per-subspace
+    * distance tables (ADC), never touching full vectors again.
+    *
+    * Mechanics, all inside codegen:
+    *  - codebooks: per subspace, the sub-slices of the `codes` smallest-id
+    *    corpus vectors (the same deterministic seeding stand-in as
+    *    [[ivfTopK]]; [[kmeans]] refines codebooks when quality matters) —
+    *    one bounded codes×dim driver collect, embedded as literals;
+    *  - encode: code_m(x) = argmin_c l2²(x_m, cb[m][c]) via the dot-form
+    *    |x_m|² − 2·x_m·cb + |cb|² (native [[graft.functions.DotProduct]]);
+    *    argmin = `least` over (d, c) structs, c as tiebreak;
+    *  - ADC: per query row a k-entry distance-table ARRAY per subspace
+    *    (same dot-form), approx distance = Σ_m dtable_m[code_m(x)] —
+    *    element_at lookups and m−1 adds per corpus row.
+    *
+    * The query side is a bounded handful of rows, so the pair join is a
+    * broadcast nested loop over the code table — the ADC scan itself. The
+    * exact l2² rides along for recall inspection; both distances round-6,
+    * and every fold (dots, norms, table sums) is the same sequential IEEE
+    * chain the DuckDB oracle computes, so the APPROXIMATE distances are
+    * hash-gated too.
+    *
+    * Output: (query_id, rank, neighbor_id, adist, exact_d2) top-k by
+    * (adist, neighbor_id) per query.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, codes: Int = 16,
+             dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    // bounded collect: codes vectors (codes × dim doubles), the codebook
+    val seeds: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(codes)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.length == codes, s"corpus has < $codes vectors")
+    // cb(mi)(c) = centroid sub-vector; norms via the same sequential fold
+    // DuckDB's list_dot_product uses
+    val cb = Array.tabulate(m, codes)((mi, c) => seeds(c).slice(mi * sub, (mi + 1) * sub))
+    val cbNorm = Array.tabulate(m, codes) { (mi, c) =>
+      var acc = 0.0; var i = 0
+      while (i < sub) { acc += cb(mi)(c)(i) * cb(mi)(c)(i); i += 1 }
+      acc
+    }
+    def subSlice(vec: String, mi: Int): Column = slice(col(vec), mi * sub + 1, sub)
+    def d2(vs: Column, mi: Int, c: Int): Column =
+      dotNative(vs, vs) - lit(2.0) * dotNative(vs, array(cb(mi)(c).map(lit): _*)) +
+        lit(cbNorm(mi)(c))
+    // corpus side: m argmin codes per row
+    val enc = (0 until m).map { mi =>
+      val vs = subSlice("_cv", mi)
+      least((0 until codes).map(c =>
+        struct(d2(vs, mi, c).as("d"), lit(c).as("c"))): _*)
+        .getField("c").as(s"_code$mi")
+    }
+    val c0 = corpus.select((col(idCol).as("neighbor_id") +: col(vecCol).as("_cv") +: Nil): _*)
+    val encoded = c0.select((col("neighbor_id") +: col("_cv") +: enc): _*)
+    // query side: k-entry ADC table per subspace
+    val dts = (0 until m).map { mi =>
+      val qs = subSlice("_qv", mi)
+      array((0 until codes).map(c => d2(qs, mi, c)): _*).as(s"_dt$mi")
+    }
+    val q0 = queries.select((col(idCol).as("query_id") +: col(vecCol).as("_qv") +: dts): _*)
+    val adist = (0 until m).map(mi =>
+      element_at(col(s"_dt$mi"), col(s"_code$mi") + 1)).reduce(_ + _)
+    val exact = dotNative(col("_qv"), col("_qv")) -
+      lit(2.0) * dotNative(col("_qv"), col("_cv")) + dotNative(col("_cv"), col("_cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    broadcast(q0).join(encoded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adist, 6))
+      .withColumn("exact_d2", round(exact, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"),
+        col("exact_d2"))
+  }
 }

@@ -65,9 +65,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q34_ivf_topk",   // IVF centroid assignment: rows x broadcast(<=16 centroids)
     "q43_tfidf_topk", // IDF scaling: rows x broadcast(1-row global doc count)
     "q46_temperature_mix", // per-stratum rates x broadcast(1-row weight total)
-    "q82_kmv_overlap" // pair generation: groups x broadcast(groups) — the
-                      // group UNIVERSE (like q74's symbols²), never row data;
-                      // every sketch-row join around it is an equi-join
+    "q82_kmv_overlap", // pair generation: groups x broadcast(groups) — the
+                       // group UNIVERSE (like q74's symbols²), never row data;
+                       // every sketch-row join around it is an equi-join
+    "q94_pq_topk"      // the ADC scan: code table x broadcast(5 query rows
+                       // + their bounded distance tables) — PQ's whole point
+                       // is that this is the ONLY per-query pass
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {

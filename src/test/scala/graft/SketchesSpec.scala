@@ -258,6 +258,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum === 1500L * 4, "every event lands in every row")
   }
 
+  test("pqTopK: identical vectors meet at adist 0 rank 1; deterministic under repartitioning") {
+    // 24 vectors in dim-8 (m=2 subspaces of 4): id 20 duplicates id 3, so
+    // PQ must put them in the same cells and rank them mutually first
+    val vecs = (0 until 24).map { i =>
+      val base = if (i == 20) 3 else i
+      (i.toLong, Array.tabulate(8)(j => (base * 8 + j).toFloat / 10f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.pqTopK(
+        df.where(col("vec_id") === 3L), df, "vec_id", "embedding",
+        k = 3, m = 2, codes = 8, dim = 8)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.head._3 === 20L, s"duplicate vector must rank first: $got")
+    assert(got.head._4 === 0.0 && got.head._5 === 0.0)
+    assert(got.map(_._2) === Seq(1L, 2L, 3L))
+    val again = graft.ops.Similarity.pqTopK(
+        df.where(col("vec_id") === 3L), df.repartition(7), "vec_id", "embedding",
+        k = 3, m = 2, codes = 8, dim = 8)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === again, "PQ must not depend on partitioning")
+  }
+
   test("kmeans: separable clusters recovered; deterministic under repartitioning") {
     // even ids near (+10, 0), odd ids near (-10, 5): the two smallest ids
     // (0, 1) seed one centroid in each true cluster
