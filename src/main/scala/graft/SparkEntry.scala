@@ -973,6 +973,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // model-ready feature scaling: percent-rank + min-max of value per
+    // event_type, deterministic (value, event_id) rank order — one keyed
+    // window pass, both scales one IEEE division each so the features
+    // are hash-gated (graft.ops.Corpus.featureScale)
+    "q95_feature_scale" -> ((s, dir) => {
+      Corpus.featureScale(
+          tbl(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", "event_id")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("pct_rank"), col("minmax"))
+        .orderBy(col("event_id"))
+    }),
+
     // product-quantization ANN (Jegou et al. 2011): vectors encoded as 4
     // subspace codes (64x compression at dim=64), queries scan CODES via
     // per-subspace ADC distance tables — never full vectors; codebooks =
@@ -1478,6 +1492,19 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q95_feature_scale" ->
+        """WITH x AS (SELECT event_id, event_type, value FROM events
+          |       WHERE value IS NOT NULL),
+          | w AS (SELECT event_id, event_type, value,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS rk,
+          |        count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+          |        min(value) OVER (PARTITION BY event_type) AS mn,
+          |        max(value) OVER (PARTITION BY event_type) AS mx
+          |       FROM x)
+          |SELECT event_id, event_type, value,
+          | CASE WHEN n > 1 THEN round((rk - 1)::DOUBLE / (n - 1)::DOUBLE, 6) END AS pct_rank,
+          | CASE WHEN mx > mn THEN round((value - mn) / (mx - mn), 6) END AS minmax
+          |FROM w ORDER BY event_id""".stripMargin,
       "q94_pq_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           | vs AS (SELECT vec_id, t.mi, list_slice(v, t.mi*16+1, t.mi*16+16) AS sv

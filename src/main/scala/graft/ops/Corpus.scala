@@ -146,6 +146,39 @@ object Corpus {
       .where(col("rn") <= k)
   }
 
+  /** Per-stratum feature scaling for model-ready exports: every row gets
+    * its percent rank (rank−1)/(n−1) under a deterministic (value, id)
+    * order and its min-max position (v−min)/(max−min) — the two standard
+    * normalizations, emitted together so a trainer can pick either
+    * without a second pass. Ranks are integer window arithmetic and each
+    * scale is ONE IEEE division of engine-identical inputs, so the scaled
+    * features are hash-gated bit-for-bit; degenerate strata (n = 1 or
+    * constant value) yield NULL rather than 0/0.
+    *
+    * Scale: one stratum-keyed window (rank) sharing its Exchange with the
+    * min/max/count window aggregates — keyed, no global sort; output is
+    * row-sized by design (it IS the export).
+    *
+    * Output: every input column + (pct_rank, minmax).
+    */
+  def featureScale(df: DataFrame, stratumCol: String, valueCol: String,
+                   idCol: String): DataFrame = {
+    val ws = Window.partitionBy(col(stratumCol))
+    val wo = ws.orderBy(col(valueCol), col(idCol))
+    df.where(col(valueCol).isNotNull)
+      .withColumn("_rk", row_number().over(wo).cast("long"))
+      .withColumn("_n", count(lit(1)).over(ws))
+      .withColumn("_mn", min(col(valueCol)).over(ws))
+      .withColumn("_mx", max(col(valueCol)).over(ws))
+      .withColumn("pct_rank",
+        when(col("_n") > 1L,
+          round((col("_rk") - 1L).cast("double") / (col("_n") - 1L).cast("double"), 6)))
+      .withColumn("minmax",
+        when(col("_mx") > col("_mn"),
+          round((col(valueCol) - col("_mn")) / (col("_mx") - col("_mn")), 6)))
+      .drop("_rk", "_n", "_mn", "_mx")
+  }
+
   /** The hash-Bernoulli survival predicate shared by [[rebalance]] and
     * [[rebalanced]]: keep a row iff its id hash lands in the first
     * floor(rate*1e6) of 1e6 buckets. Factored so the stats report and the

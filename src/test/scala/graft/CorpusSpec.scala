@@ -58,6 +58,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq === again.toSeq, "weighted sample must be deterministic")
   }
 
+  test("featureScale: endpoints 0 and 1, deterministic ties, degenerate strata null") {
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0), (4L, "a", 40.0),
+      (5L, "b", 7.0), // singleton stratum
+      (6L, "c", 3.0), (7L, "c", 3.0), // constant stratum: minmax null
+    ).toDF("id", "g", "v")
+    val got = Corpus.featureScale(df, "g", "v", "id")
+      .orderBy("id")
+      .as[(Long, String, Double, Option[Double], Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 10.0, Some(0.0), Some(0.0)),
+      (2L, "a", 20.0, Some(0.333333), Some(0.333333)),
+      (3L, "a", 20.0, Some(0.666667), Some(0.333333)), // tie ranks by id
+      (4L, "a", 40.0, Some(1.0), Some(1.0)),
+      (5L, "b", 7.0, None, None),
+      (6L, "c", 3.0, Some(0.0), None),
+      (7L, "c", 3.0, Some(1.0), None)))
+  }
+
   test("rebalance keeps small strata whole and thins large ones deterministically") {
     val big = (1L to 400L).map(i => (i, s"doc $i", if (i <= 300) "en" else "es"))
       .toDF("doc_id", "text", "lang")
