@@ -92,6 +92,29 @@ class StreamingOracleSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("Scd2Stream over time-ordered micro-batches == oracled q93 history") {
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ev = events().select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, Timestamp)].collect().toSeq
+      .sortBy { case (_, id, _, ts) => (ts.getTime / 1000L, id) }
+    val chunks = ev.grouped((ev.size + 2) / 3).toSeq
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    chunks.foreach(c => in.addData(c: _*))
+    val closed = graft.streaming.Scd2Stream
+      .historyFinal(in.toDF().toDF("key", "id", "attr", "ts"), queryName = "scd2_out")
+    val streamed = graft.streaming.Scd2Stream
+      .withOpenVersions(closed, ev.toDF("key", "id", "attr", "ts"))
+      .orderBy(col("key"), col("version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toSeq
+    val batch = SparkEntry.queries("q93_scd2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toSeq
+    assert(streamed === batch)
+  }
+
   test("EnrichStream run to completion on real events == oracled q49 counts") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
