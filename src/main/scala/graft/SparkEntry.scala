@@ -973,6 +973,30 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // blocked fuzzy-match join: supplier names within edit distance 2
+    // (entity resolution exact keys miss) — length blocking + thresholded
+    // banded-DP levenshtein, exact integer distances under the gate
+    // (graft.ops.Dedup.fuzzyPairs)
+    "q97_fuzzy_match" -> ((s, dir) => {
+      Dedup.fuzzyPairs(tbl(s, dir, "supplier"), "s_suppkey", "s_name",
+          maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // unpivot/melt to long format (the inverse of q50's pivot): OHLC
+    // columns -> (field, value) rows via stack() — pure per-row expression
+    // expansion, no shuffle beyond the candle aggregation; the tall shape
+    // feature stores and plotting layers consume
+    "q96_melt_ohlc" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      EventOps.candles(ev, 3600L, Seq("symbol"))
+        .select(col("symbol"), secs(col("ts")).as("ts_sec"),
+          expr("stack(4, 'open', open, 'high', high, 'low', low, 'close', close)")
+            .as(Seq("field", "value")))
+        .orderBy(col("symbol"), col("ts_sec"), col("field"))
+    }),
+
     // model-ready feature scaling: percent-rank + min-max of value per
     // event_type, deterministic (value, event_id) rank order — one keyed
     // window pass, both scales one IEEE division each so the features
@@ -1492,6 +1516,25 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q97_fuzzy_match" ->
+        """WITH s AS (SELECT s_suppkey AS id, s_name AS n, length(s_name) AS blk
+          |       FROM supplier)
+          |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.n, b.n)::BIGINT AS dist
+          |FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+          |WHERE levenshtein(a.n, b.n) <= 2
+          |ORDER BY id_a, id_b""".stripMargin,
+      "q96_melt_ohlc" ->
+        """WITH c AS (SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+          |        (floor(epoch(ts)/3600)*3600)::BIGINT AS ts_sec,
+          |        arg_min(value, ts) AS open, max(value) AS high,
+          |        min(value) AS low, arg_max(value, ts) AS close
+          |       FROM events GROUP BY 1, 2)
+          |SELECT symbol, ts_sec, field, value FROM (
+          | SELECT symbol, ts_sec, 'open' AS field, open AS value FROM c
+          | UNION ALL SELECT symbol, ts_sec, 'high', high FROM c
+          | UNION ALL SELECT symbol, ts_sec, 'low', low FROM c
+          | UNION ALL SELECT symbol, ts_sec, 'close', close FROM c)
+          |ORDER BY symbol, ts_sec, field""".stripMargin,
       "q95_feature_scale" ->
         """WITH x AS (SELECT event_id, event_type, value FROM events
           |       WHERE value IS NOT NULL),

@@ -242,6 +242,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** Blocked fuzzy-match pairs by edit distance — the entity-resolution
+    * join ("Supplier#000000001" vs "Supplier#000000010") that exact keys
+    * and token-set similarity both miss.
+    *
+    * Classic blocking: candidates form only WITHIN a block key (default:
+    * string length — a pair at distance <= maxDist can differ by at most
+    * maxDist in length, so same-length blocking catches the substitution-
+    * only matches; pass a phonetic/q-gram key for higher recall — any
+    * blocking is recall-lossy by design and the key's selectivity is what
+    * distributes the pair join at scale). Verification uses Spark's
+    * THRESHOLDED levenshtein (early-exits the DP past maxDist — the
+    * standard banded-DP trick, returns -1 beyond), which equals the full
+    * distance whenever it qualifies, so the emitted distances are exact
+    * integers and oracle-portable.
+    *
+    * Output: (id_a, id_b, dist) with 0 <= dist <= maxDist, id_a < id_b.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+                 maxDist: Int, blockKey: Option[Column] = None): DataFrame = {
+    require(maxDist >= 0, "need maxDist >= 0")
+    val key = blockKey.getOrElse(length(col(strCol)))
+    val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"),
+      key.as("_blk"))
+    val a = base.select(col("_id").as("id_a"), col("_s").as("_sa"), col("_blk"))
+    val b = base.select(col("_id").as("id_b"), col("_s").as("_sb"), col("_blk"))
+    a.join(b, "_blk")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", expr(s"levenshtein(_sa, _sb, $maxDist)").cast("long"))
+      .where(col("dist") >= 0L && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** 32-bit SimHash over word hashes: bit j of the signature is the sign of
     * sum over words of (2*bit_j(hash(word)) - 1). Portable arithmetic
     * (polynomial word hash + div/mod bit extraction, no engine intrinsics).

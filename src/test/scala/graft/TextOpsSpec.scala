@@ -99,6 +99,18 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyPairs: qualifying distances exact, beyond-threshold and cross-block dropped") {
+    val df = Seq(
+      (1L, "alpha"), (2L, "alphb"),   // dist 1, same length
+      (3L, "alxyz"),                  // dist 3 from both: beyond maxDist=2
+      (4L, "alpha-long"),             // different length block: never paired
+      (5L, "alpha"),                  // exact dup of 1: dist 0
+    ).toDF("id", "name")
+    val got = graft.ops.Dedup.fuzzyPairs(df, "id", "name", maxDist = 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L), (1L, 5L, 0L), (2L, 5L, 1L)))
+  }
+
   test("bucket-width caps drop degenerate buckets but keep narrow ones") {
     // 40 identical docs form width-40 LSH/simhash/shingle buckets (the
     // stopword-bucket failure mode at scale); the cap must suppress them
