@@ -973,6 +973,15 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // DAU/WAU engagement with stickiness: sliding 7-day distinct users —
+    // dedupe to (day, user) once, explode onto the <= 7 future days each
+    // pair keeps active (bounded day-grain expansion), distinct-count per
+    // target day; exact integer basis-point ratio
+    // (graft.ops.EventOps.dauWau)
+    "q98_dau_wau" -> ((s, dir) => {
+      EventOps.dauWau(tbl(s, dir, "events")).orderBy(col("day"))
+    }),
+
     // blocked fuzzy-match join: supplier names within edit distance 2
     // (entity resolution exact keys miss) — length blocking + thresholded
     // banded-DP levenshtein, exact integer distances under the gate
@@ -1516,6 +1525,16 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q98_dau_wau" ->
+        """WITH du AS (SELECT DISTINCT floor(epoch(ts))::BIGINT // 86400 AS day, user_id
+          |       FROM events),
+          | dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+          | mx AS (SELECT max(day) AS m FROM du),
+          | ex AS (SELECT t.t AS day, du.user_id
+          |        FROM du, mx, unnest(generate_series(du.day, least(du.day + 6, mx.m))) t(t)),
+          | wau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS wau FROM ex GROUP BY 1)
+          |SELECT dau.day, dau, wau, (dau * 10000 // wau)::BIGINT AS stickiness_bp
+          |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin,
       "q97_fuzzy_match" ->
         """WITH s AS (SELECT s_suppkey AS id, s_name AS n, length(s_name) AS blk
           |       FROM supplier)

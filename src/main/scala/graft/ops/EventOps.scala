@@ -214,6 +214,39 @@ object EventOps {
           .cast("double").as("revenue"))
   }
 
+  /** DAU / WAU engagement: per UTC day the distinct active users that day
+    * and over the trailing 7 days, plus their stickiness ratio in integer
+    * basis points — the standard engagement dashboard triple.
+    *
+    * Sliding DISTINCT windows can't use a plain window aggregate (distinct
+    * isn't decomposable over overlapping frames), so the classic exact
+    * shape: dedupe to (day, user) once, EXPLODE each pair onto the <= 7
+    * future days it keeps active (bounded 7× expansion of the deduped
+    * pairs — day-grain, far smaller than the event stream), and count
+    * distinct per target day. Two distinct-shuffles on day-keyed pairs;
+    * ratio = dau·10000 DIV wau, exact integers end to end. Days beyond
+    * the observed range are clipped so WAU never counts a day the data
+    * cannot see.
+    *
+    * Output: (day, dau, wau, stickiness_bp) for every day with activity.
+    */
+  def dauWau(events: DataFrame, userCol: String = "user_id",
+             tsCol: String = "ts"): DataFrame = {
+    val du = events
+      .select(expr(s"CAST(`$tsCol` AS LONG) DIV 86400").as("day"), col(userCol).as("_u"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val maxDay = du.agg(max(col("day"))).head().getLong(0)
+    val wau = du
+      .withColumn("_t", explode(sequence(col("day"), least(col("day") + 6, lit(maxDay)))))
+      .select(col("_t").as("day"), col("_u"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness_bp", expr("dau * 10000 DIV wau"))
+      .select(col("day"), col("dau"), col("wau"), col("stickiness_bp"))
+  }
+
   /** Slowly-changing-dimension (SCD type 2) history from an event/CDC
     * stream: per key, compact consecutive repeats of `attrCol` away and
     * interval-ize what remains into (valid_from, valid_to, version) rows —

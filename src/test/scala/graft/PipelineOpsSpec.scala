@@ -226,6 +226,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("dauWau: trailing-7-day distinct, clipped tail, integer stickiness") {
+    def t(day: Long, u: Long) = (u, new java.sql.Timestamp(day * 86400_000L + 1000L))
+    // users: 1 active days 0 and 3; 2 active day 0 only; 3 active day 8
+    val ev = Seq(t(0, 1), t(0, 2), t(3, 1), t(8, 3)).toDF("user_id", "ts")
+    val got = graft.ops.EventOps.dauWau(ev)
+      .orderBy("day").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 2L, 10000L),  // day 0: {1,2} both windows
+      (3L, 1L, 2L, 5000L),   // day 3: dau {1}; wau {1,2} (day-0 pair still in range)
+      (8L, 1L, 2L, 5000L)))  // day 8: dau {3}; wau {1,3} (day-3 activity in range)
+  }
+
   test("scd2History: consecutive repeats compacted, intervals tile, open version null") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
