@@ -973,6 +973,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // referential-integrity audit: orphan-FK counts across the TPC-H
+    // relationships plus one deliberately cross-dataset check (events
+    // users vs customer keys) that fails — one anti-join per declared
+    // relation, relationships-sized report (graft.ops.Qc.fkAudit)
+    "q99_fk_audit" -> ((s, dir) => {
+      Qc.fkAudit(Seq(
+          ("lineitem_orders", tbl(s, dir, "lineitem"), "l_orderkey",
+            tbl(s, dir, "orders"), "o_orderkey"),
+          ("lineitem_part", tbl(s, dir, "lineitem"), "l_partkey",
+            tbl(s, dir, "part"), "p_partkey"),
+          ("lineitem_supplier", tbl(s, dir, "lineitem"), "l_suppkey",
+            tbl(s, dir, "supplier"), "s_suppkey"),
+          ("orders_customer", tbl(s, dir, "orders"), "o_custkey",
+            tbl(s, dir, "customer"), "c_custkey"),
+          ("events_customer", tbl(s, dir, "events"), "user_id",
+            tbl(s, dir, "customer"), "c_custkey")))
+        .orderBy(col("relation"))
+    }),
+
     // DAU/WAU engagement with stickiness: sliding 7-day distinct users —
     // dedupe to (day, user) once, explode onto the <= 7 future days each
     // pair keeps active (bounded day-grain expansion), distinct-count per
@@ -1525,6 +1544,25 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q99_fk_audit" ->
+        """WITH r AS (
+          | SELECT 'lineitem_orders' AS relation,
+          |  (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+          |  (SELECT count(*) FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey)::BIGINT AS n_orphans
+          | UNION ALL SELECT 'lineitem_part',
+          |  (SELECT count(*) FROM lineitem),
+          |  (SELECT count(*) FROM lineitem ANTI JOIN part ON l_partkey = p_partkey)
+          | UNION ALL SELECT 'lineitem_supplier',
+          |  (SELECT count(*) FROM lineitem),
+          |  (SELECT count(*) FROM lineitem ANTI JOIN supplier ON l_suppkey = s_suppkey)
+          | UNION ALL SELECT 'orders_customer',
+          |  (SELECT count(*) FROM orders),
+          |  (SELECT count(*) FROM orders ANTI JOIN customer ON o_custkey = c_custkey)
+          | UNION ALL SELECT 'events_customer',
+          |  (SELECT count(*) FROM events),
+          |  (SELECT count(*) FROM events ANTI JOIN customer ON user_id = c_custkey))
+          |SELECT relation, n_child, n_orphans, n_orphans = 0 AS passed
+          |FROM r ORDER BY relation""".stripMargin,
       "q98_dau_wau" ->
         """WITH du AS (SELECT DISTINCT floor(epoch(ts))::BIGINT // 86400 AS day, user_id
           |       FROM events),

@@ -88,4 +88,33 @@ object Qc {
       }: _*)).as("r"))
       .select(col("r.check_name"), col("r.n_violations"), col("r.passed"))
   }
+
+  /** Referential-integrity audit: for each declared (child, fk) → (parent,
+    * pk) relationship, the child row count, orphan count (fk value absent
+    * from the parent — NULL fks count as orphans, like
+    * [[checkConstraints]]'s null-hostility), and pass flag — the FK sweep
+    * a warehouse load runs before trusting joins.
+    *
+    * Each relationship is one LEFT ANTI join against the parent's DISTINCT
+    * keys plus one count — the anti join shuffles on the key (or
+    * broadcasts when the parent is small, Catalyst's choice); the report
+    * is relationships-sized. NULL-safe: anti join keeps NULL fks (they
+    * match nothing), which is exactly the orphan semantics.
+    *
+    * Output: (relation, n_child, n_orphans, passed), one row per entry.
+    */
+  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "need at least one relationship")
+    relations.map { case (name, child, fkCol, parent, pkCol) =>
+      val keys = parent.select(col(pkCol).as("_pk")).distinct()
+      val nChild = child.count()
+      val nOrphans = child.select(col(fkCol).as("_fk"))
+        .join(keys, col("_fk") === col("_pk"), "left_anti")
+        .count()
+      val spark = child.sparkSession
+      import spark.implicits._
+      Seq((name, nChild, nOrphans, nOrphans == 0L))
+        .toDF("relation", "n_child", "n_orphans", "passed")
+    }.reduce(_ unionByName _)
+  }
 }

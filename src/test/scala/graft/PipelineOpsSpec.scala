@@ -226,6 +226,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("fkAudit: orphans and NULL fks counted, intact relations pass") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk") // 9 + NULL orphaned
+    val intact = Seq(Some(3L), Some(3L)).toDF("fk")
+    val got = graft.ops.Qc.fkAudit(Seq(
+        ("broken", child, "fk", parent, "pk"),
+        ("intact", intact, "fk", parent, "pk")))
+      .orderBy("relation").as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("broken", 4L, 2L, false), ("intact", 2L, 0L, true)))
+  }
+
   test("dauWau: trailing-7-day distinct, clipped tail, integer stickiness") {
     def t(day: Long, u: Long) = (u, new java.sql.Timestamp(day * 86400_000L + 1000L))
     // users: 1 active days 0 and 3; 2 active day 0 only; 3 active day 8
