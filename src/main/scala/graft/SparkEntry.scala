@@ -973,6 +973,32 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // CAPSTONE: the end-to-end training-data pipeline as ONE gated chain —
+    // eval split -> hygiene filter (native TextStats token count) ->
+    // exact dedup keep-min-id -> n-gram decontamination vs the eval set
+    // (broadcast) -> deterministic stratified sample (WindowGroupLimit)
+    // -> per-language manifest. Every stage is an already-oracled operator
+    // (q08/q07/q41/q42 lineages); this gates their COMPOSITION.
+    "q100_training_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val eval = docs.where(col("doc_id") % 10 === 0)
+      val train = docs.where(col("doc_id") % 10 =!= 0)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .where(col("n_tokens") >= 20)
+      val wd = Window.partitionBy(col("_fp")).orderBy(col("doc_id"))
+      val deduped = train.withColumn("_fp", md5(col("text")))
+        .withColumn("_rn", row_number().over(wd))
+        .where(col("_rn") === 1).drop("_fp", "_rn")
+      val clean = Corpus.decontaminated(deduped, eval, "doc_id", "text")
+      Corpus.stratifiedSample(clean, "lang", "doc_id", k = 50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     // referential-integrity audit: orphan-FK counts across the TPC-H
     // relationships plus one deliberately cross-dataset check (events
     // users vs customer keys) that fails — one anti-join per declared
@@ -1544,6 +1570,27 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q100_training_pipeline" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, len(l)::BIGINT AS n_tokens FROM ws),
+           | sh AS ($shingleSql),
+           | ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+           | hyg AS (SELECT d.doc_id, d.lang, d.n_chars, d.text, tok.n_tokens
+           |         FROM documents d JOIN tok ON d.doc_id = tok.doc_id
+           |         WHERE d.doc_id % 10 <> 0 AND tok.n_tokens >= 20),
+           | ded AS (SELECT * FROM (
+           |          SELECT h.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |          FROM hyg h) WHERE rn = 1),
+           | dirty AS (SELECT DISTINCT tr.doc_id FROM sh tr JOIN ev USING (shingle)
+           |           WHERE tr.doc_id % 10 <> 0),
+           | clean AS (SELECT ded.* FROM ded ANTI JOIN dirty ON ded.doc_id = dirty.doc_id),
+           | samp AS (SELECT * FROM (
+           |          SELECT c.*, row_number() OVER (PARTITION BY lang
+           |            ORDER BY ((doc_id % 1000000007 + 1000000007) % 1000000007*2654435761 + 11) % 1000000007, doc_id) AS srn
+           |          FROM clean c) WHERE srn <= 50)
+           |SELECT lang, count(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens,
+           | SUM(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM samp GROUP BY 1 ORDER BY 1""".stripMargin,
       "q99_fk_audit" ->
         """WITH r AS (
           | SELECT 'lineitem_orders' AS relation,
