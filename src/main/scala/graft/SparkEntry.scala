@@ -973,6 +973,14 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // top-10 whole-session journeys: ordered event-type sequences per q12
+    // session, counted and ranked — the full-path complement to q84's
+    // bigrams (graft.ops.EventOps.topPaths)
+    "q101_top_paths" -> ((s, dir) => {
+      EventOps.topPaths(tbl(s, dir, "events"), gapSeconds = 1800L, k = 10)
+        .orderBy(col("rank"))
+    }),
+
     // CAPSTONE: the end-to-end training-data pipeline as ONE gated chain —
     // eval split -> hygiene filter (native TextStats token count) ->
     // exact dedup keep-min-id -> n-gram decontamination vs the eval set
@@ -1570,6 +1578,24 @@ object SparkEntry {
            |        round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
            |       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
            |SELECT id_a, id_b, inter, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+      "q101_top_paths" ->
+        """WITH x AS (SELECT user_id, event_id, event_type,
+          |        floor(epoch(ts))::BIGINT AS tsec FROM events),
+          | y AS (SELECT user_id, event_id, event_type, tsec,
+          |        CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800
+          |             THEN 1 ELSE 0 END AS new_s
+          |       FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+          | z AS (SELECT user_id, event_id, event_type, tsec,
+          |        sum(new_s) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+          |          ROWS UNBOUNDED PRECEDING) AS sid
+          |       FROM y),
+          | p AS (SELECT user_id, sid,
+          |        string_agg(event_type, '>' ORDER BY tsec, event_id) AS path
+          |       FROM z GROUP BY 1, 2),
+          | c AS (SELECT path, count(*)::BIGINT AS n FROM p GROUP BY 1
+          |       ORDER BY n DESC, path LIMIT 10)
+          |SELECT row_number() OVER (ORDER BY n DESC, path)::BIGINT AS rank, path, n
+          |FROM c ORDER BY rank""".stripMargin,
       "q100_training_pipeline" ->
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, len(l)::BIGINT AS n_tokens FROM ws),

@@ -276,6 +276,47 @@ object EventOps {
         col("version"))
   }
 
+  /** Top-k full session paths: each session's ordered event-type sequence
+    * joined into one `a>b>c` string, counted across all sessions, the k
+    * most frequent kept — the whole-journey complement to [[transitions]]'
+    * bigrams ("what are the common ways through the product", not just
+    * "what follows X").
+    *
+    * Session ids reuse [[sessionize]]'s gap logic at row grain; the path
+    * string is built by sorting each session's (second, id, type) structs
+    * — struct sort is lexicographic on the fields, so ordering is the
+    * engine-portable (tsec, id) convention — then joining the types.
+    * Per-session arrays are session-sized (HOFs here are fine: this is
+    * journey-grain, not the per-row 100 TB hot path). The top-k is a
+    * deterministic (n DESC, path) order + limit, so the same k paths
+    * surface in any engine; counts are exact integers.
+    *
+    * Output: (rank 1..k, path, n).
+    */
+  def topPaths(events: DataFrame, gapSeconds: Long, k: Int,
+               userCol: String = "user_id", typeCol: String = "event_type",
+               tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_tsec"), col(idCol))
+    val paths = events
+      .withColumn("_tsec", col(tsCol).cast("long"))
+      .withColumn("_prev", lag(col("_tsec"), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col("_tsec") - col("_prev") > gapSeconds, 1).otherwise(0))
+      .withColumn("_sid", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("_sid"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_tsec"), col(idCol), col(typeCol).as("_ty")))),
+          x => x.getField("_ty")), ">").as("path"))
+    val counted = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+    val wr = Window.orderBy(col("n").desc, col("path")) // k rows only
+    counted.withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("rank"), col("path"), col("n"))
+  }
+
   def sessionize(events: DataFrame, gapSeconds: Long, userCol: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("ts"))
     events

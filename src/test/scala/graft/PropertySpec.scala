@@ -254,4 +254,30 @@ class PropertySpec extends AnyFunSuite {
       assert(a === b, s"seed=$seed")
     }
   }
+
+  test("property: prefixJaccardPairs == jaccardPairs across seeds and thresholds") {
+    import spark.implicits._
+    // hash-derived word soup over a small vocabulary: plenty of shared
+    // shingles, graded overlaps, and docs of varying length — the regime
+    // where prefix pruning and its length/positional filters all bind
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- seeds; t <- Seq(0.3, 0.6)) {
+      val docs = (0 until 60).map { i =>
+        val len = 6 + (i * 31 + seed).toInt.abs % 10
+        val words = (0 until len).map { j =>
+          vocab(((i / 3 + j) * 2654435761L + seed * (j % 4 + 1)).toInt.abs % vocab.size)
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b", "inter", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq.sorted
+      val full = norm(graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, t))
+      val pref = norm(graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, t))
+      assert(pref === full, s"seed=$seed t=$t: prefix plan diverged from full join")
+      assert(full.nonEmpty, s"seed=$seed t=$t: degenerate corpus, no pairs")
+    }
+  }
 }
