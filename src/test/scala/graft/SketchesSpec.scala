@@ -282,6 +282,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(got === again, "PQ must not depend on partitioning")
   }
 
+  test("pqTopK: recall@10 against exact l2 stays above the id-seeded floor on real embeddings") {
+    // sf0.01: 500 vectors, so the random baseline for overlap@10 is ~0.02
+    // and the floor below is a real signal (sf0.001's 50 vectors would put
+    // random at ~0.2, proving nothing)
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
+    val pq = graft.ops.Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.size === 50, "per-query top-10 must be dense")
+    // ground truth from the exact_d2 column the op itself carries: k large
+    // enough to rank the whole sf0.01 corpus, re-sorted by exact distance
+    val truth = graft.ops.Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 600)
+      .select("query_id", "neighbor_id", "exact_d2")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).flatMap { case (qid, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(10).map(r => (qid, r._2)).toSeq
+      }.toSet
+    val recall = (pq & truth).size.toDouble / truth.size
+    // pin a floor an order of magnitude above random; id-seeded codebooks
+    // land well above it and kmeans-trained ones higher still
+    assert(recall >= 0.1, s"PQ recall@10 collapsed: $recall (random ~ 0.02)")
+    info(s"PQ recall@10 = $recall")
+  }
+
   test("kmeans: separable clusters recovered; deterministic under repartitioning") {
     // even ids near (+10, 0), odd ids near (-10, 5): the two smallest ids
     // (0, 1) seed one centroid in each true cluster
