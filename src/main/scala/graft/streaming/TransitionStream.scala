@@ -65,6 +65,71 @@ object TransitionStream {
     out.result().iterator
   }
 
+  case class AttributedConversion(user_id: Long, attributed: String,
+                                  value: Double)
+
+  /** Streaming last-touch attribution — the streaming twin of the batch
+    * `EventOps.lastTouchAttribution` (q92), sharing [[transitions]]' state
+    * shape: per user the last NON-target (second, id, type) row. A target
+    * event emits its attribution the moment it arrives ("direct" when the
+    * last touch is absent or stale); non-target events just refresh the
+    * state. Same ordering contract and micro-batch assumptions as
+    * [[transitions]].
+    */
+  def attributions(events: DataFrame, gapSeconds: Long = 1800L,
+                   targetType: String = "purchase"): Dataset[AttributedConversion] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "event_id", "event_type", "ts", "value")
+      .as[(Long, Long, String, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        attributionFn(gapSeconds, targetType))
+  }
+
+  private def attributionFn(gapSeconds: Long, targetType: String)(
+      userId: Long, events: Iterator[(Long, Long, String, Timestamp, Double)],
+      state: GroupState[LastEv]): Iterator[AttributedConversion] = {
+    val sorted = events
+      .map { case (_, id, ty, ts, v) => (ts.getTime / 1000L, id, ty, v) }
+      .toArray.sortBy(e => (e._1, e._2))
+    val out = Vector.newBuilder[AttributedConversion]
+    var last = state.getOption
+    sorted.foreach { case (tsec, id, ty, v) =>
+      if (ty == targetType) {
+        val attributed = last match {
+          case Some(p) if tsec - p.tsec <= gapSeconds => p.typ
+          case _ => "direct"
+        }
+        out += AttributedConversion(userId, attributed, v)
+      } else {
+        last = Some(LastEv(tsec, id, ty))
+      }
+    }
+    last.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Run the attribution stream to completion over a bounded input and
+    * return (attributed, n_conversions, revenue) — q92's aggregate shape,
+    * the batch-parity surface used by the spec.
+    */
+  def attributionsFinal(events: DataFrame, gapSeconds: Long,
+                        targetType: String, queryName: String): DataFrame = {
+    val spark = events.sparkSession
+    val q = attributions(events, gapSeconds, targetType)
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.functions._
+    spark.table(queryName)
+      .groupBy(col("attributed"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(round(col("value"), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .cast("double").as("revenue"))
+  }
+
   /** Run the stream to completion over a bounded input and return the
     * final (from_type, to_type, n) counts — the batch-parity surface used
     * by the spec.

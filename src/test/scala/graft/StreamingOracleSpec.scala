@@ -92,6 +92,27 @@ class StreamingOracleSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("TransitionStream.attributions over time-ordered micro-batches == oracled q92") {
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ev = events()
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+      .as[(Long, Long, String, Timestamp, Double)].collect().toSeq
+      .sortBy { case (_, id, _, ts, _) => (ts.getTime / 1000L, id) }
+    val chunks = ev.grouped((ev.size + 2) / 3).toSeq
+    val in = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    chunks.foreach(c => in.addData(c: _*))
+    val streamed = graft.streaming.TransitionStream
+      .attributionsFinal(in.toDF().toDF("user_id", "event_id", "event_type", "ts", "value"),
+        gapSeconds = 1800L, targetType = "purchase", queryName = "attr_out")
+      .orderBy(col("attributed"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = SparkEntry.queries("q92_attribution")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === batch)
+  }
+
   test("Scd2Stream over time-ordered micro-batches == oracled q93 history") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
