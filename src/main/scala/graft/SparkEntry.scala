@@ -981,6 +981,57 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Unigram-LM perplexity quality gate (CCNet/Gopher-style): train the
+    // add-one-smoothed LM on the corpus itself (vocab minCount=5), score
+    // every document by mean -ln p(token), flag keeps under a fixed nll
+    // threshold. LM join is broadcast; the corpus side shuffles once
+    // (per-doc agg) — see Corpus.perplexityScore scaladoc for the shape.
+    "q102_perplexity_filter" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Corpus.perplexityScore(docs, "doc_id", "text", minCount = 5L)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("keep",
+          when(col("nll") <= lit(3.407), 1L).otherwise(0L))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Snapshot diff between two dataset versions (ops.Diff): v1 drops
+    // event_id%7==0, v2 drops %5==0 and bumps value on %3==0 — the diff
+    // must classify exactly the added/removed/changed keys. One
+    // co-partitioned full-outer equi-join; emits only the delta rows.
+    "q103_snapshot_diff" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val v1 = ev.where(col("event_id") % 7 =!= 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val v2 = ev.where(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 3 === 0, col("value") + 1.0)
+            .otherwise(col("value")).as("value"))
+      // added/removed rows have NULL on one side — format the doubles to
+      // VARCHAR with an explicit 'null' sentinel (q70's lesson: never hand
+      // the gate's hasher a nullable DOUBLE column).
+      Diff.snapshotDiff(v1, v2, Seq("event_id"), Seq("event_type", "value"))
+        .where(col("status") =!= "unchanged")
+        .select(col("event_id"), col("status"),
+          coalesce(format_string("%.6f", col("old_value")), lit("null"))
+            .as("old_value"),
+          coalesce(format_string("%.6f", col("new_value")), lit("null"))
+            .as("new_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Domain-mixture reweighting (DoReMi/Pile-style recipe step): per-lang
+    // token shares vs a uniform target, capped up-sampling weight, and the
+    // post-reweight effective token budget. Domain-grain agg + 1-row
+    // broadcast total; the corpus never shuffles.
+    "q104_mixture_weights" -> ((s, dir) => {
+      Corpus.mixtureWeights(tbl(s, dir, "documents"), "lang", "text",
+        maxWeight = 5.0)
+        .orderBy(col("lang"))
+    }),
+
     // CAPSTONE: the end-to-end training-data pipeline as ONE gated chain —
     // eval split -> hygiene filter (native TextStats token count) ->
     // exact dedup keep-min-id -> n-gram decontamination vs the eval set
@@ -1596,6 +1647,51 @@ object SparkEntry {
           |       ORDER BY n DESC, path LIMIT 10)
           |SELECT row_number() OVER (ORDER BY n DESC, path)::BIGINT AS rank, path, n
           |FROM c ORDER BY rank""".stripMargin,
+      "q102_perplexity_filter" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
+           | cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+           | tot AS (SELECT sum(c)::BIGINT AS n_tok,
+           |         sum(CASE WHEN c >= 5 THEN 1 ELSE 0 END)::BIGINT AS v FROM cnt),
+           | lm AS (SELECT w, ln((c + 1.0) / (n_tok + v + 1.0)) AS logp
+           |        FROM cnt, tot WHERE c >= 5),
+           | sc AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           |         round(-avg(coalesce(lm.logp,
+           |           (SELECT ln(1.0 / (n_tok + v + 1.0)) FROM tot))), 6) AS nll
+           |        FROM tok t LEFT JOIN lm ON t.w = lm.w GROUP BY t.doc_id)
+           |SELECT s.doc_id, d.lang, s.n_tokens, s.nll,
+           | (CASE WHEN s.nll <= 3.407 THEN 1 ELSE 0 END)::BIGINT AS keep
+           |FROM sc s JOIN documents d ON s.doc_id = d.doc_id
+           |ORDER BY s.doc_id""".stripMargin,
+      "q103_snapshot_diff" ->
+        """WITH v1 AS (SELECT event_id, event_type, value FROM events
+          |            WHERE event_id % 7 <> 0),
+          | v2 AS (SELECT event_id, event_type,
+          |         CASE WHEN event_id % 3 = 0 THEN value + 1.0 ELSE value END AS value
+          |        FROM events WHERE event_id % 5 <> 0),
+          | j AS (SELECT coalesce(v1.event_id, v2.event_id) AS event_id,
+          |        CASE WHEN v1.event_id IS NULL THEN 'added'
+          |             WHEN v2.event_id IS NULL THEN 'removed'
+          |             WHEN (v1.event_type IS DISTINCT FROM v2.event_type)
+          |               OR (v1.value IS DISTINCT FROM v2.value) THEN 'changed'
+          |             ELSE 'unchanged' END AS status,
+          |        v1.value AS old_value, v2.value AS new_value
+          |       FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id)
+          |SELECT event_id, status,
+          | coalesce(printf('%.6f', old_value), 'null') AS old_value,
+          | coalesce(printf('%.6f', new_value), 'null') AS new_value
+          |FROM j WHERE status <> 'unchanged' ORDER BY event_id""".stripMargin,
+      "q104_mixture_weights" ->
+        s"""WITH ws AS ($wsSql),
+           | pd AS (SELECT lang, count(*)::BIGINT AS n_docs,
+           |         sum(len(l))::BIGINT AS n_tokens FROM ws GROUP BY 1),
+           | tot AS (SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+           |         count(*)::BIGINT AS n_domains FROM pd)
+           |SELECT lang, n_docs, n_tokens,
+           | round(n_tokens / tot_tokens, 6) AS share,
+           | round(least((tot_tokens / n_domains) / n_tokens, 5.0), 6) AS weight,
+           | round(n_tokens * round(least((tot_tokens / n_domains) / n_tokens, 5.0), 6), 2) AS eff_tokens
+           |FROM pd, tot ORDER BY lang""".stripMargin,
       "q100_training_pipeline" ->
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, len(l)::BIGINT AS n_tokens FROM ws),

@@ -319,4 +319,80 @@ object Corpus {
       .orderBy((pmod(col(idCol), lit(P)) * 2246822519L + 13L) % P, col(idCol))
     withShard.withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Unigram-LM negative log-likelihood per document — the CCNet/Gopher
+    * style perplexity quality gate, with the LM trained on the corpus
+    * itself. Probabilities are add-one smoothed over the vocabulary of
+    * words with ≥ `minCount` occurrences; rarer words share one OOV
+    * probability:  p(w) = (c(w)+1)/(N+V+1)  in-vocab,  1/(N+V+1)  OOV,
+    * where N = total token occurrences and V = kept vocabulary size.
+    * Score = -mean ln p(w_i) over the document's tokens (lower = more
+    * typical of the corpus; exp(score) is the perplexity).
+    *
+    * Scale shape: token counting is one map-side-combined shuffle whose
+    * reduce side is VOCABULARY-sized, not corpus-sized; the trained LM is
+    * vocab-bounded (minCount prunes the long tail — raise it, or top-V
+    * cap, at larger corpora) and joins back as a broadcast hash join plus
+    * two 1-row broadcast scalars (N, V), so the corpus side never
+    * shuffles for scoring; per-doc aggregation is the single data-sized
+    * shuffle, keyed by the document id.
+    *
+    * Output: (idCol, n_tokens, nll) — nll rounded to 6 decimals, the
+    * repo's convention for log/ratio doubles under the hash gate.
+    */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.words(col(textCol))).as("w"))
+    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // N counts ALL occurrences (OOV mass included); V only kept words.
+    val totals = cnt.agg(
+      sum(col("c")).as("n_tok"),
+      sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("v"))
+    val lm = cnt.where(col("c") >= minCount)
+      .crossJoin(broadcast(totals))
+      .select(col("w"),
+        log((col("c") + lit(1.0)) / (col("n_tok") + col("v") + lit(1.0))).as("logp"))
+    val oov = totals
+      .select(log(lit(1.0) / (col("n_tok") + col("v") + lit(1.0))).as("oov_logp"))
+    tok.join(broadcast(lm), Seq("w"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col(idCol), coalesce(col("logp"), col("oov_logp")).as("logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), round(-avg(col("logp")), 6).as("nll"))
+  }
+
+  /** Domain-mixture reweighting: given a domain column and a target share
+    * per domain (uniform by default), compute the sampling weight that
+    * moves the corpus' token mixture toward the target —
+    * weight = min(target_share / actual_share, maxWeight), the cap
+    * acknowledging that up-sampling a tiny domain beyond a few epochs
+    * repeats data rather than adding it. This is the mixture step of
+    * DoReMi/Pile-style training-data recipes.
+    *
+    * Scale shape: one vocabulary-free aggregation to domain grain (#domains
+    * rows — map-side combined), then arithmetic against a 1-row broadcast
+    * total. The corpus is scanned once; nothing data-sized shuffles.
+    *
+    * Output per domain: n_docs, n_tokens, share (r6), weight (r6),
+    * eff_tokens = n_tokens*weight (r2) — the post-reweight token budget.
+    */
+  def mixtureWeights(docs: DataFrame, domainCol: String, textCol: String,
+                     maxWeight: Double = 5.0): DataFrame = {
+    val perDomain = docs
+      .select(col(domainCol), TextAnalysis.tokenCount(col(textCol)).as("_nt"))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+    val totals = perDomain.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_domains"))
+    perDomain.crossJoin(broadcast(totals))
+      .withColumn("share", round(col("n_tokens") / col("tot_tokens"), 6))
+      .withColumn("weight",
+        round(least((col("tot_tokens") / col("n_domains")) / col("n_tokens"),
+          lit(maxWeight)), 6))
+      .withColumn("eff_tokens", round(col("n_tokens") * col("weight"), 2))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        col("share"), col("weight"), col("eff_tokens"))
+  }
 }

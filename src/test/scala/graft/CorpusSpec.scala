@@ -200,4 +200,46 @@ class CorpusSpec extends AnyFunSuite {
     val shard0 = rows.filter(_._1 == rows.head._1).sortBy(_._2).map(_._3)
     assert(shard0 !== shard0.sorted)
   }
+
+  test("perplexityScore: OOV-heavy docs score worse; hand-computed nll; partition-invariant") {
+    // 6 docs of common words + 1 doc of singletons (all OOV at minCount=2)
+    val d = (Seq.fill(6)("alpha beta gamma alpha beta") :+
+      "zzz qqq www rrr ttt").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Corpus.perplexityScore(d, "doc_id", "text", minCount = 2L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 7)
+    assert(got.forall(_._2 === 5L))
+    val common = got.take(6).map(_._3)
+    val oovDoc = got.last._3
+    assert(common.forall(_ < oovDoc), s"common=$common oov=$oovDoc")
+    // hand-check: N=35 tokens, kept vocab V=3 (alpha/beta:12, gamma:6);
+    // p(alpha)=p(beta)=13/39, p(gamma)=7/39, OOV p=1/39
+    val expCommon = -(2 * math.log(13.0 / 39) * 2 + math.log(7.0 / 39)) / 5
+    assert(math.abs(common.head - expCommon) < 1e-6)
+    val expOov = -math.log(1.0 / 39)
+    assert(math.abs(oovDoc - expOov) < 1e-6)
+    val again = Corpus.perplexityScore(d.repartition(5), "doc_id", "text", minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again === got.toSet)
+  }
+
+  test("mixtureWeights: shares sum to 1, under-represented domain up-weighted, cap binds") {
+    // en: 30 tokens, es: 10, zh: 2 -> uniform target 14 tokens each
+    val d = Seq(
+      (1L, Seq.fill(30)("w").mkString(" "), "en"),
+      (2L, Seq.fill(10)("w").mkString(" "), "es"),
+      (3L, Seq.fill(2)("w").mkString(" "), "zh"),
+    ).toDF("doc_id", "text", "lang")
+    val rows = Corpus.mixtureWeights(d, "lang", "text", maxWeight = 5.0)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._2).toSeq === Seq(30L, 10L, 2L))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6)
+    val w = rows.map(r => r._1 -> r._4).toMap
+    assert(w("en") < 1.0) // over-represented -> down-weighted
+    assert(math.abs(w("es") - 1.4) < 1e-6) // 14/10
+    assert(w("zh") === 5.0) // 14/2 = 7 capped at 5
+  }
 }

@@ -78,9 +78,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q82_kmv_overlap", // pair generation: groups x broadcast(groups) — the
                        // group UNIVERSE (like q74's symbols²), never row data;
                        // every sketch-row join around it is an equi-join
-    "q94_pq_topk"      // the ADC scan: code table x broadcast(5 query rows
+    "q94_pq_topk",     // the ADC scan: code table x broadcast(5 query rows
                        // + their bounded distance tables) — PQ's whole point
                        // is that this is the ONLY per-query pass
+    "q102_perplexity_filter", // LM normalizers: vocab rows (then token rows)
+                       // x broadcast(1-row N/V totals); the LM itself joins
+                       // as a broadcast HASH join on the word
+    "q104_mixture_weights" // domain rows x broadcast(1-row token total)
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {
