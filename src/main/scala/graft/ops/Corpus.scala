@@ -344,7 +344,21 @@ object Corpus {
                       minCount: Long = 5L): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(TextAnalysis.words(col(textCol))).as("w"))
-    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val (lm, oov) = lmParts(docs, textCol, minCount)
+    tok.join(broadcast(lm), Seq("w"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col(idCol), coalesce(col("logp"), col("oov_logp")).as("logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), round(-avg(col("logp")), 6).as("nll"))
+  }
+
+  /** LM construction shared by the batch scorer and the exported artifact:
+    * (kept-vocab (w, logp) rows, 1-row OOV log-prob). Pure plan, no action.
+    */
+  private def lmParts(docs: DataFrame, textCol: String,
+                      minCount: Long): (DataFrame, DataFrame) = {
+    val cnt = docs.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
     // N counts ALL occurrences (OOV mass included); V only kept words.
     val totals = cnt.agg(
       sum(col("c")).as("n_tok"),
@@ -355,11 +369,21 @@ object Corpus {
         log((col("c") + lit(1.0)) / (col("n_tok") + col("v") + lit(1.0))).as("logp"))
     val oov = totals
       .select(log(lit(1.0) / (col("n_tok") + col("v") + lit(1.0))).as("oov_logp"))
-    tok.join(broadcast(lm), Seq("w"), "left")
-      .crossJoin(broadcast(oov))
-      .select(col(idCol), coalesce(col("logp"), col("oov_logp")).as("logp"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), round(-avg(col("logp")), 6).as("nll"))
+    (lm, oov)
+  }
+
+  /** The trained unigram LM as a reusable STATIC artifact — (word, logp)
+    * rows for the kept vocabulary plus the shared OOV log-probability.
+    * This is what an online/streaming scorer loads: train offline on the
+    * corpus snapshot, broadcast-join the stream against it
+    * ([[graft.streaming.DocumentStream.scored]]). The OOV scalar is one
+    * bounded driver action (a 1-row first(), same class as the repo's
+    * other documented bounded collects).
+    */
+  def unigramLm(docs: DataFrame, textCol: String,
+                minCount: Long = 5L): (DataFrame, Double) = {
+    val (lm, oov) = lmParts(docs, textCol, minCount)
+    (lm, oov.first().getDouble(0))
   }
 
   /** Domain-mixture reweighting: given a domain column and a target share

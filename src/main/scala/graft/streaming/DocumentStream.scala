@@ -42,4 +42,30 @@ object DocumentStream {
       .withColumn("simhash", Dedup.simhash(col("text")))
       .where(col("quality_score") >= minQuality)
   }
+
+  /** Streaming twin of [[graft.ops.Corpus.perplexityScore]]: score a
+    * document stream against a STATIC unigram LM (trained offline —
+    * [[graft.ops.Corpus.unigramLm]] — exactly how perplexity gates deploy:
+    * the model is a frozen artifact, the corpus arrives continuously).
+    *
+    * docs(ts, doc_id, text) -> (doc_id, n_tokens, nll), one row per doc
+    * finalized when the watermark passes its window. Per-token cost is a
+    * stream-static broadcast hash join; state is the watermark-bounded
+    * per-(window, doc) running (count, sum logp) — no stream-side shuffle
+    * beyond the per-doc aggregation, mirroring the batch shape.
+    */
+  def scored(docs: DataFrame, lm: DataFrame, oovLogp: Double,
+             watermark: String = "10 minutes",
+             windowSize: String = "10 minutes"): DataFrame = {
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      .join(broadcast(lm), Seq("w"), "left")
+      .select(col("ts"), col("doc_id"),
+        coalesce(col("logp"), lit(oovLogp)).as("logp"))
+      .groupBy(window(col("ts"), windowSize), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(-avg(col("logp")), 6).as("nll"))
+      .select(col("doc_id"), col("n_tokens"), col("nll"))
+  }
 }

@@ -174,4 +174,48 @@ class StreamingOracleSpec extends AnyFunSuite {
     ev.unpersist()
     assert(streamed === batch)
   }
+
+  test("DocumentStream.scored with a frozen LM == oracled q102 scores") {
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docsB = spark.read.parquet(s"$sf/documents.parquet")
+    // the frozen artifact: trained once on the batch snapshot, then only
+    // broadcast — exactly what the stream scores against
+    val (lm, oov) = graft.ops.Corpus.unigramLm(docsB, "text", minCount = 5L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = docsB.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (base, id, t) }
+    val outDir = java.nio.file.Files.createTempDirectory("ppl_stream").toString
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.DocumentStream
+      .scored(in.toDF().toDF("ts", "doc_id", "text"), lm, oov,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      // sentinel docs push the watermark past the single real window...
+      in.addData((new Timestamp(base.getTime + 3600L * 1000), -1L, "x"))
+      q.processAllAvailable()
+      // ...and the next batch emits the finalized per-doc rows under it
+      in.addData((new Timestamp(base.getTime + 7200L * 1000), -1L, "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/data")
+      .where(col("doc_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val batch = SparkEntry.queries("q102_perplexity_filter")(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("nll"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(streamed === batch)
+  }
 }
