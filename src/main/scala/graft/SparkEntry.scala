@@ -1032,6 +1032,24 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // DSIR importance resampling (Corpus.importanceWeights): rank the raw
+    // corpus by target-vs-raw unigram log-likelihood ratio (target = the
+    // zh slice) and keep the top 50 — limit-bounded rank window, the q101
+    // top-k pattern.
+    "q105_importance_resample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val scored = Corpus
+        .importanceWeights(docs, docs.where(col("lang") === "zh"),
+          "doc_id", "text", minCount = 5L)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      scored.orderBy(col("log_ratio").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("log_ratio").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("lang"), col("n_tokens"),
+          col("log_ratio"))
+        .orderBy(col("rank"))
+    }),
+
     // CAPSTONE: the end-to-end training-data pipeline as ONE gated chain —
     // eval split -> hygiene filter (native TextStats token count) ->
     // exact dedup keep-min-id -> n-gram decontamination vs the eval set
@@ -1692,6 +1710,31 @@ object SparkEntry {
            | round(least((tot_tokens / n_domains) / n_tokens, 5.0), 6) AS weight,
            | round(n_tokens * round(least((tot_tokens / n_domains) / n_tokens, 5.0), 6), 2) AS eff_tokens
            |FROM pd, tot ORDER BY lang""".stripMargin,
+      "q105_importance_resample" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
+           | rc AS (SELECT w, count(*)::BIGINT AS c_r FROM tok GROUP BY 1),
+           | tc AS (SELECT t.w, count(*)::BIGINT AS c_t FROM tok t
+           |        JOIN documents d ON t.doc_id = d.doc_id
+           |        WHERE d.lang = 'zh' GROUP BY 1),
+           | voc AS (SELECT rc.w, c_r, coalesce(c_t, 0) AS c_t
+           |         FROM rc LEFT JOIN tc ON rc.w = tc.w WHERE c_r >= 5),
+           | tot AS (SELECT (SELECT sum(c_r) FROM rc)::BIGINT AS n_r,
+           |         (SELECT count(*) FROM voc)::BIGINT AS v,
+           |         (SELECT sum(c_t) FROM tc)::BIGINT AS n_t),
+           | lm AS (SELECT w,
+           |         ln((c_t + 1.0) / (n_t + v + 1.0)) - ln((c_r + 1.0) / (n_r + v + 1.0)) AS lr
+           |        FROM voc, tot),
+           | sc AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           |         round(avg(coalesce(lm.lr,
+           |           (SELECT ln(1.0 / (n_t + v + 1.0)) - ln(1.0 / (n_r + v + 1.0)) FROM tot))), 6) AS log_ratio
+           |        FROM tok t LEFT JOIN lm ON t.w = lm.w GROUP BY 1),
+           | top AS (SELECT doc_id, n_tokens, log_ratio FROM sc
+           |         ORDER BY log_ratio DESC, doc_id LIMIT 50)
+           |SELECT row_number() OVER (ORDER BY t.log_ratio DESC, t.doc_id)::BIGINT AS rank,
+           | t.doc_id, d.lang, t.n_tokens, t.log_ratio
+           |FROM top t JOIN documents d ON t.doc_id = d.doc_id
+           |ORDER BY rank""".stripMargin,
       "q100_training_pipeline" ->
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, len(l)::BIGINT AS n_tokens FROM ws),

@@ -386,6 +386,53 @@ object Corpus {
     (lm, oov.first().getDouble(0))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its tokens are under a TARGET-domain
+    * unigram LM than under the raw-corpus LM —
+    * log_ratio(d) = mean_w [ ln p_target(w) − ln p_raw(w) ] — then select
+    * the top-weighted documents to shift the training mixture toward the
+    * target. Both LMs are add-one smoothed over the SAME vocabulary (raw
+    * words with ≥ `minCount` occurrences; the target's counts drop onto
+    * it, 0 where absent) so the ratio is well-defined everywhere, OOV
+    * included.
+    *
+    * Scale shape: identical to [[perplexityScore]] — two vocab-grain count
+    * aggregations (the target side is small by definition), a broadcast
+    * LM join + 1-row totals, and ONE data-sized shuffle for the per-doc
+    * mean. Selection composes the limit-bounded top-k pattern.
+    *
+    * Output: (idCol, n_tokens, log_ratio r6) — positive = target-like.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, minCount: Long = 5L): DataFrame = {
+    val rawTok = raw.select(col(idCol),
+      explode(TextAnalysis.words(col(textCol))).as("w"))
+    val rawCnt = rawTok.groupBy(col("w")).agg(count(lit(1)).as("c_r"))
+    val tgtCnt = target.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_t"))
+    val vocab = rawCnt.where(col("c_r") >= minCount)
+      .join(tgtCnt, Seq("w"), "left")
+      .select(col("w"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+    // N on each side counts ALL of that side's occurrences (OOV mass
+    // included); V is the one shared vocabulary size.
+    val tot = rawCnt.agg(sum(col("c_r")).as("n_r"),
+        sum(when(col("c_r") >= minCount, 1L).otherwise(0L)).as("v"))
+      .crossJoin(tgtCnt.agg(sum(col("c_t")).as("n_t")))
+    val lm = vocab.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (log((col("c_t") + lit(1.0)) / (col("n_t") + col("v") + lit(1.0))) -
+         log((col("c_r") + lit(1.0)) / (col("n_r") + col("v") + lit(1.0)))).as("lr"))
+    val oov = tot.select(
+      (log(lit(1.0) / (col("n_t") + col("v") + lit(1.0))) -
+       log(lit(1.0) / (col("n_r") + col("v") + lit(1.0)))).as("oov_lr"))
+    rawTok.join(broadcast(lm), Seq("w"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col(idCol), coalesce(col("lr"), col("oov_lr")).as("lr"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("lr")), 6).as("log_ratio"))
+  }
+
   /** Domain-mixture reweighting: given a domain column and a target share
     * per domain (uniform by default), compute the sampling weight that
     * moves the corpus' token mixture toward the target —

@@ -225,6 +225,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(again === got.toSet)
   }
 
+  test("importanceWeights: target-like docs score positive and above raw-typical docs") {
+    // raw corpus: 6 "common" docs + 2 target-domain docs; target LM trained
+    // on the domain slice should pull its own vocabulary up
+    val raw = (Seq.fill(6)("alpha beta gamma alpha beta") ++
+      Seq.fill(2)("delta epsilon delta epsilon zeta")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val target = raw.where($"doc_id" >= 6)
+    val got = Corpus.importanceWeights(raw, target, "doc_id", "text", minCount = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 8)
+    assert(got.forall(_._2 === 5L))
+    val (common, domain) = (got.take(6).map(_._3), got.drop(6).map(_._3))
+    assert(domain.forall(d => common.forall(_ < d)),
+      s"common=${common.toSeq} domain=${domain.toSeq}")
+    assert(domain.forall(_ > 0) && common.forall(_ < 0))
+    val again = Corpus.importanceWeights(raw.repartition(5), target,
+      "doc_id", "text", minCount = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again === got.toSet)
+  }
+
   test("mixtureWeights: shares sum to 1, under-represented domain up-weighted, cap binds") {
     // en: 30 tokens, es: 10, zh: 2 -> uniform target 14 tokens each
     val d = Seq(

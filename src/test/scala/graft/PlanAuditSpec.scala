@@ -84,7 +84,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q102_perplexity_filter", // LM normalizers: vocab rows (then token rows)
                        // x broadcast(1-row N/V totals); the LM itself joins
                        // as a broadcast HASH join on the word
-    "q104_mixture_weights" // domain rows x broadcast(1-row token total)
+    "q104_mixture_weights", // domain rows x broadcast(1-row token total)
+    "q105_importance_resample" // same LM-normalizer shape as q102: vocab
+                       // and token rows x broadcast(1-row N_r/N_t/V totals)
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {
