@@ -1032,6 +1032,24 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Next-event-prediction lag features (EventOps.lagFeatures): per event,
+    // the previous 2 types + inter-event gaps in the user's history, with
+    // explicit missing-history encoding ('none'/-1) — one user-keyed
+    // window sort shared by all four lag columns.
+    "q106_lag_features" -> ((s, dir) => {
+      EventOps.lagFeatures(tbl(s, dir, "events"), k = 2)
+        .orderBy(col("event_id"))
+    }),
+
+    // PMI collocation mining (TextAnalysis.pmiPairs): top word associations
+    // by pointwise mutual information over within-window co-occurrence —
+    // pair generation is per-row array expressions, no self-join.
+    "q107_pmi_pairs" -> ((s, dir) => {
+      TextAnalysis.pmiPairs(tbl(s, dir, "documents"), "text",
+        window = 3, minPairCount = 5L, k = 30)
+        .orderBy(col("rank"))
+    }),
+
     // DSIR importance resampling (Corpus.importanceWeights): rank the raw
     // corpus by target-vs-raw unigram log-likelihood ratio (target = the
     // zh slice) and keep the top 50 — limit-bounded rank window, the q101
@@ -1710,6 +1728,41 @@ object SparkEntry {
            | round(least((tot_tokens / n_domains) / n_tokens, 5.0), 6) AS weight,
            | round(n_tokens * round(least((tot_tokens / n_domains) / n_tokens, 5.0), 6), 2) AS eff_tokens
            |FROM pd, tot ORDER BY lang""".stripMargin,
+      "q106_lag_features" ->
+        """WITH x AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS tsec,
+          |        event_type AS label FROM events),
+          | f AS (SELECT event_id, user_id, label,
+          |        coalesce(lag(label, 1) OVER w, 'none') AS prev_type_1,
+          |        coalesce(tsec - lag(tsec, 1) OVER w, -1)::BIGINT AS gap_secs_1,
+          |        coalesce(lag(label, 2) OVER w, 'none') AS prev_type_2,
+          |        coalesce(tsec - lag(tsec, 2) OVER w, -1)::BIGINT AS gap_secs_2
+          |       FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+          |SELECT event_id, user_id, label, prev_type_1, gap_secs_1,
+          | prev_type_2, gap_secs_2
+          |FROM f ORDER BY event_id""".stripMargin,
+      "q107_pmi_pairs" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w,
+           |         unnest(generate_series(1, len(l))) AS pos FROM ws),
+           | pr AS (SELECT least(t1.w, t2.w) AS a, greatest(t1.w, t2.w) AS b
+           |        FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+           |         AND t2.pos BETWEEN t1.pos + 1 AND t1.pos + 3
+           |        WHERE t1.w <> t2.w),
+           | pc AS (SELECT a, b, count(*)::BIGINT AS c_xy FROM pr GROUP BY 1, 2),
+           | uc AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+           | tot AS (SELECT (SELECT sum(c) FROM uc)::BIGINT AS n_tok,
+           |         (SELECT sum(c_xy) FROM pc)::BIGINT AS n_pairs),
+           | sc AS (SELECT a, b, c_xy,
+           |         round(ln(c_xy::DOUBLE) - ln(n_pairs::DOUBLE)
+           |           - (ln(ua.c::DOUBLE) - ln(n_tok::DOUBLE))
+           |           - (ln(ub.c::DOUBLE) - ln(n_tok::DOUBLE)), 6) AS pmi
+           |        FROM pc JOIN uc ua ON pc.a = ua.w
+           |        JOIN uc ub ON pc.b = ub.w, tot
+           |        WHERE c_xy >= 5),
+           | top AS (SELECT a, b, c_xy, pmi FROM sc
+           |         ORDER BY pmi DESC, a, b LIMIT 30)
+           |SELECT row_number() OVER (ORDER BY pmi DESC, a, b)::BIGINT AS rank,
+           | a, b, c_xy, pmi FROM top ORDER BY rank""".stripMargin,
       "q105_importance_resample" ->
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),

@@ -317,6 +317,38 @@ object EventOps {
       .select(col("rank"), col("path"), col("n"))
   }
 
+  /** Next-event-prediction feature matrix: for every event, the previous
+    * `k` event types and inter-event gaps within the user's history — the
+    * lag-feature export a sequence model (or feature store) trains on,
+    * with the current type as the label. Missing history is encoded
+    * explicitly ('none' / -1) so the matrix is fully non-null — no NULL
+    * cells to trip downstream consumers (or the gate's hasher).
+    *
+    * Scale shape: ONE user-keyed window sort feeds every lag column
+    * (k bounded-frame `lag`s share the single Exchange+Sort); no joins,
+    * no unpartitioned window, output is event-grain like the input.
+    */
+  def lagFeatures(events: DataFrame, k: Int = 2,
+                  userCol: String = "user_id", typeCol: String = "event_type",
+                  idCol: String = "event_id"): DataFrame = {
+    require(k >= 1, "lagFeatures needs k >= 1")
+    // second-grain ordering with the id tiebreak — the engine-portable
+    // event order (sub-second ts precision differs per engine; seconds +
+    // unique id do not), same convention as sessionize's consumers
+    val base = events.select(col(idCol), col(userCol),
+      col("ts").cast("long").as("_tsec"), col(typeCol).as("label"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_tsec"), col(idCol))
+    val withLags = (1 to k).foldLeft(base) { (df, i) =>
+      df.withColumn(s"prev_type_$i",
+          coalesce(lag(col("label"), i).over(w), lit("none")))
+        .withColumn(s"gap_secs_$i",
+          coalesce(col("_tsec") - lag(col("_tsec"), i).over(w), lit(-1L)))
+    }
+    withLags.select(col(idCol) +: col(userCol) +: col("label") +:
+      (1 to k).flatMap(i => Seq(col(s"prev_type_$i"), col(s"gap_secs_$i"))): _*)
+  }
+
   def sessionize(events: DataFrame, gapSeconds: Long, userCol: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("ts"))
     events

@@ -311,4 +311,49 @@ object TextAnalysis {
       .withColumn("lang_guess", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** PMI word-association mining (the co-occurrence statistic behind
+    * word2vec-era embeddings and collocation extraction): unordered
+    * within-window pairs (each token with its next `window` neighbors,
+    * self-pairs excluded), scored by pointwise mutual information
+    * pmi = ln p(x,y) − ln p(x) − ln p(y), computed as a sum of logs so no
+    * intermediate product can overflow at any corpus size.
+    *
+    * Scale shape: pair GENERATION is pure per-row array-expression work
+    * (transform + slice + flatten — no self-join, the ×window blowup is a
+    * bounded constant); the pair-grain aggregate is the one data-sized
+    * shuffle (map-side combined, vocabulary²-bounded above); unigram
+    * counts reduce to vocab grain; N/P normalizers are 1-row broadcasts;
+    * selection is the limit-bounded top-k pattern.
+    */
+  def pmiPairs(docs: DataFrame, textCol: String, window: Int = 3,
+               minPairCount: Long = 5L, k: Int = 30): DataFrame = {
+    val toks = docs.select(words(col(textCol)).as("l"))
+    val pairs = toks.select(explode(flatten(
+        transform(col("l"), (w, i) =>
+          transform(slice(col("l"), i + lit(2), lit(window)),
+            w2 => struct(least(w, w2).as("a"), greatest(w, w2).as("b"))))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+    val pc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_xy"))
+    val uc = docs.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = uc.agg(sum(col("c")).as("n_tok"))
+      .crossJoin(pc.agg(sum(col("c_xy")).as("n_pairs")))
+    val ua = uc.select(col("w").as("a"), col("c").as("c_a"))
+    val ub = uc.select(col("w").as("b"), col("c").as("c_b"))
+    val scored = pc.where(col("c_xy") >= minPairCount)
+      .join(ua, "a").join(ub, "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("c_xy"),
+        round(log(col("c_xy").cast("double")) - log(col("n_pairs").cast("double")) -
+          (log(col("c_a").cast("double")) - log(col("n_tok").cast("double"))) -
+          (log(col("c_b").cast("double")) - log(col("n_tok").cast("double"))), 6)
+          .as("pmi"))
+    val top = scored.orderBy(col("pmi").desc, col("a"), col("b")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("a"), col("b"))).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("c_xy"), col("pmi"))
+  }
 }

@@ -418,4 +418,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(ne.getDouble(1) - nx.getDouble(1)) <= 0.1 * math.abs(nx.getDouble(1)) + 10.0,
       s"neg: est=${ne.getDouble(1)} exact=${nx.getDouble(1)}")
   }
+
+  test("lagFeatures: explicit missing-history encoding, exact gaps, partition-invariant") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: three events 100s apart; user 2: one lone event
+    val ev = Seq(
+      (10L, 1L, ts(1000), "view"),
+      (11L, 1L, ts(1100), "click"),
+      (12L, 1L, ts(1200), "buy"),
+      (20L, 2L, ts(5000), "view"),
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.EventOps.lagFeatures(ev, k = 2)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4),
+        r.getString(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (10L, "view", "none", -1L, "none", -1L),
+      (11L, "click", "view", 100L, "none", -1L),
+      (12L, "buy", "click", 100L, "view", 200L),
+      (20L, "view", "none", -1L, "none", -1L)))
+    val again = graft.ops.EventOps.lagFeatures(ev.repartition(3), k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3),
+        r.getLong(4), r.getString(5), r.getLong(6))).toSet
+    assert(again === got.toSet)
+  }
 }

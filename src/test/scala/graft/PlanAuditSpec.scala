@@ -85,8 +85,9 @@ class PlanAuditSpec extends AnyFunSuite {
                        // x broadcast(1-row N/V totals); the LM itself joins
                        // as a broadcast HASH join on the word
     "q104_mixture_weights", // domain rows x broadcast(1-row token total)
-    "q105_importance_resample" // same LM-normalizer shape as q102: vocab
+    "q105_importance_resample", // same LM-normalizer shape as q102: vocab
                        // and token rows x broadcast(1-row N_r/N_t/V totals)
+    "q107_pmi_pairs"   // pair rows x broadcast(1-row N/P normalizers)
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {

@@ -283,4 +283,36 @@ class TextOpsSpec extends AnyFunSuite {
       (4L, "low_dup_words", 1L),
       (5L, "min_quality", 1L)))
   }
+
+  test("pmiPairs: window bounds pair generation; hand-computed PMI and unigram penalty") {
+    import spark.implicits._
+    // "alpha beta" always adjacent (strong collocation); "alpha" and "zeta"
+    // co-occur only via window overlap in doc 4 at distance 4 -> never paired
+    val docs = (Seq.fill(4)("alpha beta filler1 filler2") :+
+      "alpha filler3 filler4 filler5 zeta").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(docs, "text", window = 3,
+      minPairCount = 1L, k = 100).collect()
+      .map(r => ((r.getString(1), r.getString(2)), (r.getLong(0), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // distance-4 pair excluded by the window
+    assert(!got.contains(("alpha", "zeta")))
+    // every within-window unordered pair of doc 0 present
+    assert(got.contains(("alpha", "beta")) && got.contains(("beta", "filler2")))
+    assert(got(("alpha", "beta"))._2 === 4L) // one per adjacent occurrence
+    // hand-computed PMI: N=21 tokens, P=33 pairs; c(alpha)=5, c(beta)=4,
+    // c(alpha,beta)=4 -> ln(4/33) - ln(5/21) - ln(4/21). beta-filler2 has
+    // the same co-count but a rarer left word (4 vs 5), so it scores HIGHER
+    // than alpha-beta — the unigram penalty PMI is defined by.
+    val expAB = math.log(4.0 / 33) - math.log(5.0 / 21) - math.log(4.0 / 21)
+    val expBF = math.log(4.0 / 33) - 2 * math.log(4.0 / 21)
+    assert(math.abs(got(("alpha", "beta"))._3 - expAB) < 1e-6)
+    assert(math.abs(got(("beta", "filler2"))._3 - expBF) < 1e-6)
+    assert(got(("beta", "filler2"))._1 < got(("alpha", "beta"))._1)
+    val again = TextAnalysis.pmiPairs(docs.repartition(3), "text", window = 3,
+      minPairCount = 1L, k = 100).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val first = got.map { case ((a, b), (rk, _, _)) => (rk, a, b) }.toSet
+    assert(again === first)
+  }
 }
