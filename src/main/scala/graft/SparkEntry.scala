@@ -1041,6 +1041,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Point-in-time enrichment (EventOps.pointInTimeJoin): each event
+    // joined to the SCD2 state (q93's history) valid 10 minutes BEFORE it
+    // — the leakage-safe feature-store join, as a union + keyed
+    // forward-fill instead of a range join. Pre-history facts encode
+    // explicitly ('none'/-1).
+    "q108_pit_enrich" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val hist = EventOps.scd2History(ev, "user_id", "event_type")
+      val facts = ev.select(col("event_id"), col("user_id"),
+        (col("ts").cast("long") - 600L).as("asof_tsec"), col("event_type"))
+      EventOps.pointInTimeJoin(facts, hist, "user_id", "asof_tsec", "event_type")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          coalesce(col("asof_event_type"), lit("none")).as("state_10m_ago"),
+          coalesce(col("asof_version"), lit(-1L)).as("state_version"))
+        .orderBy(col("event_id"))
+    }),
+
     // PMI collocation mining (TextAnalysis.pmiPairs): top word associations
     // by pointwise mutual information over within-window co-occurrence —
     // pair generation is per-row array expressions, no self-join.
@@ -1740,6 +1757,27 @@ object SparkEntry {
           |SELECT event_id, user_id, label, prev_type_1, gap_secs_1,
           | prev_type_2, gap_secs_2
           |FROM f ORDER BY event_id""".stripMargin,
+      "q108_pit_enrich" ->
+        """WITH x AS (SELECT user_id, event_id, event_type,
+          |        floor(epoch(ts))::BIGINT AS tsec FROM events),
+          | c AS (SELECT user_id, event_id, event_type, tsec,
+          |        lag(event_type) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev
+          |       FROM x),
+          | f AS (SELECT user_id, event_id, event_type, tsec FROM c
+          |       WHERE prev IS NULL OR prev <> event_type),
+          | v AS (SELECT user_id, event_type, tsec AS valid_from,
+          |        lead(tsec) OVER w AS valid_to,
+          |        row_number() OVER w AS version
+          |       FROM f WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+          | j AS (SELECT e.event_id, e.user_id, e.event_type,
+          |        h.event_type AS asof_type, h.version
+          |       FROM x e LEFT JOIN v h ON e.user_id = h.user_id
+          |        AND e.tsec - 600 >= h.valid_from
+          |        AND (h.valid_to IS NULL OR e.tsec - 600 < h.valid_to))
+          |SELECT event_id, user_id, event_type,
+          | coalesce(asof_type, 'none') AS state_10m_ago,
+          | coalesce(version, -1)::BIGINT AS state_version
+          |FROM j ORDER BY event_id""".stripMargin,
       "q107_pmi_pairs" ->
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, unnest(l) AS w,

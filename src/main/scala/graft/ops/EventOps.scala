@@ -276,6 +276,41 @@ object EventOps {
         col("version"))
   }
 
+  /** Point-in-time (AS OF) enrichment of fact rows against an SCD2
+    * dimension history ([[scd2History]]'s output shape): each fact picks
+    * the dimension version VALID AT its timestamp — the leakage-safe
+    * feature-store join (training labels must only see state known at
+    * event time, never a later version).
+    *
+    * Implemented WITHOUT a range join: version-start rows union with fact
+    * rows (`unionByName` null-fills each side's missing columns), then ONE
+    * key-partitioned window forward-fills (attr, version) onto the facts
+    * — the W2 fill shape: one Exchange+Sort, no interval explosion, no
+    * unbounded-interval problem. At equal timestamps version rows sort
+    * before facts (a version starting at t applies to a fact at t) and
+    * among themselves by version, so a zero-width version is correctly
+    * superseded — matching the half-open [valid_from, valid_to) contract.
+    * Facts before the key's first version get NULL attr/version.
+    *
+    * `facts` needs (keyCol, tsecCol epoch-seconds LONG, payload...);
+    * payload columns ride through the union untouched.
+    */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame, keyCol: String,
+                      tsecCol: String, attrCol: String): DataFrame = {
+    val h = history.select(col(keyCol), col("valid_from").as(tsecCol),
+      col(attrCol).as("_pit_attr"), col("version").as("_pit_version"),
+      lit(0).as("_pit_src"))
+    val u = facts.withColumn("_pit_src", lit(1))
+      .unionByName(h, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsecCol), col("_pit_src"), col("_pit_version").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(s"asof_$attrCol", last(col("_pit_attr"), ignoreNulls = true).over(w))
+      .withColumn("asof_version", last(col("_pit_version"), ignoreNulls = true).over(w))
+      .where(col("_pit_src") === 1)
+      .drop("_pit_attr", "_pit_version", "_pit_src")
+  }
+
   /** Top-k full session paths: each session's ordered event-type sequence
     * joined into one `a>b>c` string, counted across all sessions, the k
     * most frequent kept — the whole-journey complement to [[transitions]]'

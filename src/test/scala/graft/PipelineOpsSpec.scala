@@ -419,6 +419,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"neg: est=${ne.getDouble(1)} exact=${nx.getDouble(1)}")
   }
 
+  test("pointInTimeJoin: boundary inclusivity, zero-width supersession, pre-history nulls") {
+    // history for key 1: v1 [100, 200), v2 [200, 200) zero-width, v3 [200, null)
+    val hist = Seq(
+      (1L, "red", 100L, Some(200L), 1L),
+      (1L, "blue", 200L, Some(200L), 2L),
+      (1L, "green", 200L, None, 3L),
+    ).toDF("k", "attr", "valid_from", "valid_to", "version")
+    val facts = Seq(
+      (10L, 1L, 50L),   // before any version -> null
+      (11L, 1L, 100L),  // exactly v1 start -> v1 (valid_from inclusive)
+      (12L, 1L, 199L),  // inside v1
+      (13L, 1L, 200L),  // v2 is zero-width -> superseded by v3
+      (14L, 1L, 999L),  // open version
+      (20L, 2L, 100L),  // key with no history -> null
+    ).toDF("fact_id", "k", "tsec")
+    val got = graft.ops.EventOps.pointInTimeJoin(facts, hist, "k", "tsec", "attr")
+      .orderBy("fact_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      (10L, None, None),
+      (11L, Some("red"), Some(1L)),
+      (12L, Some("red"), Some(1L)),
+      (13L, Some("green"), Some(3L)),
+      (14L, Some("green"), Some(3L)),
+      (20L, None, None)))
+    val again = graft.ops.EventOps.pointInTimeJoin(facts.repartition(4),
+      hist.repartition(2), "k", "tsec", "attr")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.toString))).toSet
+    assert(again === got.map(g => (g._1, g._2)).toSet)
+  }
+
   test("lagFeatures: explicit missing-history encoding, exact gaps, partition-invariant") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
