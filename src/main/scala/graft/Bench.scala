@@ -100,10 +100,21 @@ object Bench {
       val flagStr = if (flags.isEmpty) "" else flags.mkString(",", ",", "")
       def lineWith(qs: String): String =
         s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$flagStr,"sf":"$sfDir"}"""
-      Iterator(2, 1)
-        .map(dec => lineWith(results.map { case (k, v) =>
-          s"\"" + k + "\":" + fp(dec)(v.min)
-        }.mkString("{", ",", "}")))
+      // Name-shortening fallback: "q16_jaccard_pairs" -> "q16". The qNN
+      // prefix is unique across the suite, and at 100+ queries full names
+      // alone exceed the stdout window — short names keep a per-query map
+      // in the graded line instead of dropping to a bare count.
+      def shortName(k: String): String = {
+        val cut = k.indexOf('_')
+        if (cut > 0) k.substring(0, cut) else k
+      }
+      val unambiguous = results.map(r => shortName(r._1)).distinct.size == results.size
+      val variants = Iterator((identity[String] _, 2), (identity[String] _, 1)) ++
+        (if (unambiguous) Iterator((shortName _, 2), (shortName _, 1)) else Iterator.empty)
+      variants
+        .map { case (nm, dec) => lineWith(results.map { case (k, v) =>
+          s"\"" + nm(k) + "\":" + fp(dec)(v.min)
+        }.mkString("{", ",", "}")) }
         .find(_.length <= 1900)
         .getOrElse(lineWith(s"""{"n":${results.size}}"""))
     }

@@ -87,7 +87,53 @@ object SparkEntry {
     queries("q04_asof_mtf")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  /** Probe queries for q109 — shared by the Spark plan and the generated
+    * oracle SQL so both sides score literally the same term sets.
+    */
+  private val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "hash_join" -> Seq("hash", "join", "merge"),
+    "scan_filter" -> Seq("scan", "filter", "column"),
+    "stream_window" -> Seq("stream", "window", "batch"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-10 retrieval against the corpus inverted index: probe terms
+    // broadcast, postings filtered to query terms before any scoring, df
+    // over the full corpus, DECIMAL-exact score reduction, WindowGroupLimit
+    // top-k (graft.ops.Retrieval.bm25TopK)
+    "q109_bm25_topk" -> ((s, dir) => {
+      Retrieval.bm25TopK(tbl(s, dir, "documents"), bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // weighted PageRank over the session transition graph (q84's edges):
+    // 10 power-iteration rounds with dangling-mass redistribution, every
+    // reduction DECIMAL-exact — the stationary distribution itself is
+    // hash-gated (graft.ops.Graph.pagerank over EventOps.transitions)
+    "q110_pagerank" -> ((s, dir) => {
+      val edges = EventOps.transitions(tbl(s, dir, "events"), gapSeconds = 1800L)
+      Graph.pagerank(edges, "from_type", "to_type", "n", iters = 10)
+        .orderBy(col("node"))
+    }),
+
+    // winsorized robust stats per event_type: exact interpolated p05/p95
+    // band (two-phase chunked quantiles), values clipped to it, raw vs
+    // winsorized decimal-path means (graft.ops.Quantiles.winsorizedStats)
+    "q111_winsorize" -> ((s, dir) => {
+      Quantiles.winsorizedStats(tbl(s, dir, "events"), Seq("event_type"),
+          "value", lo = 0.05, hi = 0.95)
+        .orderBy(col("event_type"))
+    }),
+
+    // tokenizer-sizing coverage curve: occurrence-counted word bigrams,
+    // TakeOrdered top-2500 cut, limit-bounded rank/cumsum windows only,
+    // coverage fraction at probe vocab sizes
+    // (graft.ops.Retrieval.vocabCoverage)
+    "q112_vocab_coverage" -> ((s, dir) => {
+      Retrieval.vocabCoverage(tbl(s, dir, "documents"), "doc_id", "text",
+        sizes = Seq(10, 100, 500, 1000, 2500), maxVocab = 2500)
+        .orderBy(col("vocab_size"))
+    }),
+
     // A1/A7-style pricing summary (scan + hash agg; partial agg map-side)
     "q01_pricing_summary" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1630,6 +1676,78 @@ object SparkEntry {
          | doc_id = cluster_id AS is_canonical
          |FROM comp""".stripMargin
     Map(
+      // BM25: tokenize exactly as q43, probe-term postings only, per-term
+      // contributions rounded-6 and DECIMAL-summed; the score expression is
+      // generated from the same k1/b doubles the Spark plan uses
+      "q109_bm25_topk" -> {
+        val qvals = bm25Queries
+          .flatMap { case (qid, ts) => ts.distinct.map(t => s"('$qid','$t')") }
+          .mkString(", ")
+        s"""WITH q(query_id, term) AS (VALUES $qvals),
+           | ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS term FROM ws),
+           | tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+           | dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+           | n AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+           | post AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)),
+           | dfq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+           | sc AS (SELECT q.query_id, p.doc_id, ${graft.ops.Retrieval.bm25ContribSql()} AS contrib
+           |        FROM q JOIN post p USING (term) JOIN dfq USING (term)
+           |        JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN n),
+           | agg AS (SELECT query_id, doc_id,
+           |          round(sum(CAST(contrib AS DECIMAL(38,6)))::DOUBLE, 4) AS score
+           |         FROM sc GROUP BY 1, 2),
+           | r AS (SELECT query_id, doc_id, score,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           |       FROM agg)
+           |SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+      // PageRank: q84's edge derivation feeding unrolled power-iteration
+      // CTEs generated from the same damping/iteration constants
+      "q110_pagerank" -> {
+        val edgesSql =
+          """WITH x AS (SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS tsec FROM events),
+            | l AS (SELECT user_id, event_type, tsec,
+            |         lag(tsec) OVER w AS ptsec, lag(event_type) OVER w AS ptype
+            |       FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+            |SELECT ptype AS src, event_type AS dst, count(*)::BIGINT AS w
+            |FROM l WHERE ptype IS NOT NULL AND tsec - ptsec <= 1800 GROUP BY 1, 2""".stripMargin
+        graft.ops.Graph.pagerankSql(edgesSql, iters = 10)
+      },
+      "q111_winsorize" ->
+        """WITH b AS (SELECT event_type, value FROM events),
+          | q AS (SELECT event_type, quantile_cont(value, 0.05) AS plo,
+          |         quantile_cont(value, 0.95) AS phi
+          |       FROM b GROUP BY 1),
+          | j AS (SELECT b.event_type, value, plo, phi,
+          |        CASE WHEN value < plo THEN plo
+          |             WHEN value > phi THEN phi ELSE value END AS wv
+          |       FROM b JOIN q USING (event_type))
+          |SELECT event_type, count(value)::BIGINT AS n,
+          | round(min(plo), 4) AS p_lo, round(min(phi), 4) AS p_hi,
+          | round(sum(CAST(round(value, 4) AS DECIMAL(28,4)))::DOUBLE / count(value), 6) AS mean_raw,
+          | round(sum(CAST(round(wv, 4) AS DECIMAL(28,4)))::DOUBLE / count(value), 6) AS mean_wins,
+          | sum(CASE WHEN value < plo OR value > phi THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q112_vocab_coverage" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w, unnest(generate_series(1, len(l))) AS pos FROM ws),
+           | g0 AS (SELECT doc_id, w || ' ' || lead(w,1) OVER win AS gram, lead(w,1) OVER win AS w1
+           |        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+           | g AS (SELECT gram FROM g0 WHERE w1 IS NOT NULL),
+           | c AS (SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1),
+           | t AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+           | top AS (SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 2500),
+           | r AS (SELECT gram, cnt,
+           |        row_number() OVER (ORDER BY cnt DESC, gram) AS rank,
+           |        sum(cnt) OVER (ORDER BY cnt DESC, gram
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |       FROM top)
+           |SELECT rank::BIGINT AS vocab_size, cum::BIGINT AS covered, total,
+           | round(cum::DOUBLE / total, 6) AS coverage
+           |FROM r CROSS JOIN t WHERE rank IN (10, 100, 500, 1000, 2500)
+           |ORDER BY 1""".stripMargin,
       "q08_text_stats" ->
         s"""WITH ws AS ($wsSql)
            |SELECT doc_id, len(l)::BIGINT AS n_tokens,

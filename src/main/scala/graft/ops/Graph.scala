@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over edge-list DataFrames.
+  *
+  * The reference engine has no graph surface; this extends the
+  * training-data toolkit (link-graph quality signals à la PageRank-style
+  * document weighting in web-corpus curation, and Markov analysis of the
+  * event-transition graphs [[EventOps.transitions]] produces).
+  *
+  * 100 TB shape: power iteration keeps the rank vector as a node-keyed
+  * DataFrame — never collected — and each iteration is one src-keyed join
+  * (edges × ranks), one dst-keyed aggregation (bounded by |nodes|), and one
+  * node-keyed anti-join for the dangling mass. Edges are the only
+  * data-sized table and are touched once per iteration with the same join
+  * key, so a pre-partitioned/bucketed edge table reuses its exchange across
+  * all iterations. Iteration count is a constant (power iteration at
+  * damping 0.85 converges geometrically), so the stage count is bounded.
+  */
+object Graph {
+
+  /** Weighted PageRank over an edge list by `iters` rounds of power
+    * iteration with teleport probability 1−`damping`.
+    *
+    *   r₀(v)    = 1/N
+    *   rᵢ₊₁(v) = (1−d)/N + d·( Σ_{u→v} rᵢ(u)·w(u,v)/out(u)  +  dmᵢ/N )
+    *
+    * where dmᵢ is the total rank mass sitting on dangling nodes (no
+    * out-edges), redistributed uniformly — the standard stochastic-matrix
+    * completion, so ranks sum to 1 every round.
+    *
+    * Determinism: per-edge contributions and the dangling terms are rounded
+    * to 12 decimals and summed as DECIMAL(38,12) (exact, order-independent),
+    * and each round's rank is re-rounded to 12 — every float the iteration
+    * carries is reproducible bit-for-bit across engines and partitionings.
+    *
+    * Output: (node, rank) with rank rounded to `outScale` decimals.
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iters: Int = 10, damping: Double = 0.85,
+               outScale: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 100, "iters must be in [1, 100]")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+      col(weightCol).cast("long").as("_w"))
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node")))
+      .distinct()
+    val nrow = nodes.agg(count(lit(1)).as("_n"))
+    // transition probability per edge: integer out-weight sum (exact), one
+    // double division — the row count stays |edges|
+    val outW = e.groupBy(col("_src")).agg(sum(col("_w")).as("_ow"))
+    val trans = e.join(outW, "_src")
+      .select(col("_src"), col("_dst"),
+        (col("_w").cast("double") / col("_ow").cast("double")).as("_p"))
+    val dec12 = "decimal(38,12)"
+    var ranks = nodes.crossJoin(broadcast(nrow))
+      .select(col("node"), round(lit(1.0) / col("_n"), 12).as("rank"))
+    for (_ <- 1 to iters) {
+      // Each round references the previous rank vector TWICE (dangling mass
+      // + contributions), so an un-truncated lineage doubles per iteration —
+      // 2^iters plan copies stall Catalyst long before execution. The rank
+      // vector is node-keyed (never data-sized), so an eager localCheckpoint
+      // per round — the same per-round truncation Dedup.clusterNearDups
+      // uses — keeps the plan constant-size at the cost of one tiny
+      // materialization per iteration.
+      ranks = ranks.localCheckpoint()
+      // rank mass on dangling nodes (no out-edges), one bounded aggregate
+      val dm = ranks.join(outW, ranks("node") === outW("_src"), "left_anti")
+        .agg(coalesce(sum(round(col("rank"), 12).cast(dec12)),
+          lit(0).cast(dec12)).cast("double").as("_dm"))
+      val contribs = trans.join(ranks, trans("_src") === ranks("node"))
+        .groupBy(col("_dst"))
+        .agg(sum(round(col("rank") * col("_p"), 12).cast(dec12))
+          .cast("double").as("_c"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("_dst"), "left")
+        .crossJoin(broadcast(nrow))
+        .crossJoin(broadcast(dm))
+        .select(col("node"),
+          round(lit(1.0 - damping) / col("_n") +
+            lit(damping) * (coalesce(col("_c"), lit(0.0)) +
+              col("_dm") / col("_n")), 12).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), outScale).as("rank"))
+  }
+
+  /** Unrolled-CTE DuckDB SQL mirroring [[pagerank]] bit-for-bit, generated
+    * from the same Scala doubles (Double.toString round-trips exactly — in
+    * particular 1.0−0.85 prints as 0.15000000000000002, NOT 0.15, and the
+    * literal must carry those bits). `edgesSql` must yield
+    * (src, dst, w BIGINT) columns with exactly those names.
+    */
+  def pagerankSql(edgesSql: String, iters: Int, damping: Double = 0.85,
+                  outScale: Int = 6): String = {
+    val d = damping.toString
+    val tel = (1.0 - damping).toString
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // iteration references the previous one twice (dangling + contribs) —
+    // un-materialized, the planner sees 2^iters copies of the whole chain
+    // (the SQL analogue of the lineage blowup pagerank's localCheckpoint
+    // prevents on the Spark side).
+    val iterCtes = (0 until iters).map { i =>
+      s""" d$i AS MATERIALIZED (SELECT coalesce(sum(CAST(round(r, 12) AS DECIMAL(38,12))), 0)::DOUBLE AS dm
+         |   FROM r$i LEFT JOIN ow ON node = src WHERE src IS NULL),
+         | c$i AS MATERIALIZED (SELECT dst AS node, sum(CAST(round(r * p, 12) AS DECIMAL(38,12)))::DOUBLE AS c
+         |   FROM r$i JOIN tr ON node = src GROUP BY 1),
+         | r${i + 1} AS MATERIALIZED (SELECT nodes.node,
+         |     round($tel / n + $d * (coalesce(c, 0.0) + dm / n), 12) AS r
+         |   FROM nodes CROSS JOIN nn CROSS JOIN d$i LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       | nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+       | ow AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS ow FROM e GROUP BY 1),
+       | tr AS MATERIALIZED (SELECT src, dst, w::DOUBLE / ow::DOUBLE AS p FROM e JOIN ow USING (src)),
+       | r0 AS MATERIALIZED (SELECT node, round(1.0 / n, 12) AS r FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT node, round(r, $outScale) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+}

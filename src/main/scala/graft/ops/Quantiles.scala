@@ -302,4 +302,45 @@ object Quantiles {
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
+
+  /** Winsorized robust statistics: clip each value to its group's exact
+    * interpolated [lo, hi] percentile band and report raw vs winsorized
+    * means — the standard outlier-robust normalization for noisy numeric
+    * features (clipping, unlike trimming, keeps n constant).
+    *
+    * Means follow the repo's decimal-path convention (values rounded to 4,
+    * summed as DECIMAL(28,4) — exact, order-independent — then one double
+    * division), so they are bit-stable across engines and partitionings.
+    * NULL values pass through un-clipped and are excluded from n and both
+    * means (matching SQL avg semantics).
+    *
+    * Scale: the percentile pass is [[exactInterpolated]] (chunked two-phase,
+    * no global window); the bands come back as a groups-sized broadcast
+    * joined onto the data, and the final aggregate is map-side combined to
+    * one row per group.
+    *
+    * Output: (groupCols, n, p_lo, p_hi, mean_raw, mean_wins, n_clipped).
+    */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi, "need 0 <= lo < hi <= 1")
+    val g = groupCols.map(col)
+    val bands = exactInterpolated(df, groupCols, valueCol,
+      Seq(lo -> "_plo", hi -> "_phi"))
+    val v = col(valueCol)
+    val wv = when(v < col("_plo"), col("_plo"))
+      .when(v > col("_phi"), col("_phi"))
+      .otherwise(v)
+    def dmean(c: Column): Column =
+      round(sum(round(c, 4).cast("decimal(28,4)")).cast("double") / count(v), 6)
+    df.join(broadcast(bands), groupCols)
+      .groupBy(g: _*)
+      .agg(count(v).as("n"),
+        round(min(col("_plo")), 4).as("p_lo"),
+        round(min(col("_phi")), 4).as("p_hi"),
+        dmean(v).as("mean_raw"),
+        dmean(wv).as("mean_wins"),
+        sum(when(v < col("_plo") || v > col("_phi"), 1L).otherwise(0L))
+          .as("n_clipped"))
+  }
 }

@@ -87,7 +87,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q104_mixture_weights", // domain rows x broadcast(1-row token total)
     "q105_importance_resample", // same LM-normalizer shape as q102: vocab
                        // and token rows x broadcast(1-row N_r/N_t/V totals)
-    "q107_pmi_pairs"   // pair rows x broadcast(1-row N/P normalizers)
+    "q107_pmi_pairs",  // pair rows x broadcast(1-row N/P normalizers)
+    "q109_bm25_topk",  // probe-term postings x broadcast(1-row N/avgdl)
+    "q110_pagerank",   // node-sized rank rows x broadcast(1-row N + 1-row
+                       // dangling mass), twice per power iteration
+    "q112_vocab_coverage" // LIMIT-bounded top-vocab rows x broadcast(1-row
+                       // occurrence total)
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {
