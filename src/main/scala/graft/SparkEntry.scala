@@ -830,24 +830,7 @@ object SparkEntry {
     // are one tiny per-type aggregate broadcast back; the hourly table
     // never shuffles twice
     "q59_rate_anomaly" -> ((s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
-      val hourly = tbl(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("(CAST(ts AS LONG) DIV 3600) * 3600").as("hour_sec"))
-        .agg(count(lit(1)).as("n"))
-      val stats = hourly.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("_h"),
-          sum(col("n").cast(DecimalType(28, 0))).cast("double").as("_s1"),
-          sum(col("n").cast(DecimalType(20, 0)) * col("n")).cast("double").as("_s2"))
-        .where(col("_h") >= 2)
-        .withColumn("_mean", col("_s1") / col("_h"))
-        .withColumn("_var", (col("_s2") - col("_s1") * col("_s1") / col("_h")) / (col("_h") - 1))
-        .where(col("_var") > 0.0)
-        .select(col("event_type").as("_et"), col("_mean"), col("_var"))
-      hourly.join(broadcast(stats), col("event_type") === col("_et"))
-        .withColumn("z", round((col("n") - col("_mean")) / sqrt(col("_var")), 4))
-        .where(abs(col("z")) >= 2.0)
-        .select(col("event_type"), col("hour_sec"), col("n"), col("z"))
+      EventOps.rateAnomalies(EventOps.hourlyCounts(tbl(s, dir, "events")))
         .orderBy(col("event_type"), col("hour_sec"))
     }),
 

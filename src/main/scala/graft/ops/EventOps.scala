@@ -36,6 +36,46 @@ object EventOps {
         col("_c.volume").as("volume"))): _*)
   }
 
+  /** Tumbling per-type event-rate table: (event_type, hour_sec, n) with
+    * hour_sec = the window's left-closed epoch-second label. One map-side-
+    * combined aggregate; the shape [[graft.streaming.RateStream]] twins with
+    * a watermark-bounded streaming window.
+    */
+  def hourlyCounts(events: DataFrame, bucketSeconds: Long = 3600L,
+                   typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame =
+    events.groupBy(col(typeCol).as("event_type"),
+        expr(s"(CAST(`$tsCol` AS LONG) DIV $bucketSeconds) * $bucketSeconds")
+          .as("hour_sec"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Z-score anomaly gate over a [[hourlyCounts]]-shaped table: each
+    * bucket's count scored against its own type's mean/std across buckets;
+    * |z| >= `threshold` rows survive. Variance comes from exact integer
+    * sums (count, sum n, sum n² — n² through decimal so a 3e9-events hour
+    * cannot overflow BIGINT under ANSI), so the doubles that reach the
+    * division are identical across engines. Stats are one tiny per-type
+    * aggregate broadcast back; the hourly table never shuffles twice.
+    * Types with fewer than 2 buckets or zero variance have no z-score and
+    * drop out (both engines take the same branch).
+    */
+  def rateAnomalies(hourly: DataFrame, threshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_h"),
+        sum(col("n").cast(DecimalType(28, 0))).cast("double").as("_s1"),
+        sum(col("n").cast(DecimalType(20, 0)) * col("n")).cast("double").as("_s2"))
+      .where(col("_h") >= 2)
+      .withColumn("_mean", col("_s1") / col("_h"))
+      .withColumn("_var", (col("_s2") - col("_s1") * col("_s1") / col("_h")) / (col("_h") - 1))
+      .where(col("_var") > 0.0)
+      .select(col("event_type").as("_et"), col("_mean"), col("_var"))
+    hourly.join(broadcast(stats), col("event_type") === col("_et"))
+      .withColumn("z", round((col("n") - col("_mean")) / sqrt(col("_var")), 4))
+      .where(abs(col("z")) >= threshold)
+      .select(col("event_type"), col("hour_sec"), col("n"), col("z"))
+  }
+
   /** Per-hour-of-day completeness histogram, zero-filled over the 0-23 grid
     * (reference: ingestors/ibkr/ingest_cli.py:681-686 groupby(ts.dt.hour)
     * .reindex(range(24), fill_value=0)).

@@ -218,4 +218,49 @@ class StreamingOracleSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(streamed === batch)
   }
+
+  test("RateStream hourly counts + batch z-gate == oracled q59 anomalies") {
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ev = events().select(col("event_type"), col("ts"))
+      .as[(String, Timestamp)].collect().toSeq
+    val maxTs = ev.map(_._2.getTime).max
+    val outDir = java.nio.file.Files.createTempDirectory("rate_stream").toString
+    val in = MemoryStream[(String, Timestamp)]
+    val q = graft.streaming.RateStream
+      .hourlyCounts(in.toDF().toDF("event_type", "ts"), delay = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .start()
+    try {
+      in.addData(ev: _*)
+      q.processAllAvailable()
+      // sentinel advances the watermark past the last real window's end...
+      in.addData(("_sentinel", new Timestamp(maxTs + 2 * 3600L * 1000)))
+      q.processAllAvailable()
+      // ...and the next batch emits the closed windows under it
+      in.addData(("_sentinel", new Timestamp(maxTs + 4 * 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hourly = spark.read.parquet(s"$outDir/data")
+      .where(col("event_type") =!= "_sentinel")
+    // the streamed hourly table IS the batch one...
+    val hStream = hourly.orderBy(col("event_type"), col("hour_sec"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val hBatch = graft.ops.EventOps.hourlyCounts(events())
+      .orderBy(col("event_type"), col("hour_sec"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hStream === hBatch)
+    // ...so the unchanged batch z-gate over it reproduces oracled q59
+    val streamed = graft.ops.EventOps.rateAnomalies(hourly)
+      .orderBy(col("event_type"), col("hour_sec"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = SparkEntry.queries("q59_rate_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed === batch)
+  }
 }
