@@ -67,13 +67,21 @@ object Bench {
     // under concurrent load; min-of-2 recovered the true numbers). min, not
     // mean — external interference only ever ADDS time.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                dir: String): Unit =
+                dir: String, name: String): Unit =
       // Force FULL evaluation of every output column: a plain count() lets
       // ColumnPruning drop un-consumed projections, so a projection-heavy
       // query (text stats, simhash signatures) would bench as a bare scan.
-      // toRdd executes the final plan exactly as written.
-      try { fn(spark, dir).queryExecution.toRdd.count(); () } catch { case _: Throwable => () }
+      // toRdd executes the final plan exactly as written. A throwing query
+      // must NOT silently time as a fast one (round-8's testdata timestamp
+      // regeneration broke every events query and the bench recorded them
+      // all at 0.06 s) — record and report it.
+      try { fn(spark, dir).queryExecution.toRdd.count(); () } catch {
+        case e: Throwable =>
+          if (failed.add(name))
+            System.err.println(s"[bench] $name FAILED: ${e.toString.linesIterator.next()}")
+      }
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // ---- incremental state, visible to the shutdown hook ----------------
@@ -96,7 +104,8 @@ object Bench {
       val results = done.asScala.toVector
       val total = results.map(_._2.min).sum
       val flags = (if (degraded) List("\"degraded\":true") else Nil) ++
-        (if (skipped > 0) List(s"\"skipped\":$skipped") else Nil)
+        (if (skipped > 0) List(s"\"skipped\":$skipped") else Nil) ++
+        (if (!failed.isEmpty) List(s"\"errors\":${failed.size}") else Nil)
       val flagStr = if (flags.isEmpty) "" else flags.mkString(",", ",", "")
       def lineWith(qs: String): String =
         s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$flagStr,"sf":"$sfDir"}"""
@@ -127,8 +136,12 @@ object Bench {
       val raw = results.map { case (k, v) =>
         s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+      val errs = {
+        import scala.jdk.CollectionConverters._
+        failed.asScala.toVector.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
       val rawLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"failed":$errs,"sf":"$sfDir"}"""
       try {
         val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RAW_OUT",
           "/root/repo/BENCH_RAW.json"))
@@ -172,14 +185,15 @@ object Bench {
       val it = queries.iterator
       var warmCut = false
       while (it.hasNext && !warmCut) {
-        val (_, fn) = it.next()
-        runOnce(fn, warmDir)
+        val (nm, fn) = it.next()
+        runOnce(fn, warmDir, nm)
         if (elapsed > budget * 0.3) { warmCut = true; degraded = true }
       }
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val s = System.nanoTime()
-      runOnce(fn, sfDir)
+      runOnce(fn, sfDir, name)
       (System.nanoTime() - s) / 1e9
     }
     for ((name, fn) <- queries) {
@@ -190,18 +204,18 @@ object Bench {
         // taken, so late queries run under storage-memory pressure no real
         // single-query deployment would see.
         spark.catalog.clearCache()
-        val first = timeOnce(fn)
+        val first = timeOnce(name, fn)
         val base = first +: (2 to repeat).takeWhile { _ =>
           val ok = elapsed <= budget * 0.7
           if (!ok) degraded = true
           ok
-        }.map(_ => timeOnce(fn))
+        }.map(_ => timeOnce(name, fn))
         // If the samples disagree by >2x the box was busy during one of
         // them; take a tie-breaking third sample (budget permitting) so
         // min-of-N reflects steady state.
         val times =
           if (base.size >= 2 && base.max > 2 * base.min && elapsed <= budget * 0.85)
-            base :+ timeOnce(fn)
+            base :+ timeOnce(name, fn)
           else base
         done.add(name -> times)
       }

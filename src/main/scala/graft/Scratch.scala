@@ -23,6 +23,54 @@ object Scratch {
         val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         println(s"== $name @ $sfDir ==")
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      case "profile" :: name :: rest =>
+        // split a query's cost into plan-build / analysis+optimization /
+        // execution, repeated so JIT warmup is visible
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        for (i <- 1 to 3) {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan // forces analysis + optimization + planning
+          val t2 = System.nanoTime()
+          df.queryExecution.toRdd.count()
+          val t3 = System.nanoTime()
+          def s(a: Long, b: Long) = f"${(b - a) / 1e9}%.2f"
+          println(s"[$i] build=${s(t0, t1)} plan=${s(t1, t2)} exec=${s(t2, t3)} total=${s(t0, t3)}")
+        }
+      case "q28parts" :: rest =>
+        // time q28's building blocks separately (repeat 3, min) to see
+        // which stage dominates
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$tag%-28s min=${ts.min}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+        }
+        time("counts_agg") {
+          li.where(col("l_extendedprice").isNotNull)
+            .groupBy(col("l_returnflag"), col("l_extendedprice"))
+            .agg(count(lit(1)).as("_c"))
+        }
+        time("price_p50_p90") {
+          graft.ops.Quantiles.exactInterpolated(li, Seq("l_returnflag"),
+            "l_extendedprice", Seq(0.5 -> "p50", 0.9 -> "p90"))
+        }
+        time("qty_p25") {
+          graft.ops.Quantiles.exactInterpolated(li, Seq("l_returnflag"),
+            "l_quantity", Seq(0.25 -> "qty_p25"))
+        }
+        time("q28_full") { SparkEntry.queries("q28_quantiles")(spark, sfDir) }
+        val done = graft.ops.Quantiles.exactInterpolated(li, Seq("l_returnflag"),
+          "l_extendedprice", Seq(0.5 -> "p50", 0.9 -> "p90"))
+        done.queryExecution.toRdd.count()
+        println("==== final adaptive plan (price path) ====")
+        println(done.queryExecution.executedPlan.toString)
       case _ =>
         val root = java.nio.file.Files.createTempDirectory("gappy_lake").toString
         val day = graft.sources.SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")

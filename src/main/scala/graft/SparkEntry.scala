@@ -23,19 +23,60 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(s, dir) else s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as raw nanos (legacy long mode) and
-    * expose BOTH `ts_ns` (exact, for ordering/tiebreaks — matches DuckDB's
-    * ns-precision ordering bit-for-bit) and `ts` (µs-truncated TimestampType
-    * for the time-bucket/window ops; floor truncation preserves whole-second
-    * bucket and range semantics).
+  /** The events table has shipped with three different parquet `ts`
+    * physical types across testdata generations — TIMESTAMP(NANOS) (read as
+    * raw longs via legacy mode, since the vectorized reader rejects nanos),
+    * TIMESTAMP(MICROS) UTC-adjusted (TimestampType), and TIMESTAMP(MICROS)
+    * without timezone (TimestampNTZType, which `unix_micros` rejects — an
+    * NTZ wall clock is interpreted as UTC via a session-UTC cast, matching
+    * how DuckDB's `epoch()` treats the same column). All three normalize to
+    * BOTH `ts_ns` (exact nanos, for ordering/tiebreaks — matches DuckDB's
+    * ordering bit-for-bit) and `ts` (µs TimestampType for the
+    * time-bucket/window ops; floor truncation preserves whole-second bucket
+    * and range semantics).
     */
   private def loadEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val asNs = if (raw.schema("ts").dataType.typeName == "long") raw.withColumnRenamed("ts", "ts_ns")
-      else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    // `_ts_raw` aliases the PHYSICAL parquet column untouched: predicates
+    // built on it (eventsTsRange) reach the scan as PushedFilters, which a
+    // predicate on the derived ts/ts_ns never can — at 100 TB the range
+    // scan must skip row groups, not read-then-filter.
+    val asNs = raw.schema("ts").dataType.typeName match {
+      case "long" =>
+        raw.withColumn("_ts_raw", col("ts")).withColumnRenamed("ts", "ts_ns")
+      case "timestamp_ntz" =>
+        raw.withColumn("_ts_raw", col("ts"))
+          .withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ =>
+        raw.withColumn("_ts_raw", col("ts"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
     asNs.withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
+
+  /** Half-open [from, to) range predicate on the events table that pushes
+    * down to the parquet scan in EVERY testdata generation: the comparison
+    * targets `_ts_raw` (the physical column) with a literal of its own
+    * type — nanos long, NTZ wall clock (read as UTC, the same convention
+    * as loadEvents), or UTC-adjusted timestamp. Whole-second ISO bounds
+    * are exactly representable in all three, so the predicate is exactly
+    * equivalent to the ts_ns form.
+    */
+  private def eventsTsRange(ev: DataFrame, fromIso: String, toIso: String): Column = {
+    val f = java.time.Instant.parse(fromIso)
+    val t = java.time.Instant.parse(toIso)
+    ev.schema("_ts_raw").dataType.typeName match {
+      case "long" =>
+        col("_ts_raw") >= lit(f.getEpochSecond * 1000000000L) &&
+          col("_ts_raw") < lit(t.getEpochSecond * 1000000000L)
+      case "timestamp_ntz" =>
+        col("_ts_raw") >= lit(java.time.LocalDateTime.ofInstant(f, java.time.ZoneOffset.UTC)) &&
+          col("_ts_raw") < lit(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
+      case _ =>
+        col("_ts_raw") >= lit(java.sql.Timestamp.from(f)) &&
+          col("_ts_raw") < lit(java.sql.Timestamp.from(t))
+    }
   }
 
   /** Public form of the events loader for the CLI and demos. */
@@ -134,6 +175,25 @@ object SparkEntry {
         .orderBy(col("vocab_size"))
     }),
 
+    // corpus drift per source: KL/JS between each slice's unigram
+    // distribution and the rest of the corpus over a deterministic top-500
+    // vocabulary; one data-sized shuffle, contributions decimal-summed
+    // (graft.ops.Corpus.sliceDivergence)
+    "q113_kl_drift" -> ((s, dir) => {
+      Corpus.sliceDivergence(tbl(s, dir, "documents"), "source", "text",
+          vocab = 500)
+        .orderBy(col("source"))
+    }),
+
+    // chi-square salient terms per language: 2x2 token contingency vs the
+    // rest of the corpus, one fixed double chain, per-class top-10 as
+    // WindowGroupLimit (graft.ops.Corpus.chiSquareTerms)
+    "q114_chi2_terms" -> ((s, dir) => {
+      Corpus.chiSquareTerms(tbl(s, dir, "documents"), "lang", "text",
+          k = 10, minCount = 5L)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // A1/A7-style pricing summary (scan + hash agg; partial agg map-side)
     "q01_pricing_summary" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -152,10 +212,8 @@ object SparkEntry {
     // so it pushes down to parquet row-group stats — at 100 TB that is the
     // difference between pruning row groups and scanning them all.
     "q02_range_filter" -> ((s, dir) => {
-      def ns(iso: String) = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-      tbl(s, dir, "events")
-        .where(col("ts_ns") >= lit(ns("2024-01-10T00:00:00Z")) &&
-          col("ts_ns") < lit(ns("2024-01-20T00:00:00Z")))
+      val ev = tbl(s, dir, "events")
+      ev.where(eventsTsRange(ev, "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z"))
         .select(col("event_id"), secs(col("ts")).as("ts_sec"), col("event_type"),
           col("value"))
         .orderBy(col("event_id"))
@@ -1731,6 +1789,52 @@ object SparkEntry {
            | round(cum::DOUBLE / total, 6) AS coverage
            |FROM r CROSS JOIN t WHERE rank IN (10, 100, 500, 1000, 2500)
            |ORDER BY 1""".stripMargin,
+      // KL/JS drift: same tokenizer, same deterministic top-500 vocab cut,
+      // same add-one smoothing and decimal-summed r7 contributions
+      "q113_kl_drift" ->
+        s"""WITH tok AS (SELECT source, unnest(l) AS w
+           |         FROM (SELECT d.source, string_split_regex(trim(lower(d.text)),'\\s+') AS l
+           |               FROM documents d) x),
+           | ps AS (SELECT source, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+           | tt AS (SELECT w, sum(c)::BIGINT AS ct FROM ps GROUP BY 1),
+           | topv AS (SELECT w, ct FROM tt ORDER BY ct DESC, w LIMIT 500),
+           | sl AS (SELECT DISTINCT source FROM ps),
+           | grid AS (SELECT sl.source, topv.w, topv.ct, coalesce(ps.c, 0)::BIGINT AS cs
+           |          FROM sl CROSS JOIN topv
+           |          LEFT JOIN ps ON ps.source = sl.source AND ps.w = topv.w),
+           | ns AS (SELECT source, sum(cs)::BIGINT AS nsv, sum(ct)::BIGINT AS ntot
+           |        FROM grid GROUP BY 1),
+           | p AS (SELECT g.source, nsv,
+           |        (cs + 1.0) / (nsv + 500.0) AS pa,
+           |        ((ct - cs) + 1.0) / ((ntot - nsv) + 500.0) AS pb
+           |       FROM grid g JOIN ns USING (source)),
+           | q AS (SELECT source, nsv, pa, pb, (pa + pb) / 2.0 AS pm FROM p)
+           |SELECT source, max(nsv)::BIGINT AS n_tokens,
+           | round(sum(CAST(round(pa * ln(pa / pb), 7) AS DECIMAL(38,7)))::DOUBLE, 6) AS kl_slice_rest,
+           | round(sum(CAST(round(pb * ln(pb / pa), 7) AS DECIMAL(38,7)))::DOUBLE, 6) AS kl_rest_slice,
+           | round(sum(CAST(round(0.5 * (pa * ln(pa / pm) + pb * ln(pb / pm)), 7) AS DECIMAL(38,7)))::DOUBLE, 6) AS js
+           |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+      // chi-square: identical contingency and one fixed double chain
+      "q114_chi2_terms" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT lang, unnest(l) AS term FROM ws),
+           | bc AS (SELECT lang, term, count(*)::BIGINT AS a FROM tok GROUP BY 1, 2),
+           | bt AS (SELECT term, sum(a)::BIGINT AS tw FROM bc GROUP BY 1),
+           | bs AS (SELECT lang, sum(a)::BIGINT AS ts FROM bc GROUP BY 1),
+           | nn AS (SELECT sum(a)::BIGINT AS n FROM bc),
+           | j AS (SELECT bc.lang, bc.term, a, tw, ts, nn.n,
+           |        a::DOUBLE * (nn.n - tw - ts + a)::DOUBLE AS ad,
+           |        (tw - a)::DOUBLE * (ts - a)::DOUBLE AS bcx,
+           |        (tw::DOUBLE * (nn.n - tw)::DOUBLE) * (ts::DOUBLE * (nn.n - ts)::DOUBLE) AS den
+           |       FROM bc JOIN bt USING (term) JOIN bs USING (lang) CROSS JOIN nn),
+           | sc AS (SELECT lang, term,
+           |         round((n::DOUBLE * ((ad - bcx) * (ad - bcx))) / den, 4) AS chi2
+           |        FROM j WHERE a >= 5 AND ad > bcx AND den > 0),
+           | r AS (SELECT lang, term, chi2,
+           |        row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, term) AS rank
+           |       FROM sc)
+           |SELECT lang, rank::BIGINT AS rank, term, chi2 FROM r
+           |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
       "q08_text_stats" ->
         s"""WITH ws AS ($wsSql)
            |SELECT doc_id, len(l)::BIGINT AS n_tokens,

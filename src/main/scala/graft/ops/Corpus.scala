@@ -466,4 +466,121 @@ object Corpus {
       .select(col(domainCol), col("n_docs"), col("n_tokens"),
         col("share"), col("weight"), col("eff_tokens"))
   }
+
+  /** Corpus drift report: per value of `sliceCol`, the KL and JS
+    * divergences between that slice's unigram distribution and the REST of
+    * the corpus, over a fixed top-`vocab` term set — the distribution-level
+    * companion to row-level snapshot diffing: "did this source/shard/crawl
+    * drift?", "which mixture slice no longer looks like the rest?".
+    *
+    * Determinism/portability: the vocabulary is the global top-`vocab`
+    * terms by (count desc, term asc) — a total order, so both engines cut
+    * the same set. Probabilities are add-one smoothed over that closed
+    * vocabulary, p = (c+1)/(n+V), from exact BIGINT counts; each term's
+    * divergence contribution is rounded to 7 decimals and summed as
+    * DECIMAL (exact, order-independent), the repo's convention for
+    * log-bearing doubles under the hash gate (same as q102's LM scores).
+    *
+    * Scale shape: ONE data-sized shuffle (tokenize → (slice, term) counts,
+    * map-side combined). Everything after is vocabulary- or slice-grain:
+    * the top-V cut is a TakeOrdered (no global sort), the slice×V grid is
+    * a cross join of two bounded aggregates, and the final reduction is
+    * slices rows. The rest-of-corpus counts come from vocab-grain totals
+    * minus the slice's own — the corpus is never scanned twice.
+    *
+    * Output per slice: (sliceCol, n_tokens, kl_slice_rest, kl_rest_slice,
+    * js), divergences r6.
+    */
+  def sliceDivergence(docs: DataFrame, sliceCol: String, textCol: String,
+                      vocab: Int = 500): DataFrame = {
+    val tok = docs.select(col(sliceCol),
+      explode(TextAnalysis.words(col(textCol))).as("_w"))
+    val perSlice = tok.groupBy(col(sliceCol), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+    val termTot = perSlice.groupBy(col("_w")).agg(sum(col("_c")).as("_ct"))
+    // global top-V cut: TakeOrdered over the vocab-grain table
+    val topv = termTot.orderBy(col("_ct").desc, col("_w")).limit(vocab)
+      .select(col("_w").as("_vw"), col("_ct"))
+    val slices = perSlice.select(col(sliceCol)).distinct()
+    // dense slice × vocab grid (both sides bounded), observed counts in
+    val grid = slices.crossJoin(broadcast(topv))
+      .join(perSlice,
+        slices(sliceCol) <=> perSlice(sliceCol) && col("_vw") === perSlice("_w"),
+        "left")
+      .select(slices(sliceCol), col("_vw"), col("_ct"),
+        coalesce(col("_c"), lit(0L)).as("_cs"))
+    val nS = grid.groupBy(col(sliceCol)).agg(sum(col("_cs")).as("_ns"),
+      sum(col("_ct")).as("_ntot"))
+    val v = lit(vocab.toDouble)
+    val withN = grid.join(nS, Seq(sliceCol))
+      .withColumn("_cr", col("_ct") - col("_cs"))
+      .withColumn("_nr", col("_ntot") - col("_ns"))
+      .withColumn("_pa", (col("_cs") + 1.0) / (col("_ns") + v))
+      .withColumn("_pb", (col("_cr") + 1.0) / (col("_nr") + v))
+      .withColumn("_pm", (col("_pa") + col("_pb")) / 2.0)
+    def dsum7(c: Column): Column =
+      round(sum(round(c, 7).cast(org.apache.spark.sql.types.DecimalType(38, 7)))
+        .cast("double"), 6)
+    withN.groupBy(col(sliceCol))
+      .agg(max(col("_ns")).as("n_tokens"),
+        dsum7(col("_pa") * log(col("_pa") / col("_pb"))).as("kl_slice_rest"),
+        dsum7(col("_pb") * log(col("_pb") / col("_pa"))).as("kl_rest_slice"),
+        dsum7(lit(0.5) * (col("_pa") * log(col("_pa") / col("_pm")) +
+          col("_pb") * log(col("_pb") / col("_pm")))).as("js"))
+  }
+
+  /** Chi-square salient terms: the top-`k` terms most over-represented in
+    * each class (language, source, label) against the rest of the corpus —
+    * the classic keyword-salience / domain-signature statistic, and the
+    * feature-selection step of quality-classifier pipelines.
+    *
+    * For term w and class s the 2×2 contingency is a = count(w in s),
+    * b = count(w elsewhere), c = other tokens in s, d = other tokens
+    * elsewhere; chi2 = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). The whole
+    * chain runs in DOUBLE with one fixed association mirrored by the SQL
+    * oracle: every product of counts ≤ 2^53 is exact, the square rounds
+    * identically under IEEE, so round(chi2, 4) is engine-portable. Only
+    * over-represented terms are reported (ad > bc — chi2 alone is
+    * two-sided), with a `minCount` floor on a to keep rare-term noise out.
+    *
+    * Scale shape: identical to [[sliceDivergence]] — one data-sized
+    * (class, term) count shuffle, vocab-grain totals joined back (AQE
+    * broadcasts realistic vocabularies), and a per-class top-k that plans
+    * as WindowGroupLimit. No slice×vocab grid is needed: a term absent
+    * from a class has a = 0 and can never rank.
+    *
+    * Output: (classCol, rank 1..k, term, chi2 r4) by (chi2 desc, term).
+    */
+  def chiSquareTerms(docs: DataFrame, classCol: String, textCol: String,
+                     k: Int = 10, minCount: Long = 5L): DataFrame = {
+    val tok = docs.select(col(classCol),
+      explode(TextAnalysis.words(col(textCol))).as("term"))
+    val byClass = tok.groupBy(col(classCol), col("term"))
+      .agg(count(lit(1)).as("_a"))
+    val byTerm = byClass.groupBy(col("term")).agg(sum(col("_a")).as("_w"))
+    val bySlice = byClass.groupBy(col(classCol)).agg(sum(col("_a")).as("_s"))
+    val total = byClass.agg(sum(col("_a")).as("_n"))
+    val joined = byClass
+      .join(byTerm, "term")
+      .join(bySlice, Seq(classCol))
+      .crossJoin(broadcast(total))
+      .withColumn("_b", (col("_w") - col("_a")).cast("double"))
+      .withColumn("_c", (col("_s") - col("_a")).cast("double"))
+      .withColumn("_d",
+        (col("_n") - col("_w") - col("_s") + col("_a")).cast("double"))
+      .withColumn("_ad", col("_a").cast("double") * col("_d"))
+      .withColumn("_bc", col("_b") * col("_c"))
+    val den = (col("_w").cast("double") * (col("_n") - col("_w")).cast("double")) *
+      (col("_s").cast("double") * (col("_n") - col("_s")).cast("double"))
+    val scored = joined
+      .where(col("_a") >= minCount && col("_ad") > col("_bc") && den > 0.0)
+      .withColumn("chi2", round(
+        (col("_n").cast("double") * ((col("_ad") - col("_bc")) * (col("_ad") - col("_bc")))) / den,
+        4))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col("chi2").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(classCol), col("rank"), col("term"), col("chi2"))
+  }
 }

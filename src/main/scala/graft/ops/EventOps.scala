@@ -20,8 +20,11 @@ object EventOps {
     * label/closed, matching Resample).
     */
   def candles(events: DataFrame, tfSeconds: Long, keys: Seq[String] = Nil): DataFrame = {
-    // order by the exact ns column when present (ties impossible at ns grain)
-    val ord = if (events.columns.contains("ts_ns")) col("ts_ns") else unix_micros(col("ts"))
+    // order by the exact ns column when present (ties impossible at ns
+    // grain); the cast is a no-op for TimestampType and interprets an NTZ
+    // wall clock as session-UTC (unix_micros rejects NTZ input directly)
+    val ord = if (events.columns.contains("ts_ns")) col("ts_ns")
+      else unix_micros(col("ts").cast("timestamp"))
     val bucket = timestamp_seconds(floor(unix_timestamp(col("ts")) / tfSeconds) * tfSeconds)
     // one-pass native aggregate: a single 7-slot buffer instead of five
     // separate aggregates (min_by + max + min + max_by + count) — see

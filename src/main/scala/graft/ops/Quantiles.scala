@@ -53,50 +53,52 @@ object Quantiles {
                         specs: Seq[(Double, String)]): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty (global percentiles: group by a literal)")
     val g = groupCols.map(col)
-    val counts = df
-      // percentile() ignores null values; without this filter they would
-      // occupy ranks (nulls sort first in the cumsum window) and shift
-      // every bracket
-      .where(col(valueCol).isNotNull)
-      .groupBy((groupCols :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("_c"))
-    // chunked prefix sum over the distinct-value table (see scaladoc).
+    // percentile() ignores null values; without this filter they would
+    // occupy ranks (nulls sort first in the cumsum window) and shift
+    // every bracket
+    val nn = df.where(col(valueCol).isNotNull)
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 2)
     // Chunk ids must be a PURE function of the row — spark_partition_id
-    // after repartitionByRange would differ between the two executions of
-    // this lineage below (sampling), silently dropping rows at the carry
-    // join. Value-range bucketing from one group-sized bounds aggregate is
+    // after repartitionByRange would differ between re-executions of the
+    // lineage (sampling), silently dropping rows at the carry join.
+    // Value-range bucketing from one group-sized bounds aggregate is
     // deterministic, monotone in value (IEEE subtraction/division by a
-    // positive constant preserve order), and needs no cache.
-    val parts = math.max(counts.sparkSession.sparkContext.defaultParallelism, 2)
-    val bounds = counts.groupBy(g: _*)
+    // positive constant preserve order), and needs no cache. Bounds come
+    // from the RAW rows (map-side combine straight to one row per group),
+    // NOT from the distinct-value table: deriving them from `counts` made
+    // the planner evaluate the counts aggregate a second time — AQE's
+    // stage cache does not recognize the clones DeduplicateRelations makes
+    // of a self-joined subtree, so every extra consumer of `counts` was a
+    // full scan + shuffle re-execution, not a reuse.
+    val bounds = nn.groupBy(g: _*)
       .agg(min(col(valueCol).cast("double")).as("_vlo"),
         max(col(valueCol).cast("double")).as("_vhi"))
       .select(groupCols.map(c => col(c).as(s"_bndk_$c")) :+ col("_vlo") :+ col("_vhi"): _*)
-    val withBounds = counts.join(bounds,
-      groupCols.map(c => counts(c) <=> bounds(s"_bndk_$c")).reduce(_ && _))
-    val width = (col("_vhi") - col("_vlo")) / parts
-    val ranged = withBounds
-      .withColumn("_chunk",
-        when(col("_vhi") > col("_vlo"),
-          least(lit(parts - 1),
-            floor((col(valueCol).cast("double") - col("_vlo")) / width)))
-          .otherwise(lit(0L)).cast("long"))
-      .drop("_vlo", "_vhi")
-      .drop(groupCols.map(c => s"_bndk_$c"): _*)
-    val wLoc = Window.partitionBy((g :+ col("_chunk")): _*).orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_loc", sum(col("_c")).over(wLoc))
-    // per-(group, chunk) totals: one row per chunk a group touches, so a
-    // group contributes at most `parts` rows. That bound makes a window
-    // keyed on the group alone safe HERE (over the raw distinct-value table
-    // it would serialize the group — the whole reason for the chunking):
-    // carry-in = running sum of the earlier chunks' totals, _n = the whole
-    // group's total, both from one pass over the tiny summary. No self-join,
-    // no second aggregate, and nothing cached (the .cache() this replaces
-    // was never unpersisted — every call leaked a pinned block-manager entry
-    // for the session's lifetime).
-    val totals = ranged.groupBy((g :+ col("_chunk")): _*)
-      .agg(sum(col("_c")).as("_tot"))
+    // groups-sized right side: AQE broadcasts it; an ordinary equi-join
+    // when the group domain is data-sized — never a forced broadcast
+    def withChunk(dfx: DataFrame): DataFrame = {
+      val width = (col("_vhi") - col("_vlo")) / parts
+      dfx.join(bounds,
+          groupCols.map(c => dfx(c) <=> bounds(s"_bndk_$c")).reduce(_ && _))
+        .withColumn("_chunk",
+          when(col("_vhi") > col("_vlo"),
+            least(lit(parts - 1),
+              floor((col(valueCol).cast("double") - col("_vlo")) / width)))
+            .otherwise(lit(0L)).cast("long"))
+        .drop("_vlo", "_vhi")
+        .drop(groupCols.map(c => s"_bndk_$c"): _*)
+    }
+    // Per-(group, chunk) carry totals, straight from the raw rows: the sum
+    // of `_c` over a chunk of the distinct-value table IS the chunk's raw
+    // row count, so this map-side-combined aggregate (≤ groups × parts rows
+    // out) never touches the counts pipeline. One row per chunk a group
+    // touches makes the group-keyed windows below safe (over the raw
+    // distinct-value table they would serialize the group — the whole
+    // reason for the chunking): carry-in = running sum of earlier chunks'
+    // totals, _n = the whole group's total.
+    val totals = withChunk(nn.select((g :+ col(valueCol)): _*))
+      .groupBy((g :+ col("_chunk")): _*)
+      .agg(count(lit(1)).as("_tot"))
     val wCarry = Window.partitionBy(g: _*).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(g: _*)
@@ -106,13 +108,24 @@ object Quantiles {
       .withColumn("_n", sum(col("_tot")).over(wAll))
       .select(groupCols.map(c => col(c).as(s"_ck_$c")) :+
         col("_chunk").as("_cchunk") :+ col("_carry") :+ col("_n"): _*)
-    // carry is (group, chunk)-sized: tiny for low-cardinality groups (AQE
-    // broadcasts it), an ordinary equi-join when groups are data-sized —
-    // never a forced broadcast of an unbounded side
-    val ranked = local
-      .join(carry,
-        groupCols.map(c => local(c) <=> carry(s"_ck_$c"))
-          .foldLeft(local("_chunk") === carry("_cchunk"))(_ && _))
+    // ONE evaluation of the data-sized pipeline: distinct-value counts →
+    // chunk id → carry join BEFORE the window (carry is summary-sized, so
+    // AQE broadcasts it and no extra exchange lands between the window and
+    // the bracket aggregate below — joining AFTER the window re-shuffled
+    // the whole table onto the null-safe join keys) → within-chunk running
+    // sum → global rank by adding the carry — then the bracket aggregate's
+    // partial pass runs directly on the window output.
+    val counts = nn
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    val ranged = withChunk(counts)
+    val withCarry = ranged.join(carry,
+      groupCols.map(c => ranged(c) <=> carry(s"_ck_$c"))
+        .foldLeft(ranged("_chunk") === carry("_cchunk"))(_ && _))
+    val wLoc = Window.partitionBy((g :+ col("_chunk")): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = withCarry
+      .withColumn("_loc", sum(col("_c")).over(wLoc))
       .withColumn("_cum", col("_loc") + col("_carry"))
 
     def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")

@@ -91,8 +91,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q109_bm25_topk",  // probe-term postings x broadcast(1-row N/avgdl)
     "q110_pagerank",   // node-sized rank rows x broadcast(1-row N + 1-row
                        // dangling mass), twice per power iteration
-    "q112_vocab_coverage" // LIMIT-bounded top-vocab rows x broadcast(1-row
+    "q112_vocab_coverage", // LIMIT-bounded top-vocab rows x broadcast(1-row
                        // occurrence total)
+    "q113_kl_drift",   // dense slice x vocab grid: DISTINCT slices x
+                       // broadcast(LIMIT-500 vocab) — both sides summary-
+                       // sized aggregates, never row data
+    "q114_chi2_terms"  // contingency normalizer: (class, term) count rows
+                       // x broadcast(1-row corpus total)
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {

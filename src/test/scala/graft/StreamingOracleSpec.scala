@@ -22,8 +22,12 @@ class StreamingOracleSpec extends AnyFunSuite {
   private def events() = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val ns = if (raw.schema("ts").dataType.typeName == "long") raw.withColumnRenamed("ts", "ts_ns")
-      else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    val ns = raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumnRenamed("ts", "ts_ns")
+      case "timestamp_ntz" =>
+        raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
     ns.withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
   }
 
