@@ -264,4 +264,106 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(w("es") - 1.4) < 1e-6) // 14/10
     assert(w("zh") === 5.0) // 14/2 = 7 capped at 5
   }
+
+  /** Reference unigram distributions for the divergence tests: whitespace
+    * tokens per slice with add-one smoothing over the global top-V vocab,
+    * mirroring sliceDivergence's spec independently in plain collections.
+    */
+  private def refDists(rows: Seq[(String, String)], vocab: Int):
+      (Seq[String], Map[String, Map[String, Long]]) = {
+    val toks = rows.map { case (s, t) => s -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val all = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val topv = all.toSeq.sortBy { case (w, c) => (-c, w) }.take(vocab).map(_._1)
+    val bySlice = toks.groupBy(_._1).view.mapValues { rs =>
+      rs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    (topv, bySlice)
+  }
+
+  test("sliceDivergence matches a plain-collections reference, r6") {
+    val rows = Seq(
+      ("a", "x x x y z common common"),
+      ("a", "x y common words here"),
+      ("b", "z z z q q common common"),
+      ("b", "q words here common"))
+    val df = rows.zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, t, s) }.toDF("doc_id", "text", "source")
+    val vocabN = 8
+    val (topv, bySlice) = refDists(rows, vocabN)
+    val ct = topv.map(w => w ->
+      bySlice.valuesIterator.map(_.getOrElse(w, 0L)).sum).toMap
+    def expected(slice: String): (Long, Double, Double, Double) = {
+      val cs = topv.map(w => w -> bySlice(slice).getOrElse(w, 0L)).toMap
+      val ns = cs.values.sum
+      val ntot = ct.values.sum
+      val (nr, v) = (ntot - ns, vocabN.toDouble)
+      def r7(d: Double) = BigDecimal(d).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+      var (kab, kba, js) = (BigDecimal(0), BigDecimal(0), BigDecimal(0))
+      topv.foreach { w =>
+        val pa = (cs(w) + 1.0) / (ns + v)
+        val pb = ((ct(w) - cs(w)) + 1.0) / (nr + v)
+        val pm = (pa + pb) / 2.0
+        kab += r7(pa * math.log(pa / pb)); kba += r7(pb * math.log(pb / pa))
+        js += r7(0.5 * (pa * math.log(pa / pm) + pb * math.log(pb / pm)))
+      }
+      def r6(d: BigDecimal) = d.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ns, r6(kab), r6(kba), r6(js))
+    }
+    val got = Corpus.sliceDivergence(df, "source", "text", vocab = vocabN)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("a") === expected("a"))
+    assert(got("b") === expected("b"))
+    // divergences are non-negative and JS is bounded by ln 2
+    got.values.foreach { case (_, kab, kba, j) =>
+      assert(kab >= 0.0 && kba >= 0.0 && j >= 0.0 && j <= math.log(2.0) + 1e-9)
+    }
+    // partition-invariant: decimal-summed contributions
+    val re = Corpus.sliceDivergence(df.repartition(7), "source", "text", vocab = vocabN)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(re === got)
+  }
+
+  test("sliceDivergence: identical slices diverge to zero") {
+    val df = Seq(
+      (1L, "same words in every slice", "a"),
+      (2L, "same words in every slice", "b"))
+      .toDF("doc_id", "text", "source")
+    Corpus.sliceDivergence(df, "source", "text", vocab = 10).collect().foreach { r =>
+      assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0)
+    }
+  }
+
+  test("chiSquareTerms surfaces class-concentrated terms, honors minCount and k") {
+    // "nur" appears 6x, all in class de; "shared" is spread evenly;
+    // "rare" appears 3x in de (< minCount 5) and must not rank
+    val df = Seq(
+      (1L, "nur nur nur shared shared rare", "de"),
+      (2L, "nur nur nur shared rare rare", "de"),
+      (3L, "shared shared other tokens here", "en"),
+      (4L, "shared other tokens here too", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.chiSquareTerms(df, "lang", "text", k = 3, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val de = got.filter(_._1 == "de")
+    assert(de.nonEmpty && de.head._3 === "nur") // top salient term for de
+    assert(!got.exists(_._3 == "rare"))         // below the minCount floor
+    assert(!got.exists(_._3 == "shared"))       // evenly spread -> not over-represented...
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted === (1L to rs.size).toSeq) // dense ranks from 1
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank === byRank.sorted.reverse, "chi2 not descending in rank")
+      assert(rs.size <= 3)
+    }
+    // chi2 for nur|de matches the textbook formula on the hand contingency:
+    // a=6 (nur in de), b=0, class-de tokens s=12, total n=22
+    val (a, w, s, n) = (6.0, 6.0, 12.0, 22.0)
+    val (ad, bc) = (a * (n - w - s + a), (w - a) * (s - a))
+    val chi2 = (n * ((ad - bc) * (ad - bc))) / ((w * (n - w)) * (s * (n - s)))
+    val nurRow = de.find(_._3 == "nur").get
+    assert(math.abs(nurRow._4 - BigDecimal(chi2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
