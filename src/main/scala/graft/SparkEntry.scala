@@ -194,6 +194,27 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // exact per-source ROC AUC of the quality score predicting lang='en':
+    // integer Mann-Whitney rank-sum with midranks, chunked two-phase
+    // cumsum, ONE final division (graft.ops.Eval.groupedAuc)
+    "q115_grouped_auc" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("score", round(TextAnalysis.qualityScore(col("text")), 4))
+        .withColumn("is_en", col("lang") === "en")
+      Eval.groupedAuc(d, Seq("source"), "score", "is_en")
+        .orderBy(col("source"))
+    }),
+
+    // reliability-diagram calibration table + Brier score per source for
+    // the same forecast (graft.ops.Eval.calibration)
+    "q116_calibration" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("score", round(TextAnalysis.qualityScore(col("text")), 4))
+        .withColumn("is_en", col("lang") === "en")
+      Eval.calibration(d, Seq("source"), "score", "is_en", bins = 10)
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // A1/A7-style pricing summary (scan + hash agg; partial agg map-side)
     "q01_pricing_summary" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1835,6 +1856,60 @@ object SparkEntry {
            |       FROM sc)
            |SELECT lang, rank::BIGINT AS rank, term, chi2 FROM r
            |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+      // exact AUC: same score rounding, same doubled midrank integers, one
+      // final division; windows only over score-grain aggregates
+      "q115_grouped_auc" -> {
+        val scoreSql =
+          s"""round((least(length(text)::DOUBLE/200.0, 1.0)
+             |   + CASE WHEN ($meanWlSql) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+             |   + 1.0 - least(($punctSql)*5.0, 1.0))/3.0, 4)""".stripMargin
+        s"""WITH ws AS ($wsSql),
+           | sc AS (SELECT ws.doc_id, d.source, (ws.lang = 'en') AS is_en,
+           |         $scoreSql AS score
+           |        FROM ws JOIN (SELECT doc_id, source FROM documents) d ON ws.doc_id = d.doc_id),
+           | g AS (SELECT source, score, count(*)::BIGINT AS c,
+           |         sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS p
+           |       FROM sc GROUP BY 1, 2),
+           | r AS (SELECT source, score, c, p,
+           |        coalesce(sum(c) OVER (PARTITION BY source ORDER BY score
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+           |       FROM g),
+           | a AS (SELECT source, sum(p)::BIGINT AS n_pos,
+           |         (sum(c) - sum(p))::BIGINT AS n_neg,
+           |         sum(p * (2*cum0 + c + 1))::BIGINT AS r2s
+           |       FROM r GROUP BY 1)
+           |SELECT source, n_pos, n_neg,
+           | CASE WHEN n_pos > 0 AND n_neg > 0
+           |   THEN round((r2s - n_pos*(n_pos+1))::DOUBLE / (2*n_pos*n_neg)::DOUBLE, 6)
+           | END AS auc
+           |FROM a ORDER BY 1""".stripMargin
+      },
+      // calibration: same bin clamp, decimal-exact cell sums, Brier from
+      // the same r6-rounded squared errors
+      "q116_calibration" -> {
+        val scoreSql =
+          s"""round((least(length(text)::DOUBLE/200.0, 1.0)
+             |   + CASE WHEN ($meanWlSql) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+             |   + 1.0 - least(($punctSql)*5.0, 1.0))/3.0, 4)""".stripMargin
+        s"""WITH ws AS ($wsSql),
+           | sc AS (SELECT ws.doc_id, d.source,
+           |         CASE WHEN ws.lang = 'en' THEN 1 ELSE 0 END AS lbl,
+           |         $scoreSql AS score
+           |        FROM ws JOIN (SELECT doc_id, source FROM documents) d ON ws.doc_id = d.doc_id),
+           | cells AS (SELECT source,
+           |            least(9, greatest(0, floor(score * 10)))::BIGINT AS bin,
+           |            count(*)::BIGINT AS n,
+           |            sum(CAST(round(score, 6) AS DECIMAL(38,6))) AS ssum,
+           |            sum(lbl)::BIGINT AS npos,
+           |            sum(CAST(round((score - lbl) * (score - lbl), 6) AS DECIMAL(38,6))) AS sqe
+           |           FROM sc GROUP BY 1, 2)
+           |SELECT source, bin, n,
+           | round(ssum::DOUBLE / n, 6) AS mean_score,
+           | round(npos::DOUBLE / n, 6) AS frac_pos,
+           | round((sum(sqe) OVER (PARTITION BY source))::DOUBLE /
+           |       (sum(n) OVER (PARTITION BY source)), 6) AS brier
+           |FROM cells ORDER BY 1, 2""".stripMargin
+      },
       "q08_text_stats" ->
         s"""WITH ws AS ($wsSql)
            |SELECT doc_id, len(l)::BIGINT AS n_tokens,

@@ -43,8 +43,17 @@ object Graph {
                outScale: Int = 6): DataFrame = {
     require(iters >= 1 && iters <= 100, "iters must be in [1, 100]")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    // Eagerly truncate the EDGE lineage too, not just the rank vector's:
+    // outW/trans/nodes are consumed once per iteration (dangling anti-join +
+    // contribution join), and each of those actions would otherwise
+    // re-execute whatever produced the edges — for q110 a full user-keyed
+    // window over the events table, ~2 re-derivations per round. Edge lists
+    // reaching pagerank are aggregate-grain (src, dst, w); for a truly
+    // data-sized edge table the caller should hand in a persisted/bucketed
+    // one (see scaladoc), and this checkpoint is then the caller's single
+    // materialization, not a per-round one.
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
-      col(weightCol).cast("long").as("_w"))
+      col(weightCol).cast("long").as("_w")).localCheckpoint()
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node")))
       .distinct()
