@@ -215,6 +215,21 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // windowed corpus-drift gate (the DriftStream batch twin): documents
+    // on a deterministic doc_id-minute clock, per-hour KL against the
+    // frozen top-200 reference distribution; off-vocab terms collapse to
+    // the OOV bucket BEFORE aggregation (streaming-state-bounded shape)
+    "q117_drift_windows" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val withTs = docs.withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id") * 60L))
+      val ref = graft.streaming.DriftStream.reference(docs, "text", vocab = 200)
+      val counts = graft.streaming.DriftStream.termCounts(withTs, ref,
+        windowSize = "1 hour")
+      graft.streaming.DriftStream.klByWindow(counts, ref)
+        .orderBy(col("win_sec"))
+    }),
+
     // A1/A7-style pricing summary (scan + hash agg; partial agg map-side)
     "q01_pricing_summary" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1910,6 +1925,33 @@ object SparkEntry {
            |       (sum(n) OVER (PARTITION BY source)), 6) AS brier
            |FROM cells ORDER BY 1, 2""".stripMargin
       },
+      // windowed KL drift: same tokenizer, same top-200 cut, same OOV
+      // collapse (chr(1)-prefixed bucket), same add-one smoothing and r7
+      // decimal-summed contributions
+      "q117_drift_windows" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS t FROM ws),
+           | refc AS (SELECT t AS term, count(*)::BIGINT AS cr FROM tok
+           |          GROUP BY 1 ORDER BY cr DESC, term LIMIT 200),
+           | cells AS (SELECT term, cr FROM refc
+           |           UNION ALL SELECT chr(1) || 'oov', 0::BIGINT),
+           | vn AS (SELECT count(*)::BIGINT AS v, sum(cr)::BIGINT AS nr FROM cells),
+           | tok2 AS (SELECT ((1704067200 + tok.doc_id * 60) // 3600) * 3600 AS win_sec,
+           |           coalesce(r.term, chr(1) || 'oov') AS term
+           |          FROM tok LEFT JOIN refc r ON tok.t = r.term),
+           | wc AS (SELECT win_sec, term, count(*)::BIGINT AS c FROM tok2 GROUP BY 1, 2),
+           | wins AS (SELECT DISTINCT win_sec FROM wc),
+           | grid AS (SELECT wins.win_sec, cells.term, cells.cr,
+           |           coalesce(wc.c, 0)::BIGINT AS cw
+           |          FROM wins CROSS JOIN cells
+           |          LEFT JOIN wc ON wc.win_sec = wins.win_sec AND wc.term = cells.term),
+           | nw AS (SELECT win_sec, sum(cw)::BIGINT AS nwv FROM grid GROUP BY 1)
+           |SELECT g.win_sec, max(nwv)::BIGINT AS n_tokens,
+           | round(sum(CAST(round(((cw + 1.0)/(nwv + v)) *
+           |   ln(((cw + 1.0)/(nwv + v)) / ((cr + 1.0)/(nr + v))), 7)
+           |   AS DECIMAL(38,7)))::DOUBLE, 6) AS kl
+           |FROM grid g JOIN nw USING (win_sec) CROSS JOIN vn
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q08_text_stats" ->
         s"""WITH ws AS ($wsSql)
            |SELECT doc_id, len(l)::BIGINT AS n_tokens,

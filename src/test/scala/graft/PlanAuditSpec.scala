@@ -96,8 +96,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q113_kl_drift",   // dense slice x vocab grid: DISTINCT slices x
                        // broadcast(LIMIT-500 vocab) — both sides summary-
                        // sized aggregates, never row data
-    "q114_chi2_terms"  // contingency normalizer: (class, term) count rows
+    "q114_chi2_terms", // contingency normalizer: (class, term) count rows
                        // x broadcast(1-row corpus total)
+    "q117_drift_windows" // dense window x vocab grid: DISTINCT windows x
+                       // broadcast(LIMIT-200 reference cells) + 1-row
+                       // n_ref normalizer — summary x artifact, never data
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {

@@ -267,4 +267,48 @@ class StreamingOracleSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(streamed === batch)
   }
+
+  test("DriftStream windowed term counts + shared KL gate == oracled q117") {
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docsBatch = spark.read.parquet(s"$sf/documents.parquet")
+    val ref = graft.streaming.DriftStream.reference(docsBatch, "text", vocab = 200)
+    // the same deterministic doc_id-minute clock q117 uses
+    val docs = docsBatch.select(col("doc_id"), col("text"))
+      .collect().map(r => (new Timestamp((1704067200L + r.getLong(0) * 60L) * 1000L),
+        r.getString(1))).toSeq
+    val maxTs = docs.map(_._1.getTime).max
+    val outDir = java.nio.file.Files.createTempDirectory("drift_stream").toString
+    val in = MemoryStream[(Timestamp, String)]
+    val q = graft.streaming.DriftStream
+      .termCounts(in.toDF().toDF("ts", "text"), ref, delay = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .start()
+    try {
+      // two time-ordered micro-batches so cross-batch window state carries
+      val chunks = docs.sortBy(_._1.getTime).grouped((docs.size + 1) / 2).toSeq
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      // sentinels advance the watermark past the last real window, then
+      // flush the closed windows
+      in.addData((new Timestamp(maxTs + 2 * 3600 * 1000L), "zz_sentinel"))
+      q.processAllAvailable()
+      in.addData((new Timestamp(maxTs + 4 * 3600 * 1000L), "zz_sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lastRealWin = (maxTs / 1000L) / 3600L * 3600L
+    val counts = spark.read.parquet(s"$outDir/data")
+      .where(col("win_sec") <= lastRealWin)
+    // the same batch KL gate both faces share reproduces oracled q117
+    val streamed = graft.streaming.DriftStream.klByWindow(counts, ref)
+      .orderBy(col("win_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = SparkEntry.queries("q117_drift_windows")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === batch)
+  }
 }
