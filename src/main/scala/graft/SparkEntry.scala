@@ -215,6 +215,29 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // hash-bucketed A/B readout: two-proportion z on user-grain
+    // high-value-purchase conversion (plain purchase is degenerate in the
+    // testdata: every user converts -> zero pooled variance), arms
+    // assigned by the deterministic user-id hash
+    // (graft.ops.Eval.abTest)
+    "q119_ab_test" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "control").otherwise("treatment"))
+      Eval.abTest(ev, "user_id", "arm",
+        col("event_type") === "purchase" && col("value") > 90.0,
+        control = "control")
+    }),
+
+    // length-bucketed batching report: dynamic-batching padding waste per
+    // token-length bucket, rank-within-bucket via the bounded two-phase
+    // shape (graft.ops.Packing.lengthBatches)
+    "q118_length_batches" -> ((s, dir) => {
+      Packing.lengthBatches(tbl(s, dir, "documents"), "doc_id", "text",
+          bucketWidth = 32L, batchSize = 16L)
+        .orderBy(col("bucket"))
+    }),
+
     // windowed corpus-drift gate (the DriftStream batch twin): documents
     // on a deterministic doc_id-minute clock, per-hour KL against the
     // frozen top-200 reference distribution; off-vocab terms collapse to
@@ -1925,6 +1948,41 @@ object SparkEntry {
            |       (sum(n) OVER (PARTITION BY source)), 6) AS brier
            |FROM cells ORDER BY 1, 2""".stripMargin
       },
+      // A/B: same unit-grain collapse and one fixed z chain
+      "q119_ab_test" ->
+        """WITH u AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+          |        user_id,
+          |        max(CASE WHEN event_type = 'purchase' AND value > 90.0 THEN 1 ELSE 0 END)::BIGINT AS cv
+          |       FROM events GROUP BY 1, 2),
+          | a AS (SELECT arm, count(*)::BIGINT AS n, sum(cv)::BIGINT AS c FROM u GROUP BY 1),
+          | x AS (SELECT cc.arm AS arm_control, tt.arm AS arm_treatment,
+          |        cc.n AS n_c, tt.n AS n_t, cc.c AS conv_c, tt.c AS conv_t
+          |       FROM (SELECT * FROM a WHERE arm = 'control') cc
+          |       CROSS JOIN (SELECT * FROM a WHERE arm <> 'control') tt)
+          |SELECT arm_control, arm_treatment, n_c, n_t, conv_c, conv_t,
+          | round(conv_c::DOUBLE / n_c::DOUBLE, 6) AS rate_c,
+          | round(conv_t::DOUBLE / n_t::DOUBLE, 6) AS rate_t,
+          | round(conv_t::DOUBLE / n_t::DOUBLE - conv_c::DOUBLE / n_c::DOUBLE, 6) AS lift,
+          | round((conv_t::DOUBLE / n_t::DOUBLE - conv_c::DOUBLE / n_c::DOUBLE) /
+          |   sqrt(((conv_c + conv_t)::DOUBLE / (n_c + n_t)::DOUBLE) *
+          |        (1.0 - (conv_c + conv_t)::DOUBLE / (n_c + n_t)::DOUBLE) *
+          |        (1.0 / n_c::DOUBLE + 1.0 / n_t::DOUBLE)), 4) AS z
+          |FROM x""".stripMargin,
+      // bucketed batching: same (length, id) rank order, same integer
+      // batch cut and padding arithmetic
+      "q118_length_batches" ->
+        s"""WITH ws AS ($wsSql),
+           | d AS (SELECT doc_id, len(l)::BIGINT AS ln FROM ws),
+           | b AS (SELECT doc_id, ln, ln // 32 AS bucket,
+           |        row_number() OVER (PARTITION BY (ln // 32) ORDER BY ln, doc_id) AS rk
+           |       FROM d),
+           | pb AS (SELECT bucket, (rk - 1) // 16 AS batch, count(*)::BIGINT AS n,
+           |         max(ln) AS mx, sum(ln)::BIGINT AS s
+           |        FROM b GROUP BY 1, 2)
+           |SELECT bucket, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_batches,
+           | sum(s)::BIGINT AS sum_tokens, sum(mx*n - s)::BIGINT AS padding_tokens,
+           | round(sum(s)::DOUBLE / (sum(s) + sum(mx*n - s))::DOUBLE, 6) AS fill_ratio
+           |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin,
       // windowed KL drift: same tokenizer, same top-200 cut, same OOV
       // collapse (chr(1)-prefixed bucket), same add-one smoothing and r7
       // decimal-summed contributions

@@ -106,6 +106,51 @@ object Eval {
       .select((g :+ col("n_pos") :+ col("n_neg") :+ col("auc")): _*)
   }
 
+  /** Two-proportion z-test for a hash-bucketed experiment: conversion rates
+    * of `control` vs the (single) other arm at UNIT grain — repeated events
+    * per unit collapse to one converted-or-not flag first, the standard
+    * guard against per-event pseudo-replication inflating significance.
+    *
+    *   z = (p_t − p_c) / sqrt( p̂(1−p̂)(1/n_c + 1/n_t) ),  p̂ pooled
+    *
+    * Counts are exact BIGINTs; every derived double is one fixed IEEE
+    * chain mirrored by the SQL oracle, so rates/lift/z are hash-gated.
+    *
+    * Scale shape: one map-side-combined aggregate to (arm, unit) grain,
+    * one to arm grain (2 rows), then scalar arithmetic on a 1×1 join.
+    *
+    * Output (one row): (arm_control, arm_treatment, n_c, n_t, conv_c,
+    * conv_t, rate_c r6, rate_t r6, lift r6, z r4).
+    */
+  def abTest(df: DataFrame, unitCol: String, armCol: String,
+             convFlag: Column, control: String): DataFrame = {
+    val units = df
+      .groupBy(col(armCol).as("_arm"), col(unitCol))
+      .agg(max(when(convFlag, 1L).otherwise(0L)).as("_cv"))
+    val arms = units.groupBy(col("_arm"))
+      .agg(count(lit(1)).as("_n"), sum(col("_cv")).as("_c"))
+    val c = arms.where(col("_arm") === control)
+      .select(col("_arm").as("arm_control"), col("_n").as("n_c"), col("_c").as("conv_c"))
+    val t = arms.where(col("_arm") =!= control)
+      .select(col("_arm").as("arm_treatment"), col("_n").as("n_t"), col("_c").as("conv_t"))
+    val pc = col("conv_c").cast("double") / col("n_c").cast("double")
+    val pt = col("conv_t").cast("double") / col("n_t").cast("double")
+    val pp = (col("conv_c") + col("conv_t")).cast("double") /
+      (col("n_c") + col("n_t")).cast("double")
+    c.crossJoin(broadcast(t))
+      .withColumn("rate_c", round(pc, 6))
+      .withColumn("rate_t", round(pt, 6))
+      .withColumn("lift", round(pt - pc, 6))
+      // a degenerate experiment (everyone or no one converts) has zero
+      // pooled variance — NULL z, not a divide-by-zero under ANSI
+      .withColumn("z", when(pp > 0.0 && pp < 1.0, round((pt - pc) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_c").cast("double") + lit(1.0) / col("n_t").cast("double"))), 4)))
+      .select(col("arm_control"), col("arm_treatment"), col("n_c"), col("n_t"),
+        col("conv_c"), col("conv_t"), col("rate_c"), col("rate_t"),
+        col("lift"), col("z"))
+  }
+
   /** Per-group calibration table + Brier decomposition inputs: scores
     * bucketed into `bins` equal-width cells over [0, 1] (scores outside
     * clamp to the edge cells), per cell the count, decimal-exact mean

@@ -86,4 +86,56 @@ object Packing {
       .drop("_loc", "_carry", "_chunk", "_cchunk")
       .drop(keys.map(c => s"_ck_$c"): _*)
   }
+
+  /** Length-bucketed batching report — the dynamic-batching layout of
+    * training-export pipelines (fairseq/HF-style): documents are grouped
+    * into token-length buckets of `bucketWidth`, ordered by (length, id)
+    * within their bucket, and cut into batches of `batchSize`; per bucket
+    * the report gives the padding waste a collator would pay (each batch
+    * pads to its own max length). Choosing `bucketWidth` is the accuracy/
+    * shuffle-grain tradeoff this report exists to measure.
+    *
+    * Rank-within-bucket is two-phase like [[prefixSum]], with the LENGTH
+    * value as the natural chunk: within-chunk windows partition by
+    * (bucket, length) and order by id (parallel across lengths), and
+    * carry-ins come from a window over the (bucket, length)-grain count
+    * summary — per bucket at most `bucketWidth` rows, so the bucket-keyed
+    * window is bounded by a constant, never data-sized.
+    *
+    * Output per bucket: (bucket, n_docs, n_batches, sum_tokens,
+    * padding_tokens, fill_ratio r6).
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                    bucketWidth: Long = 32L, batchSize: Long = 16L): DataFrame = {
+    require(bucketWidth >= 1L && batchSize >= 1L, "bucketWidth and batchSize must be >= 1")
+    val base = docs.select(col(idCol).as("_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("_len"))
+      .withColumn("bucket", expr(s"_len DIV $bucketWidth"))
+    val wLoc = Window.partitionBy(col("bucket"), col("_len")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("_loc", sum(lit(1L)).over(wLoc))
+    // per-(bucket, length) doc counts straight from the raw rows (the
+    // Quantiles lesson: deriving summaries from a shared subtree re-executes
+    // it — aggregate the raw side instead, both passes map-side combined)
+    val totals = base.groupBy(col("bucket"), col("_len")).agg(count(lit(1)).as("_tot"))
+    val wCarry = Window.partitionBy(col("bucket")).orderBy(col("_len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = totals
+      .withColumn("_carry", coalesce(sum(col("_tot")).over(wCarry), lit(0L)))
+      .select(col("bucket").as("_cb"), col("_len").as("_cl"), col("_carry"))
+    val ranked = local.join(carry,
+        col("bucket") === col("_cb") && col("_len") === col("_cl"))
+      .withColumn("_rk", col("_loc") + col("_carry"))
+      .withColumn("_batch", expr(s"(_rk - 1) DIV $batchSize"))
+    val perBatch = ranked.groupBy(col("bucket"), col("_batch"))
+      .agg(count(lit(1)).as("_n"), max(col("_len")).as("_mx"),
+        sum(col("_len")).as("_s"))
+    perBatch.groupBy(col("bucket"))
+      .agg(sum(col("_n")).as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("_s")).as("sum_tokens"),
+        sum(col("_mx") * col("_n") - col("_s")).as("padding_tokens"))
+      .withColumn("fill_ratio", round(col("sum_tokens").cast("double") /
+        (col("sum_tokens") + col("padding_tokens")).cast("double"), 6))
+  }
 }

@@ -337,6 +337,28 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBatches: hand-computed buckets, batch cuts, padding; partition-invariant") {
+    // token lengths 1,2,3 (bucket 0 at width 4) and 5,5,6 (bucket 1)
+    val df = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d e"), (5L, "v w x y z"), (6L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Packing.lengthBatches(df, "doc_id", "text",
+        bucketWidth = 4L, batchSize = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // bucket 0: batches [1,2] (pad 1) and [3] (pad 0) -> 6 tokens, 1 pad
+    assert(got(0L) === ((3L, 2L, 6L, 1L,
+      BigDecimal(6.0 / 7.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // bucket 1: batches [5,5] (pad 0) and [6] (pad 0)
+    assert(got(1L) === ((3L, 2L, 16L, 0L, 1.0)))
+    val re = graft.ops.Packing.lengthBatches(df.repartition(5), "doc_id", "text",
+        bucketWidth = 4L, batchSize = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(re === got)
+  }
+
   test("chiSquareTerms surfaces class-concentrated terms, honors minCount and k") {
     // "nur" appears 6x, all in class de; "shared" is spread evenly;
     // "rare" appears 3x in de (< minCount 5) and must not rank

@@ -59,6 +59,24 @@ class EvalSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("abTest: unit-grain collapse, hand z, degenerate variance -> NULL z") {
+    // user 1 converts TWICE but counts once (pseudo-replication guard);
+    // control 1/2 converted, treatment 2/2
+    val ev = Seq(
+      ("c", 1L, true), ("c", 1L, true), ("c", 2L, false),
+      ("t", 3L, true), ("t", 4L, true))
+      .toDF("arm", "user_id", "conv")
+    val r = Eval.abTest(ev, "user_id", "arm", col("conv"), control = "c").collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) === ((2L, 2L, 1L, 2L)))
+    assert(r.getDouble(6) === 0.5 && r.getDouble(7) === 1.0 && r.getDouble(8) === 0.5)
+    val pp = 3.0 / 4.0
+    val z = (1.0 - 0.5) / math.sqrt(pp * (1 - pp) * (1.0 / 2 + 1.0 / 2))
+    assert(r.getDouble(9) === BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // everyone converts -> zero pooled variance -> NULL z, no ANSI error
+    val degen = Seq(("c", 1L, true), ("t", 2L, true)).toDF("arm", "user_id", "conv")
+    assert(Eval.abTest(degen, "user_id", "arm", col("conv"), "c").collect()(0).isNullAt(9))
+  }
+
   test("calibration: bin clamping, cell stats, hand Brier") {
     val df = Seq(
       ("a", -0.2, false), ("a", 0.05, false), ("a", 1.0, true), ("a", 0.95, true),

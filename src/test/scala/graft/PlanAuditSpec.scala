@@ -98,9 +98,11 @@ class PlanAuditSpec extends AnyFunSuite {
                        // sized aggregates, never row data
     "q114_chi2_terms", // contingency normalizer: (class, term) count rows
                        // x broadcast(1-row corpus total)
-    "q117_drift_windows" // dense window x vocab grid: DISTINCT windows x
+    "q117_drift_windows", // dense window x vocab grid: DISTINCT windows x
                        // broadcast(LIMIT-200 reference cells) + 1-row
                        // n_ref normalizer — summary x artifact, never data
+    "q119_ab_test"     // the arm pivot: 1-row control x broadcast(1-row
+                       // treatment) — both arm-grain aggregates
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {
