@@ -215,6 +215,32 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // funnel latency percentiles: signup -> first subsequent purchase per
+    // user, exact interpolated p25/p50/p90 of the latency per signup
+    // weekday (integer epoch-day dow, engine-portable) — composes the
+    // funnel derivation with the chunked exact-quantile pass on a DERIVED
+    // duration domain
+    "q120_funnel_latency" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val signup = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("_t0"))
+      val firstPurchase = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"))
+        .join(signup, "user_id")
+        .where(col("ts_ns") >= col("_t0"))
+        .groupBy(col("user_id"), col("_t0")).agg(min(col("ts_ns")).as("_tp"))
+      val lat = firstPurchase
+        .withColumn("lat_sec", expr("(_tp - _t0) DIV 1000000000"))
+        .withColumn("signup_dow", expr("((_t0 DIV 1000000000 DIV 86400) + 4) % 7"))
+      val q = Quantiles.exactInterpolated(lat, Seq("signup_dow"), "lat_sec",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90"))
+      val n = lat.groupBy(col("signup_dow")).agg(count(lit(1)).as("n_users"))
+      q.join(n, "signup_dow")
+        .select(col("signup_dow"), col("n_users"), round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
+        .orderBy(col("signup_dow"))
+    }),
+
     // hash-bucketed A/B readout: two-proportion z on user-grain
     // high-value-purchase conversion (plain purchase is degenerate in the
     // testdata: every user converts -> zero pooled variance), arms
@@ -1948,6 +1974,22 @@ object SparkEntry {
            |       (sum(n) OVER (PARTITION BY source)), 6) AS brier
            |FROM cells ORDER BY 1, 2""".stripMargin
       },
+      // funnel latency: ns-exact firsts, integer dow/latency derivation,
+      // quantile_cont matches exactInterpolated (q28 precedent)
+      "q120_funnel_latency" ->
+        """WITH s AS (SELECT user_id, min(epoch_ns(ts))::BIGINT AS t0
+          |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+          | p AS (SELECT e.user_id, s.t0, min(epoch_ns(e.ts))::BIGINT AS tp
+          |       FROM events e JOIN s USING (user_id)
+          |       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s.t0
+          |       GROUP BY 1, 2),
+          | l AS (SELECT ((t0 // 1000000000 // 86400) + 4) % 7 AS signup_dow,
+          |        (tp - t0) // 1000000000 AS lat_sec FROM p)
+          |SELECT signup_dow, count(*)::BIGINT AS n_users,
+          | round(quantile_cont(lat_sec, 0.25), 4) AS p25,
+          | round(quantile_cont(lat_sec, 0.5), 4) AS p50,
+          | round(quantile_cont(lat_sec, 0.9), 4) AS p90
+          |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
       // A/B: same unit-grain collapse and one fixed z chain
       "q119_ab_test" ->
         """WITH u AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
