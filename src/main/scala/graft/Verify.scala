@@ -24,16 +24,32 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    SparkEntry.queries
+    // Parallel submission: queries are independent (each writes its own
+    // subdirectory; physical-write queries use pid+prefix-scoped scratch
+    // roots), and a single-threaded driver loop leaves local[N] cores idle
+    // between jobs — at 120 queries the sequential gate's wall clock risks
+    // whatever timeout the calling harness enforces. Modest default (3):
+    // the bound is driver heap, not cores.
+    val par = sys.env.get("SPARK_GRAFT_VERIFY_PAR").map(_.toInt).getOrElse(3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(par, 1))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val jobs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      System.err.println(s"[verify] running $name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .map { case (name, fn) =>
+        scala.concurrent.Future {
+          System.err.println(s"[verify] running $name")
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
       }
-    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(jobs),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
