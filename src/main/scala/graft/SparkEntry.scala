@@ -215,6 +215,39 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // lambda read through REAL files: batch lake tree + streaming append
+    // directory (the landed-but-not-yet-folded foreachBatch sink), unified
+    // with stream-beats-batch precedence on the candle key — fresh bars
+    // visible immediately, restated bars shadow their batch copies exactly
+    // as the eventual upsert fold will (graft.lake.LakeReader.readUnified)
+    "q121_lambda_read" -> ((s, dir) => {
+      val root = scratchRoot(s, "q121_lake", dir)
+      val streamDir = s"$root/stream_append"
+      def t(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      val candles = EventOps.candles(ev, 60L, Seq("symbol"))
+        .withColumn("source", lit("evt"))
+        .withColumn("timeframe", lit("M1"))
+        .cache() // feeds the history write, both append slices, and nothing else
+      // batch tree: history up to the fold horizon
+      LakeWriter.upsert(s, root, candles.where(col("ts") < lit(t("2024-01-20T00:00:00Z"))))
+      // streaming appends: fresh bars past the horizon + one restated day
+      val appends = candles
+        .where(col("ts") >= lit(t("2024-01-20T00:00:00Z")) &&
+          col("ts") < lit(t("2024-01-25T00:00:00Z")))
+        .unionByName(candles
+          .where(col("ts") >= lit(t("2024-01-15T00:00:00Z")) &&
+            col("ts") < lit(t("2024-01-16T00:00:00Z")))
+          .withColumn("close", col("close") + 500.0))
+      appends.write.mode("overwrite").parquet(streamDir)
+      LakeReader.readUnified(s, root, streamDir, "evt", "U1", "M1",
+          Some(t("2024-01-10T00:00:00Z")), Some(t("2024-01-25T00:00:00Z")))
+        .select(secs(col("ts")).as("ts_sec"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"))
+        .orderBy(col("ts_sec"))
+    }),
+
     // funnel latency percentiles: signup -> first subsequent purchase per
     // user, exact interpolated p25/p50/p90 of the latency per signup
     // weekday (integer epoch-day dow, engine-portable) — composes the
@@ -3458,6 +3491,23 @@ object SparkEntry {
           | CASE WHEN realrow THEN volume ELSE 0.0 END AS volume,
           | NOT realrow AS is_synth
           |FROM f ORDER BY ts_sec""".stripMargin,
+      // lambda read: the unified view must equal the source-of-truth
+      // recomputation — batch bars, stream-restated day shadowing them,
+      // fresh stream-only bars past the fold horizon
+      "q121_lambda_read" ->
+        """WITH m1 AS (
+          | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+          |  (floor(epoch(ts)/60)*60)::BIGINT AS ts_sec,
+          |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          |  arg_max(value, ts) AS close, count(*)::DOUBLE AS volume
+          | FROM events GROUP BY 1,2)
+          |SELECT ts_sec, open, high, low,
+          | CASE WHEN ts_sec >= 1705276800 AND ts_sec < 1705363200
+          |      THEN close + 500 ELSE close END AS close,
+          | volume
+          |FROM m1
+          |WHERE symbol = 'U1' AND ts_sec >= 1704844800 AND ts_sec < 1706140800
+          |ORDER BY ts_sec""".stripMargin,
       "q55_lake_roundtrip" ->
         """WITH m1 AS (
           | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,

@@ -150,6 +150,50 @@ object LakeReader {
     val w = Window.partitionBy(key.map(col): _*).orderBy(monotonically_increasing_id())
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
+
+  /** Lambda read: the batch tree unioned with a streaming APPEND directory
+    * (the flat parquet a `writeStream`/`foreachBatch` append sink lands
+    * before the periodic batch job folds it into the tree via
+    * [[LakeWriter.upsert]]) — so readers see fresh bars immediately without
+    * waiting for the fold, and a bar restated by the stream shadows the
+    * batch copy under the SAME new-beats-old precedence the upsert will
+    * apply when it runs. Either side may be absent.
+    *
+    * Scale shape: the batch side keeps readRange's partition pruning and ts
+    * pushdown untouched; the append side is small by definition (bounded by
+    * the fold interval) and gets the same ts/key predicates pushed into its
+    * scan; the precedence dedupe shuffles on the candle key like every
+    * other keep-last in the engine.
+    */
+  def readUnified(spark: SparkSession, root: String, streamDir: String,
+                  source: String, symbol: String, timeframe: String,
+                  from: Option[Timestamp], to: Option[Timestamp],
+                  columns: Seq[String] = Nil): DataFrame = {
+    val key = Seq("source", "symbol", "timeframe", "ts")
+    val base = CandleSchema.schema.fieldNames.toSeq
+    val batch = readRange(spark, root, source, symbol, timeframe, from, to)
+      .select(base.map(col): _*)
+    val stream = LakeFs.readParquetIfData(spark, streamDir).map { raw =>
+      var s = CandleSchema.enforce(raw)
+        .where(col("source") === source && col("symbol") === symbol &&
+          col("timeframe") === timeframe)
+      from.foreach(f => s = s.where(col("ts") >= lit(f)))
+      to.foreach(t => s = s.where(col("ts") < lit(t)))
+      dedupeKeepFirst(s.select(base.map(col): _*), key)
+    }
+    val unified = stream match {
+      case None => batch
+      case Some(ss) =>
+        val tagged = batch.withColumn("_prec", lit(0))
+          .unionByName(ss.withColumn("_prec", lit(1)))
+        val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec").desc)
+        tagged.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn", "_prec")
+    }
+    val projected =
+      if (columns.nonEmpty) unified.select(columns.map(col): _*) else unified
+    projected.orderBy(col("ts"))
+  }
 }
 
 /** Idempotent merge-dedupe upsert, the engine's K1/K2/K3

@@ -34,6 +34,43 @@ class LakeSpec extends AnyFunSuite {
     assert(again.count() === 1440)
   }
 
+  test("readUnified: stream appends shadow batch bars, add fresh ones, degrade to either side") {
+    val root = Files.createTempDirectory("lake").toString
+    val streamDir = s"$root/stream_append"
+    val bars = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+    LakeWriter.upsert(spark, root, bars)
+    // no stream dir -> plain batch read
+    val batchOnly = LakeReader.readUnified(spark, root, streamDir, "synth", "BTC-USD", "M1",
+      Some(ts("2025-08-01 00:00:00")), Some(ts("2025-08-02 00:00:00")))
+    assert(batchOnly.count() === 1440)
+    // appends: restate 00:00-01:00 with close+7, plus one brand-new bar at 23:59
+    // of the NEXT day (outside the batch tree)
+    val restated = bars.where(col("ts") < ts("2025-08-01 01:00:00"))
+      .withColumn("close", col("close") + 7.0)
+    val fresh = bars.where(col("ts") === ts("2025-08-01 00:00:00"))
+      .withColumn("ts", lit(ts("2025-08-02 23:59:00")))
+    restated.unionByName(fresh).write.mode("overwrite").parquet(streamDir)
+    val unified = LakeReader.readUnified(spark, root, streamDir, "synth", "BTC-USD", "M1",
+      Some(ts("2025-08-01 00:00:00")), Some(ts("2025-08-03 00:00:00")))
+    assert(unified.count() === 1441) // 1440 batch keys + 1 fresh stream-only bar
+    // the restated hour took the stream close (+7 over the batch value)
+    val batchClose = bars.where(col("ts") === ts("2025-08-01 00:30:00"))
+      .select("close").head.getDouble(0)
+    val got = unified.where(col("ts") === ts("2025-08-01 00:30:00"))
+      .select("close").head.getDouble(0)
+    assert(got === batchClose + 7.0)
+    // untouched bars keep the batch value
+    val untouched = bars.where(col("ts") === ts("2025-08-01 12:00:00"))
+      .select("close").head.getDouble(0)
+    assert(unified.where(col("ts") === ts("2025-08-01 12:00:00"))
+      .select("close").head.getDouble(0) === untouched)
+    // absent batch tree -> stream side alone
+    val emptyRoot = Files.createTempDirectory("lake_empty").toString
+    val streamAlone = LakeReader.readUnified(spark, emptyRoot, streamDir, "synth", "BTC-USD", "M1",
+      Some(ts("2025-08-01 00:00:00")), Some(ts("2025-08-03 00:00:00")))
+    assert(streamAlone.count() === 61) // 60 restated + 1 fresh
+  }
+
   test("layout validation accepts the writer's tree and flags strays") {
     val root = Files.createTempDirectory("lake").toString
     LakeWriter.upsert(spark, root,
