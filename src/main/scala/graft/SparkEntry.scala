@@ -215,6 +215,18 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // mergeable-sketch fold: per-day KMV states (k smallest distinct
+    // hashes, the persisted incremental form) folded to whole-range
+    // estimates — bit-identical to the direct single-pass sketch, which is
+    // exactly what the oracle recomputes (graft.ops.Sketches.kmvState/Merge)
+    "q122_kmv_merge" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("day", expr("ts_ns DIV 1000000000 DIV 86400"))
+      val state = Sketches.kmvState(ev, "event_type", "day", "user_id", k = 64)
+      Sketches.kmvMerge(state, "event_type", k = 64)
+        .orderBy(col("event_type"))
+    }),
+
     // lambda read through REAL files: batch lake tree + streaming append
     // directory (the landed-but-not-yet-folded foreachBatch sink), unified
     // with stream-beats-batch precedence on the candle key — fresh bars
@@ -2896,6 +2908,19 @@ object SparkEntry {
            | sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
            | sum(CASE WHEN s.fst = f.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_owned_spans
            |FROM f JOIN stats s USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
+      // the daily-sketch fold is lossless, so the oracle IS the direct
+      // single-pass KMV — bit equality proves the merge property
+      "q122_kmv_merge" ->
+        """WITH h AS (SELECT DISTINCT event_type,
+          |        ((user_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv
+          |       FROM events),
+          | r AS (SELECT event_type, hv,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+          | t AS (SELECT event_type, count(*) AS n_seen, max(hv) AS kth
+          |       FROM r WHERE rn <= 64 GROUP BY 1)
+          |SELECT event_type, n_seen::BIGINT AS n_seen, kth::BIGINT AS kth,
+          | (CASE WHEN n_seen < 64 THEN n_seen ELSE 63000000441 // kth END)::BIGINT AS est_distinct
+          |FROM t ORDER BY 1""".stripMargin,
       "q63_kmv_distinct" ->
         """WITH h AS (SELECT DISTINCT event_type,
           |        ((user_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv

@@ -83,6 +83,46 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Mergeable KMV sketch TABLE: the k smallest distinct value-hashes per
+    * (group, partition) — the stored form of [[kmvDistinct]], one row per
+    * retained hash (≤ k per cell). This is the shape an incremental
+    * pipeline persists per day/shard and folds later, instead of
+    * rescanning history.
+    */
+  def kmvState(df: DataFrame, groupCol: String, partCol: String,
+               valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val w = Window.partitionBy(col(groupCol), col(partCol)).orderBy(col("_hv"))
+    df.select(col(groupCol), col(partCol), longHash(col(valueCol)).as("_hv"))
+      .distinct()
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col(groupCol), col(partCol), col("_hv"))
+  }
+
+  /** Fold per-partition KMV states to group-level estimates. BIT-IDENTICAL
+    * to [[kmvDistinct]] over the raw union, by construction: every hash in
+    * the global k smallest is necessarily in its own partition's k
+    * smallest, so re-selecting the k smallest of the union of partition
+    * sketches loses nothing — the lossless-merge property that makes KMV a
+    * real sketch rather than a sample. The fold touches only sketch rows
+    * (≤ partitions × k per group), never the raw data.
+    */
+  def kmvMerge(state: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_hv"))
+    state.select(col(groupCol), col("_hv"))
+      .distinct() // the same hash survives in many partition sketches
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_seen"), max(col("_hv")).as("kth"))
+      .select(col(groupCol), col("n_seen"), col("kth"),
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"${(k - 1).toLong * P}L DIV kth"))
+          .as("est_distinct"))
+  }
+
   // ---------------------------------------------------------------------
   // HyperLogLog distinct-count estimate
   // ---------------------------------------------------------------------

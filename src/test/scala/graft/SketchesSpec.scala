@@ -345,4 +345,27 @@ class SketchesSpec extends AnyFunSuite {
       (1L, 3L, 2L, 6666L), // 2*10000 DIV 3
       (2L, 2L, 0L, 0L)))
   }
+
+  test("kmvState fold == direct kmvDistinct, bit for bit, at any partitioning") {
+    import spark.implicits._
+    // 3 groups x 400 values with heavy cross-partition duplication: the
+    // same value lands in many day-cells, so the fold's re-distinct matters
+    val rows = for (i <- 0 until 1200) yield
+      ("g" + (i % 3), (i * 37) % 86400L * 7, (i % 400).toLong)
+    val df = rows.toDF("grp", "day", "v")
+    val direct = Sketches.kmvDistinct(df, "grp", "v", k = 16)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val folded = Sketches.kmvMerge(
+        Sketches.kmvState(df, "grp", "day", "v", k = 16), "grp", k = 16)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(folded === direct)
+    val foldedRe = Sketches.kmvMerge(
+        Sketches.kmvState(df.repartition(13), "grp", "day", "v", k = 16), "grp", k = 16)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(foldedRe === direct)
+    // state cells are bounded by k
+    val cellMax = Sketches.kmvState(df, "grp", "day", "v", k = 16)
+      .groupBy("grp", "day").count().agg(max("count")).head.getLong(0)
+    assert(cellMax <= 16L)
+  }
 }
