@@ -215,6 +215,22 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // token-weighted length percentiles: "the median TOKEN lives in a doc
+    // of length X" — the weighted exact-quantile pass at the unweighted
+    // plan's cost, vs an explicitly weight-expanded quantile_cont oracle
+    // (graft.ops.Quantiles.exactInterpolatedWeighted)
+    "q123_weighted_quantiles" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val q = Quantiles.exactInterpolatedWeighted(d, Seq("lang"), "n_tok",
+        col("n_tok"), Seq(0.5 -> "p50", 0.9 -> "p90"))
+      val tot = d.groupBy(col("lang")).agg(sum(col("n_tok")).as("total_tokens"))
+      q.join(tot, "lang")
+        .select(col("lang"), col("total_tokens"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
+        .orderBy(col("lang"))
+    }),
+
     // mergeable-sketch fold: per-day KMV states (k smallest distinct
     // hashes, the persisted incremental form) folded to whole-range
     // estimates — bit-identical to the direct single-pass sketch, which is
@@ -2908,6 +2924,17 @@ object SparkEntry {
            | sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
            | sum(CASE WHEN s.fst = f.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_owned_spans
            |FROM f JOIN stats s USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
+      // weighted quantiles: the oracle EXPANDS each doc into one row per
+      // token and takes plain quantile_cont — the definition the weighted
+      // pass must reproduce without expanding
+      "q123_weighted_quantiles" ->
+        s"""WITH ws AS ($wsSql),
+           | d AS (SELECT doc_id, lang, len(l)::BIGINT AS nt FROM ws),
+           | e AS (SELECT lang, nt, unnest(generate_series(1, nt)) AS i FROM d)
+           |SELECT lang, count(*)::BIGINT AS total_tokens,
+           | round(quantile_cont(nt, 0.5), 4) AS p50,
+           | round(quantile_cont(nt, 0.9), 4) AS p90
+           |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
       // the daily-sketch fold is lossless, so the oracle IS the direct
       // single-pass KMV — bit equality proves the merge property
       "q122_kmv_merge" ->

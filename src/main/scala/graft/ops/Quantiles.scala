@@ -50,13 +50,32 @@ object Quantiles {
     * single count+cumsum pass.
     */
   def exactInterpolated(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                        specs: Seq[(Double, String)]): DataFrame = {
+                        specs: Seq[(Double, String)]): DataFrame =
+    exactInterpolatedWeighted(df, groupCols, valueCol, lit(1L), specs)
+
+  /** [[exactInterpolated]] with integer row WEIGHTS: the percentile of the
+    * weight-expanded multiset (a row with weight w counts as w copies), at
+    * the cost of the unweighted plan — the chunked pass already aggregates
+    * duplicate values into per-value counts, so weights simply seed that
+    * count with `sum(weight)` instead of `count(*)`. The canonical use is
+    * token-weighted corpus statistics ("the median TOKEN lives in a
+    * document of length X"), where expanding would multiply the corpus by
+    * its token count. Weights must be non-negative integers for the rank
+    * arithmetic to stay exact; zero-weight rows contribute nothing (like
+    * absent rows, but their group still surfaces, with NULL when empty).
+    */
+  def exactInterpolatedWeighted(df: DataFrame, groupCols: Seq[String],
+                                valueCol: String, weight: Column,
+                                specs: Seq[(Double, String)]): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty (global percentiles: group by a literal)")
     val g = groupCols.map(col)
     // percentile() ignores null values; without this filter they would
     // occupy ranks (nulls sort first in the cumsum window) and shift
-    // every bracket
-    val nn = df.where(col(valueCol).isNotNull)
+    // every bracket. Zero/null weights are dropped the same way — they
+    // hold no rank mass.
+    val w8 = weight.cast("long")
+    val nn = df.where(col(valueCol).isNotNull && w8.isNotNull && w8 > 0L)
+      .withColumn("_wt", w8)
     val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 2)
     // Chunk ids must be a PURE function of the row — spark_partition_id
     // after repartitionByRange would differ between re-executions of the
@@ -96,9 +115,9 @@ object Quantiles {
     // distinct-value table they would serialize the group — the whole
     // reason for the chunking): carry-in = running sum of earlier chunks'
     // totals, _n = the whole group's total.
-    val totals = withChunk(nn.select((g :+ col(valueCol)): _*))
+    val totals = withChunk(nn.select((g :+ col(valueCol) :+ col("_wt")): _*))
       .groupBy((g :+ col("_chunk")): _*)
-      .agg(count(lit(1)).as("_tot"))
+      .agg(sum(col("_wt")).as("_tot"))
     val wCarry = Window.partitionBy(g: _*).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(g: _*)
@@ -117,7 +136,7 @@ object Quantiles {
     // partial pass runs directly on the window output.
     val counts = nn
       .groupBy((groupCols :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_wt")).as("_c"))
     val ranged = withChunk(counts)
     val withCarry = ranged.join(carry,
       groupCols.map(c => ranged(c) <=> carry(s"_ck_$c"))

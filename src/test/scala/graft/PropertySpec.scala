@@ -49,6 +49,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: weighted quantiles == unweighted over the weight-expanded multiset") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val rows = (0 until 300).map { i =>
+        val h = (i * 2654435761L + seed * 40503L) & 0x7fffffffL
+        ("g" + (h % 3), (h % 40).toDouble / 3.0, (h % 5) + 0L) // weights 0-4, zeros dropped
+      }
+      val df = rows.toDF("g", "v", "w")
+      val ps = Seq(0.25, 0.5, 0.9)
+      val weighted = graft.ops.Quantiles.exactInterpolatedWeighted(df, Seq("g"), "v",
+          col("w"), ps.zipWithIndex.map { case (p, i) => p -> s"q$i" })
+        .orderBy("g").collect()
+      val expanded = rows.flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+        .toDF("g", "v")
+      val ref = graft.ops.Quantiles.exactInterpolated(expanded, Seq("g"), "v",
+          ps.zipWithIndex.map { case (p, i) => p -> s"q$i" })
+        .orderBy("g").collect()
+      // groups whose weights are ALL zero vanish from the expansion but
+      // surface NULL from the weighted pass — compare on common groups
+      val refMap = ref.map(r => r.getString(0) -> r).toMap
+      weighted.foreach { e =>
+        refMap.get(e.getString(0)).foreach { r =>
+          ps.indices.foreach(i => assert(e.getDouble(i + 1) === r.getDouble(i + 1),
+            s"seed=$seed group=${e.getString(0)} p=${ps(i)}"))
+        }
+      }
+    }
+  }
+
   test("property: chunked prefixSum == global window cumsum across seeds/chunk sizes") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.{Window => W}
