@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Timeframe
-import graft.lake.{LakeReader, LakeWriter}
+import graft.lake.{Aggregates, LakeProvider, LakeReader, LakeWriter}
 import graft.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -213,6 +213,36 @@ object SparkEntry {
         .withColumn("is_en", col("lang") === "en")
       Eval.calibration(d, Seq("source"), "score", "is_en", bins = 10)
         .orderBy(col("source"), col("bin"))
+    }),
+
+    // incremental materialized-aggregate maintenance through REAL files:
+    // M1 upsert + full M5 materialize, then a correction upsert followed by
+    // refreshMonths on JUST the touched (year, month) — the provider's
+    // read-else-compute path must serve the refreshed aggregate equal to a
+    // full recompute from the corrected base
+    // (graft.lake.Aggregates.refreshMonths, graft.lake.LakeProvider.loadTf)
+    "q124_incremental_agg" -> ((s, dir) => {
+      val root = scratchRoot(s, "q124_lake", dir)
+      def t(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))
+      val ev = tbl(s, dir, "events")
+        .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+      val candles = EventOps.candles(ev, 60L, Seq("symbol"))
+        .withColumn("source", lit("evt"))
+        .withColumn("timeframe", lit("M1"))
+        .cache() // feeds the base write, the materialize, and the correction
+      LakeWriter.upsert(s, root, candles)
+      Aggregates.materialize(s, root, candles.drop("timeframe"), Timeframe.M5)
+      LakeWriter.upsert(s, root,
+        candles
+          .where(col("ts") >= lit(t("2024-01-12T00:00:00Z")) &&
+            col("ts") < lit(t("2024-01-15T00:00:00Z")))
+          .withColumn("close", col("close") + 1000.0))
+      Aggregates.refreshMonths(s, root, Timeframe.M5, Seq((2024, 1)))
+      new LakeProvider(s, root, source = "evt")
+        .loadTf("U1", "M5", Some(t("2024-01-01T00:00:00Z")), Some(t("2024-02-01T00:00:00Z")))
+        .select(secs(col("ts")).as("ts_sec"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"))
+        .orderBy(col("ts_sec"))
     }),
 
     // token-weighted length percentiles: "the median TOKEN lives in a doc
@@ -2924,6 +2954,26 @@ object SparkEntry {
            | sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
            | sum(CASE WHEN s.fst = f.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_owned_spans
            |FROM f JOIN stats s USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
+      // incremental aggregate: the refreshed M5 tree must equal a full
+      // recompute from the CORRECTED M1 base
+      "q124_incremental_agg" ->
+        """WITH m1 AS (
+          | SELECT 'U' || (user_id % 3)::VARCHAR AS symbol,
+          |  (floor(epoch(ts)/60)*60)::BIGINT AS ts_sec,
+          |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          |  arg_max(value, ts) AS close, count(*)::DOUBLE AS volume
+          | FROM events GROUP BY 1,2),
+          | m1c AS (SELECT symbol, ts_sec, open, high, low,
+          |          CASE WHEN ts_sec >= 1705017600 AND ts_sec < 1705276800
+          |               THEN close + 1000 ELSE close END AS close, volume
+          |         FROM m1),
+          | m5 AS (SELECT symbol, (ts_sec//300)*300 AS ts5,
+          |         arg_min(open, ts_sec) AS open, max(high) AS high,
+          |         min(low) AS low, arg_max(close, ts_sec) AS close,
+          |         sum(volume) AS volume
+          |        FROM m1c GROUP BY 1, 2)
+          |SELECT ts5 AS ts_sec, open, high, low, close, volume
+          |FROM m5 WHERE symbol = 'U1' ORDER BY 1""".stripMargin,
       // weighted quantiles: the oracle EXPANDS each doc into one row per
       // token and takes plain quantile_cont — the definition the weighted
       // pass must reproduce without expanding

@@ -38,6 +38,35 @@ object Aggregates {
     UpsertCore.mergeWrite(spark, path, enforced,
       LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts")
   }
+
+  /** Incremental materialized-view maintenance: after an upsert touches a
+    * set of (year, month) cells in the M1 tree, recompute ONLY those
+    * months' aggregates and fold them in with the same idempotent
+    * month-grain upsert — O(touched months) read and write, not
+    * O(history). A full [[materialize]] over the whole base is the
+    * refresh-everything degenerate case.
+    *
+    * Month-local recomputation is EXACT for every canonical timeframe
+    * because their bucket widths divide 86400 s: epoch-aligned buckets
+    * therefore align to midnight, and no bucket straddles a month
+    * boundary — enforced with a require, so an exotic timeframe cannot
+    * silently produce torn boundary bars.
+    */
+  def refreshMonths(spark: SparkSession, root: String, tf: Timeframe,
+                    months: Seq[(Int, Int)],
+                    keys: Seq[String] = Seq("source", "symbol")): Unit = {
+    require(86400L % tf.seconds == 0,
+      s"refreshMonths needs a day-aligned timeframe; ${tf.code} (${tf.seconds}s) is not")
+    if (months.isEmpty) return
+    LakeFs.readParquetIfData(spark, LakeLayout.dataRoot(root)).foreach { base =>
+      val touched = months.map { case (y, m) =>
+        col("year") === y && col("month") === m
+      }.reduce(_ || _)
+      val m1 = base.where(col("timeframe") === "M1").where(touched)
+        .drop("year", "month")
+      materialize(spark, root, m1, tf, keys)
+    }
+  }
 }
 
 /** The backtester bridge (reference: src/bridge/backtest_crew/provider.py).

@@ -34,6 +34,32 @@ class LakeSpec extends AnyFunSuite {
     assert(again.count() === 1440)
   }
 
+  test("refreshMonths recomputes only the targeted months; others stay stale until refreshed") {
+    val root = Files.createTempDirectory("lake").toString
+    val bars = SynthSource.m1(spark, "BTC-USD", "2025-07-30", "2025-08-02") // spans Jul + Aug
+    LakeWriter.upsert(spark, root, bars)
+    graft.lake.Aggregates.materialize(spark, root, bars, Timeframe.M15)
+    // corrections land in BOTH months' M1...
+    LakeWriter.upsert(spark, root,
+      bars.where(col("ts") >= ts("2025-07-31 00:00:00") && col("ts") < ts("2025-08-02 00:00:00"))
+        .withColumn("close", col("close") + 9.0))
+    // ...but only July gets refreshed
+    graft.lake.Aggregates.refreshMonths(spark, root, Timeframe.M15, Seq((2025, 7)))
+    val provider = new graft.lake.LakeProvider(spark, root)
+    def m15close(day: String, hm: String): Double =
+      provider.loadTf("BTC-USD", "M15", Some(ts(s"$day 00:00:00")), None)
+        .where(col("ts") === ts(s"$day $hm")).select("close").head.getDouble(0)
+    val julyOrig = bars.where(col("ts") === ts("2025-07-31 10:14:00"))
+      .select("close").head.getDouble(0) // last M1 bar of the 10:00 M15 bucket
+    assert(m15close("2025-07-31", "10:00:00") === julyOrig + 9.0) // refreshed
+    val augOrig = bars.where(col("ts") === ts("2025-08-01 10:14:00"))
+      .select("close").head.getDouble(0)
+    assert(m15close("2025-08-01", "10:00:00") === augOrig) // STALE: not refreshed
+    // refreshing August catches it up
+    graft.lake.Aggregates.refreshMonths(spark, root, Timeframe.M15, Seq((2025, 8)))
+    assert(m15close("2025-08-01", "10:00:00") === augOrig + 9.0)
+  }
+
   test("readUnified: stream appends shadow batch bars, add fresh ones, degrade to either side") {
     val root = Files.createTempDirectory("lake").toString
     val streamDir = s"$root/stream_append"
