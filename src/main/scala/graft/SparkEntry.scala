@@ -215,6 +215,28 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // whole-table NDV profile from ONE stacked pass of HLL sketches — the
+    // 100 TB twin of q70's exact countDistinct profile (register state per
+    // column, no distinct shuffle); strings hash through the portable
+    // polynomial fingerprint, doubles through an explicit floor(+0.5) long
+    // mapping (cast rounding differs between engines); exact NDV rides
+    // along for error inspection, as in q80
+    "q125_profile_sketch" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val cols: Seq[(String, Column)] = Seq(
+        "event_id" -> col("event_id").cast("long"),
+        "user_id" -> col("user_id").cast("long"),
+        "event_type" -> TextAnalysis.fingerprint(col("event_type")),
+        "value" -> floor(round(col("value"), 4) * 10000.0 + 0.5).cast("long"))
+      val stacked = ev.select(explode(array(cols.map { case (n, c) =>
+          struct(lit(n).as("col_name"), c.as("v")) }: _*)).as("s"))
+        .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+      val est = Sketches.hllDistinct(stacked, "col_name", "v", p = 10)
+      val exact = stacked.groupBy(col("col_name"))
+        .agg(countDistinct(col("v")).as("exact_distinct"))
+      est.join(exact, "col_name").orderBy(col("col_name"))
+    }),
+
     // incremental materialized-aggregate maintenance through REAL files:
     // M1 upsert + full M5 materialize, then a correction upsert followed by
     // refreshMonths on JUST the touched (year, month) — the provider's
@@ -2954,6 +2976,37 @@ object SparkEntry {
            | sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
            | sum(CASE WHEN s.fst = f.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_owned_spans
            |FROM f JOIN stats s USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
+      // NDV profile: same stack, same hashes, same HLL register chain as
+      // q80's oracle, per column
+      "q125_profile_sketch" ->
+        s"""WITH stk AS (
+           | SELECT 'event_id' AS col_name, event_id::BIGINT AS v FROM events
+           | UNION ALL SELECT 'user_id', user_id::BIGINT FROM events
+           | UNION ALL SELECT 'event_type', ${fpSql("event_type")} FROM events
+           | UNION ALL SELECT 'value', floor(round(value, 4) * 10000.0 + 0.5)::BIGINT FROM events),
+           | h AS (SELECT col_name,
+           |        ((v % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv
+           |       FROM stk),
+           | m AS (SELECT col_name,
+           |        ((hv * hv % 1000000007 * 2654435761 + 11) % 1000000007 << 33) // 1000000007 AS g
+           |       FROM h),
+           | r AS (SELECT col_name, g % 1024 AS bkt,
+           |        MAX(CASE WHEN g // 1024 = 0 THEN 24
+           |                 ELSE 24 - length(bin(g // 1024)) END) AS reg
+           |       FROM m GROUP BY 1, 2),
+           | gg AS (SELECT col_name, count(*)::BIGINT AS n_buckets_hit,
+           |        SUM((1::BIGINT << (24 - reg)))::BIGINT AS zhit
+           |       FROM r GROUP BY 1),
+           | z AS (SELECT col_name, n_buckets_hit,
+           |        (zhit + (1024 - n_buckets_hit) * 16777216)::BIGINT AS z_scaled
+           |       FROM gg),
+           | x AS (SELECT col_name, count(DISTINCT v)::BIGINT AS exact_distinct
+           |       FROM stk GROUP BY 1)
+           |SELECT z.col_name, n_buckets_hit, z_scaled,
+           | CAST(floor(${Sketches.hllNumerSql(10)} / z_scaled) AS BIGINT) AS est_distinct,
+           | x.exact_distinct
+           |FROM z JOIN x ON z.col_name = x.col_name
+           |ORDER BY 1""".stripMargin,
       // incremental aggregate: the refreshed M5 tree must equal a full
       // recompute from the CORRECTED M1 base
       "q124_incremental_agg" ->
