@@ -215,6 +215,66 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // RFM user segmentation with DISTRIBUTED quintile binning: a global
+    // ntile would be one data-sized unpartitioned window (the invariant
+    // this engine forbids), so the quintile EDGES come from one stacked
+    // exact-quantile pass (3 metrics in one chunked pipeline, group =
+    // metric) broadcast back as literal comparisons — branch-compare
+    // binning, the same pattern as the histogram sketch
+    "q127_rfm_segments" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val per = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts_ns")).as("_last"), count(lit(1)).as("frequency"),
+          round(dsum(col("value")), 4).as("monetary"))
+      val mx = per.agg(max(col("_last")).as("_mx"))
+      val rfm = per.crossJoin(broadcast(mx))
+        .withColumn("recency_days", expr("(_mx - _last) DIV 86400000000000"))
+        .drop("_last", "_mx")
+      val stacked = rfm.select(explode(array(
+        struct(lit("r").as("metric"), col("recency_days").cast("double").as("v")),
+        struct(lit("f").as("metric"), col("frequency").cast("double").as("v")),
+        struct(lit("m").as("metric"), col("monetary").as("v")))).as("s"))
+        .select(col("s.metric").as("metric"), col("s.v").as("v"))
+      val edges = Quantiles.exactInterpolated(stacked, Seq("metric"), "v",
+          Seq(0.2 -> "e1", 0.4 -> "e2", 0.6 -> "e3", 0.8 -> "e4"))
+        .select(col("metric"),
+          round(col("e1"), 4).as("e1"), round(col("e2"), 4).as("e2"),
+          round(col("e3"), 4).as("e3"), round(col("e4"), 4).as("e4"))
+      val wide = edges.groupBy()
+        .pivot("metric", Seq("r", "f", "m"))
+        .agg(max(col("e1")).as("1"), max(col("e2")).as("2"),
+          max(col("e3")).as("3"), max(col("e4")).as("4"))
+      def quint(v: Column, p: String): Column =
+        (lit(1) + (1 to 4).map(i =>
+          when(v > col(s"${p}_$i"), 1).otherwise(0)).reduce(_ + _)).cast("long")
+      rfm.crossJoin(broadcast(wide))
+        .withColumn("r_q", quint(col("recency_days").cast("double"), "r"))
+        .withColumn("f_q", quint(col("frequency").cast("double"), "f"))
+        .withColumn("m_q", quint(col("monetary"), "m"))
+        .withColumn("segment",
+          concat(col("r_q"), lit("-"), col("f_q"), lit("-"), col("m_q")))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_q"), col("f_q"), col("m_q"), col("segment"))
+        .orderBy(col("user_id"))
+    }),
+
+    // language-ID confusion matrix: the langId op evaluated against the
+    // labeled corpus — per (true lang, guess) counts and within-lang
+    // fractions, the error-analysis view a pipeline needs before trusting
+    // the classifier as a filter
+    "q126_lang_confusion" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("lang_guess", TextAnalysis.langId(col("text")))
+      val counts = d.groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+      val tot = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      counts.join(tot, "lang")
+        .withColumn("frac", round(col("n").cast("double") / col("n_lang"), 6))
+        .select(col("lang"), col("lang_guess"), col("n"), col("n_lang"), col("frac"))
+        .orderBy(col("lang"), col("lang_guess"))
+    }),
+
     // whole-table NDV profile from ONE stacked pass of HLL sketches — the
     // 100 TB twin of q70's exact countDistinct profile (register state per
     // column, no distinct shuffle); strings hash through the portable
@@ -2176,6 +2236,58 @@ object SparkEntry {
            |   + 1.0 - least(($punctSql)*5.0, 1.0))/3.0, 4) AS quality_score,
            | ${fpSql("text")} AS fingerprint
            |FROM ws ORDER BY doc_id""".stripMargin,
+      // RFM: same decimal-path monetary, same r4 quantile edges, same
+      // branch-compare binning
+      "q127_rfm_segments" ->
+        """WITH p AS (SELECT user_id, max(epoch_ns(ts))::BIGINT AS last_ns,
+          |        count(*)::BIGINT AS frequency,
+          |        round(sum(CAST(round(value, 4) AS DECIMAL(28,4)))::DOUBLE, 4) AS monetary
+          |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          | mx AS (SELECT max(last_ns) AS mxn FROM p),
+          | rf AS (SELECT user_id, (mxn - last_ns) // 86400000000000 AS recency_days,
+          |         frequency, monetary FROM p CROSS JOIN mx),
+          | e AS (SELECT
+          |   round(quantile_cont(recency_days, 0.2), 4) AS r_1, round(quantile_cont(recency_days, 0.4), 4) AS r_2,
+          |   round(quantile_cont(recency_days, 0.6), 4) AS r_3, round(quantile_cont(recency_days, 0.8), 4) AS r_4,
+          |   round(quantile_cont(frequency, 0.2), 4) AS f_1, round(quantile_cont(frequency, 0.4), 4) AS f_2,
+          |   round(quantile_cont(frequency, 0.6), 4) AS f_3, round(quantile_cont(frequency, 0.8), 4) AS f_4,
+          |   round(quantile_cont(monetary, 0.2), 4) AS m_1, round(quantile_cont(monetary, 0.4), 4) AS m_2,
+          |   round(quantile_cont(monetary, 0.6), 4) AS m_3, round(quantile_cont(monetary, 0.8), 4) AS m_4
+          |  FROM rf),
+          | q AS (SELECT user_id, recency_days, frequency, monetary,
+          |   (1 + (recency_days > r_1)::INT + (recency_days > r_2)::INT
+          |      + (recency_days > r_3)::INT + (recency_days > r_4)::INT)::BIGINT AS r_q,
+          |   (1 + (frequency > f_1)::INT + (frequency > f_2)::INT
+          |      + (frequency > f_3)::INT + (frequency > f_4)::INT)::BIGINT AS f_q,
+          |   (1 + (monetary > m_1)::INT + (monetary > m_2)::INT
+          |      + (monetary > m_3)::INT + (monetary > m_4)::INT)::BIGINT AS m_q
+          |  FROM rf CROSS JOIN e)
+          |SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+          | r_q::VARCHAR || '-' || f_q::VARCHAR || '-' || m_q::VARCHAR AS segment
+          |FROM q ORDER BY user_id""".stripMargin,
+      // confusion matrix over the SAME guess CTE as q09
+      "q126_lang_confusion" ->
+        s"""WITH ws AS ($wsSql),
+           | sc AS (SELECT doc_id, lang,
+           |   len(list_filter(l, w->list_contains(['the','and','of','is','a'], w))) AS s_en,
+           |   len(list_filter(l, w->list_contains(['el','la','los','que','y'], w))) AS s_es,
+           |   len(list_filter(l, w->list_contains(['der','die','das','und','ist'], w))) AS s_de,
+           |   len(list_filter(l, w->list_contains(['le','la','les','et','est'], w))) AS s_fr,
+           |   len(list_filter(l, w->list_contains(['的','是','了','在','和'], w))) AS s_zh
+           |  FROM ws),
+           | g AS (SELECT doc_id, lang, CASE
+           |   WHEN greatest(s_en,s_es,s_de,s_fr,s_zh) <= 0 THEN 'unknown'
+           |   WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'en'
+           |   WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'es'
+           |   WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'de'
+           |   WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'fr'
+           |   WHEN s_zh = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'zh'
+           |   ELSE 'unknown' END AS lang_guess FROM sc),
+           | c AS (SELECT lang, lang_guess, count(*)::BIGINT AS n FROM g GROUP BY 1, 2),
+           | t AS (SELECT lang, count(*)::BIGINT AS n_lang FROM g GROUP BY 1)
+           |SELECT c.lang, lang_guess, n, n_lang,
+           | round(n::DOUBLE / n_lang, 6) AS frac
+           |FROM c JOIN t ON c.lang = t.lang ORDER BY 1, 2""".stripMargin,
       "q09_lang_id" ->
         s"""WITH ws AS ($wsSql),
            | sc AS (SELECT doc_id, lang,

@@ -101,8 +101,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q117_drift_windows", // dense window x vocab grid: DISTINCT windows x
                        // broadcast(LIMIT-200 reference cells) + 1-row
                        // n_ref normalizer — summary x artifact, never data
-    "q119_ab_test"     // the arm pivot: 1-row control x broadcast(1-row
+    "q119_ab_test",    // the arm pivot: 1-row control x broadcast(1-row
                        // treatment) — both arm-grain aggregates
+    "q127_rfm_segments" // user rows x broadcast(1-row max-ts + 1-row
+                       // pivoted quintile edges) — branch-compare binning
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {
