@@ -215,6 +215,14 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // join-key skew diagnosis: per-key count distribution of lineitem's
+    // part key — cardinality, heaviest key, exact p50/p90/p99 via the
+    // chunked quantile pass over the KEY-GRAIN table, and max/p50 as the
+    // salt-or-not ratio (graft.ops.Skew.keyStats)
+    "q128_key_skew" -> ((s, dir) => {
+      Skew.keyStats(tbl(s, dir, "lineitem"), Seq("l_partkey"))
+    }),
+
     // RFM user segmentation with DISTRIBUTED quintile binning: a global
     // ntile would be one data-sized unpartitioned window (the invariant
     // this engine forbids), so the quintile EDGES come from one stacked
@@ -2236,6 +2244,16 @@ object SparkEntry {
            |   + 1.0 - least(($punctSql)*5.0, 1.0))/3.0, 4) AS quality_score,
            | ${fpSql("text")} AS fingerprint
            |FROM ws ORDER BY doc_id""".stripMargin,
+      // key skew: quantile_cont over the key-grain count table
+      "q128_key_skew" ->
+        """WITH c AS (SELECT l_partkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1)
+          |SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+          | max(n)::BIGINT AS max_count,
+          | round(quantile_cont(n, 0.5), 4) AS p50,
+          | round(quantile_cont(n, 0.9), 4) AS p90,
+          | round(quantile_cont(n, 0.99), 4) AS p99,
+          | round(max(n)::DOUBLE / round(quantile_cont(n, 0.5), 4), 4) AS skew_ratio
+          |FROM c""".stripMargin,
       // RFM: same decimal-path monetary, same r4 quantile edges, same
       // branch-compare binning
       "q127_rfm_segments" ->

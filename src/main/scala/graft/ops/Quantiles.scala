@@ -89,10 +89,17 @@ object Quantiles {
     // stage cache does not recognize the clones DeduplicateRelations makes
     // of a self-joined subtree, so every extra consumer of `counts` was a
     // full scan + shuffle re-execution, not a reuse.
+    // the bounds aggregate also carries the group's TOTAL weight (_gn):
+    // every ranged row then knows its group size from the same broadcast
+    // join, so no unbounded-frame window is ever needed for it (with a
+    // literal group that window would constant-fold to an unpartitioned
+    // WindowExec — the one shape the plan audit forbids)
     val bounds = nn.groupBy(g: _*)
       .agg(min(col(valueCol).cast("double")).as("_vlo"),
-        max(col(valueCol).cast("double")).as("_vhi"))
-      .select(groupCols.map(c => col(c).as(s"_bndk_$c")) :+ col("_vlo") :+ col("_vhi"): _*)
+        max(col(valueCol).cast("double")).as("_vhi"),
+        sum(col("_wt")).as("_gn"))
+      .select(groupCols.map(c => col(c).as(s"_bndk_$c")) :+ col("_vlo") :+
+        col("_vhi") :+ col("_gn"): _*)
     // groups-sized right side: AQE broadcasts it; an ordinary equi-join
     // when the group domain is data-sized — never a forced broadcast
     def withChunk(dfx: DataFrame): DataFrame = {
@@ -109,24 +116,21 @@ object Quantiles {
     }
     // Per-(group, chunk) carry totals, straight from the raw rows: the sum
     // of `_c` over a chunk of the distinct-value table IS the chunk's raw
-    // row count, so this map-side-combined aggregate (≤ groups × parts rows
+    // weight, so this map-side-combined aggregate (≤ groups × parts rows
     // out) never touches the counts pipeline. One row per chunk a group
-    // touches makes the group-keyed windows below safe (over the raw
-    // distinct-value table they would serialize the group — the whole
+    // touches makes the group-keyed carry window safe (over the raw
+    // distinct-value table it would serialize the group — the whole
     // reason for the chunking): carry-in = running sum of earlier chunks'
-    // totals, _n = the whole group's total.
+    // totals; the group total rides in from bounds (_gn), never a window.
     val totals = withChunk(nn.select((g :+ col(valueCol) :+ col("_wt")): _*))
       .groupBy((g :+ col("_chunk")): _*)
       .agg(sum(col("_wt")).as("_tot"))
     val wCarry = Window.partitionBy(g: _*).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(g: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val carry = totals
       .withColumn("_carry", coalesce(sum(col("_tot")).over(wCarry), lit(0L)))
-      .withColumn("_n", sum(col("_tot")).over(wAll))
       .select(groupCols.map(c => col(c).as(s"_ck_$c")) :+
-        col("_chunk").as("_cchunk") :+ col("_carry") :+ col("_n"): _*)
+        col("_chunk").as("_cchunk") :+ col("_carry"): _*)
     // ONE evaluation of the data-sized pipeline: distinct-value counts →
     // chunk id → carry join BEFORE the window (carry is summary-sized, so
     // AQE broadcasts it and no extra exchange lands between the window and
@@ -147,7 +151,7 @@ object Quantiles {
       .withColumn("_loc", sum(col("_c")).over(wLoc))
       .withColumn("_cum", col("_loc") + col("_carry"))
 
-    def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")
+    def pos(p: Double): Column = lit(p) * (col("_gn") - 1).cast("double")
     // value covers ranks [_cum - _c, _cum)
     def covers(rank: Column): Column =
       rank >= col("_cum") - col("_c") && rank < col("_cum")
@@ -156,7 +160,7 @@ object Quantiles {
       Seq(
         max(when(covers(floor(pos(p))), col(valueCol).cast("double"))).as(s"_vf_$nm"),
         max(when(covers(ceil(pos(p))), col(valueCol).cast("double"))).as(s"_vc_$nm"),
-        max(col("_n")).as(s"_n_$nm"))
+        max(col("_gn")).as(s"_n_$nm"))
     }
     val agged = ranked.groupBy(g: _*).agg(aggs.head, aggs.drop(1): _*)
 

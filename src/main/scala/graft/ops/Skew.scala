@@ -41,4 +41,33 @@ object Skew {
     saltLarge(df, keyCols, factor)
       .groupBy((keyCols :+ "_salt").map(col): _*).agg(count(lit(1)).as("_partial"))
       .groupBy(keyCols.map(col): _*).agg(sum(col("_partial")).as("n"))
+
+  /** Join-key skew diagnosis — the "should I salt this join?" report that
+    * decides between a plain shuffle join and [[saltedJoin]]/AQE skew
+    * handling. One row: key cardinality, row count, the heaviest key's
+    * count, exact p50/p90/p99 of the per-key count distribution, and
+    * skew_ratio = max/p50 (r4) — the number to compare against the salting
+    * factor. The quantiles run over the KEY-GRAIN count table through the
+    * chunked exact pass (group = a literal), so no global window and no
+    * driver-side collection; everything before that is one map-side
+    * combined aggregate.
+    */
+  def keyStats(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    // NOT named _n: exactInterpolated's carry summary uses _n internally
+    // and the restore join would see both
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_kc"))
+      .withColumn("_g", lit(1))
+    val q = Quantiles.exactInterpolated(counts, Seq("_g"), "_kc",
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+    val agg = counts.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("_kc")).as("n_rows"),
+        max(col("_kc")).as("max_count"))
+    agg.join(q, "_g")
+      .select(col("n_keys"), col("n_rows"), col("max_count"),
+        round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+        round(col("p99"), 4).as("p99"))
+      // ratio from the ROUNDED median — the r4 contract both engines share
+      .withColumn("skew_ratio",
+        round(col("max_count").cast("double") / col("p50"), 4))
+  }
 }

@@ -30,9 +30,29 @@ class PlanAuditSpec extends AnyFunSuite {
   // reduced from the data by the aggregate. Exempt that one shape.
   private def reducedToOrderGrain(w: WindowExec): Boolean = {
     val orderIds = w.orderSpec.flatMap(_.child.references.map(_.exprId)).toSet
+    // attributes that are literal-valued (a constant group key folded out
+    // of the partition spec — e.g. quantiles "group by a literal"):
+    // grouping by (const, chunk) reduces to exactly chunk grain
+    val constIds = w.child.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec =>
+        p.projectList.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias
+            if a.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+            a.exprId
+        }
+      case ag: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        // partial aggregates keep the folded literal INSIDE their grouping
+        // list ("1 AS 1#...")
+        ag.groupingExpressions.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias
+            if a.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+            a.exprId
+        }
+    }.flatten.toSet
     w.child.collectFirst {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-        if a.groupingExpressions.map(_.exprId).toSet == orderIds => a
+        if orderIds.nonEmpty &&
+          (a.groupingExpressions.map(_.exprId).toSet -- constIds) == orderIds => a
     }.nonEmpty
   }
 
@@ -103,8 +123,10 @@ class PlanAuditSpec extends AnyFunSuite {
                        // n_ref normalizer — summary x artifact, never data
     "q119_ab_test",    // the arm pivot: 1-row control x broadcast(1-row
                        // treatment) — both arm-grain aggregates
-    "q127_rfm_segments" // user rows x broadcast(1-row max-ts + 1-row
+    "q127_rfm_segments", // user rows x broadcast(1-row max-ts + 1-row
                        // pivoted quintile edges) — branch-compare binning
+    "q128_key_skew"    // summary join: 1-row stats x broadcast(1-row
+                       // quantiles) on a constant-folded key
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {
