@@ -215,6 +215,27 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // LSH quality evaluation: the minhash band candidates (q17) scored
+    // against the exact Jaccard >= 0.1 ground truth (q16) — the
+    // precision/recall readout that justifies (or retunes) the banding
+    // before trusting the sketch at scale
+    "q129_lsh_quality" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1)
+        .select(col("id_a"), col("id_b"))
+      val cand = Dedup.minhashCandidates(d, "doc_id", "text", 3, 16, 4)
+        .select(col("id_a"), col("id_b"))
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val tp = cand.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_tp"))
+      ne.crossJoin(broadcast(nc)).crossJoin(broadcast(tp))
+        .withColumn("precision", when(col("n_candidates") > 0L,
+          round(col("n_tp").cast("double") / col("n_candidates"), 6)))
+        .withColumn("recall", when(col("n_exact") > 0L,
+          round(col("n_tp").cast("double") / col("n_exact"), 6)))
+    }),
+
     // join-key skew diagnosis: per-key count distribution of lineitem's
     // part key — cardinality, heaviest key, exact p50/p90/p99 via the
     // chunked quantile pass over the KEY-GRAIN table, and max/p50 as the
@@ -2244,6 +2265,35 @@ object SparkEntry {
            |   + 1.0 - least(($punctSql)*5.0, 1.0))/3.0, 4) AS quality_score,
            | ${fpSql("text")} AS fingerprint
            |FROM ws ORDER BY doc_id""".stripMargin,
+      // LSH quality: exact (q16) and candidate (q17) CTE chains composed,
+      // counts + one fixed ratio chain
+      "q129_lsh_quality" ->
+        s"""WITH sh AS ($shingleSql),
+           | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |           FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+           | exact AS (SELECT id_a, id_b FROM (
+           |            SELECT id_a, id_b,
+           |             round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
+           |            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           |            JOIN sizes sb ON sb.doc_id = id_b) x WHERE jaccard >= 0.1),
+           | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),
+           | sig AS (SELECT doc_id, t.i AS i,
+           |          min((hv*(2*t.i+3) + ((1442695040888963407%1000000007)*(t.i+1))%1000000007) % 1000000007) AS m
+           |         FROM h, range(0,16) t(i) GROUP BY 1,2),
+           | band AS (SELECT doc_id, (i//4)::INT AS band,
+           |           list_reduce(list_prepend(0::BIGINT, list(m ORDER BY i)), (a,b)->(a*31 + b%1000000007)%1000000007) AS band_sig
+           |          FROM sig GROUP BY 1,2),
+           | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |          FROM band a JOIN band b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
+           | x AS (SELECT (SELECT count(*) FROM exact) AS ne,
+           |        (SELECT count(*) FROM cand) AS nc,
+           |        (SELECT count(*) FROM cand c JOIN exact e
+           |          ON c.id_a = e.id_a AND c.id_b = e.id_b) AS tp)
+           |SELECT ne::BIGINT AS n_exact, nc::BIGINT AS n_candidates, tp::BIGINT AS n_tp,
+           | CASE WHEN nc > 0 THEN round(tp::DOUBLE / nc, 6) END AS precision,
+           | CASE WHEN ne > 0 THEN round(tp::DOUBLE / ne, 6) END AS recall
+           |FROM x""".stripMargin,
       // key skew: quantile_cont over the key-grain count table
       "q128_key_skew" ->
         """WITH c AS (SELECT l_partkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1)
