@@ -215,6 +215,16 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // export integrity manifest: per-shard counts, token totals, and an
+    // order-insensitive mod-P content checksum over q44's shard layout —
+    // the pre-flight check a training job runs before consuming a shard
+    // (graft.ops.Corpus.exportManifest)
+    "q130_export_manifest" -> ((s, dir) => {
+      Corpus.exportManifest(tbl(s, dir, "documents"), "doc_id", "text",
+          shards = 16)
+        .orderBy(col("shard"))
+    }),
+
     // LSH quality evaluation: the minhash band candidates (q17) scored
     // against the exact Jaccard >= 0.1 ground truth (q16) — the
     // precision/recall readout that justifies (or retunes) the banding
@@ -2265,6 +2275,19 @@ object SparkEntry {
            |   + 1.0 - least(($punctSql)*5.0, 1.0))/3.0, 4) AS quality_score,
            | ${fpSql("text")} AS fingerprint
            |FROM ws ORDER BY doc_id""".stripMargin,
+      // export manifest: q44's shard hash, whitespace token counts, mod-P
+      // fingerprint checksum
+      "q130_export_manifest" ->
+        s"""WITH ws AS ($wsSql),
+           | h AS (SELECT ws.doc_id,
+           |        ((ws.doc_id % 1000000007 + 1000000007) % 1000000007*2654435761 + 7) % 1000000007 % 16 AS shard,
+           |        len(l)::BIGINT AS nt,
+           |        ${fpSql("text")} AS fp
+           |       FROM ws)
+           |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+           | sum(nt)::BIGINT AS n_tokens,
+           | (sum(fp) % 1000000007)::BIGINT AS checksum
+           |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
       // LSH quality: exact (q16) and candidate (q17) CTE chains composed,
       // counts + one fixed ratio chain
       "q129_lsh_quality" ->

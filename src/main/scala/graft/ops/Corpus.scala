@@ -467,6 +467,35 @@ object Corpus {
         col("share"), col("weight"), col("eff_tokens"))
   }
 
+  /** Export integrity manifest: one row per shard of [[shuffledExport]]'s
+    * layout with counts, token totals, and an ORDER-INSENSITIVE content
+    * checksum — sum of per-document content fingerprints mod P, so any
+    * dropped, duplicated, or corrupted document changes the shard's
+    * checksum while re-partitioning/re-ordering cannot. The check a
+    * training job runs against the manifest before touching a shard, and
+    * the writer re-runs after. Everything is integer-exact (fingerprints
+    * are mod-P longs; the sum is carried exactly and reduced mod P), so
+    * the manifest is engine-portable bit for bit.
+    *
+    * Scale shape: per-row hash arithmetic + one map-side-combined
+    * aggregate to shard grain. No window, no join, no data-sized shuffle.
+    */
+  def exportManifest(docs: DataFrame, idCol: String, textCol: String,
+                     shards: Int = 16): DataFrame = {
+    val assigned = docs.select(col(idCol),
+      pmod(idHash(col(idCol), 7L), lit(shards.toLong)).as("shard"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("_nt"),
+      TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        // DECIMAL(38) carry: a long sum of mod-P fingerprints overflows
+        // (ANSI error) past ~1e9 docs per shard; 38 digits hold any real
+        // corpus exactly, and DuckDB's HUGEINT sum matches
+        (sum(col("_fp").cast(org.apache.spark.sql.types.DecimalType(38, 0))) % P)
+          .cast("long").as("checksum"))
+  }
+
   /** Corpus drift report: per value of `sliceCol`, the KL and JS
     * divergences between that slice's unigram distribution and the REST of
     * the corpus, over a fixed top-`vocab` term set — the distribution-level
