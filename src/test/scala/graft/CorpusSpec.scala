@@ -337,6 +337,29 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("exportManifest: checksum is order/partitioning-invariant, flags any content change") {
+    val df = (0L until 60L).map(i => (i, s"doc number $i words")).toDF("doc_id", "text")
+    val base = Corpus.exportManifest(df, "doc_id", "text", shards = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(base.keySet === Set(0L, 1L, 2L, 3L))
+    assert(base.values.map(_._1).sum === 60L)
+    // invariant under re-partitioning and row order
+    val re = Corpus.exportManifest(df.repartition(7).orderBy(col("text")), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(re === base)
+    // a single corrupted document flips exactly its shard's checksum
+    val corrupted = df.withColumn("text",
+      when(col("doc_id") === 17L, lit("tampered")).otherwise(col("text")))
+    val bad = Corpus.exportManifest(corrupted, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val changed = base.keys.filter(k => bad(k) != base(k)._3)
+    assert(changed.size === 1)
+    // matches shuffledExport's shard for that doc
+    val shard17 = Corpus.shuffledExport(df, "doc_id", 4)
+      .where(col("doc_id") === 17L).select("shard").head.getLong(0)
+    assert(changed.head === shard17)
+  }
+
   test("lengthBatches: hand-computed buckets, batch cuts, padding; partition-invariant") {
     // token lengths 1,2,3 (bucket 0 at width 4) and 5,5,6 (bucket 1)
     val df = Seq(
