@@ -3393,18 +3393,18 @@ object SparkEntry {
           |        coalesce(printf('%.6f', max(event_id)::DOUBLE), 'null') AS max_num
           | FROM events
           | UNION ALL
-          | SELECT 'user_id', count(*), sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
-          |        count(DISTINCT user_id),
+          | SELECT 'user_id', count(*)::BIGINT, sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          |        count(DISTINCT user_id)::BIGINT,
           |        coalesce(printf('%.6f', min(user_id)::DOUBLE), 'null'),
           |        coalesce(printf('%.6f', max(user_id)::DOUBLE), 'null')
           | FROM events
           | UNION ALL
-          | SELECT 'event_type', count(*), sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
-          |        count(DISTINCT event_type), 'null', 'null'
+          | SELECT 'event_type', count(*)::BIGINT, sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          |        count(DISTINCT event_type)::BIGINT, 'null', 'null'
           | FROM events
           | UNION ALL
-          | SELECT 'value', count(*), sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
-          |        count(DISTINCT value),
+          | SELECT 'value', count(*)::BIGINT, sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          |        count(DISTINCT value)::BIGINT,
           |        coalesce(printf('%.6f', min(value)::DOUBLE), 'null'),
           |        coalesce(printf('%.6f', max(value)::DOUBLE), 'null')
           | FROM events)

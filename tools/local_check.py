@@ -42,12 +42,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             n_bad += 1
             continue
+        # dtype-strict first: the driver's hash is dtype-sensitive, so a
+        # value-for-value match with differing dtypes (e.g. DuckDB HUGEINT ->
+        # float64 vs Spark int64) is still a driver FAIL. Compare str(dtype)
+        # per column before any value comparison — never coerce.
+        dtype_diffs = [f"col {c} dtype exp={exp[c].dtype} got={got[c].dtype}"
+                       for c in exp.columns if str(exp[c].dtype) != str(got[c].dtype)]
+        if dtype_diffs:
+            print(f"FAIL {name}: " + "; ".join(dtype_diffs))
+            n_bad += 1
+            continue
         # order-insensitive value compare (driver sorts cols by name then hashes)
         ev = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
         gv = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         diffs = []
         for c in ev.columns:
-            a, b = ev[c], gv[c].astype(ev[c].dtype) if str(ev[c].dtype) != str(gv[c].dtype) else gv[c]
+            a, b = ev[c], gv[c]
             neq = ~((a == b) | (a.isna() & b.isna()))
             if neq.any():
                 i = neq.idxmax()
