@@ -108,7 +108,13 @@ object Bench {
     def buildLine(): String = {
       import scala.jdk.CollectionConverters._
       val results = done.asScala.toVector.sortBy(_._1)
-      val total = results.map(_._2.min).sum
+      // A failed query's sample is its time-to-THROW, not a real cost —
+      // including it understates the suite total exactly the way round-8's
+      // swallowed-exception bench did. Headline total sums successes only;
+      // the failed names still appear in `errors`/`failed`.
+      val total = results.collect {
+        case (k, v) if !failed.contains(k) => v.min
+      }.sum
       val flags = (if (degraded) List("\"degraded\":true") else Nil) ++
         (if (skipped > 0) List(s"\"skipped\":$skipped") else Nil) ++
         (if (!failed.isEmpty) List(s"\"errors\":${failed.size}") else Nil)
@@ -136,7 +142,9 @@ object Bench {
     def writeRaw(): Unit = {
       import scala.jdk.CollectionConverters._
       val results = done.asScala.toVector.sortBy(_._1)
-      val total = results.map(_._2.min).sum
+      val total = results.collect {
+        case (k, v) if !failed.contains(k) => v.min
+      }.sum
       val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + f(v.min) }
         .mkString("{", ",", "}")
       val raw = results.map { case (k, v) =>

@@ -31,9 +31,27 @@ object Indicators {
   private def dec(c: Column): Column =
     round(c, 4).cast(DecimalType(28, 4))
 
-  /** Decimal frame-sum of a rounded double term. */
+  /** Round-4 term as a 1e4-scaled long: the exact integer 10^4·round(c,4).
+    * round(c,4) is the double nearest the half-up 4-dp value v; ·10^4 then
+    * round(·,0) recovers v·10^4 exactly (error ≪ 0.5), and the long cast is
+    * exact below 2^53. Long frame-sums are then EXACT and order-independent
+    * — same contract as the decimal path — but accumulate as primitive
+    * adds instead of per-row BigDecimal ops (the dominant cost of the
+    * indicator windows at bench scale).
+    */
+  private def l4(c: Column): Column =
+    round(round(c, 4) * 10000.0, 0).cast("long")
+
+  /** Frame-sum of a rounded double term, exact and order-independent.
+    * Scaled-long sum → double → /10^4: both divisor and dividend are exact
+    * doubles (|sum·10^4| < 2^53 for every bounded frame here), so the one
+    * division is correctly rounded — bit-identical to the decimal-sum
+    * `::DOUBLE` the oracle computes. Bounded frames only: an UNBOUNDED
+    * running sum (obv) keeps the DecimalType path, whose range outlives
+    * 2^53/10^4 at full scale.
+    */
   private def fsum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
-    sum(dec(c)).over(w).cast("double")
+    sum(l4(c)).over(w).cast("double") / 10000.0
 
   /** Simple moving average of `c` over the trailing `n` rows (shorter at
     * the head of the series — standard expanding warmup).
@@ -95,8 +113,8 @@ object Indicators {
     val loss = when(diff < 0.0, -diff).otherwise(lit(0.0))
     // decimal frame-sums of the rounded gains/losses; counts exclude the
     // null first-diff automatically via the when(isNotNull) guard
-    val g = sum(when(diff.isNotNull, dec(gain))).over(wf).cast("double")
-    val l = sum(when(diff.isNotNull, dec(loss))).over(wf).cast("double")
+    val g = sum(when(diff.isNotNull, l4(gain))).over(wf).cast("double") / 10000.0
+    val l = sum(when(diff.isNotNull, l4(loss))).over(wf).cast("double") / 10000.0
     when(diff.isNull, lit(null).cast("double"))
       .when(l === 0.0, lit(100.0))
       .otherwise(round(lit(100.0) - lit(100.0) / (lit(1.0) + g / l), 4))
@@ -123,7 +141,7 @@ object Indicators {
     val pc = lag(close, 1).over(wl)
     val tr = when(pc.isNull, high - low)
       .otherwise(greatest(high - low, abs(high - pc), abs(low - pc)))
-    round(sum(dec(tr)).over(wf).cast("double") / count(lit(1)).over(wf), 6)
+    round(sum(l4(tr)).over(wf).cast("double") / 10000.0 / count(lit(1)).over(wf), 6)
   }
 
   /** Stochastic %K over the trailing `n` bars:
@@ -249,7 +267,7 @@ object Indicators {
       .withColumn("pair", concat(col("sym_a"), lit("-"), col("sym_b")))
     val w = Window.partitionBy(col("pair")).orderBy(col("ts_sec"))
       .rowsBetween(-(n - 1), 0)
-    def s(c: Column): Column = sum(dec(c)).over(w).cast("double")
+    def s(c: Column): Column = sum(l4(c)).over(w).cast("double") / 10000.0
     val (x, y) = (col("x"), col("y"))
     val cnt = count(lit(1)).over(w)
     val (sx, sy, sxy, sx2, sy2) = (s(x), s(y), s(x * y), s(x * x), s(y * y))
