@@ -219,6 +219,34 @@ object SparkEntry {
     // order-insensitive mod-P content checksum over q44's shard layout —
     // the pre-flight check a training job runs before consuming a shard
     // (graft.ops.Corpus.exportManifest)
+    // mergeable bottom-k sample quantile sketch: per-(event_type, day)
+    // persisted sample states folded to whole-range p50/p90/p99 estimates
+    // WITHOUT rescanning history — the quantile twin of q122's KMV fold;
+    // the fold is lossless (bottom-k of bottom-ks), so the oracle is the
+    // direct global bottom-k sample (graft.ops.Quantiles.sampleQuantile*)
+    "q131_sample_quantile_sketch" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("day", expr("ts_ns DIV 1000000000 DIV 86400"))
+      val st = Quantiles.sampleQuantileState(ev, Seq("event_type"), "day",
+        "event_id", "value", k = 256)
+      Quantiles.sampleQuantileMerge(st, Seq("event_type"), "day", k = 256,
+          Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+        .select(col("event_type"), col("n_total"), col("n_sampled"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+          round(col("p99"), 4).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
+    // SimHash bucket registry: per 8-bit blocking bucket the min-id anchor
+    // and population — the standing candidate-routing state an incremental
+    // near-dup pipeline persists (bounded: <= 1024 rows forever), and the
+    // batch twin the streaming DedupStream face is parity-gated against
+    // (graft.ops.Dedup.simhashBucketRegistry)
+    "q132_simhash_buckets" -> ((s, dir) => {
+      Dedup.simhashBucketRegistry(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("chunk"), col("v"))
+    }),
+
     "q130_export_manifest" -> ((s, dir) => {
       Corpus.exportManifest(tbl(s, dir, "documents"), "doc_id", "text",
           shards = 16)
@@ -2855,6 +2883,31 @@ object SparkEntry {
           | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
           | ON e.user_id = p.user_id AND e.ts >= p.ts
           |ORDER BY e.event_id""".stripMargin,
+      "q131_sample_quantile_sketch" ->
+        """WITH e AS (SELECT event_type, event_id,
+          |        ((event_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv,
+          |        value FROM events WHERE value IS NOT NULL),
+          | r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hv, event_id) AS rn FROM e),
+          | t AS (SELECT event_type, count(*) AS n_total FROM e GROUP BY 1)
+          |SELECT event_type, t.n_total::BIGINT AS n_total, count(*)::BIGINT AS n_sampled,
+          | round(quantile_cont(value, 0.5), 4) AS p50,
+          | round(quantile_cont(value, 0.9), 4) AS p90,
+          | round(quantile_cont(value, 0.99), 4) AS p99
+          |FROM r JOIN t USING (event_type) WHERE rn <= 256
+          |GROUP BY event_type, t.n_total ORDER BY event_type""".stripMargin,
+      "q132_simhash_buckets" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
+           | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
+           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
+           |          FROM wh, range(0,32) t(j) GROUP BY 1,2),
+           | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
+           |          FROM bits GROUP BY 1),
+           | ch AS (SELECT doc_id, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           |        FROM sigs, range(0,4) t(c))
+           |SELECT chunk::BIGINT AS chunk, v::BIGINT AS v,
+           | min(doc_id)::BIGINT AS anchor_id, count(*)::BIGINT AS n_docs
+           |FROM ch GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
       "q27_simhash_pairs" ->
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),

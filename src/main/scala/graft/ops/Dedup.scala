@@ -476,6 +476,33 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** SimHash BUCKET REGISTRY: per 8-bit-chunk blocking bucket of the
+    * 32-bit signature, the smallest member doc id (the bucket's dedup
+    * anchor) and its population — the persisted lookup table an
+    * incremental near-dup pipeline maintains so each new document can be
+    * routed to candidate anchors WITHOUT re-joining history
+    * ([[simhashCandidates]] is the from-scratch batch pass; this is its
+    * standing-state form, and `streaming.DedupStream` maintains the same
+    * registry live with bounded per-bucket state).
+    *
+    * The keyspace is fixed — 4 chunks × 256 byte values = at most 1024
+    * rows regardless of corpus size — so the aggregate reduces map-side
+    * to ~nothing and the registry is broadcastable forever.
+    *
+    * Output: (chunk 0-3, v 0-255, anchor_id = min id, n_docs).
+    */
+  def simhashBucketRegistry(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val chunks = 4
+    docs.select(col(idCol), simhash(col(textCol)).as("_sig"))
+      .select(col(idCol),
+        explode(array((0 until chunks).map(c =>
+          struct(lit(c.toLong).as("chunk"),
+            shiftright(col("_sig"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
+      .groupBy(col("_c.chunk").as("chunk"), col("_c.v").as("v"))
+      .agg(min(col(idCol)).as("anchor_id"), count(lit(1)).as("n_docs"))
+  }
+
   /** Span-level exact-substring duplication report (the signal behind
     * "Deduplicating Training Data Makes Language Models Better"-style
     * exact substring dedup): slide a `window`-token window every `stride`

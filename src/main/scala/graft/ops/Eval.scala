@@ -107,9 +107,15 @@ object Eval {
   }
 
   /** Two-proportion z-test for a hash-bucketed experiment: conversion rates
-    * of `control` vs the (single) other arm at UNIT grain — repeated events
+    * of `control` vs each other arm at UNIT grain — repeated events
     * per unit collapse to one converted-or-not flag first, the standard
     * guard against per-event pseudo-replication inflating significance.
+    *
+    * Multi-arm semantics: with more than one non-control arm the output is
+    * one row PER treatment arm, each an independent pairwise test against
+    * control (pooled variance over that pair only — Dunnett-style contrasts
+    * WITHOUT any multiplicity correction; apply Bonferroni/Dunnett to the
+    * resulting z values downstream if family-wise error matters).
     *
     *   z = (p_t − p_c) / sqrt( p̂(1−p̂)(1/n_c + 1/n_t) ),  p̂ pooled
     *
@@ -119,8 +125,8 @@ object Eval {
     * Scale shape: one map-side-combined aggregate to (arm, unit) grain,
     * one to arm grain (2 rows), then scalar arithmetic on a 1×1 join.
     *
-    * Output (one row): (arm_control, arm_treatment, n_c, n_t, conv_c,
-    * conv_t, rate_c r6, rate_t r6, lift r6, z r4).
+    * Output (one row per treatment arm): (arm_control, arm_treatment, n_c,
+    * n_t, conv_c, conv_t, rate_c r6, rate_t r6, lift r6, z r4).
     */
   def abTest(df: DataFrame, unitCol: String, armCol: String,
              convFlag: Column, control: String): DataFrame = {

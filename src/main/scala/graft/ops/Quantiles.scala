@@ -61,8 +61,10 @@ object Quantiles {
     * token-weighted corpus statistics ("the median TOKEN lives in a
     * document of length X"), where expanding would multiply the corpus by
     * its token count. Weights must be non-negative integers for the rank
-    * arithmetic to stay exact; zero-weight rows contribute nothing (like
-    * absent rows, but their group still surfaces, with NULL when empty).
+    * arithmetic to stay exact; zero-weight rows contribute nothing — they
+    * are filtered with the nulls, so a group whose rows are ALL zero-weight
+    * is absent from the output entirely (same as the weight-expanded
+    * multiset, where such a group has no rows).
     */
   def exactInterpolatedWeighted(df: DataFrame, groupCols: Seq[String],
                                 valueCol: String, weight: Column,
@@ -378,5 +380,96 @@ object Quantiles {
         dmean(wv).as("mean_wins"),
         sum(when(v < col("_plo") || v > col("_phi"), 1L).otherwise(0L))
           .as("n_clipped"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Mergeable bottom-k sample quantile sketch
+  // ---------------------------------------------------------------------
+
+  /** Mergeable quantile-sketch STATE: per (group, partition) the k rows
+    * with the smallest portable hash of their unique id — the
+    * persisted-state twin of [[exactInterpolated]], completing the
+    * incremental-maintenance pattern `Sketches.kmvState`/`kmvMerge` (q122)
+    * established for cardinality: a pipeline lands one small sketch table
+    * per day/shard and folds whole-range quantile ESTIMATES later without
+    * rescanning history.
+    *
+    * The sketch is a bottom-k row sample ordered by `(hash(id), id)` — a
+    * total order, since ids are unique — so it merges LOSSLESSLY: every
+    * row in the global bottom-k is necessarily in its own partition's
+    * bottom-k, the same top-k-of-top-k property KMV rests on. Unlike KLL /
+    * t-digest the merge is therefore BIT-DETERMINISTIC (no random
+    * compaction coin), which is what lets the folded estimates be
+    * hash-gated against a SQL oracle. Rank error of a k-uniform sample is
+    * O(1/sqrt(k)) with high probability (Vapnik–Chervonenkis sampling
+    * bound) — the classical trade against KLL's O(1/k), bought for exact
+    * engine-portable determinism; PropertySpec asserts the observed rank
+    * error stays under the 3-sigma envelope across seeds.
+    *
+    * NULL values are filtered before sampling AND counting (mirroring
+    * `percentile()` semantics), so `_pn` is the cell's NON-NULL row count.
+    *
+    * Scale: one exchange on (group, part); the rank and cell-count windows
+    * share it. Output ≤ k rows per cell: (groupCols, partCol, _hv, _id,
+    * _v, _pn).
+    */
+  def sampleQuantileState(df: DataFrame, groupCols: Seq[String],
+                          partCol: String, idCol: String, valueCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val cell = (groupCols :+ partCol).map(col)
+    val wRank = Window.partitionBy(cell: _*).orderBy(col("_hv"), col("_id"))
+    val wCnt = Window.partitionBy(cell: _*)
+    df.where(col(valueCol).isNotNull)
+      .select(cell ++ Seq(Sketches.longHash(col(idCol)).as("_hv"),
+        col(idCol).cast("long").as("_id"), col(valueCol).as("_v")): _*)
+      .withColumn("_pn", count(lit(1)).over(wCnt))
+      .withColumn("_rn", row_number().over(wRank))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Fold per-partition sample states to whole-range quantile estimates.
+    * The re-selected global bottom-k equals the bottom-k of the raw union
+    * (lossless merge, see [[sampleQuantileState]]), so the fold touches
+    * only sketch rows (≤ partitions × k per group) yet returns exactly
+    * what [[sampleQuantiles]] computes directly over the raw data —
+    * asserted bit-for-bit by PropertySpec at several partitionings.
+    *
+    * Output: (groupCols, n_total = exact non-null row count accumulated
+    * from the per-cell counts, n_sampled = min(n_total, k), then one
+    * column per spec — interpolated percentiles of the SAMPLE via the
+    * same [[exactInterpolated]] arithmetic the exact path uses).
+    */
+  def sampleQuantileMerge(state: DataFrame, groupCols: Seq[String],
+                          partCol: String, k: Int,
+                          specs: Seq[(Double, String)]): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("_hv"), col("_id"))
+    val sample = state
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+    // each cell's _pn repeats on every retained row; a nonempty cell keeps
+    // >= 1 row, so summing one _pn per cell recovers the exact total
+    val totals = state.groupBy((g :+ col(partCol)): _*)
+      .agg(min(col("_pn")).as("_cn"))
+      .groupBy(g: _*).agg(sum(col("_cn")).as("n_total"))
+    val counts = sample.groupBy(g: _*).agg(count(lit(1)).as("n_sampled"))
+    val quants = exactInterpolated(sample, groupCols, "_v", specs)
+    totals.join(counts, groupCols).join(quants, groupCols)
+  }
+
+  /** Direct (single-pass) form of the sample-quantile sketch: bottom-k
+    * sample of the whole input per group, then interpolated percentiles of
+    * the sample. Defined AS state+merge over a constant partition key so
+    * the fold-equivalence is structural, not re-derived arithmetic.
+    */
+  def sampleQuantiles(df: DataFrame, groupCols: Seq[String], idCol: String,
+                      valueCol: String, k: Int,
+                      specs: Seq[(Double, String)]): DataFrame = {
+    val st = sampleQuantileState(df.withColumn("_part", lit(0)),
+      groupCols, "_part", idCol, valueCol, k)
+    sampleQuantileMerge(st, groupCols, "_part", k, specs)
   }
 }

@@ -53,8 +53,6 @@ object Skew {
     * combined aggregate.
     */
   def keyStats(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    // NOT named _n: exactInterpolated's carry summary uses _n internally
-    // and the restore join would see both
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_kc"))
       .withColumn("_g", lit(1))
     val q = Quantiles.exactInterpolated(counts, Seq("_g"), "_kc",

@@ -69,6 +69,35 @@ case class RawBar(openTimeMs: Long, open: Double, high: Double, low: Double,
   * list of a DataSourceV2; driver-side fetch + createDataFrame is the
   * single-node form.
   */
+object BinanceSource {
+  /** 429 retry wrapper for the injected page fetch (reference
+    * providers/binance/client.py:35-50): on an HTTP-429-shaped failure
+    * retry up to [[Pacing.binanceMaxRetries]] times, sleeping the published
+    * min(2^attempt, 10)-second backoff between attempts; any other failure,
+    * or a 429 past the retry budget, propagates. The sleeper is injected so
+    * the schedule is testable without wall-clock time; compose as
+    * `new BinanceSource(BinanceSource.withRetry429(transport))`.
+    */
+  def withRetry429(fetchPage: (String, String, Long, Long, Int) => Seq[RawBar],
+                   sleeper: Long => Unit = ms => Thread.sleep(ms)):
+      (String, String, Long, Long, Int) => Seq[RawBar] =
+    (sym, iv, startMs, endMs, limit) => {
+      var attempt = 0
+      var out: Option[Seq[RawBar]] = None
+      while (out.isEmpty) {
+        try out = Some(fetchPage(sym, iv, startMs, endMs, limit))
+        catch {
+          case e: Exception
+            if Option(e.getMessage).exists(_.contains("429")) &&
+               attempt < Pacing.binanceMaxRetries =>
+            sleeper(Pacing.binance429BackoffSeconds(attempt) * 1000L)
+            attempt += 1
+        }
+      }
+      out.get
+    }
+}
+
 class BinanceSource(fetchPage: (String, String, Long, Long, Int) => Seq[RawBar]) {
 
   val barsPerRequest = 1000

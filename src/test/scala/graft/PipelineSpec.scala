@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Timeframe
-import graft.lake.{Aggregates, LakeProvider, LakeWriter}
+import graft.lake.{Aggregates, LakeProvider, LakeReader, LakeWriter}
 import graft.ops.{Multimodal, Qc}
 import graft.sources.{BinanceSource, IbkrSource, RawBar, SymbolMap, SynthSource}
 import graft.streaming.CandleStream
@@ -91,6 +91,110 @@ class PipelineSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       IbkrSource.withAggTradesDowngrade(_ => throw new RuntimeException("pacing violation"))
     }
+  }
+
+  // deterministic multi-day M1 fixture: OHLCV is a pure function of the
+  // bar's open-time minute, so the expected lake content is recomputable
+  // in-test without trusting any engine code under test
+  private def fixtureBar(tMs: Long): RawBar = {
+    val m = tMs / 60000L
+    val p = (m % 97).toDouble / 7.0 + 1.0
+    RawBar(tMs, p, p + 2.0, p - 1.0, p + 1.0, (m % 3 + 1).toDouble)
+  }
+
+  test("binance fixture replay E2E: paged multi-day ingest with a 429 retry -> upsert -> readRange -> resample") {
+    val day1 = Instant.parse("2025-08-01T00:00:00Z")
+    val day3 = Instant.parse("2025-08-03T00:00:00Z")
+    // canned transport: serves the fixture series in 1000-bar pages and
+    // fails the SECOND page request with a 429 exactly once
+    var pageCalls = 0
+    var thrown429 = false
+    val transport = (sym: String, iv: String, fromMs: Long, toMs: Long, limit: Int) => {
+      assert(sym === "BTCUSDT" && iv === "1m" && limit === 1000)
+      pageCalls += 1
+      if (pageCalls == 2 && !thrown429) {
+        thrown429 = true
+        throw new RuntimeException("HTTP 429 Too Many Requests")
+      }
+      Iterator.iterate(fromMs)(_ + 60000L).takeWhile(_ < toMs).take(limit)
+        .map(fixtureBar).toSeq
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val src = new BinanceSource(BinanceSource.withRetry429(transport, sleeps += _))
+    val root = Files.createTempDirectory("binance_e2e").toString
+    // two single-day ingest windows, exactly how the fill orchestrator
+    // walks a month (3 pages/day at 1000 bars -> 6 page calls + 1 retried)
+    Seq(day1, day1.plusSeconds(86400)).foreach { d =>
+      LakeWriter.upsert(spark, root,
+        src.fetch(spark, "BTC-USD", Timeframe.M1, d, d.plusSeconds(86400)))
+    }
+    assert(pageCalls === 5 && sleeps.toSeq === Seq(1000L),
+      "expected 4 served pages (2/day at 1000 bars) + 1 retried 429 with the published 1 s first backoff")
+    val back = LakeReader.readRange(spark, root, "binance", "BTC-USD", "M1",
+      Some(Timestamp.from(day1)), Some(Timestamp.from(day3)))
+    val got = back.select("ts", "open", "high", "low", "close", "volume")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val want = Iterator.iterate(day1.toEpochMilli)(_ + 60000L)
+      .takeWhile(_ < day3.toEpochMilli).map(fixtureBar)
+      .map(b => (b.openTimeMs, b.open, b.high, b.low, b.close, b.volume)).toSeq
+    assert(got === want, "lake read-back != canned payload")
+    // resample the lake read to M5 and check against the independently
+    // recomputed expectation from the raw fixture
+    val m5 = graft.ops.Resample.ohlcv(back, Timeframe.M5)
+      .select("ts", "open", "high", "low", "close", "volume")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val wantM5 = want.groupBy(_._1 / 300000L).toSeq.sortBy(_._1).map { case (b, bars) =>
+      (b * 300000L, bars.head._2, bars.map(_._3).max, bars.map(_._4).min,
+        bars.last._5, bars.map(_._6).sum)
+    }
+    assert(m5 === wantM5, "M5 resample != fixture-derived expectation")
+  }
+
+  test("ibkr fixture replay E2E: chunked multi-day ingest with a 10299 downgrade -> upsert -> readRange -> resample") {
+    val d1 = LocalDate.parse("2025-08-01")
+    val d2 = LocalDate.parse("2025-08-02")
+    // canned TWS transport: 8h of fixture M1 bars per chunk; the SECOND
+    // chunk request rejects TRADES with the 10299 error once, forcing the
+    // downgrade path through IbkrSource.withAggTradesDowngrade
+    val wtsCalls = scala.collection.mutable.ArrayBuffer.empty[String]
+    var chunkCalls = 0
+    val src = new IbkrSource((sym, from, to) => {
+      assert(sym === "BTC-USD")
+      chunkCalls += 1
+      val isSecond = chunkCalls == 2
+      val (bars, used) = IbkrSource.withAggTradesDowngrade({ wts =>
+        wtsCalls += wts
+        if (isSecond && wts == "TRADES")
+          throw new RuntimeException(
+            "Error 10299: requested what to show is not available; use whatToShow=AGGTRADES")
+        Iterator.iterate(from.toEpochMilli)(_ + 60000L).takeWhile(_ < to.toEpochMilli)
+          .map(fixtureBar).toSeq
+      }, "TRADES")
+      assert(used === (if (isSecond) "AGGTRADES" else "TRADES"))
+      bars
+    })
+    val root = Files.createTempDirectory("ibkr_e2e").toString
+    Seq(d1, d2).foreach(d => LakeWriter.upsert(spark, root, src.fetchDay(spark, "BTC-USD", d)))
+    assert(chunkCalls === 6, "2 days x 3 8h chunks")
+    assert(wtsCalls.count(_ == "AGGTRADES") === 1 && wtsCalls.size === 7,
+      "exactly one downgrade retry among 6 chunk fetches")
+    // bar-END stamps: day d covers (d 00:01 .. d+1 00:00]
+    val from = Timestamp.from(Instant.parse("2025-08-01T00:00:00Z"))
+    val to = Timestamp.from(Instant.parse("2025-08-03T00:01:00Z"))
+    val back = LakeReader.readRange(spark, root, "ibkr", "BTC-USD", "M1", Some(from), Some(to))
+    val got = back.select("ts", "open", "high", "low", "close", "volume")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val want = Iterator.iterate(Instant.parse("2025-08-01T00:00:00Z").toEpochMilli)(_ + 60000L)
+      .takeWhile(_ < Instant.parse("2025-08-03T00:00:00Z").toEpochMilli).map(fixtureBar)
+      .map(b => (b.openTimeMs + 60000L, b.open, b.high, b.low, b.close, b.volume)).toSeq
+    assert(got === want, "lake read-back != bar-end-shifted canned payload")
+    assert(got.size === 2880)
+    // resample sanity on the shifted stamps: (00:01 .. 00:00] straddles the
+    // 5-minute grid, so 2880 bar-end M1 stamps land in 577 left-label buckets
+    assert(graft.ops.Resample.ohlcv(back, Timeframe.M5).count() === 577L)
   }
 
   test("weight budget: paces requests and sleeps out exhausted windows") {

@@ -66,13 +66,56 @@ class PropertySpec extends AnyFunSuite {
       val ref = graft.ops.Quantiles.exactInterpolated(expanded, Seq("g"), "v",
           ps.zipWithIndex.map { case (p, i) => p -> s"q$i" })
         .orderBy("g").collect()
-      // groups whose weights are ALL zero vanish from the expansion but
-      // surface NULL from the weighted pass — compare on common groups
+      // groups whose weights are ALL zero are dropped by BOTH sides (the
+      // weighted pass filters them with the nulls; the expansion has no
+      // rows for them) — so the group sets must match exactly
+      assert(weighted.map(_.getString(0)).toSet === ref.map(_.getString(0)).toSet,
+        s"seed=$seed group sets differ")
       val refMap = ref.map(r => r.getString(0) -> r).toMap
       weighted.foreach { e =>
-        refMap.get(e.getString(0)).foreach { r =>
-          ps.indices.foreach(i => assert(e.getDouble(i + 1) === r.getDouble(i + 1),
-            s"seed=$seed group=${e.getString(0)} p=${ps(i)}"))
+        val r = refMap(e.getString(0))
+        ps.indices.foreach(i => assert(e.getDouble(i + 1) === r.getDouble(i + 1),
+          s"seed=$seed group=${e.getString(0)} p=${ps(i)}"))
+      }
+    }
+  }
+
+  test("property: sampleQuantile fold == direct bottom-k, bit for bit; rank error in the sampling bound") {
+    import spark.implicits._
+    for (seed <- seeds; nParts <- Seq(1, 4, 13)) {
+      val k = 128
+      val rows = (0 until 3000).map { i =>
+        val h = (i * 2654435761L + seed * 40503L) & 0x7fffffffL
+        (s"g${h % 2}", i.toLong, (h % 10000).toDouble / 11.0, h % nParts)
+      }
+      val df = rows.toDF("g", "id", "v", "part")
+      val specs = Seq(0.5 -> "p50", 0.9 -> "p90")
+      val st = graft.ops.Quantiles.sampleQuantileState(df, Seq("g"), "part", "id", "v", k)
+      val folded = graft.ops.Quantiles.sampleQuantileMerge(st, Seq("g"), "part", k, specs)
+        .orderBy("g").collect()
+      val direct = graft.ops.Quantiles.sampleQuantiles(df, Seq("g"), "id", "v", k, specs)
+        .orderBy("g").collect()
+      // lossless merge: folding per-part states is BIT-identical to the
+      // direct global bottom-k, at any partitioning of the input
+      assert(folded.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq,
+        s"seed=$seed nParts=$nParts fold != direct")
+      // n_total is the exact row count (no nulls in this input)
+      val byG = rows.groupBy(_._1)
+      folded.foreach { r =>
+        assert(r.getAs[Long]("n_total") === byG(r.getString(0)).size.toLong)
+        assert(r.getAs[Long]("n_sampled") === k.toLong)
+      }
+      // estimate quality: the empirical rank of each estimate stays inside
+      // the 3-sigma binomial envelope for a k-uniform sample (deterministic
+      // here — fixed seeds — but the bound is the principled one)
+      folded.foreach { r =>
+        val vs = byG(r.getString(0)).map(_._3).sorted
+        specs.zipWithIndex.foreach { case ((p, nm), _) =>
+          val est = r.getAs[Double](nm)
+          val rank = vs.count(_ <= est).toDouble / vs.size
+          val bound = 3.0 * math.sqrt(p * (1 - p) / k) + 1.0 / vs.size
+          assert(math.abs(rank - p) <= bound,
+            s"seed=$seed nParts=$nParts $nm rank=$rank off by more than $bound")
         }
       }
     }

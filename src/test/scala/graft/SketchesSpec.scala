@@ -258,6 +258,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum === 1500L * 4, "every event lands in every row")
   }
 
+  test("streaming simhash bucket registry: final registry bit-matches the batch op on real documents") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs = docsDf.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    // three micro-batches: anchors and counts must fold order-insensitively
+    docs.grouped(math.max(1, docs.size / 3 + 1)).foreach(c => input.addData(c))
+    val streamed = graft.streaming.DedupStream
+      .bucketsFinal(input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        queryName = "sh_buckets")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.ops.Dedup.simhashBucketRegistry(docsDf, "doc_id", "text")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+    // sanity: every doc lands in exactly 4 buckets
+    assert(batch.map(_._4).sum === 4L * docs.size)
+  }
+
   test("pqTopK: identical vectors meet at adist 0 rank 1; deterministic under repartitioning") {
     // 24 vectors in dim-8 (m=2 subspaces of 4): id 20 duplicates id 3, so
     // PQ must put them in the same cells and rank them mutually first
