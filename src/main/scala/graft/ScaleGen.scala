@@ -49,9 +49,23 @@ object ScaleGen {
     def replicated(t: String): DataFrame =
       src(t).withColumn("_rep", explode(sequence(lit(0), lit(reps - 1))))
 
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+    Seq("region", "nation", "customer", "part").foreach { t =>
       write(src(t), t, 1)
     }
+
+    // supplier scales WITH the corpus (it feeds the fuzzy-entity-join
+    // probes q97/q134): replica names get a suffix with THREE
+    // replica-dependent chars, so cross-replica twins sit at edit distance
+    // 3 > maxDist 2 instead of forming true-match 10-cliques — true pair
+    // counts then scale ~linearly like a real registry (the first probe
+    // run used a distance-1 suffix and measured the resulting ×100 OUTPUT
+    // growth, not operator cost — see PLANS.md round 10)
+    write(replicated("supplier")
+      .withColumn("s_name", when(col("_rep") === 0, col("s_name"))
+        .otherwise(concat(col("s_name"), lit("r"), col("_rep"),
+          lit("q"), col("_rep"), lit("z"), col("_rep"))))
+      .withColumn("s_suppkey", col("s_suppkey") + col("_rep") * 1000000L)
+      .drop("_rep"), "supplier", 1)
 
     write(replicated("lineitem")
       .withColumn("l_orderkey", col("l_orderkey") + col("_rep") * 100000000L)

@@ -247,6 +247,28 @@ object SparkEntry {
         .orderBy(col("chunk"), col("v"))
     }),
 
+    // 48-bit wide-signature SimHash near-dup pairs with 12-bit chunk
+    // blocking — the corpus-scale twin of q27: same 4-chunk <=3-hamming
+    // pigeonhole (exact, not recall-lossy), 16x the bucket keyspace, so
+    // collision candidates shrink 16x (the round-10 scale probe measured
+    // the 8-bit blocking super-linear past ~10^4 docs)
+    "q133_simhash_wide_pairs" -> ((s, dir) => {
+      Dedup.simhashCandidates(tbl(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3, bits = 48)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // EXACT edit-distance entity join via PassJoin segment indexing —
+    // unlike q97's same-length blocking this finds insert/delete shifts
+    // too, with completeness by pigeonhole instead of a blocking heuristic
+    // (graft.ops.Dedup.fuzzyPairsSegmented)
+    "q134_fuzzy_join_exact" -> ((s, dir) => {
+      Dedup.fuzzyPairsSegmented(tbl(s, dir, "supplier"), "s_suppkey",
+          "s_name", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q130_export_manifest" -> ((s, dir) => {
       Corpus.exportManifest(tbl(s, dir, "documents"), "doc_id", "text",
           shards = 16)
@@ -2883,6 +2905,28 @@ object SparkEntry {
           | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
           | ON e.user_id = p.user_id AND e.ts >= p.ts
           |ORDER BY e.event_id""".stripMargin,
+      "q133_simhash_wide_pairs" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
+           | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
+           | w2 AS (SELECT doc_id, h, ((h*h) % 1000000007 * 2654435761 + 11) % 1000000007 AS h2 FROM wh),
+           | bits AS (SELECT doc_id, t.j AS j,
+           |          sum(((CASE WHEN t.j < 30 THEN h >> t.j ELSE h2 >> (t.j - 30) END) & 1)*2 - 1) AS contrib
+           |          FROM w2, range(0,48) t(j) GROUP BY 1,2),
+           | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS sig
+           |          FROM bits GROUP BY 1),
+           | ch AS (SELECT doc_id, sig, t.c AS chunk, (sig >> (t.c*12)) & 4095 AS v
+           |        FROM sigs, range(0,4) t(c)),
+           | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |             bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+           |           FROM ch a JOIN ch b USING (chunk, v) WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+      "q134_fuzzy_join_exact" ->
+        """WITH s AS (SELECT s_suppkey AS id, s_name AS n FROM supplier)
+          |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.n, b.n)::BIGINT AS dist
+          |FROM s a JOIN s b ON a.id < b.id AND abs(length(a.n) - length(b.n)) <= 2
+          |WHERE levenshtein(a.n, b.n) <= 2
+          |ORDER BY 1, 2""".stripMargin,
       "q131_sample_quantile_sketch" ->
         """WITH e AS (SELECT event_type, event_id,
           |        ((event_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv,

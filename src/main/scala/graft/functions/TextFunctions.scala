@@ -147,12 +147,25 @@ object TextKernels {
   def simHash(text: UTF8String, bits: Int): Long = {
     val words = tokenize(text)
     val acc = new Array[Long](bits)
+    // The poly word hash lives in [0, P) ⊂ [0, 2^30), so signature bits
+    // past 30 would vote constant -1 and freeze at 0 — fine at the
+    // oracled 32-bit default (bits 30-31 are dead weight, consistent in
+    // both engines), fatal for a WIDE signature whose whole point is more
+    // blocking entropy. For bits > 32 the vote source widens to a 60-bit
+    // hash: low 30 bits from h, high bits from the second-level mix
+    // (h² mod P)·a+b mod P — the same portable remix HLL uses
+    // (Sketches.hllDistinct), so the oracle SQL can reproduce it exactly.
+    // bits <= 32 keeps the legacy path BIT-IDENTICAL (q18/q27/q132 parity).
+    val wide = bits > 32
+    require(bits <= 60, s"simHash supports at most 60 bits, got $bits")
     var i = 0
     while (i < words.length) {
       val h = polyHashStr(words(i))
+      val h2 = if (wide) (h * h % 1000000007L * 2654435761L + 11L) % 1000000007L else 0L
       var j = 0
       while (j < bits) {
-        acc(j) += ((h >> j) & 1L) * 2L - 1L
+        val bit = if (j < 30) (h >> j) & 1L else if (wide) (h2 >> (j - 30)) & 1L else 0L
+        acc(j) += bit * 2L - 1L
         j += 1
       }
       i += 1

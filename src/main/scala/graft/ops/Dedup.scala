@@ -274,6 +274,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Segment-indexed EXACT edit-distance self-join (the PassJoin scheme:
+    * Li, Deng & Feng, "PASS-JOIN: a partition-based method for similarity
+    * joins", VLDB 2012): every string is split into `maxDist`+1 contiguous
+    * segments; by pigeonhole, any pair within edit distance d must agree
+    * EXACTLY on at least one segment, at a start position shifted by at
+    * most d — so candidates come from an equi-join on (source length,
+    * segment index, segment text) between each string's segments and every
+    * ±d-shifted same-length substring of the other strings, and the
+    * thresholded-levenshtein verification runs only on those.
+    *
+    * Unlike [[fuzzyPairs]] (same-length blocking only — substitution
+    * matches), this finds ALL pairs with |len diff| <= d including
+    * insert/delete shifts, with NO recall loss: completeness is the
+    * pigeonhole lemma, not a blocking heuristic (PropertySpec asserts
+    * equality with brute-force all-pairs across seeded indel/substitution
+    * corpora).
+    *
+    * Scale shape: per string the probe side emits ≤ (2d+1)·(d+1)·(2d+1)
+    * keys (75 at d=2, deduped before the join) — a constant fan-out, then
+    * one equi-join whose candidate count tracks TRUE segment agreement.
+    * On realistic name corpora (differences spread across the string)
+    * candidates stay near-linear; a corpus sharing one long constant
+    * prefix degenerates to the prefix-segment bucket (= the data's real
+    * pairwise similarity — no exact method can block what genuinely
+    * matches; cap or switch to a recall-lossy entropy blockKey via
+    * [[fuzzyPairs]] when that is acceptable).
+    *
+    * Output: (id_a, id_b, dist), 0 <= dist <= maxDist, id_a < id_b.
+    */
+  def fuzzyPairsSegmented(df: DataFrame, idCol: String, strCol: String,
+                          maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4, "need 1 <= maxDist <= 4")
+    val k = maxDist + 1
+    val base = df.where(col(strCol).isNotNull)
+      .select(col(idCol).as("_id"), col(strCol).as("_s"),
+        length(col(strCol)).as("_len"))
+    // segment i of a length-L string: the first k - L%k segments get
+    // floor(L/k) chars, the rest one extra; start = i*floor + overflow
+    def segLen(ls: String, i: String) =
+      s"(($ls) div $k) + (CASE WHEN ($i) >= $k - (($ls) % $k) THEN 1 ELSE 0 END)"
+    def segPos(ls: String, i: String) =
+      s"(($i) * (($ls) div $k) + greatest(0, ($i) - ($k - (($ls) % $k))))"
+    val idx = base.select(col("_id").as("id_a"), col("_s").as("_sa"),
+      col("_len").as("_ls"),
+      explode(expr(s"""transform(sequence(0, ${k - 1}), i -> named_struct(
+        'i', i, 'sub', substring(_s, ${segPos("_len", "i")} + 1, ${segLen("_len", "i")})))""")).as("_g"))
+      .select(col("id_a"), col("_sa"), col("_ls"),
+        col("_g.i").as("_i"), col("_g.sub").as("_sub"))
+    val probe = base.select(col("_id").as("id_b"), col("_s").as("_sb"),
+      explode(expr(s"""flatten(transform(sequence(greatest(_len - $maxDist, 0), _len + $maxDist), ls ->
+        flatten(transform(sequence(0, ${k - 1}), i ->
+          transform(filter(sequence(${segPos("ls", "i")} - $maxDist, ${segPos("ls", "i")} + $maxDist),
+              q -> q >= 0 AND q + ${segLen("ls", "i")} <= _len),
+            q -> named_struct('ls', ls, 'i', i,
+              'sub', substring(_s, q + 1, ${segLen("ls", "i")})))))))""")).as("_g"))
+      .select(col("id_b"), col("_sb"), col("_g.ls").as("_ls"),
+        col("_g.i").as("_i"), col("_g.sub").as("_sub"))
+      .distinct() // multiple shifts often yield the same substring
+    idx.join(probe, Seq("_ls", "_i", "_sub"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(when(col("id_a") < col("id_b"),
+          struct(col("id_a").as("ia"), col("_sa").as("sa"),
+            col("id_b").as("ib"), col("_sb").as("sb")))
+        .otherwise(struct(col("id_b").as("ia"), col("_sb").as("sa"),
+          col("id_a").as("ib"), col("_sa").as("sb"))).as("_p"))
+      .select(col("_p.ia").as("id_a"), col("_p.sa").as("_sa"),
+        col("_p.ib").as("id_b"), col("_p.sb").as("_sb"))
+      .distinct() // a pair can agree on several (segment, shift) keys
+      .withColumn("dist", expr(s"levenshtein(_sa, _sb, $maxDist)").cast("long"))
+      .where(col("dist") >= 0L && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** 32-bit SimHash over word hashes: bit j of the signature is the sign of
     * sum over words of (2*bit_j(hash(word)) - 1). Portable arithmetic
     * (polynomial word hash + div/mod bit extraction, no engine intrinsics).
@@ -308,11 +381,14 @@ object Dedup {
     * degenerate (chunk, value) blocks (see object scaladoc).
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+                        maxHamming: Int = 3, maxBucket: Int = 100000,
+                        bits: Int = 32): DataFrame = {
+    require(bits % 4 == 0, "bits must split into 4 equal chunks")
     // self-joined below: cache the (id, sig) projection so the scan+sign
     // pipeline runs once, not once per join side (round-1 q27 hot spot)
-    val withSig = docs.select(col(idCol), simhash(col(textCol)).as("simhash")).cache()
-    simhashCandidatesFromSignatures(withSig, idCol, "simhash", maxHamming, maxBucket)
+    val withSig = docs.select(col(idCol), simhash(col(textCol), bits).as("simhash")).cache()
+    simhashCandidatesFromSignatures(withSig, idCol, "simhash", maxHamming,
+      maxBucket, chunkBits = bits / 4)
   }
 
   /** The canonical near-dup pipeline composition: MinHash+LSH candidate
@@ -422,52 +498,66 @@ object Dedup {
     * The cap-aware emission point is what preserves recall parity with the
     * naive emit-everywhere-then-distinct form: a pair whose first matching
     * chunk was capped away still emits from its next surviving matching
-    * chunk. It is affordable because the (chunk, byte) keyspace is FIXED at
-    * `chunks`*256 = 1024 buckets — the over-cap set is collected once
-    * (bounded by the keyspace, never by the data, so this scales to any
-    * corpus) and inlined into both the bucket filter and the first-match
-    * expression as literals. Pairs ONLY reachable through capped buckets
-    * are still lost — that is the cap's declared recall trade.
+    * chunk. It is affordable because the (chunk, value) keyspace is FIXED
+    * at `chunks`·2^chunkBits buckets (1024 at the 8-bit default) — the
+    * over-cap set is collected once (bounded by the keyspace, never by the
+    * data, so this scales to any corpus) and inlined into both the bucket
+    * filter and the first-match expression as literals. Pairs ONLY
+    * reachable through capped buckets are still lost — that is the cap's
+    * declared recall trade.
+    *
+    * `chunkBits` is the CORPUS-SCALE dial: expected bucket population is
+    * n·chunks/ (chunks·2^chunkBits) = n/2^chunkBits, and candidate pairs
+    * grow ~n²/2^chunkBits — the round-10 scale probe measured the 8-bit
+    * default super-linear past ~10^4 docs (exp 1.19 over sf0.1→sf1).
+    * Pair a WIDE signature ([[simhash]] bits > 32 uses a 60-bit word
+    * hash) with chunkBits = bits/4 to keep the ≤3-hamming pigeonhole
+    * (4 chunks) while growing the keyspace: bits=48 → 12-bit chunks →
+    * 16× smaller buckets → 16× fewer collision candidates, same shape.
     */
   def simhashCandidatesFromSignatures(sigs: DataFrame, idCol: String,
                                       sigCol: String = "simhash",
                                       maxHamming: Int = 3,
-                                      maxBucket: Int = 100000): DataFrame = {
+                                      maxBucket: Int = 100000,
+                                      chunkBits: Int = 8): DataFrame = {
+    require(chunkBits >= 4 && chunkBits <= 15, s"need 4 <= chunkBits <= 15")
     val withSig = sigs.select(col(idCol), col(sigCol).as("simhash"))
     val chunks = 4
+    val span = 1L << chunkBits
+    val mask = span - 1L
     val chunked = withSig.select(
       col(idCol), col("simhash"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask).as("v"))): _*)).as("_c"))
       .select(col(idCol), col("simhash"), col("_c.chunk"), col("_c.v"))
-    // Over-cap buckets, collected as (chunk*256 + byte) literals. The
-    // aggregate shuffles at most 1024 rows (the whole keyspace) no matter
-    // the corpus size, so the collect is safe at any scale — unlike the
-    // generic capBucket anti-join, which must stay distributed because its
-    // bucket keyspace (shingles, band signatures) is data-sized.
+    // Over-cap buckets, collected as (chunk*span + value) literals. The
+    // aggregate shuffles at most chunks*span rows (the whole keyspace) no
+    // matter the corpus size, so the collect is safe at any scale — unlike
+    // the generic capBucket anti-join, which must stay distributed because
+    // its bucket keyspace (shingles, band signatures) is data-sized.
     val droppedKeys: Seq[Long] =
       if (maxBucket <= 0) Nil
       else chunked.groupBy(col("chunk"), col("v"))
         .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
-        .select((col("chunk") * 256L + col("v")).as("k"))
+        .select((col("chunk") * span + col("v")).as("k"))
         .collect().map(_.getLong(0)).toSeq
     val capped =
       if (droppedKeys.isEmpty) chunked
-      else chunked.where(!(col("chunk") * 256L + col("v")).isin(droppedKeys: _*))
+      else chunked.where(!(col("chunk") * span + col("v")).isin(droppedKeys: _*))
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("v"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("v"))
     val x = col("sig_a").bitwiseXOR(col("sig_b"))
-    // chunk index of the first matching (zero-XOR) byte whose bucket
+    // chunk index of the first matching (zero-XOR) chunk whose bucket
     // survived the cap — the one emission point for this pair. When the
-    // byte matches, sig_a and sig_b share the bucket, so testing sig_a's
-    // byte against the dropped set decides survival for both sides.
+    // chunk matches, sig_a and sig_b share the bucket, so testing sig_a's
+    // chunk against the dropped set decides survival for both sides.
     def survived(c: Int): Column =
       if (droppedKeys.isEmpty) lit(true)
-      else !(lit(c * 256L) + shiftright(col("sig_a"), c * 8).bitwiseAND(0xFFL))
+      else !(lit(c * span) + shiftright(col("sig_a"), c * chunkBits).bitwiseAND(mask))
         .isin(droppedKeys: _*)
     val firstMatch = (0 until chunks).foldRight(lit(chunks): Column) { (c, rest) =>
-      when(shiftright(x, c * 8).bitwiseAND(0xFFL) === 0L && survived(c), lit(c))
+      when(shiftright(x, c * chunkBits).bitwiseAND(mask) === 0L && survived(c), lit(c))
         .otherwise(rest)
     }
     a.join(b, Seq("chunk", "v"))

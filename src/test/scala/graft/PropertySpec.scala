@@ -121,6 +121,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: fuzzyPairsSegmented == brute-force levenshtein pairs across seeded indel corpora") {
+    import spark.implicits._
+    // plain Scala DP as the oracle (full distance, no threshold)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    for (seed <- seeds) {
+      // ~150 strings over a 4-letter alphabet: bases of length 6-14 plus
+      // seeded variants with 0-3 substitutions/inserts/deletes, so true
+      // pairs exist at every distance and across length differences
+      def h(x: Long): Long = (x * 2654435761L + seed * 40503L) & 0x7fffffffL
+      val bases = (0 until 50).map { i =>
+        val len = 6 + (h(i) % 9).toInt
+        (0 until len).map(j => ('a' + (h(i * 31 + j) % 4)).toChar).mkString
+      }
+      val rows = bases.zipWithIndex.flatMap { case (s, i) =>
+        val edits = (1 to 2).map { e =>
+          val n = (h(i * 7 + e) % 4).toInt // 0-3 edits
+          (0 until n).foldLeft(s) { (cur, r) =>
+            if (cur.isEmpty) cur
+            else {
+              val p = (h(i * 13 + e * 5 + r) % cur.length).toInt
+              (h(i * 17 + e * 3 + r) % 3) match {
+                case 0 => cur.updated(p, ('a' + (h(p + r) % 4)).toChar) // sub
+                case 1 => cur.substring(0, p) + ('a' + (h(p + r) % 4)).toChar + cur.substring(p) // ins
+                case _ => cur.substring(0, p) + cur.substring(p + 1) // del
+              }
+            }
+          }
+        }
+        (s +: edits)
+      }.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("id", "s")
+      val got = graft.ops.Dedup.fuzzyPairsSegmented(df, "id", "s", maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && math.abs(sa.length - sb.length) <= 2
+        d = lev(sa, sb) if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got === brute, s"seed=$seed segmented != brute force " +
+        s"(missing ${(brute -- got).take(3)}, extra ${(got -- brute).take(3)})")
+    }
+  }
+
   test("property: chunked prefixSum == global window cumsum across seeds/chunk sizes") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.{Window => W}

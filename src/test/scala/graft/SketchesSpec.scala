@@ -258,6 +258,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum === 1500L * 4, "every event lands in every row")
   }
 
+  test("wide simhash: 48-bit signatures exercise the high span; 12-bit-chunk candidates == brute-force hamming<=3") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash(col("text"), bits = 48).as("simhash"))
+    val rows = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the widened word hash must actually populate bits 32-47 (the legacy
+    // 30-bit hash would leave them frozen at 0)
+    assert(rows.count(_._2 >= (1L << 32)) > rows.length / 2,
+      "high signature span unused - wide hash not in effect")
+    val cand = Dedup.simhashCandidatesFromSignatures(sigs, "doc_id",
+        maxHamming = 3, chunkBits = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    // pigeonhole: 4 chunks, <=3 differing bits => >=1 chunk equal, so the
+    // blocked candidates are EXACTLY the brute-force hamming<=3 pairs
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      hd = java.lang.Long.bitCount(sa ^ sb).toLong if hd <= 3L
+    } yield (ia, ib, hd)).toSet
+    assert(cand === brute)
+  }
+
   test("streaming simhash bucket registry: final registry bit-matches the batch op on real documents") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/documents.parquet").exists())
