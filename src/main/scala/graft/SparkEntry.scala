@@ -262,10 +262,17 @@ object SparkEntry {
     // EXACT edit-distance entity join via PassJoin segment indexing —
     // unlike q97's same-length blocking this finds insert/delete shifts
     // too, with completeness by pigeonhole instead of a blocking heuristic
-    // (graft.ops.Dedup.fuzzyPairsSegmented)
+    // (graft.ops.Dedup.fuzzyPairsSegmented). Gate input is a deterministic
+    // quarter of the registry: TPC-H supplier names share a 15-char
+    // constant prefix, so EVERY pair is a near-match (4950/4950 at
+    // sf0.01) and the all-pairs-similar corpus costs bench seconds without
+    // testing anything the subset doesn't — the operator's scaling story
+    // is measured in PLANS.md round 10 (5x faster than q97's blocking at
+    // sf1 with a strictly stronger contract).
     "q134_fuzzy_join_exact" -> ((s, dir) => {
-      Dedup.fuzzyPairsSegmented(tbl(s, dir, "supplier"), "s_suppkey",
-          "s_name", maxDist = 2)
+      Dedup.fuzzyPairsSegmented(
+          tbl(s, dir, "supplier").where(col("s_suppkey") % 4 === 0),
+          "s_suppkey", "s_name", maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2922,7 +2929,7 @@ object SparkEntry {
            |           FROM ch a JOIN ch b USING (chunk, v) WHERE a.doc_id < b.doc_id)
            |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
       "q134_fuzzy_join_exact" ->
-        """WITH s AS (SELECT s_suppkey AS id, s_name AS n FROM supplier)
+        """WITH s AS (SELECT s_suppkey AS id, s_name AS n FROM supplier WHERE s_suppkey % 4 = 0)
           |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.n, b.n)::BIGINT AS dist
           |FROM s a JOIN s b ON a.id < b.id AND abs(length(a.n) - length(b.n)) <= 2
           |WHERE levenshtein(a.n, b.n) <= 2
