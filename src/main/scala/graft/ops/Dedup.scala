@@ -244,7 +244,10 @@ object Dedup {
 
   /** Blocked fuzzy-match pairs by edit distance — the entity-resolution
     * join ("Supplier#000000001" vs "Supplier#000000010") that exact keys
-    * and token-set similarity both miss.
+    * and token-set similarity both miss. See [[fuzzyPairsSegmented]] for
+    * the EXACT (no recall loss, insert/delete-covering) PassJoin form —
+    * this heuristic-blocking form remains for corpora where a
+    * high-entropy blockKey is acceptable and cheaper.
     *
     * Classic blocking: candidates form only WITHIN a block key (default:
     * string length — a pair at distance <= maxDist can differ by at most

@@ -206,6 +206,103 @@ object SketchStream {
       .agg(max(col("cnt")).as("cnt"))
   }
 
+  // -------------------------------------------------------------------
+  // Streaming bottom-k sample quantile sketch
+  // -------------------------------------------------------------------
+
+  case class QKeyed(group: String, hv: Long, id: Long, v: Double)
+
+  /** Parallel arrays sorted by (hv, id), at most k entries, plus the exact
+    * running non-null row count — the same state a persisted
+    * `Quantiles.sampleQuantileState` row-set carries per cell.
+    */
+  case class SampleState(hv: Array[Long], id: Array[Long], v: Array[Double],
+                         nTotal: Long)
+
+  case class SampleEstimate(group: String, n_total: Long, n_sampled: Long,
+                            p50: Double, p90: Double, p99: Double)
+
+  /** Streaming bottom-k sample quantile sketch — the streaming twin of the
+    * batch `Quantiles.sampleQuantiles` (q131), as [[kmvDistinct]] is of
+    * q63. The sample merges LOSSLESSLY (the global bottom-k by the total
+    * (hash, id) order is contained in the union of per-batch bottom-ks),
+    * so per-group state is a fixed k (hash, id, value) triple array plus
+    * one count FOREVER, and the final estimates over a bounded input are
+    * BIT-IDENTICAL to the batch operator's (asserted by the parity spec):
+    * same portable hash, same total order, same interpolation arithmetic
+    * (Spark `Percentile.getPercentile`'s formula, which exactInterpolated
+    * is already bit-equal to).
+    *
+    * events(groupCol, idCol: long unique, valueCol: double) -> per-batch
+    * updated (n_total, n_sampled, p50, p90, p99) rows in Update mode.
+    */
+  def sampleQuantiles(events: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String, k: Int): Dataset[SampleEstimate] = {
+    require(k >= 2, "need k >= 2")
+    import events.sparkSession.implicits._
+    events
+      .where(org.apache.spark.sql.functions.col(valueCol).isNotNull)
+      .selectExpr(s"CAST($groupCol AS STRING) AS group",
+        s"(pmod(CAST($idCol AS LONG), ${P}L) * 2654435761L + 11L) % ${P}L AS hv",
+        s"CAST($idCol AS LONG) AS id",
+        s"CAST($valueCol AS DOUBLE) AS v")
+      .as[QKeyed]
+      .groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(sampleStateFn(k))
+  }
+
+  private def sampleStateFn(k: Int)(
+      group: String, rows: Iterator[QKeyed],
+      state: GroupState[SampleState]): SampleEstimate = {
+    val prev = state.getOption.getOrElse(
+      SampleState(Array.empty, Array.empty, Array.empty, 0L))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < prev.hv.length) {
+      buf += ((prev.hv(i), prev.id(i), prev.v(i))); i += 1
+    }
+    var added = 0L
+    rows.foreach { r => buf += ((r.hv, r.id, r.v)); added += 1L }
+    // ids are unique, so (hv, id) is a total order and bottom-k-of-union
+    // == bottom-k of everything seen (the lossless-merge property)
+    val kept = buf.sortBy(t => (t._1, t._2)).take(k)
+    val st = SampleState(kept.map(_._1).toArray, kept.map(_._2).toArray,
+      kept.map(_._3).toArray, prev.nTotal + added)
+    state.update(st)
+    val vs = st.v.sorted
+    def pct(p: Double): Double = {
+      // Spark Percentile.getPercentile's interpolation, term for term
+      val pos = p * (vs.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) vs(lo) else (hi - pos) * vs(lo) + (pos - lo) * vs(hi)
+    }
+    SampleEstimate(group, st.nTotal, vs.length.toLong,
+      pct(0.5), pct(0.9), pct(0.99))
+  }
+
+  /** Run the stream to completion over a bounded input and return the
+    * final estimates per group — the batch-parity surface used by the
+    * spec. n_total strictly grows across a group's update emissions, so
+    * the final row per group is the max-n_total row.
+    */
+  def sampleQuantilesFinal(events: DataFrame, groupCol: String, idCol: String,
+                           valueCol: String, k: Int,
+                           queryName: String): DataFrame = {
+    val spark = events.sparkSession
+    val q = sampleQuantiles(events, groupCol, idCol, valueCol, k)
+      .writeStream.outputMode("update").format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("group")).orderBy(col("n_total").desc)
+    spark.table(queryName)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Run the stream to completion over a bounded input and return the final
     * estimate per group — the batch-parity surface used by the spec.
     */

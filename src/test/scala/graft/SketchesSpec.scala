@@ -258,6 +258,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum === 1500L * 4, "every event lands in every row")
   }
 
+  test("streaming sample-quantile sketch: final estimates bit-match the batch sketch on the same bounded input") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // unique ids across overlapping-VALUE micro-batches; two groups with
+    // very different sizes so one stays exact (n < k) and one samples
+    def h(x: Long) = (x * 2654435761L + 40503L) & 0x7fffffffL
+    val rows = (0 until 2000).map { i =>
+      (if (h(i) % 5 == 0L) "b" else "a", i.toLong, (h(i) % 997).toDouble / 13.0)
+    }
+    val chunks = rows.grouped(700).toSeq
+    val input = MemoryStream[(String, Long, Double)]
+    chunks.foreach(c => input.addData(c))
+    val streamed = graft.streaming.SketchStream
+      .sampleQuantilesFinal(input.toDF().toDF("g", "id", "v"), "g", "id", "v",
+        k = 128, queryName = "sq_out")
+      .orderBy("group")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    val batch = graft.ops.Quantiles
+      .sampleQuantiles(rows.toDF("g", "id", "v"), Seq("g"), "id", "v", k = 128,
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+      .orderBy("g")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(streamed === batch)
+    // sanity: group "a" really sampled (n_total > k), "b" <= n_total rows
+    assert(batch.find(_._1 == "a").get._2 > 128L)
+  }
+
   test("wide simhash: 48-bit signatures exercise the high span; 12-bit-chunk candidates == brute-force hamming<=3") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/documents.parquet").exists())
