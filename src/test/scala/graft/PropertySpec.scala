@@ -164,15 +164,17 @@ class PropertySpec extends AnyFunSuite {
         (s +: edits)
       }.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       val df = rows.toDF("id", "s")
-      val got = graft.ops.Dedup.fuzzyPairsSegmented(df, "id", "s", maxDist = 2)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val brute = (for {
-        (ia, sa) <- rows; (ib, sb) <- rows
-        if ia < ib && math.abs(sa.length - sb.length) <= 2
-        d = lev(sa, sb) if d <= 2
-      } yield (ia, ib, d.toLong)).toSet
-      assert(got === brute, s"seed=$seed segmented != brute force " +
-        s"(missing ${(brute -- got).take(3)}, extra ${(got -- brute).take(3)})")
+      for (maxDist <- Seq(1, 2, 3)) {
+        val got = graft.ops.Dedup.fuzzyPairsSegmented(df, "id", "s", maxDist)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val brute = (for {
+          (ia, sa) <- rows; (ib, sb) <- rows
+          if ia < ib && math.abs(sa.length - sb.length) <= maxDist
+          d = lev(sa, sb) if d <= maxDist
+        } yield (ia, ib, d.toLong)).toSet
+        assert(got === brute, s"seed=$seed d=$maxDist segmented != brute force " +
+          s"(missing ${(brute -- got).take(3)}, extra ${(got -- brute).take(3)})")
+      }
     }
   }
 
