@@ -23,6 +23,12 @@ object Scratch {
         val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         println(s"== $name @ $sfDir ==")
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      case "rows" :: name :: rest =>
+        // output cardinality of a SparkEntry query at a given sf dir —
+        // distinguishes true-result growth from plan cost in scale probes
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        println(s"[rows] $name @ $sfDir = " +
+          SparkEntry.queries(name)(spark, sfDir).count())
       case "profile" :: name :: rest =>
         // split a query's cost into plan-build / analysis+optimization /
         // execution, repeated so JIT warmup is visible
