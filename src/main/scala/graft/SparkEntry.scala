@@ -276,6 +276,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // anchor-candidate routing over the standing bucket registry: each doc
+    // verified against at most its 4 bucket anchors — the O(1)/doc lookup
+    // an incremental ingest serves, vs q27's all-pairs-in-bucket batch
+    // pass; DedupStream.anchorCandidates is the live twin
+    // (graft.ops.Dedup.simhashAnchorCandidates)
+    "q135_simhash_anchor_candidates" -> ((s, dir) => {
+      Dedup.simhashAnchorCandidates(tbl(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("doc_id"), col("anchor_id"))
+    }),
+
     "q130_export_manifest" -> ((s, dir) => {
       Corpus.exportManifest(tbl(s, dir, "documents"), "doc_id", "text",
           shards = 16)
@@ -2934,6 +2945,23 @@ object SparkEntry {
           |FROM s a JOIN s b ON a.id < b.id AND abs(length(a.n) - length(b.n)) <= 2
           |WHERE levenshtein(a.n, b.n) <= 2
           |ORDER BY 1, 2""".stripMargin,
+      "q135_simhash_anchor_candidates" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
+           | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
+           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
+           |          FROM wh, range(0,32) t(j) GROUP BY 1,2),
+           | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
+           |          FROM bits GROUP BY 1),
+           | ch AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           |        FROM sigs, range(0,4) t(c)),
+           | reg AS (SELECT chunk, v, min(doc_id) AS anchor_id FROM ch GROUP BY 1,2),
+           | j AS (SELECT DISTINCT c.doc_id, r.anchor_id,
+           |        bit_count(xor(c.simhash, a.simhash))::BIGINT AS hamming
+           |       FROM ch c JOIN reg r USING (chunk, v)
+           |       JOIN sigs a ON a.doc_id = r.anchor_id
+           |       WHERE c.doc_id <> r.anchor_id)
+           |SELECT doc_id, anchor_id, hamming FROM j WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
       "q131_sample_quantile_sketch" ->
         """WITH e AS (SELECT event_type, event_id,
           |        ((event_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv,

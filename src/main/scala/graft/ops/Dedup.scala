@@ -277,6 +277,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Anchor-candidate routing over the SimHash bucket registry: for every
+    * document and each of its 4 blocking buckets, the pair (doc, bucket
+    * anchor = the bucket's min id) with its true hamming distance, kept
+    * when <= maxHamming — the candidate LOOKUP an incremental near-dup
+    * pipeline serves per new document against the standing
+    * [[simhashBucketRegistry]] (vs [[simhashCandidates]]' all-pairs-in-
+    * bucket join, this is the O(1)-candidates-per-doc form a streaming
+    * ingest wants: each doc is verified against at most 4 anchors).
+    * `streaming.DedupStream.anchorCandidates` maintains the same emission
+    * live with two-longs-per-bucket state.
+    *
+    * Scale shape: one fixed-keyspace aggregate (≤ 1024 rows), broadcast
+    * back onto the chunk table, per-row hamming verify — no pair shuffle
+    * at all. Recall is anchors-only BY DESIGN: pairs between two
+    * non-anchor members surface when the batch layer runs the full
+    * [[simhashCandidates]] pass, the same live-view/batch-repair split as
+    * the candle lake.
+    *
+    * Output: (doc_id, anchor_id, hamming), doc != anchor, distinct.
+    */
+  def simhashAnchorCandidates(docs: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    val chunks = 4
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("_sig"))
+    val chunked = sigs.select(col("doc_id"), col("_sig"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c.toLong).as("chunk"),
+          shiftright(col("_sig"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
+      .select(col("doc_id"), col("_sig"), col("_c.chunk"), col("_c.v"))
+    val registry = chunked.groupBy(col("chunk"), col("v"))
+      .agg(min(col("doc_id")).as("anchor_id"))
+      .join(sigs.select(col("doc_id").as("anchor_id"), col("_sig").as("_asig")),
+        "anchor_id")
+    chunked.join(broadcast(registry), Seq("chunk", "v"))
+      .where(col("doc_id") =!= col("anchor_id"))
+      .select(col("doc_id"), col("anchor_id"),
+        hamming(col("_sig"), col("_asig")).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Segment-indexed EXACT edit-distance self-join (the PassJoin scheme:
     * Li, Deng & Feng, "PASS-JOIN: a partition-based method for similarity
     * joins", VLDB 2012): every string is split into `maxDist`+1 contiguous

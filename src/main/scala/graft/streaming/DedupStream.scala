@@ -66,6 +66,82 @@ object DedupStream {
     BucketEntry(bucket / 256L, bucket % 256L, anchor, n)
   }
 
+  case class SigRow(bucket: Long, doc_id: Long, sig: Long)
+
+  case class AnchorState(anchorId: Long, anchorSig: Long)
+
+  case class Candidate(doc_id: Long, anchor_id: Long, hamming: Long)
+
+  /** Live anchor-candidate emission — the streaming twin of
+    * `Dedup.simhashAnchorCandidates` (q135): each arriving document is
+    * routed to its 4 blocking buckets and paired against the bucket's
+    * running min-id anchor (two longs of state per bucket, FOREVER), with
+    * the true hamming verify inline — at most 4 candidate pairs per
+    * document, no pair join anywhere.
+    *
+    * Determinism contract: a document pairs with the anchor AS OF its
+    * arrival (rows are processed in doc_id order WITHIN each micro-batch;
+    * when a new smaller id displaces the anchor, the displaced anchor
+    * itself emits against the new one). Under id-ordered replay the
+    * emitted set equals the batch operator's exactly (asserted by the
+    * parity spec); under arbitrary arrival it is the same-size superset
+    * semantics every streaming dedup accepts, with the periodic batch
+    * [[graft.ops.Dedup.simhashCandidates]] pass as the reconciler — the
+    * lake's live-view/batch-repair split again.
+    */
+  def anchorCandidates(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3): Dataset[Candidate] = {
+    import docs.sparkSession.implicits._
+    val chunks = 4
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.ops.Dedup.simhash(col(textCol)).as("sig"))
+      .select(explode(array((0 until chunks).map(c =>
+        lit(c.toLong * 256L) + shiftright(col("sig"), c * 8).bitwiseAND(0xFFL)): _*))
+        .as("bucket"), col("doc_id"), col("sig"))
+      .as[SigRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(candidateFn(maxHamming))
+  }
+
+  private def candidateFn(maxHamming: Int)(
+      bucket: Long, rows: Iterator[SigRow],
+      state: org.apache.spark.sql.streaming.GroupState[AnchorState]): Iterator[Candidate] = {
+    var anchor = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    def emit(d: SigRow, a: AnchorState): Unit = {
+      val h = java.lang.Long.bitCount(d.sig ^ a.anchorSig).toLong
+      if (h <= maxHamming) out += Candidate(d.doc_id, a.anchorId, h)
+    }
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      if (anchor == null) anchor = AnchorState(r.doc_id, r.sig)
+      else if (r.doc_id < anchor.anchorId) {
+        // displaced: the old anchor becomes a member of the new one
+        emit(SigRow(bucket, anchor.anchorId, anchor.anchorSig),
+          AnchorState(r.doc_id, r.sig))
+        anchor = AnchorState(r.doc_id, r.sig)
+      } else emit(r, anchor)
+    }
+    if (anchor != null) state.update(anchor)
+    out.iterator
+  }
+
+  /** Run the stream to completion over a bounded input and return the
+    * distinct emitted candidates — the batch-parity surface used by the
+    * spec (a pair can emit from several shared buckets, exactly like the
+    * batch op before ITS distinct).
+    */
+  def anchorCandidatesFinal(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int, queryName: String): DataFrame = {
+    val spark = docs.sparkSession
+    val q = anchorCandidates(docs, idCol, textCol, maxHamming)
+      .writeStream.outputMode("update").format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).distinct()
+  }
+
   /** Run the stream to completion over a bounded input and return the
     * final registry — the batch-parity surface used by the spec. A
     * bucket's count strictly grows across its update emissions, so the

@@ -308,6 +308,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(cand === brute)
   }
 
+  test("streaming anchor candidates under id-ordered replay == batch simhashAnchorCandidates") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // id-ordered replay: every id in batch n is smaller than every id in
+    // batch n+1, so the running anchor is the global min from first touch
+    // and the emission contract collapses to the batch definition
+    val docs = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    docs.grouped(math.max(1, docs.size / 4 + 1)).foreach(c => input.addData(c))
+    val streamed = graft.streaming.DedupStream
+      .anchorCandidatesFinal(input.toDF().toDF("doc_id", "text"), "doc_id",
+        "text", maxHamming = 3, queryName = "anchor_cand")
+      .orderBy("doc_id", "anchor_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = graft.ops.Dedup
+      .simhashAnchorCandidates(docsDf, "doc_id", "text", maxHamming = 3)
+      .orderBy("doc_id", "anchor_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "expected at least one near-anchor pair in the corpus")
+  }
+
   test("streaming simhash bucket registry: final registry bit-matches the batch op on real documents") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/documents.parquet").exists())
