@@ -54,6 +54,44 @@ object DocumentStream {
     * per-(window, doc) running (count, sum logp) — no stream-side shuffle
     * beyond the per-doc aggregation, mirroring the batch shape.
     */
+  /** Streaming twin of [[graft.ops.Sketches.bloomDecontaminate]] (q61):
+    * flag documents overlapping a FROZEN benchmark suite as they arrive.
+    * The bloom bit array (mBits/8 bytes) rides into every task as a
+    * literal inside codegen — most shingles die there with zero join — and
+    * only survivors pay the stream-static broadcast probe against the
+    * exact benchmark shingle set, so the confirmed overlap counts carry NO
+    * bloom false positives. State is the watermark-bounded per-(window,
+    * doc) count — same bound as [[scored]]; the benchmark artifact is
+    * static by contract (a new eval suite = a new stream, exactly how
+    * decontamination gates deploy).
+    *
+    * docs(ts, doc_id, text) -> (doc_id, n_overlap), one row per
+    * CONTAMINATED doc finalized when the watermark passes its window
+    * (clean documents emit nothing, like the batch op).
+    */
+  def decontaminated(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                     mBits: Int = 65536, k: Int = 4,
+                     watermark: String = "10 minutes",
+                     windowSize: String = "10 minutes"): DataFrame = {
+    import graft.ops.{Dedup, Sketches}
+    val bsh = benchmark
+      .select(explode(graft.functions.TextFunctions.wordShingles(col("text"), n))
+        .as("shingle"))
+      .distinct()
+    val bits = Sketches.bloomBits(
+      bsh.select(Dedup.shingleHash(col("shingle")).as("h")), "h", mBits, k)
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), n))
+          .as("shingle"))
+      .where(Sketches.bloomContains(bits, mBits, k)(Dedup.shingleHash(col("shingle"))))
+      .join(broadcast(bsh), Seq("shingle"))
+      .groupBy(window(col("ts"), windowSize), col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"))
+  }
+
   def scored(docs: DataFrame, lm: DataFrame, oovLogp: Double,
              watermark: String = "10 minutes",
              windowSize: String = "10 minutes"): DataFrame = {

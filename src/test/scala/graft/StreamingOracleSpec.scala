@@ -223,6 +223,47 @@ class StreamingOracleSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("DocumentStream.decontaminated with a frozen benchmark == oracled q61 overlaps") {
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docsB = spark.read.parquet(s"$sf/documents.parquet")
+    val benchmark = docsB.where(col("doc_id") % 10 === 0)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = docsB.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (base, id, t) }
+    val outDir = java.nio.file.Files.createTempDirectory("decon_stream").toString
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.DocumentStream
+      .decontaminated(in.toDF().toDF("ts", "doc_id", "text"), benchmark,
+        n = 3, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      // sentinel docs advance the watermark past the single real window,
+      // then one more batch fires the finalization under it
+      in.addData((new Timestamp(base.getTime + 3600L * 1000), -1L, "x y z"))
+      q.processAllAvailable()
+      in.addData((new Timestamp(base.getTime + 7200L * 1000), -1L, "x y z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/data")
+      .where(col("doc_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batch = SparkEntry.queries("q61_bloom_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "expected contaminated docs in the corpus")
+  }
+
   test("RateStream hourly counts + batch z-gate == oracled q59 anomalies") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
