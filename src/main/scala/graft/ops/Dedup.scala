@@ -355,28 +355,8 @@ object Dedup {
     val base = df.where(col(strCol).isNotNull)
       .select(col(idCol).as("_id"), col(strCol).as("_s"),
         length(col(strCol)).as("_len"))
-    // segment i of a length-L string: the first k - L%k segments get
-    // floor(L/k) chars, the rest one extra; start = i*floor + overflow
-    def segLen(ls: String, i: String) =
-      s"(($ls) div $k) + (CASE WHEN ($i) >= $k - (($ls) % $k) THEN 1 ELSE 0 END)"
-    def segPos(ls: String, i: String) =
-      s"(($i) * (($ls) div $k) + greatest(0, ($i) - ($k - (($ls) % $k))))"
-    val idx = base.select(col("_id").as("id_a"), col("_s").as("_sa"),
-      col("_len").as("_ls"),
-      explode(expr(s"""transform(sequence(0, ${k - 1}), i -> named_struct(
-        'i', i, 'sub', substring(_s, ${segPos("_len", "i")} + 1, ${segLen("_len", "i")})))""")).as("_g"))
-      .select(col("id_a"), col("_sa"), col("_ls"),
-        col("_g.i").as("_i"), col("_g.sub").as("_sub"))
-    val probe = base.select(col("_id").as("id_b"), col("_s").as("_sb"),
-      explode(expr(s"""flatten(transform(sequence(greatest(_len - $maxDist, 0), _len + $maxDist), ls ->
-        flatten(transform(sequence(0, ${k - 1}), i ->
-          transform(filter(sequence(${segPos("ls", "i")} - $maxDist, ${segPos("ls", "i")} + $maxDist),
-              q -> q >= 0 AND q + ${segLen("ls", "i")} <= _len),
-            q -> named_struct('ls', ls, 'i', i,
-              'sub', substring(_s, q + 1, ${segLen("ls", "i")})))))))""")).as("_g"))
-      .select(col("id_b"), col("_sb"), col("_g.ls").as("_ls"),
-        col("_g.i").as("_i"), col("_g.sub").as("_sub"))
-      .distinct() // multiple shifts often yield the same substring
+    val idx = segIndexSide(base, k, "id_a", "_sa")
+    val probe = segProbeSide(base, k, maxDist, "id_b", "_sb")
     idx.join(probe, Seq("_ls", "_i", "_sub"))
       .where(col("id_a") =!= col("id_b"))
       .select(when(col("id_a") < col("id_b"),
@@ -390,6 +370,70 @@ object Dedup {
       .withColumn("dist", expr(s"levenshtein(_sa, _sb, $maxDist)").cast("long"))
       .where(col("dist") >= 0L && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  // segment i of a length-L string: the first k - L%k segments get
+  // floor(L/k) chars, the rest one extra; start = i*floor + overflow
+  private def segLenSql(k: Int, ls: String, i: String) =
+    s"(($ls) div $k) + (CASE WHEN ($i) >= $k - (($ls) % $k) THEN 1 ELSE 0 END)"
+  private def segPosSql(k: Int, ls: String, i: String) =
+    s"(($i) * (($ls) div $k) + greatest(0, ($i) - ($k - (($ls) % $k))))"
+
+  /** Index side of the PassJoin: each string's k segments, keyed
+    * (_ls = own length, _i = segment index, _sub = segment text).
+    * Input must have columns (_id, _s, _len).
+    */
+  private def segIndexSide(base: DataFrame, k: Int, idOut: String,
+                           strOut: String): DataFrame =
+    base.select(col("_id").as(idOut), col("_s").as(strOut),
+      col("_len").as("_ls"),
+      explode(expr(s"""transform(sequence(0, ${k - 1}), i -> named_struct(
+        'i', i, 'sub', substring(_s, ${segPosSql(k, "_len", "i")} + 1, ${segLenSql(k, "_len", "i")})))""")).as("_g"))
+      .select(col(idOut), col(strOut), col("_ls"),
+        col("_g.i").as("_i"), col("_g.sub").as("_sub"))
+
+  /** Probe side of the PassJoin: for every candidate source length within
+    * ±maxDist and segment index, each ±maxDist-shifted same-length
+    * substring of the string, deduped. Input must have (_id, _s, _len).
+    */
+  private def segProbeSide(base: DataFrame, k: Int, maxDist: Int,
+                           idOut: String, strOut: String): DataFrame =
+    base.select(col("_id").as(idOut), col("_s").as(strOut),
+      explode(expr(s"""flatten(transform(sequence(greatest(_len - $maxDist, 0), _len + $maxDist), ls ->
+        flatten(transform(sequence(0, ${k - 1}), i ->
+          transform(filter(sequence(${segPosSql(k, "ls", "i")} - $maxDist, ${segPosSql(k, "ls", "i")} + $maxDist),
+              q -> q >= 0 AND q + ${segLenSql(k, "ls", "i")} <= _len),
+            q -> named_struct('ls', ls, 'i', i,
+              'sub', substring(_s, q + 1, ${segLenSql(k, "ls", "i")})))))))""")).as("_g"))
+      .select(col(idOut), col(strOut), col("_g.ls").as("_ls"),
+        col("_g.i").as("_i"), col("_g.sub").as("_sub"))
+      .distinct() // multiple shifts often yield the same substring
+
+  /** TWO-TABLE form of [[fuzzyPairsSegmented]] — entity resolution across
+    * registries (link a scraped vendor list against the master table):
+    * all (left, right) pairs within edit distance `maxDist`, exact and
+    * complete by the same PassJoin pigeonhole. One direction suffices:
+    * left's segments are indexed, right's shifted substrings probe them —
+    * the lemma covers every qualifying pair without the reverse pass.
+    *
+    * Output: (id_l, id_r, dist), 0 <= dist <= maxDist.
+    */
+  def fuzzyJoinSegmented(left: DataFrame, leftId: String, leftStr: String,
+                         right: DataFrame, rightId: String, rightStr: String,
+                         maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4, "need 1 <= maxDist <= 4")
+    val k = maxDist + 1
+    def prep(df: DataFrame, id: String, s: String) =
+      df.where(col(s).isNotNull)
+        .select(col(id).as("_id"), col(s).as("_s"), length(col(s)).as("_len"))
+    val idx = segIndexSide(prep(left, leftId, leftStr), k, "id_l", "_sl")
+    val probe = segProbeSide(prep(right, rightId, rightStr), k, maxDist, "id_r", "_sr")
+    idx.join(probe, Seq("_ls", "_i", "_sub"))
+      .select(col("id_l"), col("_sl"), col("id_r"), col("_sr"))
+      .distinct() // a pair can agree on several (segment, shift) keys
+      .withColumn("dist", expr(s"levenshtein(_sl, _sr, $maxDist)").cast("long"))
+      .where(col("dist") >= 0L && col("dist") <= maxDist)
+      .select(col("id_l"), col("id_r"), col("dist"))
   }
 
   /** 32-bit SimHash over word hashes: bit j of the signature is the sign of

@@ -175,6 +175,19 @@ class PropertySpec extends AnyFunSuite {
         assert(got === brute, s"seed=$seed d=$maxDist segmented != brute force " +
           s"(missing ${(brute -- got).take(3)}, extra ${(got -- brute).take(3)})")
       }
+      // two-table form: link the even-id half against the odd-id half —
+      // single-direction index/probe must still be complete by the lemma
+      val (evens, odds) = rows.partition(_._1 % 2 == 0)
+      val got2 = graft.ops.Dedup.fuzzyJoinSegmented(
+          evens.toDF("id", "s"), "id", "s", odds.toDF("id", "s"), "id", "s",
+          maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute2 = (for {
+        (il, sl) <- evens; (ir, sr) <- odds
+        if math.abs(sl.length - sr.length) <= 2
+        d = lev(sl, sr) if d <= 2
+      } yield (il, ir, d.toLong)).toSet
+      assert(got2 === brute2, s"seed=$seed two-table segmented != brute force")
     }
   }
 
