@@ -37,24 +37,32 @@ object DedupStream {
 
   /** docs(idCol: long, textCol: string) -> per-micro-batch updated bucket
     * registry rows (chunk, v, anchor_id, n_docs). Update mode: the sink's
-    * latest row per bucket is the current registry entry.
+    * latest row per bucket is the current registry entry. `bits` is the
+    * same corpus-scale dial as the batch `simhashCandidates`: at the
+    * 32-bit default the keyspace is 4×256 buckets (oracle-parity with
+    * q132); bits=48 signs with the wide 60-bit word hash and blocks on
+    * 4×4096 12-bit chunks — state stays two longs per TOUCHED bucket.
     */
-  def simhashBuckets(docs: DataFrame, idCol: String,
-                     textCol: String): Dataset[BucketEntry] = {
+  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 32): Dataset[BucketEntry] = {
     import docs.sparkSession.implicits._
+    require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val chunks = 4
+    val chunkBits = bits / 4
+    val span = 1L << chunkBits
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        graft.ops.Dedup.simhash(col(textCol)).as("_sig"))
+        graft.ops.Dedup.simhash(col(textCol), bits).as("_sig"))
       .select(explode(array((0 until chunks).map(c =>
-        lit(c.toLong * 256L) + shiftright(col("_sig"), c * 8).bitwiseAND(0xFFL)): _*))
+        lit(c.toLong * span) + shiftright(col("_sig"), c * chunkBits)
+          .bitwiseAND(span - 1L)): _*))
         .as("bucket"), col("doc_id"))
       .as[BucketRow]
       .groupByKey(_.bucket)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(stateFn)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(stateFn(span))
   }
 
-  private def stateFn(bucket: Long, rows: Iterator[BucketRow],
+  private def stateFn(span: Long)(bucket: Long, rows: Iterator[BucketRow],
                       state: org.apache.spark.sql.streaming.GroupState[BucketState]): BucketEntry = {
     var anchor = state.getOption.map(_.anchorId).getOrElse(Long.MaxValue)
     var n = state.getOption.map(_.n).getOrElse(0L)
@@ -63,7 +71,7 @@ object DedupStream {
       n += 1L
     }
     state.update(BucketState(anchor, n))
-    BucketEntry(bucket / 256L, bucket % 256L, anchor, n)
+    BucketEntry(bucket / span, bucket % span, anchor, n)
   }
 
   case class SigRow(bucket: Long, doc_id: Long, sig: Long)
@@ -90,14 +98,18 @@ object DedupStream {
     * lake's live-view/batch-repair split again.
     */
   def anchorCandidates(docs: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int = 3): Dataset[Candidate] = {
+                       maxHamming: Int = 3, bits: Int = 32): Dataset[Candidate] = {
     import docs.sparkSession.implicits._
+    require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val chunks = 4
+    val chunkBits = bits / 4
+    val span = 1L << chunkBits
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        graft.ops.Dedup.simhash(col(textCol)).as("sig"))
+        graft.ops.Dedup.simhash(col(textCol), bits).as("sig"))
       .select(explode(array((0 until chunks).map(c =>
-        lit(c.toLong * 256L) + shiftright(col("sig"), c * 8).bitwiseAND(0xFFL)): _*))
+        lit(c.toLong * span) + shiftright(col("sig"), c * chunkBits)
+          .bitwiseAND(span - 1L)): _*))
         .as("bucket"), col("doc_id"), col("sig"))
       .as[SigRow]
       .groupByKey(_.bucket)
