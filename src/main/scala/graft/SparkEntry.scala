@@ -287,6 +287,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("anchor_id"))
     }),
 
+    // cross-registry entity link: the TWO-TABLE PassJoin form — left
+    // quarter of the registry linked against a disjoint right quarter,
+    // single-direction index/probe complete by the pigeonhole lemma
+    // (graft.ops.Dedup.fuzzyJoinSegmented)
+    "q136_fuzzy_link" -> ((s, dir) => {
+      val sup = tbl(s, dir, "supplier")
+      Dedup.fuzzyJoinSegmented(
+          sup.where(col("s_suppkey") % 4 === 0), "s_suppkey", "s_name",
+          sup.where(col("s_suppkey") % 4 === 1), "s_suppkey", "s_name",
+          maxDist = 2)
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
     "q130_export_manifest" -> ((s, dir) => {
       Corpus.exportManifest(tbl(s, dir, "documents"), "doc_id", "text",
           shards = 16)
@@ -2962,6 +2975,13 @@ object SparkEntry {
            |       JOIN sigs a ON a.doc_id = r.anchor_id
            |       WHERE c.doc_id <> r.anchor_id)
            |SELECT doc_id, anchor_id, hamming FROM j WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+      "q136_fuzzy_link" ->
+        """WITH l AS (SELECT s_suppkey AS id, s_name AS n FROM supplier WHERE s_suppkey % 4 = 0),
+          | r AS (SELECT s_suppkey AS id, s_name AS n FROM supplier WHERE s_suppkey % 4 = 1)
+          |SELECT l.id AS id_l, r.id AS id_r, levenshtein(l.n, r.n)::BIGINT AS dist
+          |FROM l JOIN r ON abs(length(l.n) - length(r.n)) <= 2
+          |WHERE levenshtein(l.n, r.n) <= 2
+          |ORDER BY 1, 2""".stripMargin,
       "q131_sample_quantile_sketch" ->
         """WITH e AS (SELECT event_type, event_id,
           |        ((event_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv,
