@@ -300,6 +300,19 @@ object SparkEntry {
         .orderBy(col("id_l"), col("id_r"))
     }),
 
+    // incremental-ingest routing: day-2 documents dispositioned against
+    // the PERSISTED day-1 anchor registry — sign + one broadcast probe of
+    // a <=1024-row artifact, the day-1 corpus never re-read
+    // (graft.ops.Dedup.simhashBucketRegistrySigs + simhashRoute)
+    "q137_incremental_route" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val reg = Dedup.simhashBucketRegistrySigs(
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      Dedup.simhashRoute(docs.where(col("doc_id") % 3 === 0), "doc_id",
+          "text", reg, maxHamming = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "q130_export_manifest" -> ((s, dir) => {
       Corpus.exportManifest(tbl(s, dir, "documents"), "doc_id", "text",
           shards = 16)
@@ -2982,6 +2995,34 @@ object SparkEntry {
           |FROM l JOIN r ON abs(length(l.n) - length(r.n)) <= 2
           |WHERE levenshtein(l.n, r.n) <= 2
           |ORDER BY 1, 2""".stripMargin,
+      "q137_incremental_route" ->
+        s"""WITH ws AS ($wsSql),
+           | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
+           | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
+           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
+           |          FROM wh, range(0,32) t(j) GROUP BY 1,2),
+           | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
+           |          FROM bits GROUP BY 1),
+           | ch1 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           |         FROM sigs, range(0,4) t(c) WHERE doc_id % 3 <> 0),
+           | reg AS (SELECT chunk, v, min(doc_id) AS anchor_id FROM ch1 GROUP BY 1,2),
+           | regs AS (SELECT r.chunk, r.v, r.anchor_id, s.simhash AS anchor_sig
+           |          FROM reg r JOIN sigs s ON s.doc_id = r.anchor_id),
+           | ch2 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           |         FROM sigs, range(0,4) t(c) WHERE doc_id % 3 = 0),
+           | cand AS (SELECT c.doc_id, r.anchor_id,
+           |            bit_count(xor(c.simhash, r.anchor_sig))::BIGINT AS hh
+           |          FROM ch2 c JOIN regs r USING (chunk, v)
+           |          WHERE bit_count(xor(c.simhash, r.anchor_sig)) <= 3),
+           | best AS (SELECT doc_id, hh, anchor_id,
+           |            row_number() OVER (PARTITION BY doc_id ORDER BY hh, anchor_id) AS rn
+           |          FROM cand)
+           |SELECT d.doc_id,
+           | (CASE WHEN b.anchor_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup,
+           | b.anchor_id::BIGINT AS best_anchor, b.hh::BIGINT AS best_hamming
+           |FROM (SELECT DISTINCT doc_id FROM ch2) d
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
       "q131_sample_quantile_sketch" ->
         """WITH e AS (SELECT event_type, event_id,
           |        ((event_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv,

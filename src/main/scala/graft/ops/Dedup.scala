@@ -319,6 +319,62 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** [[simhashBucketRegistry]] extended with each anchor's signature —
+    * the standing table an incremental ingest PERSISTS so new documents
+    * can be routed ([[simhashRoute]]) without touching the day-1 corpus
+    * again. Still ≤ 1024 rows forever.
+    *
+    * Output: (chunk, v, anchor_id, anchor_sig, n_docs).
+    */
+  def simhashBucketRegistrySigs(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
+    val sigs = docs.select(col(idCol).as("anchor_id"),
+      simhash(col(textCol)).as("anchor_sig"))
+    simhashBucketRegistry(docs, idCol, textCol)
+      .join(sigs, "anchor_id")
+      .select(col("chunk"), col("v"), col("anchor_id"), col("anchor_sig"),
+        col("n_docs"))
+  }
+
+  /** Incremental-ingest routing: disposition a batch of NEW documents
+    * against a persisted day-1 [[simhashBucketRegistrySigs]] registry —
+    * per new doc, whether any of its 4 bucket anchors is within
+    * `maxHamming` (near-dup of known content) and the best such anchor
+    * (smallest hamming, then smallest anchor id). The day-1 corpus is
+    * never re-read: the whole decision is sign + explode + ONE broadcast
+    * equi-join against a ≤ 1024-row artifact + a doc-grain aggregate —
+    * the O(new batch) daily cost that makes dedup incremental at 100 TB,
+    * with the full batch pass as the periodic reconciler.
+    *
+    * Output: (doc_id, is_dup 0/1, best_anchor nullable, best_hamming
+    * nullable) — one row per NEW doc.
+    */
+  def simhashRoute(newDocs: DataFrame, idCol: String, textCol: String,
+                   registry: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = 4
+    val sigs = newDocs.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("_sig"))
+    val chunked = sigs.select(col("doc_id"), col("_sig"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c.toLong).as("chunk"),
+          shiftright(col("_sig"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
+      .select(col("doc_id"), col("_sig"), col("_c.chunk"), col("_c.v"))
+    val best = chunked
+      .join(broadcast(registry.select(col("chunk"), col("v"),
+        col("anchor_id"), col("anchor_sig"))), Seq("chunk", "v"))
+      .withColumn("_h", hamming(col("_sig"), col("anchor_sig")).cast("long"))
+      .where(col("_h") <= maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("_h"), col("anchor_id"))).as("_b"))
+      .select(col("doc_id"), col("_b._h").as("best_hamming"),
+        col("_b.anchor_id").as("best_anchor"))
+    sigs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("best_anchor").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("best_anchor"), col("best_hamming"))
+  }
+
   /** Segment-indexed EXACT edit-distance self-join (the PassJoin scheme:
     * Li, Deng & Feng, "PASS-JOIN: a partition-based method for similarity
     * joins", VLDB 2012): every string is split into `maxDist`+1 contiguous
