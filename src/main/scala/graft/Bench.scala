@@ -29,9 +29,10 @@ object Bench {
     // Default sized against the observed driver envelope: the round-7 kill
     // arrived at 7+ minutes of wall clock, and JVM+sbt startup costs ~40 s
     // on top of this in-process budget — 330 s keeps the whole run inside
-    // ~6.2 min while funding a second sample for every query (pass 1 of the
-    // 119-query suite costs ~150 s idle; single samples carry codegen +
-    // planning and overstate sub-second queries 2-3x).
+    // ~6.2 min while funding a second sample for most queries (a full
+    // first pass costs ~150-190 s idle depending on host phase; single
+    // samples carry codegen + planning and overstate sub-second queries
+    // 2-3x, which is why the resample pass goes most-expensive-first).
     val budget = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).getOrElse(330.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores, not a constant: an unset

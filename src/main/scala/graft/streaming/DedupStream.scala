@@ -13,9 +13,9 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * registry via `mapGroupsWithState`.
   *
   * Why this state is safe FOREVER: the bucket keyspace is fixed (4 chunks
-  * × 256 byte values = at most 1024 groups) and each group's state is two
-  * longs — min doc id and count — no matter how many documents stream
-  * through. That is the whole point of registering ANCHORS rather than
+  * × 2^chunkBits values — 1024 groups at the 32-bit default, 16384 at the
+  * wide 48-bit setting) and each group's state is two longs — min doc id
+  * and count — no matter how many documents stream through. That is the whole point of registering ANCHORS rather than
   * members: a new document's candidate set is "the anchors of my 4
   * buckets" (then verify by true hamming against the anchor), so the
   * unbounded member lists live in the landed table for the batch layer,
