@@ -88,7 +88,12 @@ class PropertySpec extends AnyFunSuite {
         val h = (i * 2654435761L + seed * 40503L) & 0x7fffffffL
         (s"g${h % 2}", i.toLong, (h % 10000).toDouble / 11.0, h % nParts)
       }
-      val df = rows.toDF("g", "id", "v", "part")
+      // ~3% null values: they must vanish from BOTH the sample and n_total
+      // (percentile semantics), at ids that would otherwise be sampled
+      val withNulls = rows.map { case (g, id, v, p) =>
+        (g, id, if (id % 37 == 0) None else Some(v), p)
+      }
+      val df = withNulls.toDF("g", "id", "v", "part")
       val specs = Seq(0.5 -> "p50", 0.9 -> "p90")
       val st = graft.ops.Quantiles.sampleQuantileState(df, Seq("g"), "part", "id", "v", k)
       val folded = graft.ops.Quantiles.sampleQuantileMerge(st, Seq("g"), "part", k, specs)
@@ -99,8 +104,9 @@ class PropertySpec extends AnyFunSuite {
       // direct global bottom-k, at any partitioning of the input
       assert(folded.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq,
         s"seed=$seed nParts=$nParts fold != direct")
-      // n_total is the exact row count (no nulls in this input)
-      val byG = rows.groupBy(_._1)
+      // n_total is the exact NON-NULL row count
+      val byG = withNulls.collect { case (g, id, Some(v), p) => (g, id, v, p) }
+        .groupBy(_._1)
       folded.foreach { r =>
         assert(r.getAs[Long]("n_total") === byG(r.getString(0)).size.toLong)
         assert(r.getAs[Long]("n_sampled") === k.toLong)
