@@ -208,6 +208,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q135/q137 route via broadcast registry probes — no pair-generating shuffle join") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      Seq("q135_simhash_anchor_candidates", "q137_incremental_route").foreach { name =>
+        val plan = planOf(name)
+        val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+        assert(bhj.nonEmpty, s"$name: registry probe should be a broadcast hash join")
+        // the whole point of the registry shape: the doc x doc candidate
+        // join of the all-pairs pass must not appear — a shuffle join is
+        // acceptable ONLY at doc grain (q137's final disposition left
+        // join); any shuffle join keyed on the (chunk, v) bucket would
+        // mean the registry stopped broadcasting
+        val smj = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }
+        smj.foreach { j =>
+          val keys = (j.leftKeys ++ j.rightKeys).map(_.toString).mkString(",")
+          assert(keys.contains("doc_id") && !keys.contains("chunk"),
+            s"$name shuffle-joins on non-doc-grain keys: $keys")
+        }
+      }
+    }
+  }
+
   test("q32 PII scrub plans no shuffle except the final output sort") {
     assume(new java.io.File(sf).isDirectory)
     withStaticPlans {
