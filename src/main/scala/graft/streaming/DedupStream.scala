@@ -160,9 +160,9 @@ object DedupStream {
     * final entry per bucket is simply the max-count row.
     */
   def bucketsFinal(docs: DataFrame, idCol: String, textCol: String,
-                   queryName: String): DataFrame = {
+                   queryName: String, bits: Int = 32): DataFrame = {
     val spark = docs.sparkSession
-    val q = simhashBuckets(docs, idCol, textCol)
+    val q = simhashBuckets(docs, idCol, textCol, bits)
       .writeStream.outputMode("update").format("memory").queryName(queryName)
       .start()
     try q.processAllAvailable() finally q.stop()

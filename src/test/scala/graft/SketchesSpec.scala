@@ -258,6 +258,57 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum === 1500L * 4, "every event lands in every row")
   }
 
+  test("sample-quantile state survives a parquet round trip: persisted fold == in-memory fold") {
+    import spark.implicits._
+    // the incremental pipeline's real flow: land per-day state as parquet,
+    // read it back later, fold — must equal folding the live state
+    val rows = (0 until 1500).map { i =>
+      val h = (i * 2654435761L + 97L) & 0x7fffffffL
+      (s"g${h % 2}", i.toLong, (h % 500).toDouble / 7.0, h % 5)
+    }
+    val df = rows.toDF("g", "id", "v", "day")
+    val specs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    val st = graft.ops.Quantiles.sampleQuantileState(df, Seq("g"), "day", "id", "v", k = 64)
+    val dir = java.nio.file.Files.createTempDirectory("sq_state").toString
+    st.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val live = graft.ops.Quantiles.sampleQuantileMerge(st, Seq("g"), "day", 64, specs)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val persisted = graft.ops.Quantiles.sampleQuantileMerge(
+        spark.read.parquet(dir), Seq("g"), "day", 64, specs)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(persisted === live)
+  }
+
+  test("streaming bucket registry at bits=48 matches an inline wide-chunk aggregation") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs = docsDf.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    docs.grouped(math.max(1, docs.size / 2 + 1)).foreach(c => input.addData(c))
+    val streamed = graft.streaming.DedupStream
+      .bucketsFinal(input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        queryName = "sh_buckets48", bits = 48)
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long)].collect().toSeq
+    // expected: the same 12-bit chunk registry computed as a plain batch
+    // aggregation over the wide signatures
+    val expected = docsDf
+      .select(col("doc_id"), graft.ops.Dedup.simhash(col("text"), 48).as("sig"))
+      .select(col("doc_id"), explode(array((0 until 4).map(c =>
+        struct(lit(c.toLong).as("chunk"),
+          shiftright(col("sig"), c * 12).bitwiseAND(4095L).as("v"))): _*)).as("_c"))
+      .groupBy(col("_c.chunk").as("chunk"), col("_c.v").as("v"))
+      .agg(min(col("doc_id")).as("anchor_id"), count(lit(1)).as("n_docs"))
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed === expected)
+    // wide chunks must actually spread past the 8-bit value range — a
+    // silent fall-back to 8-bit masking could never produce v > 255
+    assert(expected.exists(_._2 > 255L), "no bucket value above 255 — 12-bit chunks not in effect")
+  }
+
   test("streaming sample-quantile sketch: final estimates bit-match the batch sketch on the same bounded input") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
