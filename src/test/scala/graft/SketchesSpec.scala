@@ -309,6 +309,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(expected.exists(_._2 > 255L), "no bucket value above 255 — 12-bit chunks not in effect")
   }
 
+  test("sample-quantile sketch at k=2 (smallest legal): fold == direct; interpolation spans the 2-sample bracket") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      val h = (i * 2654435761L + 13L) & 0x7fffffffL
+      ("g", i.toLong, (h % 100).toDouble, h % 3)
+    }
+    val df = rows.toDF("g", "id", "v", "part")
+    val specs = Seq(0.0 -> "p0", 0.5 -> "p50", 1.0 -> "p100")
+    val st = graft.ops.Quantiles.sampleQuantileState(df, Seq("g"), "part", "id", "v", k = 2)
+    val folded = graft.ops.Quantiles.sampleQuantileMerge(st, Seq("g"), "part", 2, specs)
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.ops.Quantiles.sampleQuantiles(df, Seq("g"), "id", "v", 2, specs)
+      .collect().map(_.toSeq).toSeq
+    assert(folded === direct)
+    val r = folded.head
+    // with a 2-value sample: p0 = min, p100 = max, p50 = their midpoint
+    val (lo, hi) = (r(3).asInstanceOf[Double], r(5).asInstanceOf[Double])
+    assert(lo <= hi && r(4) === (0.5 * lo + 0.5 * hi))
+    assert(r(1) === 200L && r(2) === 2L) // n_total exact, n_sampled == k
+  }
+
   test("streaming sample-quantile sketch: final estimates bit-match the batch sketch on the same bounded input") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
