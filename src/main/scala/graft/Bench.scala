@@ -63,6 +63,28 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     catch { case _: Throwable => () }
+    // HOST-SPEED CALIBRATION PROBE: a fixed synthetic workload (the q18
+    // SimHash kernel over 200k generated 12-word docs — no file I/O, no
+    // shuffle, pure codegen'd map+agg) timed min-of-2 and emitted as
+    // "calib" / "calib_sec". Round-10's lesson: a slow host phase silently
+    // inflated the whole suite ~1.6x and the evidence had to be re-derived
+    // from PLANS.md prose — this field lets any reader normalize totals
+    // across host phases directly (idle steady state ≈ 0.25 s; divide
+    // the suite total by calib/idle-calib to compare rounds).
+    val calibSec: Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val s = System.nanoTime()
+        spark.range(200000)
+          .select(concat_ws(" ", (0 until 12).map(i =>
+            pmod(col("id") * (i * 7 + 3), lit(997)).cast("string")): _*).as("t"))
+          .select(graft.ops.Dedup.simhash(col("t")).as("sig"))
+          .selectExpr("sum(sig)").queryExecution.toRdd.count()
+        (System.nanoTime() - s) / 1e9
+      }
+      once() // codegen warm
+      math.min(once(), once())
+    }
     // Local-profiling hooks (unset in driver runs): comma-separated query
     // filter and a repeat count so one query's steady-state cost can be
     // isolated without running the whole suite.
@@ -89,7 +111,31 @@ object Bench {
           if (failed.add(name))
             System.err.println(s"[bench] $name FAILED: ${e.toString.linesIterator.next()}")
       }
-    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // EXPENSIVE-FIRST coverage pass: static cost hints (idle sf0.1 clean-run
+    // seconds for every query over ~1.5 s; everything else defaults cheap)
+    // order pass 1 so that when the budget runs out mid-pass, what gets
+    // skipped is the sub-second tail — round-10's degraded artifact skipped
+    // 10 queries costing 0.18-1.3 s each while the expensive head had
+    // already been timed; this ordering makes the worst case "the cheap
+    // tail is single-sampled", never "queries are missing".
+    val costHint: Map[String, Double] = Map(
+      "q124_incremental_agg" -> 6.2, "q76_repair_day" -> 5.1,
+      "q55_lake_roundtrip" -> 4.5, "q110_pagerank" -> 3.3,
+      "q90_mad_outliers" -> 3.3, "q72_indicators" -> 3.2,
+      "q31_ffill_multi_symbol" -> 3.2, "q121_lambda_read" -> 2.9,
+      "q79_asof_directed" -> 2.4, "q28_quantiles" -> 2.4,
+      "q94_pq_topk" -> 2.2, "q40_dedup_clusters" -> 2.2,
+      "q73_macd" -> 2.1,
+      "q01_pricing_summary" -> 1.8, "q127_rfm_segments" -> 1.8,
+      "q139_incremental_capstone" -> 1.8, "q111_winsorize" -> 1.7,
+      "q99_fk_audit" -> 1.7, "q74_rolling_corr" -> 1.7,
+      "q13_segment_revenue" -> 1.6, "q131_sample_quantile_sketch" -> 1.6,
+      "q06_or_levels" -> 1.6, "q109_bm25_topk" -> 1.6,
+      "q61_bloom_decontaminate" -> 1.5, "q87_prefix_jaccard" -> 1.5,
+      "q129_lsh_quality" -> 1.5, "q138_incremental_clusters" -> 1.5)
+    val queries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (-costHint.getOrElse(n, 0.75), n) }
 
     // ---- incremental state, visible to the shutdown hook ----------------
     val done = new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
@@ -116,7 +162,8 @@ object Bench {
       val total = results.collect {
         case (k, v) if !failed.contains(k) => v.min
       }.sum
-      val flags = (if (degraded) List("\"degraded\":true") else Nil) ++
+      val flags = List(s""""calib":${fp(2)(calibSec)}""") ++
+        (if (degraded) List("\"degraded\":true") else Nil) ++
         (if (skipped > 0) List(s"\"skipped\":$skipped") else Nil) ++
         (if (!failed.isEmpty) List(s"\"errors\":${failed.size}") else Nil)
       val flagStr = if (flags.isEmpty) "" else flags.mkString(",", ",", "")
@@ -156,7 +203,7 @@ object Bench {
         failed.asScala.toVector.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       val rawLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"failed":$errs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${f(calibSec)},"queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"failed":$errs,"sf":"$sfDir"}"""
       try {
         val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RAW_OUT",
           "/root/repo/BENCH_RAW.json"))

@@ -288,7 +288,8 @@ object Dedup {
     * `streaming.DedupStream.anchorCandidates` maintains the same emission
     * live with two-longs-per-bucket state.
     *
-    * Scale shape: one fixed-keyspace aggregate (≤ 1024 rows), broadcast
+    * Scale shape: one fixed-keyspace aggregate (4·2^(bits/4) rows — 1024
+    * at the 32-bit default), broadcast
     * back onto the chunk table, per-row hamming verify — no pair shuffle
     * at all. Recall is anchors-only BY DESIGN: pairs between two
     * non-anchor members surface when the batch layer runs the full
@@ -298,14 +299,21 @@ object Dedup {
     * Output: (doc_id, anchor_id, hamming), doc != anchor, distinct.
     */
   def simhashAnchorCandidates(docs: DataFrame, idCol: String, textCol: String,
-                              maxHamming: Int = 3): DataFrame = {
+                              maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+    require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val chunks = 4
+    val chunkBits = bits / 4
+    val mask = (1L << chunkBits) - 1L
+    // cached: feeds the registry aggregate, the probe side, AND the
+    // anchor-signature lookup — without it the scan+sign pipeline runs
+    // three times (the object's round-1 q27 convention for self-joined
+    // signature projections)
     val sigs = docs.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("_sig"))
+      simhash(col(textCol), bits).as("_sig")).cache()
     val chunked = sigs.select(col("doc_id"), col("_sig"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c.toLong).as("chunk"),
-          shiftright(col("_sig"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
+          shiftright(col("_sig"), c * chunkBits).bitwiseAND(mask).as("v"))): _*)).as("_c"))
       .select(col("doc_id"), col("_sig"), col("_c.chunk"), col("_c.v"))
     val registry = chunked.groupBy(col("chunk"), col("v"))
       .agg(min(col("doc_id")).as("anchor_id"))
@@ -322,15 +330,16 @@ object Dedup {
   /** [[simhashBucketRegistry]] extended with each anchor's signature —
     * the standing table an incremental ingest PERSISTS so new documents
     * can be routed ([[simhashRoute]]) without touching the day-1 corpus
-    * again. Still ≤ 1024 rows forever.
+    * again. Still keyspace-bounded forever (1024 rows at the 32-bit
+    * default; 4·2^(bits/4) in general).
     *
     * Output: (chunk, v, anchor_id, anchor_sig, n_docs).
     */
   def simhashBucketRegistrySigs(docs: DataFrame, idCol: String,
-                                textCol: String): DataFrame = {
+                                textCol: String, bits: Int = 32): DataFrame = {
     val sigs = docs.select(col(idCol).as("anchor_id"),
-      simhash(col(textCol)).as("anchor_sig"))
-    simhashBucketRegistry(docs, idCol, textCol)
+      simhash(col(textCol), bits).as("anchor_sig"))
+    simhashBucketRegistry(docs, idCol, textCol, bits)
       .join(sigs, "anchor_id")
       .select(col("chunk"), col("v"), col("anchor_id"), col("anchor_sig"),
         col("n_docs"))
@@ -350,14 +359,18 @@ object Dedup {
     * nullable) — one row per NEW doc.
     */
   def simhashRoute(newDocs: DataFrame, idCol: String, textCol: String,
-                   registry: DataFrame, maxHamming: Int = 3): DataFrame = {
+                   registry: DataFrame, maxHamming: Int = 3,
+                   bits: Int = 32): DataFrame = {
+    require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val chunks = 4
+    val chunkBits = bits / 4
+    val mask = (1L << chunkBits) - 1L
     val sigs = newDocs.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("_sig"))
+      simhash(col(textCol), bits).as("_sig"))
     val chunked = sigs.select(col("doc_id"), col("_sig"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c.toLong).as("chunk"),
-          shiftright(col("_sig"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
+          shiftright(col("_sig"), c * chunkBits).bitwiseAND(mask).as("v"))): _*)).as("_c"))
       .select(col("doc_id"), col("_sig"), col("_c.chunk"), col("_c.v"))
     val best = chunked
       .join(broadcast(registry.select(col("chunk"), col("v"),
@@ -505,13 +518,25 @@ object Dedup {
   def simhash(text: Column, bits: Int = 32): Column =
     graft.functions.TextFunctions.simHash(text, bits)
 
-  /** HOF reference form of [[simhash]] (kept for kernel equivalence tests). */
+  /** HOF reference form of [[simhash]] (kept for kernel equivalence tests).
+    * Mirrors the kernel's vote source exactly, including the WIDE path: for
+    * bits > 32 the votes past bit 29 come from the second-level remix
+    * h2 = (h² mod P · 2654435761 + 11) mod P — the same 60-bit widening
+    * [[graft.functions.TextFunctions.simHash]] documents (bits ≤ 32 reads
+    * only h, so bits 30-31 vote constant −1 in both forms).
+    */
   def simhashHof(text: Column, bits: Int = 32): Column = {
+    require(bits <= 60, s"simhashHof supports at most 60 bits, got $bits")
+    val wide = bits > 32
     val ws = TextAnalysis.words(text)
     val hashes = transform(ws, w => TextAnalysis.fingerprint(w))
+    def bitOf(h: Column, j: Int): Column =
+      if (j < 30) shiftright(h, j).bitwiseAND(1L)
+      else if (!wide) lit(0L)
+      else shiftright((h * h % P * 2654435761L + 11L) % P, j - 30).bitwiseAND(1L)
     val bitCols = (0 until bits).map { j =>
       val contrib = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1L) * 2L - 1L))
+        (acc, h) => acc + (bitOf(h, j) * 2L - 1L))
       when(contrib > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
     }
     bitCols.reduce(_ + _)
@@ -625,6 +650,54 @@ object Dedup {
         col("cluster_size"), (col("id") === col("component")).as("is_canonical"))
   }
 
+  /** INCREMENTAL cluster maintenance — fold a new day's verified near-dup
+    * pairs into a PERSISTED component table without re-reading day-1's
+    * edges: the missing piece that turns [[nearDupClusters]] from a
+    * rebuild-the-world batch pass into standing state the
+    * registry/routing faces ([[simhashBucketRegistrySigs]] /
+    * [[simhashRoute]]) already maintain incrementally.
+    *
+    * Correctness is graph contraction: a component table (id, component)
+    * with min-id labels is exactly the old edge set E1 collapsed — linking
+    * every member to its label preserves E1's partition, so components of
+    * {(id, label)} ∪ newPairs equal components of E1 ∪ newPairs, and
+    * min-label propagation re-derives the same min-id labels a from-scratch
+    * rebuild on the unioned corpus produces (q138 gates fold == rebuild
+    * bit-for-bit against the recursive-CTE oracle).
+    *
+    * Scale shape: the inputs are the PERSISTED component table (one row
+    * per doc — read, never recomputed) and the new day's pairs (O(new
+    * batch)); propagation rounds are bounded by the diameter of chains
+    * formed by NEW pairs only (old components are pre-collapsed to
+    * star graphs of diameter 1), so a quiet day converges in one round
+    * regardless of corpus size. New ids appearing only in `newPairs` (or
+    * passed via `newNodes`) enter as their own singletons first.
+    *
+    * Output: (idCol, cluster_id, cluster_size, is_canonical) — same shape
+    * as [[nearDupClusters]], one row per doc in components ∪ newNodes ∪
+    * pair endpoints.
+    */
+  def incrementalClusters(components: DataFrame, newPairs: DataFrame,
+                          newNodes: Option[DataFrame] = None,
+                          idCol: String = "doc_id",
+                          labelCol: String = "cluster_id",
+                          maxIter: Int = 50): DataFrame = {
+    val oldEdges = components.select(col(idCol).as("src"), col(labelCol).as("dst"))
+    val addEdges = newPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = components.select(col(idCol).as("id"))
+      .unionByName(newPairs.select(col("id_a").as("id")))
+      .unionByName(newPairs.select(col("id_b").as("id")))
+      .unionByName(newNodes.map(_.select(col(idCol).as("id")))
+        .getOrElse(components.select(col(idCol).as("id")).limit(0)))
+    val comp = connectedComponents(nodes, oldEdges.unionByName(addEdges),
+      maxIter = maxIter)
+    val w = Window.partitionBy(col("component"))
+    comp
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("id").as(idCol), col("component").as(labelCol),
+        col("cluster_size"), (col("id") === col("component")).as("is_canonical"))
+  }
+
   /** Same blocking over PRECOMPUTED signatures — e.g. the `simhash` column a
     * [[graft.streaming.DocumentStream]] landed, or any table that already
     * paid the signing pass; no text re-read, no re-signing. Input is scanned
@@ -720,20 +793,27 @@ object Dedup {
     * standing-state form, and `streaming.DedupStream` maintains the same
     * registry live with bounded per-bucket state).
     *
-    * The keyspace is fixed — 4 chunks × 256 byte values = at most 1024
-    * rows regardless of corpus size — so the aggregate reduces map-side
-    * to ~nothing and the registry is broadcastable forever.
+    * The keyspace is fixed — 4 chunks × 2^(bits/4) values, i.e. 1024 rows
+    * at the 32-bit default — so the aggregate reduces map-side to ~nothing
+    * and the registry is broadcastable forever. `bits` is the same
+    * corpus-scale dial as [[simhashCandidatesFromSignatures]]' chunkBits:
+    * a 48-bit signature gives 12-bit chunks → 16× the bucket keyspace, so
+    * the registry stays selective past ~10^4 docs (at 16384 rows it is
+    * still trivially broadcastable).
     *
-    * Output: (chunk 0-3, v 0-255, anchor_id = min id, n_docs).
+    * Output: (chunk 0-3, v in [0, 2^(bits/4)), anchor_id = min id, n_docs).
     */
   def simhashBucketRegistry(docs: DataFrame, idCol: String,
-                            textCol: String): DataFrame = {
+                            textCol: String, bits: Int = 32): DataFrame = {
+    require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val chunks = 4
-    docs.select(col(idCol), simhash(col(textCol)).as("_sig"))
+    val chunkBits = bits / 4
+    val mask = (1L << chunkBits) - 1L
+    docs.select(col(idCol), simhash(col(textCol), bits).as("_sig"))
       .select(col(idCol),
         explode(array((0 until chunks).map(c =>
           struct(lit(c.toLong).as("chunk"),
-            shiftright(col("_sig"), c * 8).bitwiseAND(0xFFL).as("v"))): _*)).as("_c"))
+            shiftright(col("_sig"), c * chunkBits).bitwiseAND(mask).as("v"))): _*)).as("_c"))
       .groupBy(col("_c.chunk").as("chunk"), col("_c.v").as("v"))
       .agg(min(col(idCol)).as("anchor_id"), count(lit(1)).as("n_docs"))
   }

@@ -82,13 +82,20 @@ object BinanceSource {
                    sleeper: Long => Unit = ms => Thread.sleep(ms)):
       (String, String, Long, Long, Int) => Seq[RawBar] =
     (sym, iv, startMs, endMs, limit) => {
+      // "HTTP 429" / "429 Too Many Requests" / a leading "429:" status —
+      // NOT any message merely containing the substring "429" (a path or
+      // row count embedding that number must not trigger 5 retry sleeps
+      // on a non-retryable failure)
+      val rateLimited = "(?i)(^|[^0-9])429([^0-9]|$).*too many requests|http[ /]429|status(=| )429|^429\\b".r
+      def is429(e: Exception): Boolean =
+        Option(e.getMessage).exists(m => rateLimited.findFirstIn(m).isDefined)
       var attempt = 0
       var out: Option[Seq[RawBar]] = None
       while (out.isEmpty) {
         try out = Some(fetchPage(sym, iv, startMs, endMs, limit))
         catch {
           case e: Exception
-            if Option(e.getMessage).exists(_.contains("429")) &&
+            if is429(e) &&
                attempt < Pacing.binanceMaxRetries =>
             sleeper(Pacing.binance429BackoffSeconds(attempt) * 1000L)
             attempt += 1

@@ -145,9 +145,10 @@ object DedupStream {
     * batch op before ITS distinct).
     */
   def anchorCandidatesFinal(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int, queryName: String): DataFrame = {
+                            maxHamming: Int, queryName: String,
+                            bits: Int = 32): DataFrame = {
     val spark = docs.sparkSession
-    val q = anchorCandidates(docs, idCol, textCol, maxHamming)
+    val q = anchorCandidates(docs, idCol, textCol, maxHamming, bits)
       .writeStream.outputMode("update").format("memory").queryName(queryName)
       .start()
     try q.processAllAvailable() finally q.stop()

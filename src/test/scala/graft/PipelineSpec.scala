@@ -123,7 +123,7 @@ class PipelineSpec extends AnyFunSuite {
     val src = new BinanceSource(BinanceSource.withRetry429(transport, sleeps += _))
     val root = Files.createTempDirectory("binance_e2e").toString
     // two single-day ingest windows, exactly how the fill orchestrator
-    // walks a month (3 pages/day at 1000 bars -> 6 page calls + 1 retried)
+    // walks a month (2 pages/day at 1000 bars -> 4 page calls + 1 retried)
     Seq(day1, day1.plusSeconds(86400)).foreach { d =>
       LakeWriter.upsert(spark, root,
         src.fetch(spark, "BTC-USD", Timeframe.M1, d, d.plusSeconds(86400)))
