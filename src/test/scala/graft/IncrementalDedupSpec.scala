@@ -1,0 +1,227 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 incremental-dedup surfaces: incrementalClusters (fold ==
+  * rebuild — the spec-level twin of the q138/q139 oracle gates), the wide
+  * `bits` dial through the registry/routing stack, and the composition
+  * shapes of the folded bench gates (ex-q56/q58/q120 — their stages remain
+  * individually oracled; these assertions pin the compositions).
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def clusterShape(comp: org.apache.spark.sql.DataFrame) =
+    comp.orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+
+  test("incrementalClusters: folding new pairs into a component table == from-scratch rebuild (seeded random graphs)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val day1Nodes = (0L until 40L)
+      val day2Nodes = (40L until 60L)
+      val e1 = Seq.fill(25)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // day-2 pairs may link new-new, new-old, and (rare in practice but
+      // legal) old-old nodes — the fold must handle all three
+      val e2 = Seq.fill(25)((rnd.nextInt(60).toLong, 40L + rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct ++
+        Seq((3L, 7L)) // one old-old late arrival
+      val comps1 = Dedup.connectedComponents(
+        day1Nodes.toDF("id"), e1.toDF("src", "dst"))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val folded = clusterShape(Dedup.incrementalClusters(
+        comps1, e2.toDF("id_a", "id_b"), Some(day2Nodes.toDF("doc_id"))))
+      // rebuild from scratch on the union, labeled identically
+      val all = Dedup.connectedComponents(
+        (day1Nodes ++ day2Nodes).toDF("id"),
+        (e1 ++ e2).toDF("src", "dst"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      val rebuilt = clusterShape(all
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"), (col("id") === col("component")).as("is_canonical")))
+      assert(folded === rebuilt)
+    }
+  }
+
+  test("incrementalClusters: a quiet day (no new pairs) reproduces the old partition over old + new singleton nodes") {
+    val comps = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "cluster_id")
+    val got = clusterShape(Dedup.incrementalClusters(comps,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      Some(Seq(9L).toDF("doc_id"))))
+    assert(got === Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false),
+      (5L, 5L, 1L, true), (9L, 9L, 1L, true)))
+  }
+
+  test("incrementalClusters: a new pair merging two old components relabels BOTH to the joint min id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_id")
+    val got = clusterShape(Dedup.incrementalClusters(comps,
+      Seq((2L, 6L)).toDF("id_a", "id_b")))
+    assert(got === Seq((1L, 1L, 4L, true), (2L, 1L, 4L, false),
+      (5L, 1L, 4L, false), (6L, 1L, 4L, false)))
+  }
+
+  // ---- wide `bits` dial through the registry/routing batch faces --------
+
+  test("simhashHof == native kernel at 48 bits (wide h2 remix) and 32 bits (legacy span)") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    for (bits <- Seq(32, 48)) {
+      val diff = docs.select(
+        Dedup.simhash(col("text"), bits).as("k"),
+        Dedup.simhashHof(col("text"), bits).as("h"))
+        .where(col("k") =!= col("h")).count()
+      assert(diff === 0L, s"kernel/HOF divergence at bits=$bits")
+    }
+  }
+
+  test("wide bucket registry: bits=48 blocks on 12-bit chunks of the wide signature; default 32 unchanged") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val reg48 = Dedup.simhashBucketRegistry(docs, "doc_id", "text", bits = 48)
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long)].collect().toSeq
+    // recompute from the 48-bit signatures directly
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text"), 48).as("s"))
+      .as[(Long, Long)].collect().toSeq
+    val expected = sigs.flatMap { case (id, s) =>
+      (0 until 4).map(c => ((c.toLong, (s >> (c * 12)) & 0xFFFL), id))
+    }.groupBy(_._1).map { case ((c, v), xs) =>
+      (c, v, xs.map(_._2).min, xs.size.toLong)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(reg48 === expected)
+    assert(reg48.exists(_._2 > 255L), "12-bit chunk values must exceed the 8-bit span")
+    // default form unchanged: 32-bit registry == explicit bits=32
+    val a = Dedup.simhashBucketRegistry(docs, "doc_id", "text")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long)].collect().toSeq
+    val b = Dedup.simhashBucketRegistry(docs, "doc_id", "text", bits = 32)
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+
+  test("wide anchor routing: batch simhashAnchorCandidates(bits=48) == brute anchors; streaming twin bit-matches under id-ordered replay") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = Dedup.simhashAnchorCandidates(docsDf, "doc_id", "text",
+        maxHamming = 3, bits = 48)
+      .orderBy("doc_id", "anchor_id").as[(Long, Long, Long)].collect().toSeq
+    // brute-force the contract from the wide signatures
+    val sigs = docsDf.select(col("doc_id"), Dedup.simhash(col("text"), 48).as("s"))
+      .as[(Long, Long)].collect().toSeq
+    val anchor = sigs.flatMap { case (id, s) =>
+      (0 until 4).map(c => ((c, (s >> (c * 12)) & 0xFFFL), id))
+    }.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).min) }
+    val sigOf = sigs.toMap
+    val expected = sigs.flatMap { case (id, s) =>
+      (0 until 4).flatMap { c =>
+        val a = anchor((c, (s >> (c * 12)) & 0xFFFL))
+        if (a == id) None
+        else {
+          val h = java.lang.Long.bitCount(s ^ sigOf(a)).toLong
+          if (h <= 3L) Some((id, a, h)) else None
+        }
+      }
+    }.distinct.sortBy(t => (t._1, t._2))
+    assert(batch === expected)
+    // streaming twin at bits=48 (the dial ADVICE flagged as unplumbed)
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    docs.grouped(math.max(1, docs.size / 4 + 1)).foreach(c => input.addData(c))
+    val streamed = graft.streaming.DedupStream
+      .anchorCandidatesFinal(input.toDF().toDF("doc_id", "text"), "doc_id",
+        "text", maxHamming = 3, queryName = "anchor_cand_w48", bits = 48)
+      .orderBy("doc_id", "anchor_id").as[(Long, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+  }
+
+  // ---- composition shapes of the folded bench gates ---------------------
+
+  // six docs, three texts: ids 1,2,3 share A; 10,11 share B; 20 unique.
+  // Shingle n=3 needs >= 3 words per text.
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon", "web", 29L),
+    (2L, "alpha beta gamma delta epsilon", "web", 29L),
+    (3L, "alpha beta gamma delta epsilon", "book", 29L),
+    (10L, "zeta eta theta iota kappa", "web", 25L),
+    (11L, "zeta eta theta iota kappa", "book", 25L),
+    (20L, "unique words never repeated anywhere", "web", 36L)
+  ).toDF("doc_id", "text", "source", "n_chars")
+
+  test("ex-q58 composition: compaction rollup over nearDupClusters (clusters + chars saved per size)") {
+    val cl = Dedup.nearDupClusters(corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.5)
+    val got = cl.join(corpus.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("is_canonical"), col("n_chars")).otherwise(lit(0L)))
+          .cast("long").as("chars_removed"))
+      .orderBy("cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, 0L),     // doc 20 alone
+      (2L, 1L, 2L, 25L),    // {10,11}: drop 11
+      (3L, 1L, 3L, 58L)))   // {1,2,3}: drop 2 and 3
+  }
+
+  test("ex-q56 composition: cross-source rollup over verifiedNearDups (unordered source pairs, mean jaccard)") {
+    val pairs = Dedup.verifiedNearDups(corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.5)
+    val src = corpus.select(col("doc_id"), col("source"))
+    val got = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), "id_b")
+      .groupBy(least(col("_sa"), col("_sb")).as("source_lo"),
+        greatest(col("_sa"), col("_sb")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(round(col("jaccard"), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .cast("double") / count(lit(1)), 4).as("mean_jaccard"))
+      .orderBy("source_lo", "source_hi")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // exact dups -> jaccard 1.0 everywhere; pairs: (1,2)ww (1,3)wb (2,3)wb
+    // (10,11)wb -> web/web 1 pair, book/web 3 pairs
+    assert(got === Seq(("book", "web", 3L, 1.0), ("web", "web", 1L, 1.0)))
+  }
+
+  test("ex-q120 composition: signup->purchase funnel latency through exact interpolated quantiles") {
+    // t0 = 0 ns => 1970-01-01 (Thursday): dow = (0 + 4) % 7 = 4
+    def ns(sec: Long) = sec * 1000000000L
+    val events = Seq(
+      (1L, "signup", ns(0)), (1L, "purchase", ns(10)), (1L, "purchase", ns(99)),
+      (2L, "signup", ns(0)), (2L, "purchase", ns(20)),
+      (3L, "signup", ns(0)), (3L, "purchase", ns(40)),
+      (4L, "purchase", ns(5)), // no signup: excluded
+      (5L, "signup", ns(0))    // no purchase: excluded
+    ).toDF("user_id", "event_type", "ts_ns")
+    val signup = events.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("_t0"))
+    val firstPurchase = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns")).join(signup, "user_id")
+      .where(col("ts_ns") >= col("_t0"))
+      .groupBy(col("user_id"), col("_t0")).agg(min(col("ts_ns")).as("_tp"))
+    val lat = firstPurchase
+      .withColumn("lat_sec", expr("(_tp - _t0) DIV 1000000000"))
+      .withColumn("signup_dow", expr("((_t0 DIV 1000000000 DIV 86400) + 4) % 7"))
+    val q = graft.ops.Quantiles.exactInterpolated(lat, Seq("signup_dow"),
+      "lat_sec", Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90"))
+    val n = lat.groupBy(col("signup_dow")).agg(count(lit(1)).as("n_users"))
+    val got = q.join(n, "signup_dow")
+      .select(col("signup_dow"), col("n_users"), round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // latencies [10, 20, 40]: h25 = 0.5 -> 15; p50 = 20; h90 = 1.8 -> 36
+    assert(got === Seq((4L, 3L, 15.0, 20.0, 36.0)))
+  }
+}

@@ -219,6 +219,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(sleeps.toSeq === Seq(200L) && budget.used === 2)
   }
 
+  test("withRetry429 retries only rate-limit-shaped failures, not any message containing '429'") {
+    import graft.sources.{BinanceSource, RawBar}
+    def run(msg: String, failures: Int): (Int, Seq[Long]) = {
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var calls = 0
+      val fetch = BinanceSource.withRetry429((_, _, _, _, _) => {
+        calls += 1
+        if (calls <= failures) throw new RuntimeException(msg)
+        Seq.empty[RawBar]
+      }, sleeps += _)
+      try fetch("BTCUSDT", "1m", 0L, 60000L, 1000) catch { case _: Exception => () }
+      (calls, sleeps.toSeq)
+    }
+    // rate-limit shapes retry with the published backoff
+    assert(run("HTTP 429 Too Many Requests", 1) === (2, Seq(1000L)))
+    assert(run("429: Too Many Requests", 1) === (2, Seq(1000L)))
+    // a path/id merely embedding 429 must NOT trigger retry sleeps
+    assert(run("failed to read /tmp/shard_429.parquet", 1) === (1, Nil))
+    assert(run("row count 14290 mismatch", 1) === (1, Nil))
+  }
+
   test("pacing schedules match the reference constants") {
     import graft.sources.Pacing
     assert((0 to 5).map(Pacing.binance429BackoffSeconds) === Seq(1, 2, 4, 8, 10, 10))
