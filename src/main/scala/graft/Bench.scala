@@ -28,12 +28,17 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     // Default sized against the observed driver envelope: the round-7 kill
     // arrived at 7+ minutes of wall clock, and JVM+sbt startup costs ~40 s
-    // on top of this in-process budget — 330 s keeps the whole run inside
-    // ~6.2 min while funding a second sample for most queries (a full
-    // first pass costs ~150-190 s idle depending on host phase; single
-    // samples carry codegen + planning and overstate sub-second queries
-    // 2-3x, which is why the resample pass goes most-expensive-first).
-    val budget = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).getOrElse(330.0)
+    // on top of this in-process budget — 355 s keeps the whole run inside
+    // ~6.6 min (vs the ~7 min kill) while funding min-of-2 for the WHOLE
+    // suite on a typical host phase: measured round 11, a full first pass
+    // costs ~173 s idle and the complete resample pass ~175 s, so the old
+    // 330 s default sat exactly on the cliff where a 10% host dip dropped
+    // the cheap tail to single samples (calib 0.206 -> clean, 0.227 ->
+    // 67 single-sampled). Budget exhaustion still bounds the run hard —
+    // work is shed, the line always emits — so the extra 25 s only ever
+    // extends useful measurement, never the worst-case wall clock past
+    // the envelope.
+    val budget = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).getOrElse(355.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores, not a constant: an unset
     // SPARK_GRAFT_CPUS used to mean local[4] on a 32-core box — a 4-8x
@@ -120,19 +125,19 @@ object Bench {
     // tail is single-sampled", never "queries are missing".
     val costHint: Map[String, Double] = Map(
       "q124_incremental_agg" -> 6.2, "q76_repair_day" -> 5.1,
-      "q55_lake_roundtrip" -> 4.5, "q110_pagerank" -> 3.3,
+      "q55_lake_roundtrip" -> 4.5, "q110_pagerank" -> 2.2,
       "q90_mad_outliers" -> 3.3, "q72_indicators" -> 3.2,
       "q31_ffill_multi_symbol" -> 3.2, "q121_lambda_read" -> 2.9,
       "q79_asof_directed" -> 2.4, "q28_quantiles" -> 2.4,
       "q94_pq_topk" -> 2.2, "q40_dedup_clusters" -> 2.2,
       "q73_macd" -> 2.1,
       "q01_pricing_summary" -> 1.8, "q127_rfm_segments" -> 1.8,
-      "q139_incremental_capstone" -> 1.8, "q111_winsorize" -> 1.7,
+      "q139_incremental_capstone" -> 3.6, "q111_winsorize" -> 1.7,
       "q99_fk_audit" -> 1.7, "q74_rolling_corr" -> 1.7,
       "q13_segment_revenue" -> 1.6, "q131_sample_quantile_sketch" -> 1.6,
       "q06_or_levels" -> 1.6, "q109_bm25_topk" -> 1.6,
-      "q61_bloom_decontaminate" -> 1.5, "q87_prefix_jaccard" -> 1.5,
-      "q129_lsh_quality" -> 1.5, "q138_incremental_clusters" -> 1.5)
+      "q61_bloom_decontaminate" -> 1.5, "q87_prefix_jaccard" -> 2.4,
+      "q129_lsh_quality" -> 2.7, "q138_incremental_clusters" -> 2.6)
     val queries = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (-costHint.getOrElse(n, 0.75), n) }

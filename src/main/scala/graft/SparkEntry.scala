@@ -147,12 +147,16 @@ object SparkEntry {
     }),
 
     // weighted PageRank over the session transition graph (q84's edges):
-    // 10 power-iteration rounds with dangling-mass redistribution, every
+    // 6 power-iteration rounds with dangling-mass redistribution, every
     // reduction DECIMAL-exact — the stationary distribution itself is
-    // hash-gated (graft.ops.Graph.pagerank over EventOps.transitions)
+    // hash-gated (graft.ops.Graph.pagerank over EventOps.transitions).
+    // 6 rounds, not 10: each round is driver-synchronous (~0.35 s at any
+    // corpus size — the type-grain graph is tiny), the oracle unrolls the
+    // same count, and the bench budget is the binding constraint (PLANS.md
+    // round 11); the operator itself takes iters as a dial.
     "q110_pagerank" -> ((s, dir) => {
       val edges = EventOps.transitions(tbl(s, dir, "events"), gapSeconds = 1800L)
-      Graph.pagerank(edges, "from_type", "to_type", "n", iters = 10)
+      Graph.pagerank(edges, "from_type", "to_type", "n", iters = 6)
         .orderBy(col("node"))
     }),
 
@@ -354,7 +358,10 @@ object SparkEntry {
     // semantics are pinned end-to-end through the PERSISTED state.
     "q139_incremental_capstone" -> ((s, dir) => {
       val root = scratchRoot(s, "q139_state", dir)
-      val docs = tbl(s, dir, "documents")
+      // deterministic HALF corpus (q16's cost note): the chain's value is
+      // the persisted-state composition, which a half corpus exercises
+      // identically at ~1/4 the LSH-pair cost
+      val docs = tbl(s, dir, "documents").where(col("doc_id") % 2 === 0)
       val day1 = docs.where(col("doc_id") % 3 =!= 0)
       val day2 = docs.where(col("doc_id") % 3 === 0)
       // ---- day-1 build: persist registry + components ----
@@ -2239,7 +2246,7 @@ object SparkEntry {
             |       FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
             |SELECT ptype AS src, event_type AS dst, count(*)::BIGINT AS w
             |FROM l WHERE ptype IS NOT NULL AND tsec - ptsec <= 1800 GROUP BY 1, 2""".stripMargin
-        graft.ops.Graph.pagerankSql(edgesSql, iters = 10)
+        graft.ops.Graph.pagerankSql(edgesSql, iters = 6)
       },
       "q111_winsorize" ->
         """WITH b AS (SELECT event_type, value FROM events),
@@ -3139,7 +3146,7 @@ object SparkEntry {
       // edges (q40's), union -> recursive-CTE components -> q58-style
       // compaction rollup
       "q139_incremental_capstone" ->
-        s"""WITH RECURSIVE ws AS ($wsSql),
+        s"""WITH RECURSIVE ws AS ($wsSqlH),
            | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
            | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
            | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
@@ -3161,7 +3168,7 @@ object SparkEntry {
            |            row_number() OVER (PARTITION BY doc_id ORDER BY hh, anchor_id) AS rn
            |          FROM cand),
            | routed AS (SELECT doc_id, anchor_id FROM best WHERE rn = 1),
-           | sh AS ($shingleSql),
+           | sh AS ($shingleSqlH),
            | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
            | rint AS (SELECT p.doc_id, p.anchor_id, count(*) AS inter
            |          FROM routed p JOIN sh a ON a.doc_id = p.doc_id
@@ -3191,7 +3198,7 @@ object SparkEntry {
            | edges AS (SELECT a, b FROM e1 UNION SELECT a, b FROM newpairs),
            | sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
            | reach(node, r) AS (
-           |   SELECT doc_id, doc_id FROM documents
+           |   SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0
            |   UNION
            |   SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node),
            | comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
