@@ -50,6 +50,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalClusters folds COMPOSE: day-2 then day-3 == one rebuild on the 3-day union") {
+    val rnd = new scala.util.Random(11)
+    def edges(n: Int, lo: Int, hi: Int) =
+      Seq.fill(n)((lo + rnd.nextInt(hi - lo), lo + rnd.nextInt(hi - lo)))
+        .collect { case (a, b) if a != b =>
+          (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct
+    val e1 = edges(15, 0, 30)
+    val e2 = edges(15, 0, 45) // touches day-1 and day-2 nodes
+    val e3 = edges(15, 0, 60)
+    val comps1 = Dedup.connectedComponents(
+      (0L until 30L).toDF("id"), e1.toDF("src", "dst"))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    // fold twice, re-using the previous fold's (id, label) output as the
+    // next persisted component table — exactly the daily production loop
+    val day2 = Dedup.incrementalClusters(comps1, e2.toDF("id_a", "id_b"),
+      Some((30L until 45L).toDF("doc_id")))
+      .select(col("doc_id"), col("cluster_id"))
+    val day3 = clusterShape(Dedup.incrementalClusters(day2,
+      e3.toDF("id_a", "id_b"), Some((45L until 60L).toDF("doc_id"))))
+    val all = Dedup.connectedComponents((0L until 60L).toDF("id"),
+      (e1 ++ e2 ++ e3).toDF("src", "dst"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val rebuilt = clusterShape(all
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("component")).as("is_canonical")))
+    assert(day3 === rebuilt)
+  }
+
   test("incrementalClusters: a quiet day (no new pairs) reproduces the old partition over old + new singleton nodes") {
     val comps = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "cluster_id")
     val got = clusterShape(Dedup.incrementalClusters(comps,
