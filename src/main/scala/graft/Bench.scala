@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * numbers (r05 load-inflated, r06 stdout overflow, r07 rc=124 timeout). The
   * suite's steady-state cost is ~58 s, but under concurrent box load queries
   * inflate 5-30x, so an un-bounded warmup + min-of-2 pass can outlive any
-  * plausible driver timeout. SPARK_GRAFT_BUDGET_S (default 240 s) bounds the
+  * plausible driver timeout. SPARK_GRAFT_BUDGET_S (default 355 s) bounds the
   * run: as the budget is consumed the runner degrades gracefully -
   *   1. skip the remaining sf0.01 warmup pass          (>30% consumed)
   *   2. drop to repeat=1 for the remaining queries     (>70% consumed)
