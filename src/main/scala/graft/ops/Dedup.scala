@@ -345,6 +345,26 @@ object Dedup {
         col("n_docs"))
   }
 
+  /** Merge two [[simhashBucketRegistrySigs]] registries WITHOUT touching
+    * either corpus — the registry's own incremental-maintenance face: a
+    * day-2 delta registry (built from day-2 docs only) folds into the
+    * persisted day-1 registry by pure aggregation, because both fields are
+    * commutative monoids per bucket: anchor = min doc id (carrying its
+    * signature via the struct-min trick) and n_docs = sum. Bit-identical
+    * to rebuilding from the unioned corpus (anchor signatures depend only
+    * on the anchor's own text), so merge(reg(A), reg(B)) == reg(A ∪ B) —
+    * the same lossless-fold property as the KMV (q122) and
+    * sample-quantile (q131) states, spec-gated in IncrementalDedupSpec.
+    * Associative: day-3 folds into the result the same way.
+    */
+  def mergeBucketRegistries(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("chunk"), col("v"))
+      .agg(min(struct(col("anchor_id"), col("anchor_sig"))).as("_a"),
+        sum(col("n_docs")).as("n_docs"))
+      .select(col("chunk"), col("v"), col("_a.anchor_id").as("anchor_id"),
+        col("_a.anchor_sig").as("anchor_sig"), col("n_docs"))
+
   /** Incremental-ingest routing: disposition a batch of NEW documents
     * against a persisted day-1 [[simhashBucketRegistrySigs]] registry —
     * per new doc, whether any of its 4 bucket anchors is within

@@ -174,6 +174,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("mergeBucketRegistries: merge of day registries == rebuild on the union, at 32 and 48 bits, and associatively") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    for (bits <- Seq(32, 48)) {
+      val d1 = docs.where(col("doc_id") % 3 === 0)
+      val d2 = docs.where(col("doc_id") % 3 === 1)
+      val d3 = docs.where(col("doc_id") % 3 === 2)
+      def reg(d: org.apache.spark.sql.DataFrame) =
+        Dedup.simhashBucketRegistrySigs(d, "doc_id", "text", bits)
+      val merged = Dedup.mergeBucketRegistries(
+        Dedup.mergeBucketRegistries(reg(d1), reg(d2)), reg(d3))
+      assert(shape(merged) === shape(reg(docs)), s"merge != rebuild at bits=$bits")
+    }
+  }
+
+  test("simhashRoute at bits=48 routes against the wide registry == brute best anchors") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val day1 = docs.where(col("doc_id") % 3 =!= 0)
+    val day2 = docs.where(col("doc_id") % 3 === 0)
+    val reg = Dedup.simhashBucketRegistrySigs(day1, "doc_id", "text", bits = 48)
+    val got = Dedup.simhashRoute(day2, "doc_id", "text", reg, maxHamming = 3,
+        bits = 48)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    // brute: per day-2 doc, the best (hamming, anchor) over its 4 buckets
+    val sig1 = day1.select(col("doc_id"), Dedup.simhash(col("text"), 48).as("s"))
+      .as[(Long, Long)].collect().toSeq
+    val anchors = sig1.flatMap { case (id, s) =>
+      (0 until 4).map(c => ((c, (s >> (c * 12)) & 0xFFFL), id))
+    }.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).min) }
+    val sigOf = sig1.toMap
+    val expected = day2.select(col("doc_id"), Dedup.simhash(col("text"), 48).as("s"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1).map { case (id, s) =>
+        val best = (0 until 4).flatMap { c =>
+          anchors.get((c, (s >> (c * 12)) & 0xFFFL)).flatMap { a =>
+            val h = java.lang.Long.bitCount(s ^ sigOf(a)).toLong
+            if (h <= 3L) Some((h, a)) else None
+          }
+        }.sorted.headOption
+        (id, if (best.isDefined) 1L else 0L, best.map(_._2), best.map(_._1))
+      }
+    assert(got === expected)
+  }
+
   // ---- composition shapes of the folded bench gates ---------------------
 
   // six docs, three texts: ids 1,2,3 share A; 10,11 share B; 20 unique.
