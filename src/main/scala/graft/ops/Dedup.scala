@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   * Hashes are portable polynomial hashes (same arithmetic expressible in
   * any engine / the DuckDB oracle) rather than engine-internal xxhash64.
   *
+  * Incremental faces — the standing state a daily pipeline PERSISTS so
+  * day-2 work is O(new batch), never O(corpus): [[simhashBucketRegistrySigs]]
+  * (routing registry; [[mergeBucketRegistries]] folds day deltas in),
+  * [[simhashRoute]] (disposition new docs against it), and
+  * [[incrementalClusters]] (fold verified pairs into the persisted
+  * component table, == rebuild by graph contraction). The full batch
+  * passes remain the periodic reconcilers — the lake's live-view /
+  * batch-repair split.
+  *
   * Cache lifecycle: the candidate generators `.cache()` their signature
   * projection because it feeds both sides of a self-join (without it the
   * whole scan+sign pipeline runs twice). The cache lives until Spark's LRU

@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
 object DocumentStream {
 
   /** docs(ts, doc_id, text) -> deduped, annotated, quality-filtered stream.
-    * Event-time column `ts` drives the watermark.
+    * Event-time column `ts` drives the watermark. `bits` is the corpus-
+    * scale signature dial (see `Dedup.simhashCandidatesFromSignatures`) —
+    * land 48-bit signatures when the downstream batch blocking uses
+    * 12-bit chunks.
     */
   def cleaned(docs: DataFrame, watermark: String = "10 minutes",
-              minQuality: Double = 0.3): DataFrame = {
+              minQuality: Double = 0.3, bits: Int = 32): DataFrame = {
     docs
       .withWatermark("ts", watermark)
       .withColumn("text_hash", md5(col("text")))
@@ -39,7 +42,7 @@ object DocumentStream {
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
       .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
       .withColumn("lang_guess", TextAnalysis.langId(col("text")))
-      .withColumn("simhash", Dedup.simhash(col("text")))
+      .withColumn("simhash", Dedup.simhash(col("text"), bits))
       .where(col("quality_score") >= minQuality)
   }
 
