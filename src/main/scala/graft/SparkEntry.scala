@@ -2092,38 +2092,29 @@ object SparkEntry {
     // portable polynomial char hash (matches TextAnalysis.fingerprint exactly)
     def fpSql(c: String): String =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c,''), c->ascii(c)::BIGINT)), (a,b)->(a*31+b)%1000000007)"
-    val wsSql =
-      """SELECT doc_id, text, lang, string_split_regex(trim(lower(text)),'\s+') AS l FROM documents"""
-    val shingleSql =
-      s"""WITH ws AS ($wsSql),
+    // ONE tokenizer/shingle CTE source, parameterized by the corpus-subset
+    // predicate: the full-corpus form plus the deterministic subset twins
+    // the declared-exact ground-truth gates run on (q16/q87/q129/q138/q139
+    // half corpus, q27 quarter — the q134 pattern: an all-pairs-exact
+    // contract tests the same semantics on a subset at a fraction of the
+    // quadratic pair cost, keeping the suite inside the driver's bench
+    // budget on a slow host phase; full-size scaling lives in the PLANS.md
+    // probes). Generated from one template so a tokenizer change can never
+    // drift the subset oracles from the full one.
+    def wsSqlWhere(where: String) =
+      s"""SELECT doc_id, text, lang, string_split_regex(trim(lower(text)),'\\s+') AS l FROM documents$where"""
+    def shingleSqlWhere(where: String) =
+      s"""WITH ws AS (${wsSqlWhere(where)}),
          | tok AS (SELECT doc_id, unnest(l) AS w, unnest(generate_series(1,len(l))) AS pos FROM ws),
          | sh0 AS (SELECT doc_id, w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle,
          |                lead(w,2) OVER win AS w2 FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
          |SELECT DISTINCT doc_id, shingle FROM sh0 WHERE w2 IS NOT NULL""".stripMargin
-    // QUARTER-corpus twins of wsSql/shingleSql for the declared-exact
-    // ground-truth gates (q16/q27/q87/q129): an all-pairs-exact contract
-    // tests the same semantics on a deterministic quarter at ~1/16 the
-    // pair cost, which is what keeps the 137-query suite inside the
-    // driver's bench budget on a slow host phase (the operators' full-size
-    // scaling story is measured separately — PLANS.md round-10 probe).
-    // Same pattern q134 already established for the PassJoin gate.
-    val wsSqlQ =
-      """SELECT doc_id, text, lang, string_split_regex(trim(lower(text)),'\s+') AS l FROM documents WHERE doc_id % 4 = 0"""
-    val shingleSqlQ =
-      s"""WITH ws AS ($wsSqlQ),
-         | tok AS (SELECT doc_id, unnest(l) AS w, unnest(generate_series(1,len(l))) AS pos FROM ws),
-         | sh0 AS (SELECT doc_id, w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle,
-         |                lead(w,2) OVER win AS w2 FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
-         |SELECT DISTINCT doc_id, shingle FROM sh0 WHERE w2 IS NOT NULL""".stripMargin
-    // HALF-corpus twin for the q138 fold-vs-rebuild gate (cost note above)
-    val wsSqlH =
-      """SELECT doc_id, text, lang, string_split_regex(trim(lower(text)),'\s+') AS l FROM documents WHERE doc_id % 2 = 0"""
-    val shingleSqlH =
-      s"""WITH ws AS ($wsSqlH),
-         | tok AS (SELECT doc_id, unnest(l) AS w, unnest(generate_series(1,len(l))) AS pos FROM ws),
-         | sh0 AS (SELECT doc_id, w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle,
-         |                lead(w,2) OVER win AS w2 FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
-         |SELECT DISTINCT doc_id, shingle FROM sh0 WHERE w2 IS NOT NULL""".stripMargin
+    val wsSql = wsSqlWhere("")
+    val shingleSql = shingleSqlWhere("")
+    val wsSqlQ = wsSqlWhere(" WHERE doc_id % 4 = 0")
+    val shingleSqlQ = shingleSqlWhere(" WHERE doc_id % 4 = 0")
+    val wsSqlH = wsSqlWhere(" WHERE doc_id % 2 = 0")
+    val shingleSqlH = shingleSqlWhere(" WHERE doc_id % 2 = 0")
     val deconSql =
       s"""WITH sh AS ($shingleSql),
          | ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),

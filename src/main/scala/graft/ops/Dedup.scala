@@ -365,6 +365,14 @@ object Dedup {
     * the same lossless-fold property as the KMV (q122) and
     * sample-quantile (q131) states, spec-gated in IncrementalDedupSpec.
     * Associative: day-3 folds into the result the same way.
+    *
+    * PRECONDITION for the n_docs identity: the two registries' corpora are
+    * DISJOINT (the normal day-delta case — each doc is ingested once).
+    * Under overlap (a backfill replay re-ingesting day-1 docs) anchors and
+    * signatures remain exactly correct (min is idempotent), but n_docs
+    * counts the overlapping docs once per registry — dedupe the input
+    * batches (q07 / dropDuplicatesWithinWatermark) before registering if
+    * the population field feeds a saturation metric.
     */
   def mergeBucketRegistries(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)

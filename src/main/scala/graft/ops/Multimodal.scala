@@ -124,8 +124,15 @@ object Multimodal {
       val topDown = rawHeight < 0
       val height = math.abs(rawHeight)
       require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
-      val rowStride = (width * 3 + 3) / 4 * 4
-      require(bytes.length >= pixelOffset + rowStride * height, "truncated pixel array")
+      // a pixel array cannot start inside the 54 mandatory header bytes,
+      // and all size arithmetic runs in Long so a forged width/height
+      // cannot overflow Int into a passing bounds check
+      require(pixelOffset >= 54 && pixelOffset <= bytes.length,
+        s"bad pixel offset $pixelOffset")
+      val rowStrideL = (width.toLong * 3 + 3) / 4 * 4
+      require(pixelOffset + rowStrideL * height <= bytes.length,
+        "truncated pixel array")
+      val rowStride = rowStrideL.toInt // fits: bounded by bytes.length above
       var rSum = 0L; var gSum = 0L; var bSum = 0L
       var row = 0
       while (row < height) {

@@ -78,15 +78,24 @@ object BinanceSource {
     * the schedule is testable without wall-clock time; compose as
     * `new BinanceSource(BinanceSource.withRetry429(transport))`.
     */
+  // Rate-limit-SHAPED messages only — a 429 must appear as a standalone
+  // token (start/whitespace/colon/bracket-delimited), or with explicit
+  // HTTP/status context, or alongside the "Too Many Requests" phrase.
+  // Matches the shapes real transports produce — "HTTP 429 Too Many
+  // Requests", java.net's "Server returned HTTP response code: 429 for
+  // URL: …", "Too Many Requests (429)", a leading "429:" status — but NOT
+  // a path (/shard_429.parquet: '_' before), an id, or a count (14290:
+  // digits adjacent) merely embedding the number. Compiled once, not per
+  // page fetch. False-positive cost is 5 bounded backoff sleeps; a false
+  // NEGATIVE kills an ingest that one retry would have saved, so ties
+  // break toward matching.
+  private val rateLimited =
+    "(?i)too many requests|http[ /]429|status(=| )429|(^|[\\s:(\\[])429([\\s:)\\],]|$)".r
+
   def withRetry429(fetchPage: (String, String, Long, Long, Int) => Seq[RawBar],
                    sleeper: Long => Unit = ms => Thread.sleep(ms)):
       (String, String, Long, Long, Int) => Seq[RawBar] =
     (sym, iv, startMs, endMs, limit) => {
-      // "HTTP 429" / "429 Too Many Requests" / a leading "429:" status —
-      // NOT any message merely containing the substring "429" (a path or
-      // row count embedding that number must not trigger 5 retry sleeps
-      // on a non-retryable failure)
-      val rateLimited = "(?i)(^|[^0-9])429([^0-9]|$).*too many requests|http[ /]429|status(=| )429|^429\\b".r
       def is429(e: Exception): Boolean =
         Option(e.getMessage).exists(m => rateLimited.findFirstIn(m).isDefined)
       var attempt = 0

@@ -94,6 +94,15 @@ class BmpCodecSpec extends AnyFunSuite {
     val rle = ok.clone(); rle(30) = 1 // BI_RLE8
     intercept[IllegalArgumentException](BmpCodec.decode(rle))
     intercept[IllegalArgumentException](BmpCodec.decode(ok.take(60)))
+    // pixel offset pointing inside the header must fail loudly, not read
+    // header bytes as pixels
+    val badOff = ok.clone(); badOff(10) = 0
+    intercept[IllegalArgumentException](BmpCodec.decode(badOff))
+    // forged huge width must hit the Long-arithmetic bounds check, not
+    // overflow Int into a passing one
+    val hugeW = ok.clone()
+    hugeW(18) = -1; hugeW(19) = -1; hugeW(20) = -1; hugeW(21) = 0x7f // width = Int.MaxValue
+    intercept[IllegalArgumentException](BmpCodec.decode(hugeW))
   }
 
   test("extractBmpFeatures: distributed decode matches the local decoder and is partition-invariant") {

@@ -232,12 +232,17 @@ class PipelineSpec extends AnyFunSuite {
       try fetch("BTCUSDT", "1m", 0L, 60000L, 1000) catch { case _: Exception => () }
       (calls, sleeps.toSeq)
     }
-    // rate-limit shapes retry with the published backoff
+    // rate-limit shapes retry with the published backoff — including the
+    // exact java.net.HttpURLConnection message and the parenthesized form
     assert(run("HTTP 429 Too Many Requests", 1) === (2, Seq(1000L)))
     assert(run("429: Too Many Requests", 1) === (2, Seq(1000L)))
+    assert(run("Server returned HTTP response code: 429 for URL: https://example.invalid/api/v3/klines", 1)
+      === (2, Seq(1000L)))
+    assert(run("Too Many Requests (429)", 1) === (2, Seq(1000L)))
     // a path/id merely embedding 429 must NOT trigger retry sleeps
     assert(run("failed to read /tmp/shard_429.parquet", 1) === (1, Nil))
     assert(run("row count 14290 mismatch", 1) === (1, Nil))
+    assert(run("key 4290 not found", 1) === (1, Nil))
   }
 
   test("pacing schedules match the reference constants") {
