@@ -22,6 +22,8 @@ import java.sql.Timestamp
   *   levels       <root> <symbol> <profileName>   (daily_open_utc | us_equity_open | asia_open)
   *   check        <root> <symbol> <tf>         (exit 1 on incomplete days, like check_day)
   *   corpus       <documents.parquet>          (stats + dedup + split report)
+  *   dedup-build  <documents.parquet> <stateDir>  (persist registry+anchors+components)
+  *   dedup-ingest <documents.parquet> <stateDir>  (route/verify/fold a new batch into it)
   */
 object Cli {
 
@@ -229,6 +231,74 @@ object Cli {
         println(s"[cli] upserted $n synth fill bars")
       }
 
+    // incremental-dedup standing state, the operable face of the
+    // q137/q138/q139 stack: `dedup-build` signs a corpus ONCE and persists
+    // the state a daily pipeline keeps (anchor registry + anchor TEXTS —
+    // ≤ keyspace rows, so day-2 verification never re-reads day-1 — and
+    // the min-label component table); `dedup-ingest` dispositions a new
+    // batch against that state and folds it in: route (broadcast probe) ->
+    // exact-Jaccard verify vs anchor texts -> incrementalClusters fold ->
+    // mergeBucketRegistries, writing the state back. Daily cost is
+    // O(new batch); the full batch pass stays the periodic reconciler.
+    case "dedup-build" :: docsParquet :: stateDir :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(docsParquet)
+      val reg = graft.ops.Dedup.simhashBucketRegistrySigs(docs, "doc_id", "text")
+      reg.write.mode("overwrite").parquet(s"$stateDir/registry")
+      spark.read.parquet(s"$stateDir/registry")
+        .select(col("anchor_id").as("doc_id")).distinct()
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .write.mode("overwrite").parquet(s"$stateDir/anchors")
+      graft.ops.Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(s"$stateDir/components")
+      val nb = spark.read.parquet(s"$stateDir/registry").count()
+      val nc = spark.read.parquet(s"$stateDir/components").count()
+      println(s"[cli] dedup state built: $nb registry buckets, $nc docs labeled -> $stateDir")
+
+    case "dedup-ingest" :: docsParquet :: stateDir :: Nil =>
+      import org.apache.spark.sql.functions._
+      val newDocs = spark.read.parquet(docsParquet)
+      val reg = spark.read.parquet(s"$stateDir/registry")
+      val anchors = spark.read.parquet(s"$stateDir/anchors")
+      val comps = spark.read.parquet(s"$stateDir/components")
+      val routed = graft.ops.Dedup.simhashRoute(newDocs, "doc_id", "text",
+          reg, maxHamming = 3)
+        .where(col("is_dup") === 1L).select(col("doc_id"), col("best_anchor"))
+      val sh = (d: DataFrame) => d.select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("_arr"))
+      val newPairs = routed
+        .join(sh(newDocs).select(col("doc_id"), col("_arr").as("_d")), "doc_id")
+        .join(sh(anchors).select(col("doc_id").as("best_anchor"),
+          col("_arr").as("_a")), "best_anchor")
+        .withColumn("inter", size(array_intersect(col("_d"), col("_a"))).cast("long"))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (size(col("_d")) + size(col("_a")) - col("inter")), 4))
+        .where(col("jaccard") >= 0.5)
+        .select(least(col("doc_id"), col("best_anchor")).as("id_a"),
+          greatest(col("doc_id"), col("best_anchor")).as("id_b"))
+      val folded = graft.ops.Dedup
+        .incrementalClusters(comps, newPairs, Some(newDocs.select(col("doc_id"))))
+        .select(col("doc_id"), col("cluster_id"))
+        .localCheckpoint() // lineage reads the files the overwrite replaces
+      val mergedReg = graft.ops.Dedup.mergeBucketRegistries(reg,
+        graft.ops.Dedup.simhashBucketRegistrySigs(newDocs, "doc_id", "text"))
+        .localCheckpoint()
+      val mergedAnchors = mergedReg.select(col("anchor_id").as("doc_id")).distinct()
+        .join(anchors.unionByName(newDocs.select(col("doc_id"), col("text")))
+          .dropDuplicates("doc_id"), "doc_id")
+        .localCheckpoint()
+      // report counts BEFORE the overwrites: their lineage reads the very
+      // state files the writes below replace (the UpsertCore lesson)
+      val nNew = newDocs.count()
+      val nDup = routed.count()
+      val nPairs = newPairs.count()
+      folded.write.mode("overwrite").parquet(s"$stateDir/components")
+      mergedReg.write.mode("overwrite").parquet(s"$stateDir/registry")
+      mergedAnchors.write.mode("overwrite").parquet(s"$stateDir/anchors")
+      println(s"[cli] ingested $nNew docs: $nDup routed to anchors, " +
+        s"$nPairs verified near-dup pairs folded; state updated in $stateDir")
+
     // catalog integrity: hive-layout validation (reference validate_layout CI gate)
     case "validate" :: root :: Nil =>
       val bad = graft.lake.ValidateLayout.invalidPaths(spark, root)
@@ -241,7 +311,7 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | repair | resample | ann | corpus | embed-qc | xsource | funnel | sketch | kmeans | validate")
+      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | repair | resample | ann | corpus | embed-qc | xsource | funnel | sketch | kmeans | validate | dedup-build | dedup-ingest")
       sys.exit(2)
   }
 }

@@ -223,6 +223,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("Cli dedup-build/dedup-ingest round trip: persisted state after ingest == from-scratch rebuild") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_cli").toString
+    docs.where(col("doc_id") % 3 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/day1")
+    docs.where(col("doc_id") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/day2")
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", s"$tmp/state"))
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day2", s"$tmp/state"))
+    // registry state == rebuild on the union (the monoid property, through
+    // real files and the CLI path)
+    val reg = spark.read.parquet(s"$tmp/state/registry")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val regRebuilt = Dedup.simhashBucketRegistrySigs(docs, "doc_id", "text")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(reg === regRebuilt)
+    // every anchor in the registry has its text persisted (day-2 verify
+    // never needs the day-1 corpus)
+    val anchorIds = reg.map(_._3).toSet
+    val storedAnchors = spark.read.parquet(s"$tmp/state/anchors")
+      .select("doc_id").as[Long].collect().toSet
+    assert(anchorIds.subsetOf(storedAnchors))
+    // component labels: every doc labeled exactly once, labels are min-ids
+    // (a valid partition refinement of the anchors-only recall contract)
+    val comp = spark.read.parquet(s"$tmp/state/components")
+    assert(comp.count() === docs.count())
+    assert(comp.where(col("cluster_id") > col("doc_id")).count() === 0L)
+  }
+
   // ---- composition shapes of the folded bench gates ---------------------
 
   // six docs, three texts: ids 1,2,3 share A; 10,11 share B; 20 unique.
