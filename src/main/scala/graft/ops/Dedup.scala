@@ -710,6 +710,11 @@ object Dedup {
     * regardless of corpus size. New ids appearing only in `newPairs` (or
     * passed via `newNodes`) enter as their own singletons first.
     *
+    * Input contract: `components` labels are MIN-member-id labels (what
+    * [[nearDupClusters]] / [[connectedComponents]] / this function emit) —
+    * untouched components pass through verbatim, so an arbitrary
+    * representative labeling would survive un-normalized.
+    *
     * Output: (idCol, cluster_id, cluster_size, is_canonical) — same shape
     * as [[nearDupClusters]], one row per doc in components ∪ newNodes ∪
     * pair endpoints.
@@ -719,20 +724,42 @@ object Dedup {
                           idCol: String = "doc_id",
                           labelCol: String = "cluster_id",
                           maxIter: Int = 50): DataFrame = {
-    val oldEdges = components.select(col(idCol).as("src"), col(labelCol).as("dst"))
+    // FRONTIER RESTRICTION — the 100 TB shape of the fold: an old
+    // component can only change if one of its members is a new-pair
+    // endpoint (there is no other way for it to gain an edge), so
+    // propagation runs ONLY over the touched components' members plus the
+    // genuinely new ids; every other (id, label) row passes through
+    // untouched with zero shuffle beyond the final size window. With a
+    // small daily delta the iterative part is O(delta + affected members),
+    // not O(corpus) — the standing component table is read once, never
+    // re-propagated. localCheckpoint'd: endpoint ids feed both the
+    // touched-label probe and the node set.
+    val endpointIds = newPairs.select(col("id_a").as(idCol))
+      .unionByName(newPairs.select(col("id_b").as(idCol)))
+      .distinct().localCheckpoint()
+    val touchedLabels = components
+      .join(endpointIds, Seq(idCol), "left_semi")
+      .select(col(labelCol)).distinct()
+    val affected = components.join(touchedLabels, Seq(labelCol), "left_semi")
+    val untouched = components.join(touchedLabels, Seq(labelCol), "left_anti")
+    // ids entering the graph that the component table does not already
+    // hold (brand-new docs, or endpoints never before seen)
+    val extraNew = endpointIds
+      .unionByName(newNodes.map(_.select(col(idCol))).getOrElse(endpointIds.limit(0)))
+      .join(components, Seq(idCol), "left_anti")
+    val nodes = affected.select(col(idCol).as("id"))
+      .unionByName(extraNew.select(col(idCol).as("id")))
+    val oldEdges = affected.select(col(idCol).as("src"), col(labelCol).as("dst"))
     val addEdges = newPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val nodes = components.select(col(idCol).as("id"))
-      .unionByName(newPairs.select(col("id_a").as("id")))
-      .unionByName(newPairs.select(col("id_b").as("id")))
-      .unionByName(newNodes.map(_.select(col(idCol).as("id")))
-        .getOrElse(components.select(col(idCol).as("id")).limit(0)))
     val comp = connectedComponents(nodes, oldEdges.unionByName(addEdges),
       maxIter = maxIter)
-    val w = Window.partitionBy(col("component"))
-    comp
+    val merged = comp.select(col("id").as(idCol), col("component").as(labelCol))
+      .unionByName(untouched.select(col(idCol), col(labelCol)))
+    val w = Window.partitionBy(col(labelCol))
+    merged
       .withColumn("cluster_size", count(lit(1)).over(w))
-      .select(col("id").as(idCol), col("component").as(labelCol),
-        col("cluster_size"), (col("id") === col("component")).as("is_canonical"))
+      .select(col(idCol), col(labelCol),
+        col("cluster_size"), (col(idCol) === col(labelCol)).as("is_canonical"))
   }
 
   /** Same blocking over PRECOMPUTED signatures — e.g. the `simhash` column a

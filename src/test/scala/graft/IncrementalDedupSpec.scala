@@ -174,6 +174,19 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("incrementalClusters is frontier-restricted: untouched components pass through VERBATIM (labels not re-derived)") {
+    // {1,2} labeled with the NON-min member 2 — a violation of the min-id
+    // input contract. The fold must not silently normalize it when the
+    // component is untouched by the delta (that's the documented narrowing
+    // that buys the O(delta + affected) daily cost), while the TOUCHED
+    // component {5,6} + pair (6,9) re-propagates to its true min.
+    val comps = Seq((1L, 2L), (2L, 2L), (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_id")
+    val got = clusterShape(Dedup.incrementalClusters(comps,
+      Seq((6L, 9L)).toDF("id_a", "id_b")))
+    assert(got === Seq((1L, 2L, 2L, false), (2L, 2L, 2L, true),
+      (5L, 5L, 3L, true), (6L, 5L, 3L, false), (9L, 5L, 3L, false)))
+  }
+
   test("mergeBucketRegistries: merge of day registries == rebuild on the union, at 32 and 48 bits, and associatively") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/documents.parquet").exists())
