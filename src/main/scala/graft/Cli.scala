@@ -278,7 +278,8 @@ object Cli {
         .select(least(col("doc_id"), col("best_anchor")).as("id_a"),
           greatest(col("doc_id"), col("best_anchor")).as("id_b"))
       val folded = graft.ops.Dedup
-        .incrementalClusters(comps, newPairs, Some(newDocs.select(col("doc_id"))))
+        .incrementalClusters(comps, newPairs, Some(newDocs.select(col("doc_id"))),
+          frontier = true) // daily batch vs standing table: O(delta + affected)
         .select(col("doc_id"), col("cluster_id"))
         .localCheckpoint() // lineage reads the files the overwrite replaces
       val mergedReg = graft.ops.Dedup.mergeBucketRegistries(reg,

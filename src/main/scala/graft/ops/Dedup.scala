@@ -712,8 +712,8 @@ object Dedup {
     *
     * Input contract: `components` labels are MIN-member-id labels (what
     * [[nearDupClusters]] / [[connectedComponents]] / this function emit) —
-    * untouched components pass through verbatim, so an arbitrary
-    * representative labeling would survive un-normalized.
+    * in `frontier` mode untouched components pass through verbatim, so an
+    * arbitrary representative labeling would survive un-normalized.
     *
     * Output: (idCol, cluster_id, cluster_size, is_canonical) — same shape
     * as [[nearDupClusters]], one row per doc in components ∪ newNodes ∪
@@ -723,36 +723,56 @@ object Dedup {
                           newNodes: Option[DataFrame] = None,
                           idCol: String = "doc_id",
                           labelCol: String = "cluster_id",
-                          maxIter: Int = 50): DataFrame = {
-    // FRONTIER RESTRICTION — the 100 TB shape of the fold: an old
-    // component can only change if one of its members is a new-pair
-    // endpoint (there is no other way for it to gain an edge), so
-    // propagation runs ONLY over the touched components' members plus the
-    // genuinely new ids; every other (id, label) row passes through
-    // untouched with zero shuffle beyond the final size window. With a
-    // small daily delta the iterative part is O(delta + affected members),
-    // not O(corpus) — the standing component table is read once, never
-    // re-propagated. localCheckpoint'd: endpoint ids feed both the
-    // touched-label probe and the node set.
-    val endpointIds = newPairs.select(col("id_a").as(idCol))
-      .unionByName(newPairs.select(col("id_b").as(idCol)))
-      .distinct().localCheckpoint()
-    val touchedLabels = components
-      .join(endpointIds, Seq(idCol), "left_semi")
-      .select(col(labelCol)).distinct()
-    val affected = components.join(touchedLabels, Seq(labelCol), "left_semi")
-    val untouched = components.join(touchedLabels, Seq(labelCol), "left_anti")
-    // ids entering the graph that the component table does not already
-    // hold (brand-new docs, or endpoints never before seen)
-    val extraNew = endpointIds
-      .unionByName(newNodes.map(_.select(col(idCol))).getOrElse(endpointIds.limit(0)))
-      .join(components, Seq(idCol), "left_anti")
-    val nodes = affected.select(col(idCol).as("id"))
-      .unionByName(extraNew.select(col(idCol).as("id")))
-    val oldEdges = affected.select(col(idCol).as("src"), col(labelCol).as("dst"))
+                          maxIter: Int = 50,
+                          frontier: Boolean = false): DataFrame = {
+    // Two cost shapes, identical output (both spec-gated fold == rebuild):
+    //
+    //  - frontier = false (default): the whole (id, label) table enters
+    //    propagation as diameter-1 star edges. Rounds are still bounded by
+    //    the NEW-chain diameter, and the flat shape is cheapest when the
+    //    delta touches a large fraction of the corpus (the q138/q139 gate
+    //    shape — measured 1.3 s/query cheaper there than the frontier's
+    //    three extra joins).
+    //
+    //  - frontier = true: the 100 TB daily-fold shape. An old component
+    //    can only change if one of its members is a new-pair endpoint
+    //    (there is no other way for it to gain an edge), so propagation
+    //    runs ONLY over the touched components' members plus genuinely
+    //    new ids; every other (id, label) row passes through verbatim
+    //    with zero shuffle beyond the final size window — the iterative
+    //    part is O(delta + affected members), never O(corpus). This is
+    //    what `Cli dedup-ingest` uses: a small daily batch against a huge
+    //    standing table must not re-propagate the table.
     val addEdges = newPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comp = connectedComponents(nodes, oldEdges.unionByName(addEdges),
-      maxIter = maxIter)
+    val (propNodes, propEdges, untouched) =
+      if (!frontier) {
+        val nodes = components.select(col(idCol).as("id"))
+          .unionByName(newPairs.select(col("id_a").as("id")))
+          .unionByName(newPairs.select(col("id_b").as("id")))
+          .unionByName(newNodes.map(_.select(col(idCol).as("id")))
+            .getOrElse(components.select(col(idCol).as("id")).limit(0)))
+        val oldEdges = components.select(col(idCol).as("src"), col(labelCol).as("dst"))
+        (nodes, oldEdges.unionByName(addEdges), components.limit(0))
+      } else {
+        // endpoint ids feed both the touched-label probe and the node set
+        val endpointIds = newPairs.select(col("id_a").as(idCol))
+          .unionByName(newPairs.select(col("id_b").as(idCol)))
+          .distinct().localCheckpoint()
+        val touchedLabels = components
+          .join(endpointIds, Seq(idCol), "left_semi")
+          .select(col(labelCol)).distinct()
+        val affected = components.join(touchedLabels, Seq(labelCol), "left_semi")
+        val untouchedRows = components.join(touchedLabels, Seq(labelCol), "left_anti")
+        // ids entering the graph that the component table does not hold
+        val extraNew = endpointIds
+          .unionByName(newNodes.map(_.select(col(idCol))).getOrElse(endpointIds.limit(0)))
+          .join(components, Seq(idCol), "left_anti")
+        val nodes = affected.select(col(idCol).as("id"))
+          .unionByName(extraNew.select(col(idCol).as("id")))
+        val oldEdges = affected.select(col(idCol).as("src"), col(labelCol).as("dst"))
+        (nodes, oldEdges.unionByName(addEdges), untouchedRows)
+      }
+    val comp = connectedComponents(propNodes, propEdges, maxIter = maxIter)
     val merged = comp.select(col("id").as(idCol), col("component").as(labelCol))
       .unionByName(untouched.select(col(idCol), col(labelCol)))
     val w = Window.partitionBy(col(labelCol))

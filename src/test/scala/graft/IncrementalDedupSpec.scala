@@ -37,6 +37,9 @@ class IncrementalDedupSpec extends AnyFunSuite {
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       val folded = clusterShape(Dedup.incrementalClusters(
         comps1, e2.toDF("id_a", "id_b"), Some(day2Nodes.toDF("doc_id"))))
+      val foldedFrontier = clusterShape(Dedup.incrementalClusters(
+        comps1, e2.toDF("id_a", "id_b"), Some(day2Nodes.toDF("doc_id")),
+        frontier = true))
       // rebuild from scratch on the union, labeled identically
       val all = Dedup.connectedComponents(
         (day1Nodes ++ day2Nodes).toDF("id"),
@@ -47,6 +50,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
         .select(col("id").as("doc_id"), col("component").as("cluster_id"),
           col("cluster_size"), (col("id") === col("component")).as("is_canonical")))
       assert(folded === rebuilt)
+      assert(foldedFrontier === rebuilt, "frontier mode must match the direct fold")
     }
   }
 
@@ -174,7 +178,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
-  test("incrementalClusters is frontier-restricted: untouched components pass through VERBATIM (labels not re-derived)") {
+  test("frontier mode: untouched components pass through VERBATIM (labels not re-derived)") {
     // {1,2} labeled with the NON-min member 2 — a violation of the min-id
     // input contract. The fold must not silently normalize it when the
     // component is untouched by the delta (that's the documented narrowing
@@ -182,7 +186,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // component {5,6} + pair (6,9) re-propagates to its true min.
     val comps = Seq((1L, 2L), (2L, 2L), (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_id")
     val got = clusterShape(Dedup.incrementalClusters(comps,
-      Seq((6L, 9L)).toDF("id_a", "id_b")))
+      Seq((6L, 9L)).toDF("id_a", "id_b"), frontier = true))
     assert(got === Seq((1L, 2L, 2L, false), (2L, 2L, 2L, true),
       (5L, 5L, 3L, true), (6L, 5L, 3L, false), (9L, 5L, 3L, false)))
   }
