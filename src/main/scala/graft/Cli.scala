@@ -262,41 +262,55 @@ object Cli {
       val reg = spark.read.parquet(s"$stateDir/registry")
       val anchors = spark.read.parquet(s"$stateDir/anchors")
       val comps = spark.read.parquet(s"$stateDir/components")
-      val routed = graft.ops.Dedup.simhashRoute(newDocs, "doc_id", "text",
-          reg, maxHamming = 3)
-        .where(col("is_dup") === 1L).select(col("doc_id"), col("best_anchor"))
-      val sh = (d: DataFrame) => d.select(col("doc_id"),
-        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("_arr"))
-      val newPairs = routed
-        .join(sh(newDocs).select(col("doc_id"), col("_arr").as("_d")), "doc_id")
-        .join(sh(anchors).select(col("doc_id").as("best_anchor"),
-          col("_arr").as("_a")), "best_anchor")
-        .withColumn("inter", size(array_intersect(col("_d"), col("_a"))).cast("long"))
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (size(col("_d")) + size(col("_a")) - col("inter")), 4))
-        .where(col("jaccard") >= 0.5)
-        .select(least(col("doc_id"), col("best_anchor")).as("id_a"),
-          greatest(col("doc_id"), col("best_anchor")).as("id_b"))
-      val folded = graft.ops.Dedup
-        .incrementalClusters(comps, newPairs, Some(newDocs.select(col("doc_id"))),
-          frontier = true) // daily batch vs standing table: O(delta + affected)
-        .select(col("doc_id"), col("cluster_id"))
-        .localCheckpoint() // lineage reads the files the overwrite replaces
+      // merge the new batch's delta registry FIRST and route against the
+      // MERGED registry: same-day duplicates (two identical docs in one
+      // crawl batch — the common case) then route to the batch's own
+      // anchors instead of being silently missed; simhashRoute's
+      // self-exclusion keeps a doc from routing to itself
       val mergedReg = graft.ops.Dedup.mergeBucketRegistries(reg,
         graft.ops.Dedup.simhashBucketRegistrySigs(newDocs, "doc_id", "text"))
         .localCheckpoint()
+      val anchorTexts = anchors
+        .unionByName(newDocs.select(col("doc_id"), col("text")))
+        .dropDuplicates("doc_id")
+      val routed = graft.ops.Dedup.simhashRoute(newDocs, "doc_id", "text",
+          mergedReg, maxHamming = 3)
+        .where(col("is_dup") === 1L).select(col("doc_id"), col("best_anchor"))
+        .localCheckpoint() // feeds verify + the report count, once
+      val newPairs = graft.ops.Dedup.verifyRoutedPairs(routed, newDocs,
+          anchorTexts, "doc_id", "text", n = 3, threshold = 0.5)
+        .localCheckpoint() // feeds the fold + the report count, once
+      val folded = graft.ops.Dedup
+        .incrementalClusters(comps, newPairs, Some(newDocs.select(col("doc_id"))),
+          // daily batch vs standing table: O(delta + affected) iterative
+          // part, and labels-only output skips the corpus-wide size window
+          // (the persisted state is (id, label); sizes are report-time)
+          frontier = true, withSizes = false)
+        .localCheckpoint() // lineage reads the files the staging swap replaces
       val mergedAnchors = mergedReg.select(col("anchor_id").as("doc_id")).distinct()
-        .join(anchors.unionByName(newDocs.select(col("doc_id"), col("text")))
-          .dropDuplicates("doc_id"), "doc_id")
+        .join(anchorTexts, "doc_id")
         .localCheckpoint()
-      // report counts BEFORE the overwrites: their lineage reads the very
-      // state files the writes below replace (the UpsertCore lesson)
       val nNew = newDocs.count()
       val nDup = routed.count()
       val nPairs = newPairs.count()
-      folded.write.mode("overwrite").parquet(s"$stateDir/components")
-      mergedReg.write.mode("overwrite").parquet(s"$stateDir/registry")
-      mergedAnchors.write.mode("overwrite").parquet(s"$stateDir/anchors")
+      // staged swap: write the new state NEXT TO the old, then rename into
+      // place — a crash mid-write leaves the old state fully intact, and
+      // the rename window is small (not atomic across the three dirs; a
+      // crash between renames can mix days — re-running the same ingest is
+      // then the repair, except registry n_docs double-counts the replayed
+      // batch, per mergeBucketRegistries' documented disjointness note)
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def swapIn(name: String, df: DataFrame): Unit = {
+        val staged = new org.apache.hadoop.fs.Path(s"$stateDir/_staging_$name")
+        val live = new org.apache.hadoop.fs.Path(s"$stateDir/$name")
+        df.write.mode("overwrite").parquet(staged.toString)
+        fs.delete(live, true)
+        fs.rename(staged, live)
+      }
+      swapIn("components", folded)
+      swapIn("registry", mergedReg)
+      swapIn("anchors", mergedAnchors)
       println(s"[cli] ingested $nNew docs: $nDup routed to anchors, " +
         s"$nPairs verified near-dup pairs folded; state updated in $stateDir")
 

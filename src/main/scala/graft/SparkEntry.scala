@@ -377,19 +377,11 @@ object SparkEntry {
       val routed = Dedup.simhashRoute(day2, "doc_id", "text", reg, maxHamming = 3)
         .where(col("is_dup") === 1L)
         .select(col("doc_id"), col("best_anchor"))
-      val arr = docs.select(col("doc_id"),
-        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("_arr"))
-      val newPairs = routed
-        .join(arr.select(col("doc_id"), col("_arr").as("_arr_d")), "doc_id")
-        .join(arr.select(col("doc_id").as("best_anchor"),
-          col("_arr").as("_arr_a")), "best_anchor")
-        .withColumn("inter",
-          size(array_intersect(col("_arr_d"), col("_arr_a"))).cast("long"))
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (size(col("_arr_d")) + size(col("_arr_a")) - col("inter")), 4))
-        .where(col("jaccard") >= 0.1)
-        .select(least(col("doc_id"), col("best_anchor")).as("id_a"),
-          greatest(col("doc_id"), col("best_anchor")).as("id_b"))
+      // shared verify stage (graft.ops.Dedup.verifyRoutedPairs) — ONE
+      // definition of "verified" across this gate and Cli dedup-ingest,
+      // with the empty-shingle guard matching the oracle's inner joins
+      val newPairs = Dedup.verifyRoutedPairs(routed, docs, docs,
+        "doc_id", "text", n = 3, threshold = 0.1)
       val folded = Dedup.incrementalClusters(comps, newPairs,
         Some(day2.select(col("doc_id"))))
       folded.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")

@@ -354,6 +354,41 @@ object Dedup {
         col("n_docs"))
   }
 
+  /** Exact n-gram-Jaccard verification of ROUTED candidate pairs — the
+    * shared verify stage of the incremental chain (q139's day-2 verify and
+    * `Cli dedup-ingest`), candidate-bounded exactly like
+    * [[verifiedNearDups]]' verify: each (doc, anchor) pair joins to the
+    * two sides' shingle ARRAYS and intersects per-row.
+    *
+    * Docs with FEWER than n words shingle to an empty array; such a pair
+    * has a 0/0 jaccard, and both engines order NaN above every threshold —
+    * a vacuous pass. The relational oracle form (inner join on the shingle
+    * TABLE) instead drops those pairs outright, so this helper filters
+    * empty-shingle sides explicitly: one definition of "verified", shared
+    * by every caller, matching the oracle's inner-join semantics.
+    *
+    * Output: (id_a, id_b) with id_a < id_b, distinct at the caller's
+    * grain (routed input is one best-anchor row per doc).
+    */
+  def verifyRoutedPairs(routed: DataFrame, left: DataFrame, right: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    def sh(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+      graft.functions.TextFunctions.wordShingles(col(textCol), n).as("_arr"))
+    routed
+      .join(sh(left).select(col("doc_id"), col("_arr").as("_arr_d")), "doc_id")
+      .join(sh(right).select(col("doc_id").as("best_anchor"),
+        col("_arr").as("_arr_a")), "best_anchor")
+      .where(size(col("_arr_d")) > 0 && size(col("_arr_a")) > 0)
+      .withColumn("inter",
+        size(array_intersect(col("_arr_d"), col("_arr_a"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("_arr_d")) + size(col("_arr_a")) - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(least(col("doc_id"), col("best_anchor")).as("id_a"),
+        greatest(col("doc_id"), col("best_anchor")).as("id_b"))
+  }
+
   /** Merge two [[simhashBucketRegistrySigs]] registries WITHOUT touching
     * either corpus — the registry's own incremental-maintenance face: a
     * day-2 delta registry (built from day-2 docs only) folds into the
@@ -412,6 +447,12 @@ object Dedup {
     val best = chunked
       .join(broadcast(registry.select(col("chunk"), col("v"),
         col("anchor_id"), col("anchor_sig"))), Seq("chunk", "v"))
+      // self-exclusion: when the registry was built over a corpus that
+      // INCLUDES the routed batch (the within-batch dedup pass — route
+      // against merge(old, delta) so same-day duplicates are caught), a
+      // doc that became its bucket's anchor must not route to itself.
+      // No-op for the disjoint day-1/day-2 case (q137's oracle).
+      .where(col("doc_id") =!= col("anchor_id"))
       .withColumn("_h", hamming(col("_sig"), col("anchor_sig")).cast("long"))
       .where(col("_h") <= maxHamming)
       .groupBy(col("doc_id"))
@@ -724,7 +765,8 @@ object Dedup {
                           idCol: String = "doc_id",
                           labelCol: String = "cluster_id",
                           maxIter: Int = 50,
-                          frontier: Boolean = false): DataFrame = {
+                          frontier: Boolean = false,
+                          withSizes: Boolean = true): DataFrame = {
     // Two cost shapes, identical output (both spec-gated fold == rebuild):
     //
     //  - frontier = false (default): the whole (id, label) table enters
@@ -775,11 +817,18 @@ object Dedup {
     val comp = connectedComponents(propNodes, propEdges, maxIter = maxIter)
     val merged = comp.select(col("id").as(idCol), col("component").as(labelCol))
       .unionByName(untouched.select(col(idCol), col(labelCol)))
-    val w = Window.partitionBy(col(labelCol))
-    merged
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .select(col(idCol), col(labelCol),
-        col("cluster_size"), (col(idCol) === col(labelCol)).as("is_canonical"))
+    // withSizes = false: labels only — skips the corpus-wide size window,
+    // which in frontier mode would otherwise be the one remaining O(corpus)
+    // shuffle of the daily fold (the persisted state needs only (id, label);
+    // sizes/canonical flags are a report-time derivation)
+    if (!withSizes) merged.select(col(idCol), col(labelCol))
+    else {
+      val w = Window.partitionBy(col(labelCol))
+      merged
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .select(col(idCol), col(labelCol),
+          col("cluster_size"), (col(idCol) === col(labelCol)).as("is_canonical"))
+    }
   }
 
   /** Same blocking over PRECOMPUTED signatures — e.g. the `simhash` column a

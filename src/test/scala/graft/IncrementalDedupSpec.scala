@@ -264,11 +264,47 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val storedAnchors = spark.read.parquet(s"$tmp/state/anchors")
       .select("doc_id").as[Long].collect().toSet
     assert(anchorIds.subsetOf(storedAnchors))
-    // component labels: every doc labeled exactly once, labels are min-ids
-    // (a valid partition refinement of the anchors-only recall contract)
+    // component labels == the library composition the CLI encodes,
+    // recomputed independently here (build: nearDupClusters on day-1;
+    // ingest: merged-registry route -> shared verify -> fold)
+    val day1 = spark.read.parquet(s"$tmp/day1")
+    val day2 = spark.read.parquet(s"$tmp/day2")
+    val mergedReg = Dedup.mergeBucketRegistries(
+      Dedup.simhashBucketRegistrySigs(day1, "doc_id", "text"),
+      Dedup.simhashBucketRegistrySigs(day2, "doc_id", "text"))
+    val routed = Dedup.simhashRoute(day2, "doc_id", "text", mergedReg,
+        maxHamming = 3)
+      .where(col("is_dup") === 1L).select(col("doc_id"), col("best_anchor"))
+    val pairs = Dedup.verifyRoutedPairs(routed, day2, docs,
+      "doc_id", "text", n = 3, threshold = 0.5)
+    val expected = Dedup.incrementalClusters(
+        Dedup.nearDupClusters(day1, "doc_id", "text", threshold = 0.5)
+          .select(col("doc_id"), col("cluster_id")),
+        pairs, Some(day2.select(col("doc_id"))), withSizes = false)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     val comp = spark.read.parquet(s"$tmp/state/components")
-    assert(comp.count() === docs.count())
-    assert(comp.where(col("cluster_id") > col("doc_id")).count() === 0L)
+    val got = comp.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1).distinct.size === docs.count(), "every doc labeled exactly once")
+    assert(got === expected)
+  }
+
+  test("Cli dedup-ingest catches WITHIN-batch duplicates (merged-registry routing + self-exclusion)") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_wb").toString
+    Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "completely different words entirely here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/day1")
+    // 100 and 101 are the same-day duplicate pair (no day-1 anchor is
+    // near); 102 is unique
+    Seq((100L, "zeta eta theta iota kappa lambda"),
+        (101L, "zeta eta theta iota kappa lambda"),
+        (102L, "nothing like anything else at all"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/day2")
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", s"$tmp/state"))
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day2", s"$tmp/state"))
+    val comp = spark.read.parquet(s"$tmp/state/components")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(comp === Seq((1L, 1L), (2L, 2L), (100L, 100L), (101L, 100L), (102L, 102L)),
+      "same-day duplicates must fold into one cluster; the rest stay singletons")
   }
 
   // ---- composition shapes of the folded bench gates ---------------------
