@@ -288,6 +288,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("verifyRoutedPairs: empty-shingle sides are dropped (no vacuous NaN pass), normal pairs verify") {
+    // "john smith" / "smith john": identical word BAG -> simhash hamming 0
+    // (routable), but with n=3 both shingle to EMPTY arrays -> 0/0 jaccard
+    // is NaN, which both engines order above any threshold — the guard
+    // must drop the pair instead of passing it vacuously
+    val docs = Seq(
+      (1L, "john smith"), (2L, "smith john"),
+      (10L, "alpha beta gamma delta"), (11L, "alpha beta gamma delta"),
+      (20L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val routed = Seq((2L, 1L), (11L, 10L), (20L, 10L)).toDF("doc_id", "best_anchor")
+    val got = Dedup.verifyRoutedPairs(routed, docs, docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    // (1,2) dropped by the guard; (10,11) identical -> jaccard 1.0 passes;
+    // (10,20) overlaps 2 of (2 + 5) distinct shingles -> 0.4 < 0.5 fails
+    assert(got === Seq((10L, 11L)))
+  }
+
   test("Cli dedup-ingest catches WITHIN-batch duplicates (merged-registry routing + self-exclusion)") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup_wb").toString
     Seq((1L, "alpha beta gamma delta epsilon"),
