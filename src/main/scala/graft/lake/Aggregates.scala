@@ -79,9 +79,19 @@ class LakeProvider(spark: SparkSession, root: String,
   private def readTree(path: String, symbol: String, tf: String,
                        from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
     val df = LakeFs.readParquetIfData(spark, path) match {
-      case None => return spark.emptyDataFrame
+      // absent/empty tree reads as an empty CANONICAL frame — a zero-column
+      // spark.emptyDataFrame would crash the callers' orderBy("ts")/
+      // resample instead of honoring the empty-lake contract LakeReader
+      // already implements (reference api.py:23-24)
+      case None => return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.core.CandleSchema.schema)
       case Some(cur) => cur
-        .where(col("source") === source && col("symbol") === symbol && col("timeframe") === tf)
+        // market filters too: a multi-market lake can hold the same
+        // (source, symbol, timeframe) under several markets, and the
+        // provider must not interleave them
+        .where(col("source") === source && col("market") === market &&
+          col("symbol") === symbol && col("timeframe") === tf)
     }
     val ranged = (from, to) match {
       case (Some(f), Some(t)) => df.where(col("ts") >= lit(f) && col("ts") < lit(t))

@@ -22,7 +22,14 @@ object LevelsWriter {
       Seq("market", "symbol", "year"), Seq("session_date", "symbol"), "session_date")
   }
 
+  /** Levels read. An absent tree fails with a CLEAR error instead of a raw
+    * PATH_NOT_FOUND (the levels schema lives only on disk — unlike the
+    * candle tree there is no canonical schema to serve an empty frame
+    * from, so "empty lake reads as empty frame" cannot apply here).
+    */
   def read(spark: SparkSession, root: String, symbol: String): DataFrame =
-    spark.read.parquet(LakeLayout.levelsRoot(root))
-      .where(col("symbol") === symbol)
+    LakeFs.readParquetIfData(spark, LakeLayout.levelsRoot(root))
+      .map(_.where(col("symbol") === symbol))
+      .getOrElse(throw new IllegalStateException(
+        s"no levels tree at ${LakeLayout.levelsRoot(root)} — write levels first (Cli levels / LevelsWriter.upsert)"))
 }

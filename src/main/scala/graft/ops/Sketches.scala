@@ -399,15 +399,26 @@ object Sketches {
     * may be too big to broadcast comfortably — the bloom stays fixed-size
     * no matter what.
     */
-  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
-                         idCol: String, textCol: String, n: Int = 3,
-                         mBits: Int = 65536, k: Int = 4): DataFrame = {
+  /** Shared decontamination prelude: the benchmark's distinct shingle set
+    * and its bloom bit array — ONE construction for the batch
+    * ([[bloomDecontaminate]]) and streaming
+    * (`DocumentStream.decontaminated`) faces, so a change to shingle
+    * normalization or the hash cannot silently diverge their q61 parity.
+    */
+  def benchmarkBloom(benchmark: DataFrame, textCol: String, n: Int,
+                     mBits: Int, k: Int): (DataFrame, Array[Long]) = {
     val bsh = benchmark
       .select(explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
         .as("shingle"))
       .distinct()
-    val bits = bloomBits(
-      bsh.select(Dedup.shingleHash(col("shingle")).as("h")), "h", mBits, k)
+    (bsh, bloomBits(
+      bsh.select(Dedup.shingleHash(col("shingle")).as("h")), "h", mBits, k))
+  }
+
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         mBits: Int = 65536, k: Int = 4): DataFrame = {
+    val (bsh, bits) = benchmarkBloom(benchmark, textCol, n, mBits, k)
     Dedup.shingles(corpus, idCol, textCol, n)
       .where(bloomContains(bits, mBits, k)(Dedup.shingleHash(col("shingle"))))
       .join(broadcast(bsh), "shingle")

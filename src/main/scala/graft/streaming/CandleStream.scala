@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: state is keyed by (symbol, window) — bounded by
   * watermark horizon x symbol count; shuffle partitions should match sink
-  * parallelism; min_by/max_by keep open/close deterministic under
-  * out-of-order arrival within the watermark.
+  * parallelism; min_by/max_by over (ts, price) structs keep open/close
+  * deterministic under out-of-order arrival AND same-timestamp ticks, so
+  * replays restate nothing.
   */
 object CandleStream {
 
@@ -29,10 +30,18 @@ object CandleStream {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 minute"), col("symbol"))
       .agg(
-        min_by(col("price"), col("ts")).as("open"),
+        // struct tiebreak: a tick feed can carry several ticks in the same
+        // timestamp grain (EventOps.candles relies on unique (ts_ns,
+        // event_id) and has no ties; ticks have no such guarantee). A bare
+        // min_by(price, ts) breaks ts ties by encounter order, so a
+        // replayed micro-batch could RESTATE a bar with different
+        // open/close — the struct makes the tie rule explicit and
+        // replay-stable: open = lowest price among the earliest ticks,
+        // close = highest price among the latest.
+        min_by(col("price"), struct(col("ts"), col("price"))).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), col("ts")).as("close"),
+        max_by(col("price"), struct(col("ts"), col("price"))).as("close"),
         sum(col("size")).as("volume"),
         count(lit(1)).as("n_ticks"))
       .select(col("window.start").as("ts"), col("symbol"),

@@ -62,6 +62,12 @@ object DedupStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(stateFn(span))
   }
 
+  // n counts ARRIVALS: an at-least-once source that redelivers a document
+  // increments it twice (exact once-only counting would need an id-set,
+  // i.e. unbounded state — the registry's whole point is two longs per
+  // bucket). The anchor is min-fold and thus redelivery-proof; treat
+  // n_docs as an upper bound under redelivery, with the batch registry as
+  // the exact reconciler.
   private def stateFn(span: Long)(bucket: Long, rows: Iterator[BucketRow],
                       state: org.apache.spark.sql.streaming.GroupState[BucketState]): BucketEntry = {
     var anchor = state.getOption.map(_.anchorId).getOrElse(Long.MaxValue)
@@ -123,6 +129,10 @@ object DedupStream {
     var anchor = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[Candidate]
     def emit(d: SigRow, a: AnchorState): Unit = {
+      // doc != anchor is the batch operator's output contract — and an
+      // at-least-once source can redeliver the current anchor itself,
+      // which must not emit a self-pair
+      if (d.doc_id == a.anchorId) return
       val h = java.lang.Long.bitCount(d.sig ^ a.anchorSig).toLong
       if (h <= maxHamming) out += Candidate(d.doc_id, a.anchorId, h)
     }

@@ -46,17 +46,6 @@ object DocumentStream {
       .where(col("quality_score") >= minQuality)
   }
 
-  /** Streaming twin of [[graft.ops.Corpus.perplexityScore]]: score a
-    * document stream against a STATIC unigram LM (trained offline —
-    * [[graft.ops.Corpus.unigramLm]] — exactly how perplexity gates deploy:
-    * the model is a frozen artifact, the corpus arrives continuously).
-    *
-    * docs(ts, doc_id, text) -> (doc_id, n_tokens, nll), one row per doc
-    * finalized when the watermark passes its window. Per-token cost is a
-    * stream-static broadcast hash join; state is the watermark-bounded
-    * per-(window, doc) running (count, sum logp) — no stream-side shuffle
-    * beyond the per-doc aggregation, mirroring the batch shape.
-    */
   /** Streaming twin of [[graft.ops.Sketches.bloomDecontaminate]] (q61):
     * flag documents overlapping a FROZEN benchmark suite as they arrive.
     * The bloom bit array (mBits/8 bytes) rides into every task as a
@@ -77,12 +66,10 @@ object DocumentStream {
                      watermark: String = "10 minutes",
                      windowSize: String = "10 minutes"): DataFrame = {
     import graft.ops.{Dedup, Sketches}
-    val bsh = benchmark
-      .select(explode(graft.functions.TextFunctions.wordShingles(col("text"), n))
-        .as("shingle"))
-      .distinct()
-    val bits = Sketches.bloomBits(
-      bsh.select(Dedup.shingleHash(col("shingle")).as("h")), "h", mBits, k)
+    // shared prelude with the batch face — one definition of the benchmark
+    // artifact (Sketches.benchmarkBloom), so q61 parity holds by
+    // construction
+    val (bsh, bits) = Sketches.benchmarkBloom(benchmark, "text", n, mBits, k)
     docs
       .withWatermark("ts", watermark)
       .select(col("ts"), col("doc_id"),
@@ -95,6 +82,17 @@ object DocumentStream {
       .select(col("doc_id"), col("n_overlap"))
   }
 
+  /** Streaming twin of [[graft.ops.Corpus.perplexityScore]]: score a
+    * document stream against a STATIC unigram LM (trained offline —
+    * [[graft.ops.Corpus.unigramLm]] — exactly how perplexity gates deploy:
+    * the model is a frozen artifact, the corpus arrives continuously).
+    *
+    * docs(ts, doc_id, text) -> (doc_id, n_tokens, nll), one row per doc
+    * finalized when the watermark passes its window. Per-token cost is a
+    * stream-static broadcast hash join; state is the watermark-bounded
+    * per-(window, doc) running (count, sum logp) — no stream-side shuffle
+    * beyond the per-doc aggregation, mirroring the batch shape.
+    */
   def scored(docs: DataFrame, lm: DataFrame, oovLogp: Double,
              watermark: String = "10 minutes",
              windowSize: String = "10 minutes"): DataFrame = {

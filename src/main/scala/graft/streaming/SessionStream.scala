@@ -73,7 +73,13 @@ object SessionStream {
       sorted.foreach { t =>
         acc = acc match {
           case Some(a) if t - a.last <= gapSeconds =>
-            Some(OpenSession(a.start, math.max(a.last, t), a.n + 1))
+            // math.min on start: a late-but-within-watermark event from a
+            // PREVIOUS batch may precede the open session's start — the
+            // session must extend backwards to cover it (batch sessionize
+            // would have started it there). An event more than gap before
+            // the open span still folds in (the live-view approximation;
+            // the batch reconciler owns exact history).
+            Some(OpenSession(math.min(a.start, t), math.max(a.last, t), a.n + 1))
           case Some(a) =>
             closed += ClosedSession(userId, a.start, a.last, a.n)
             Some(OpenSession(t, t, 1L))

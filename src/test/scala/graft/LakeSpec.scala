@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Timeframe
-import graft.lake.{LakeReader, LakeWriter}
+import graft.lake.{LakeProvider, LakeReader, LakeWriter}
 import graft.ops.{Gaps, OrLevels}
 import graft.sources.SynthSource
 import org.apache.spark.sql.functions._
@@ -17,6 +17,17 @@ class LakeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   def ts(s: String) = Timestamp.valueOf(s)
+
+  test("LakeProvider on an absent lake serves empty canonical frames, not crashes") {
+    val root = Files.createTempDirectory("empty_lake").toString
+    val p = new LakeProvider(spark, root)
+    assert(p.loadM1("BTC-USD", None, None).isEmpty)
+    assert(p.loadTf("BTC-USD", "M5", None, None).isEmpty)
+    // and the levels tree fails with the CLEAR error, not PATH_NOT_FOUND
+    val e = intercept[IllegalStateException](
+      graft.lake.LevelsWriter.read(spark, root, "BTC-USD"))
+    assert(e.getMessage.contains("no levels tree"))
+  }
 
   test("upsert + readRange round-trip honors the half-open [from,to) contract") {
     val root = Files.createTempDirectory("lake").toString

@@ -622,6 +622,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(closed.count() === 11) // 00:00..00:10 inclusive
   }
 
+  test("streaming bars: same-timestamp ticks have a deterministic open/close tiebreak across arrival orders") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    def run(name: String, ticks: Seq[(Timestamp, String, Double, Double)]) = {
+      val input = MemoryStream[(Timestamp, String, Double, Double)]
+      input.addData(ticks)
+      input.addData((t("2025-08-01 00:10:00"), "X", 1.0, 1.0)) // advance watermark
+      val q = CandleStream.m1Bars(input.toDF().toDF("ts", "symbol", "price", "size"),
+          watermark = "2 minutes")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).where(col("ts") === lit("2025-08-01 00:00:00"))
+        .select("open", "close").as[(Double, Double)].head()
+    }
+    // three ticks at the SAME second at each bar edge, in two arrival orders
+    val ticks = Seq(
+      (t("2025-08-01 00:00:05"), "X", 12.0, 1.0), (t("2025-08-01 00:00:05"), "X", 10.0, 1.0),
+      (t("2025-08-01 00:00:05"), "X", 11.0, 1.0),
+      (t("2025-08-01 00:00:50"), "X", 20.0, 1.0), (t("2025-08-01 00:00:50"), "X", 22.0, 1.0),
+      (t("2025-08-01 00:00:50"), "X", 21.0, 1.0))
+    val a = run("tie_a", ticks)
+    val b = run("tie_b", ticks.reverse)
+    assert(a === b, "open/close must not depend on arrival order")
+    // the documented tie rule: lowest price among earliest ticks opens,
+    // highest among latest closes
+    assert(a === ((10.0, 22.0)))
+  }
+
   test("streaming: a tick later than the watermark does not reopen a closed bar") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
