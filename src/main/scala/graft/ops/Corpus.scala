@@ -530,13 +530,21 @@ object Corpus {
     // global top-V cut: TakeOrdered over the vocab-grain table
     val topv = termTot.orderBy(col("_ct").desc, col("_w")).limit(vocab)
       .select(col("_w").as("_vw"), col("_ct"))
-    val slices = perSlice.select(col(sliceCol)).distinct()
+    // rename the distinct-slices key: `slices` DERIVES from `perSlice`, so
+    // joining slices(sliceCol) to perSlice(sliceCol) hands Spark two
+    // references with the SAME attribute id and leaves disambiguation to
+    // the analyzer's DeduplicateRelations heuristic (it resolved correctly
+    // but logged the "trivially true equals predicate" WARN on every run,
+    // and the heuristic has shifted between Spark versions). The alias
+    // makes the join key unambiguous by construction — the repo's standard
+    // self-join shape (Eval.scala, Packing.scala).
+    val slices = perSlice.select(col(sliceCol).as("_slice")).distinct()
     // dense slice × vocab grid (both sides bounded), observed counts in
     val grid = slices.crossJoin(broadcast(topv))
       .join(perSlice,
-        slices(sliceCol) <=> perSlice(sliceCol) && col("_vw") === perSlice("_w"),
+        col("_slice") <=> perSlice(sliceCol) && col("_vw") === perSlice("_w"),
         "left")
-      .select(slices(sliceCol), col("_vw"), col("_ct"),
+      .select(col("_slice").as(sliceCol), col("_vw"), col("_ct"),
         coalesce(col("_c"), lit(0L)).as("_cs"))
     val nS = grid.groupBy(col(sliceCol)).agg(sum(col("_cs")).as("_ns"),
       sum(col("_ct")).as("_ntot"))

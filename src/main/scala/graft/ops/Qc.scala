@@ -95,11 +95,16 @@ object Qc {
     * [[checkConstraints]]'s null-hostility), and pass flag — the FK sweep
     * a warehouse load runs before trusting joins.
     *
-    * Each relationship is one LEFT ANTI join against the parent's DISTINCT
-    * keys plus one count — the anti join shuffles on the key (or
-    * broadcasts when the parent is small, Catalyst's choice); the report
-    * is relationships-sized. NULL-safe: anti join keeps NULL fks (they
-    * match nothing), which is exactly the orphan semantics.
+    * Each relationship is one LEFT OUTER join against the parent's DISTINCT
+    * keys (a hit marker instead of an anti join, so ONE pass yields both
+    * the child count and the orphan count) reduced to a single-row
+    * aggregate; the per-relation aggregates union into a lazy
+    * relationships-sized report that the caller's action runs as ONE job —
+    * no driver-side `count()` round-trips. The join shuffles on the key
+    * (or broadcasts when the parent is small, Catalyst's choice), and
+    * since the parent side is distinct the join never multiplies child
+    * rows. NULL-safe: a NULL fk matches nothing → no hit marker → orphan,
+    * which is exactly the orphan semantics.
     *
     * Output: (relation, n_child, n_orphans, passed), one row per entry.
     */
@@ -107,14 +112,14 @@ object Qc {
     require(relations.nonEmpty, "need at least one relationship")
     relations.map { case (name, child, fkCol, parent, pkCol) =>
       val keys = parent.select(col(pkCol).as("_pk")).distinct()
-      val nChild = child.count()
-      val nOrphans = child.select(col(fkCol).as("_fk"))
-        .join(keys, col("_fk") === col("_pk"), "left_anti")
-        .count()
-      val spark = child.sparkSession
-      import spark.implicits._
-      Seq((name, nChild, nOrphans, nOrphans == 0L))
-        .toDF("relation", "n_child", "n_orphans", "passed")
+        .withColumn("_hit", lit(1))
+      child.select(col(fkCol).as("_fk"))
+        .join(keys, col("_fk") === col("_pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          coalesce(sum(when(col("_hit").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("passed"))
     }.reduce(_ unionByName _)
   }
 }

@@ -83,14 +83,15 @@ object BinanceSource {
   // HTTP/status context, or alongside the "Too Many Requests" phrase.
   // Matches the shapes real transports produce — "HTTP 429 Too Many
   // Requests", java.net's "Server returned HTTP response code: 429 for
-  // URL: …", "Too Many Requests (429)", a leading "429:" status — but NOT
-  // a path (/shard_429.parquet: '_' before), an id, or a count (14290:
-  // digits adjacent) merely embedding the number. Compiled once, not per
-  // page fetch. False-positive cost is 5 bounded backoff sleeps; a false
-  // NEGATIVE kills an ingest that one retry would have saved, so ties
-  // break toward matching.
+  // URL: …", "Too Many Requests (429)", a leading "429:" status, and
+  // key=value shapes like "status_code=429" or "code=429" ('=' is in the
+  // leading delimiter class) — but NOT a path (/shard_429.parquet: '_'
+  // before), an id, or a count (14290: digits adjacent) merely embedding
+  // the number. Compiled once, not per page fetch. False-positive cost is
+  // 5 bounded backoff sleeps; a false NEGATIVE kills an ingest that one
+  // retry would have saved, so ties break toward matching.
   private val rateLimited =
-    "(?i)too many requests|http[ /]429|status(=| )429|(^|[\\s:(\\[])429([\\s:)\\],]|$)".r
+    "(?i)too many requests|http[ /]429|status(=| )429|(^|[\\s:=(\\[])429([\\s:)\\],]|$)".r
 
   def withRetry429(fetchPage: (String, String, Long, Long, Int) => Seq[RawBar],
                    sleeper: Long => Unit = ms => Thread.sleep(ms)):

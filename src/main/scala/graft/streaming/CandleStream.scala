@@ -24,6 +24,16 @@ object CandleStream {
 
   /** ticks(ts, symbol, price, size) -> append-mode M1 OHLCV stream.
     * Emits bars labeled by window START (left label, matching Resample).
+    *
+    * Upgrade note (fbf4295): open/close moved from a bare
+    * `min_by/max_by(price, ts)` to the struct(ts, price) tiebreak below.
+    * For bars containing SAME-timestamp ticks the emitted open/close can
+    * differ from what the pre-change code produced, so an operator
+    * resuming a pre-change checkpoint (or diffing against previously
+    * persisted bars) should expect a ONE-TIME restatement on tie-bearing
+    * bars — that is the deterministic rule taking over from encounter
+    * order, not a replay bug. Bars whose ticks have unique timestamps are
+    * unaffected.
     */
   def m1Bars(ticks: DataFrame, watermark: String = "2 minutes"): DataFrame = {
     ticks

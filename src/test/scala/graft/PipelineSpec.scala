@@ -239,6 +239,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(run("Server returned HTTP response code: 429 for URL: https://example.invalid/api/v3/klines", 1)
       === (2, Seq(1000L)))
     assert(run("Too Many Requests (429)", 1) === (2, Seq(1000L)))
+    // key=value transports: '=' delimits the status just like ':' does
+    assert(run("request failed with status_code=429", 1) === (2, Seq(1000L)))
+    assert(run("code=429 retry later", 1) === (2, Seq(1000L)))
     // a path/id merely embedding 429 must NOT trigger retry sleeps
     assert(run("failed to read /tmp/shard_429.parquet", 1) === (1, Nil))
     assert(run("row count 14290 mismatch", 1) === (1, Nil))
