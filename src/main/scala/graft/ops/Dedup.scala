@@ -967,11 +967,19 @@ object Dedup {
     *                    exactly one document corpus-wide)
     *
     * Scale: windowing is per-row expression work ([[TextAnalysis.chunkDocuments]]
-    * — split/sequence/posexplode, no shuffle); the only data-sized
-    * shuffles are the fingerprint-stats aggregate and the join back, both
-    * equi-keyed on the fingerprint (high-cardinality, no skew: a ubiquitous
-    * span fingerprint aggregates to ONE stats row before the join). The
-    * span table is len/stride × input rows — the same bounded explosion
+    * — split/sequence/posexplode, no shuffle); the ONE data-sized shuffle
+    * is the (fp, doc) aggregate — the q43 TF-IDF shape. Both consumers
+    * (the fingerprint-stats aggregate and the join back) derive from that
+    * aggregate's output, so the span explosion is computed once and the
+    * shared exchange is deduped by ReuseExchange — no cache, no
+    * block-manager resident set proportional to the corpus (an earlier
+    * version cached the raw span table inside the returned lineage, the
+    * exact pathology the q19 post-mortem measured). Everything after the
+    * first exchange is (fp, doc)-grain or fingerprint-grain, equi-keyed on
+    * the fingerprint (high-cardinality; a ubiquitous span fingerprint
+    * aggregates to ONE stats row before the join, and the deduped grain
+    * bounds its join fan-out at one row per touching doc). The span table
+    * is len/stride × input rows — the same bounded explosion
     * chunkDocuments already pays.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
@@ -981,18 +989,19 @@ object Dedup {
       .chunkDocuments(docs, idCol, textCol, maxTokens = window,
         overlap = window - stride)
       .select(col(idCol), TextAnalysis.fingerprint(col("chunk_text")).as("fp"))
-      .cache() // feeds both the stats aggregate and the join back — this
-      // cache lives INSIDE the returned frame's lineage (the caller's
-      // action reads it twice), so it cannot be unpersisted here without
-      // double-computing the span projection; lifecycle follows the
-      // object-level Dedup convention (clearCache between jobs)
-    val stats = spans.groupBy(col("fp"))
-      .agg(countDistinct(col(idCol)).as("_ndocs"), min(col(idCol)).as("_first"))
-    spans.join(stats, "fp")
+    // (fp, doc) grain with the doc's span multiplicity — the one
+    // data-sized exchange; both downstream branches hang off it, so the
+    // identical exchange is planned once (ReuseExchange) and the explosion
+    // never recomputes
+    val perDoc = spans.groupBy(col("fp"), col(idCol))
+      .agg(count(lit(1)).as("_n"))
+    val stats = perDoc.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_ndocs"), min(col(idCol)).as("_first"))
+    perDoc.join(stats, "fp")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_spans"),
-        sum(when(col("_ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
-        sum(when(col("_first") === col(idCol), 1L).otherwise(0L)).as("n_owned_spans"))
+        sum(col("_n")).as("n_spans"),
+        sum(when(col("_ndocs") >= 2, col("_n")).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("_first") === col(idCol), col("_n")).otherwise(0L)).as("n_owned_spans"))
   }
 }

@@ -196,6 +196,13 @@ class SketchesSpec extends AnyFunSuite {
       (1L, 3L, 3L, 3L), // all spans shared with doc 2; doc 1 owns them (min id)
       (2L, 3L, 3L, 0L),
       (3L, 1L, 0L, 1L)))
+    // scale guard: the span table must NOT be cached inside the returned
+    // lineage (a data-sized MEMORY_ONLY resident set at 100 TB — the q19
+    // pathology); the double consumption is served by ReuseExchange over
+    // the (fp, doc) aggregate instead
+    val plan = Dedup.duplicateSpans(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan") && !plan.contains("InMemoryRelation"))
   }
 
   test("streaming KMV: final estimates bit-match the batch sketch on the same bounded input") {
