@@ -68,6 +68,34 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     catch { case _: Throwable => () }
+    // LAKE-WRITE PRE-WARM (round 12): the lake-flow queries' FIRST samples
+    // carried 4-6 s of one-time cost each (q124 12.7 s vs 6.4 s min,
+    // q76 similar) — parquet committer + zstd codec + dynamic-partition-
+    // overwrite commit logic + localCheckpoint machinery all class-load on
+    // first use. Under min-of-2 that inflation washes out of the MINIMA but
+    // not out of PASS-1 WALL CLOCK, and pass-1 cost is what decides whether
+    // the second pass fits the budget (the round-11 degraded flag). One
+    // tiny write exercising the exact upsert write path (partitionBy +
+    // dynamic overwrite + zstd + localCheckpoint + refreshByPath + a
+    // replace-existing second overwrite) moves that cost into ~1-2 s of
+    // setup, once, before timing starts.
+    try {
+      import org.apache.spark.sql.functions.col
+      val warmPath = s"${sys.props("java.io.tmpdir")}/graft_bench_warm_${ProcessHandle.current().pid()}"
+      val wdf = spark.range(64).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+      wdf.localCheckpoint(eager = true)
+      def warmWrite(): Unit = wdf.repartition(col("p"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("p")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd").parquet(warmPath)
+      warmWrite()
+      spark.read.parquet(warmPath).queryExecution.toRdd.count()
+      spark.catalog.refreshByPath(warmPath)
+      warmWrite() // the replace-existing dynamic-overwrite path
+      val p = new org.apache.hadoop.fs.Path(warmPath)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    } catch { case _: Throwable => () }
     // HOST-SPEED CALIBRATION PROBE: a fixed synthetic workload (the q18
     // SimHash kernel over 200k generated 12-word docs — no file I/O, no
     // shuffle, pure codegen'd map+agg) timed min-of-2 and emitted as
@@ -101,6 +129,18 @@ object Bench {
     // under concurrent load; min-of-2 recovered the true numbers). min, not
     // mean — external interference only ever ADDS time.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+    // WORKLOAD VERSION, emitted in every artifact: round 11 moved the
+    // declared-exact quadratic gates to deterministic subsets (q16/q87/q129
+    // half corpus, q27/q97 quarters) and q110 from 10 to 6 pagerank rounds,
+    // so suite TOTALS are only comparable within the same workload tag —
+    // a cross-tag comparison confounds code speed with workload shrinkage
+    // even after calib normalization. Bump this whenever a query's timed
+    // volume or iteration count changes (oracle moving in lockstep keeps
+    // correctness gates valid but does NOT keep totals comparable).
+    // "r11" = the round-11 subset shape, unchanged in round 12 (a measured
+    // half-month trim of q124/q76 was rejected: their cost is commit/job
+    // overhead, not row volume — min-of-3 A/B showed no normalized gain).
+    val workloadVersion = "r11"
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String, name: String): Unit =
@@ -167,7 +207,8 @@ object Bench {
       val total = results.collect {
         case (k, v) if !failed.contains(k) => v.min
       }.sum
-      val flags = List(s""""calib":${fp(2)(calibSec)}""") ++
+      val flags = List(s""""calib":${fp(2)(calibSec)}""",
+        s""""workload":"$workloadVersion"""") ++
         (if (degraded) List("\"degraded\":true") else Nil) ++
         (if (skipped > 0) List(s"\"skipped\":$skipped") else Nil) ++
         (if (!failed.isEmpty) List(s"\"errors\":${failed.size}") else Nil)
@@ -208,7 +249,7 @@ object Bench {
         failed.asScala.toVector.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       val rawLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${f(calibSec)},"queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"failed":$errs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${f(calibSec)},"workload":"$workloadVersion","queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"failed":$errs,"sf":"$sfDir"}"""
       try {
         val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RAW_OUT",
           "/root/repo/BENCH_RAW.json"))
