@@ -242,26 +242,32 @@ object Cli {
     // O(new batch); the full batch pass stays the periodic reconciler.
     case "dedup-build" :: docsParquet :: stateDir :: Nil =>
       import org.apache.spark.sql.functions.col
+      import graft.ops.DedupState
       val docs = spark.read.parquet(docsParquet)
+      // keyspace-bounded (≤ 4·2^(bits/4) rows) — checkpoint so the anchor
+      // projection and the state write don't re-sign the corpus twice
       val reg = graft.ops.Dedup.simhashBucketRegistrySigs(docs, "doc_id", "text")
-      reg.write.mode("overwrite").parquet(s"$stateDir/registry")
-      spark.read.parquet(s"$stateDir/registry")
-        .select(col("anchor_id").as("doc_id")).distinct()
+        .localCheckpoint()
+      val anchors = reg.select(col("anchor_id").as("doc_id")).distinct()
         .join(docs.select(col("doc_id"), col("text")), "doc_id")
-        .write.mode("overwrite").parquet(s"$stateDir/anchors")
-      graft.ops.Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      val comps = graft.ops.Dedup
+        .nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
         .select(col("doc_id"), col("cluster_id"))
-        .write.mode("overwrite").parquet(s"$stateDir/components")
-      val nb = spark.read.parquet(s"$stateDir/registry").count()
-      val nc = spark.read.parquet(s"$stateDir/components").count()
-      println(s"[cli] dedup state built: $nb registry buckets, $nc docs labeled -> $stateDir")
+      val gen = DedupState.commit(spark, stateDir,
+        Map("registry" -> reg, "anchors" -> anchors, "components" -> comps))
+      val nb = DedupState.read(spark, stateDir, "registry").count()
+      val nc = DedupState.read(spark, stateDir, "components").count()
+      println(s"[cli] dedup state built: $nb registry buckets, $nc docs labeled -> $stateDir (gen v$gen)")
 
-    case "dedup-ingest" :: docsParquet :: stateDir :: Nil =>
+    case "dedup-ingest" :: docsParquet :: stateDir :: rest if rest.lengthIs <= 1 =>
       import org.apache.spark.sql.functions._
+      import graft.ops.DedupState
+      // optional trailing arg: committed generations to retain (default 3)
+      val keep = rest.headOption.map(_.toInt).getOrElse(DedupState.DefaultKeep)
       val newDocs = spark.read.parquet(docsParquet)
-      val reg = spark.read.parquet(s"$stateDir/registry")
-      val anchors = spark.read.parquet(s"$stateDir/anchors")
-      val comps = spark.read.parquet(s"$stateDir/components")
+      val reg = DedupState.read(spark, stateDir, "registry")
+      val anchors = DedupState.read(spark, stateDir, "anchors")
+      val comps = DedupState.read(spark, stateDir, "components")
       // merge the new batch's delta registry FIRST and route against the
       // MERGED registry: same-day duplicates (two identical docs in one
       // crawl batch — the common case) then route to the batch's own
@@ -286,33 +292,23 @@ object Cli {
           // part, and labels-only output skips the corpus-wide size window
           // (the persisted state is (id, label); sizes are report-time)
           frontier = true, withSizes = false)
-        .localCheckpoint() // lineage reads the files the staging swap replaces
       val mergedAnchors = mergedReg.select(col("anchor_id").as("doc_id")).distinct()
         .join(anchorTexts, "doc_id")
-        .localCheckpoint()
       val nNew = newDocs.count()
       val nDup = routed.count()
       val nPairs = newPairs.count()
-      // staged swap: write the new state NEXT TO the old, then rename into
-      // place — a crash mid-write leaves the old state fully intact, and
-      // the rename window is small (not atomic across the three dirs; a
-      // crash between renames can mix days — re-running the same ingest is
-      // then the repair, except registry n_docs double-counts the replayed
-      // batch, per mergeBucketRegistries' documented disjointness note)
-      val fs = new org.apache.hadoop.fs.Path(stateDir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      def swapIn(name: String, df: DataFrame): Unit = {
-        val staged = new org.apache.hadoop.fs.Path(s"$stateDir/_staging_$name")
-        val live = new org.apache.hadoop.fs.Path(s"$stateDir/$name")
-        df.write.mode("overwrite").parquet(staged.toString)
-        fs.delete(live, true)
-        fs.rename(staged, live)
-      }
-      swapIn("components", folded)
-      swapIn("registry", mergedReg)
-      swapIn("anchors", mergedAnchors)
+      // versioned commit (DedupState): the new generation is written to its
+      // own v<N+1> directory — so the fold's lineage can read the CURRENT
+      // generation's files while writing, no staging dance — and all three
+      // tables flip together on the single marker-file create. A crash at
+      // any point leaves the old generation live and the replay merges the
+      // delta exactly once (the round-11 in-place swap could mix days and
+      // double-merge the delta registry on replay).
+      val gen = graft.ops.DedupState.commit(spark, stateDir,
+        Map("components" -> folded, "registry" -> mergedReg,
+          "anchors" -> mergedAnchors), keep)
       println(s"[cli] ingested $nNew docs: $nDup routed to anchors, " +
-        s"$nPairs verified near-dup pairs folded; state updated in $stateDir")
+        s"$nPairs verified near-dup pairs folded; state updated in $stateDir (gen v$gen, keep $keep)")
 
     // catalog integrity: hive-layout validation (reference validate_layout CI gate)
     case "validate" :: root :: Nil =>

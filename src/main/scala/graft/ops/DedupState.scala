@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned, atomically-committed persistence for the incremental-dedup
+  * standing state (the three tables `Cli dedup-build`/`dedup-ingest` keep:
+  * component labels, anchor bucket registry, anchor texts).
+  *
+  * Why versions instead of in-place swap: the round-11 CLI renamed the
+  * three live directories one by one — a crash between renames left
+  * MIXED-day state, and the documented "re-run the ingest" repair then
+  * violated [[Dedup.mergeBucketRegistries]]'s disjoint-corpora
+  * precondition (the replayed delta double-merged, silently inflating
+  * registry `n_docs` forever). Here every ingest writes a brand-new
+  * generation directory `stateDir/v<N>/{components,registry,anchors}` and
+  * commits it with ONE atomic marker-file create (`v<N>/_COMMITTED`):
+  *
+  *   - readers resolve the highest COMMITTED generation, so all three
+  *     tables always flip together;
+  *   - a crash mid-write leaves an uncommitted `v<N>` that readers never
+  *     see and the next ingest deletes and rewrites — replay reads the
+  *     OLD generation, so the delta is merged exactly once;
+  *   - the new generation's write never overlaps the files its own
+  *     lineage reads (different directory), so no staging dance is needed.
+  *
+  * Retention: a year of daily folds must not accumulate 365 generations —
+  * [[commit]] vacuums all but the newest `keep` committed generations
+  * (default 3: current + two rollback points). Generation dirs are
+  * generation-grain, so vacuum cost is O(deleted dirs), never data-sized.
+  *
+  * Backward compatibility: a pre-versioned state (tables flat at the
+  * stateDir root) reads as generation 0 when no committed `v<N>` exists;
+  * the first versioned commit supersedes it and vacuum removes the flat
+  * tables like any other superseded generation.
+  */
+object DedupState {
+
+  val Tables: Seq[String] = Seq("components", "registry", "anchors")
+  val DefaultKeep = 3
+  private val Marker = "_COMMITTED"
+
+  def fs(spark: SparkSession, stateDir: String): FileSystem =
+    new Path(stateDir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def genDir(stateDir: String, gen: Int) = new Path(s"$stateDir/v$gen")
+
+  /** Committed generations, ascending. Generation 0 = the legacy flat
+    * layout (counts only when present and no marker protocol applies to
+    * it: its presence IS its commit, the pre-versioned contract).
+    */
+  def committedGens(fs: FileSystem, stateDir: String): Seq[Int] = {
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return Seq.empty
+    val versioned = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toInt }
+      .filter(g => fs.exists(new Path(genDir(stateDir, g), Marker)))
+    val legacy =
+      if (fs.exists(new Path(s"$stateDir/registry"))) Seq(0) else Seq.empty
+    (legacy ++ versioned).sorted
+  }
+
+  def currentGen(fs: FileSystem, stateDir: String): Option[Int] =
+    committedGens(fs, stateDir).lastOption
+
+  def tablePath(stateDir: String, gen: Int, table: String): String =
+    if (gen == 0) s"$stateDir/$table" else s"$stateDir/v$gen/$table"
+
+  /** Read one state table from the current committed generation. */
+  def read(spark: SparkSession, stateDir: String, table: String): DataFrame = {
+    val cur = currentGen(fs(spark, stateDir), stateDir).getOrElse(
+      sys.error(s"no committed dedup state under $stateDir"))
+    spark.read.parquet(tablePath(stateDir, cur, table))
+  }
+
+  /** Write all three tables as the next generation and commit atomically;
+    * then vacuum generations older than the newest `keep`. Returns the
+    * committed generation number.
+    */
+  def commit(spark: SparkSession, stateDir: String,
+             tables: Map[String, DataFrame],
+             keep: Int = DefaultKeep): Int = {
+    require(keep >= 1, "need keep >= 1")
+    require(tables.keySet == Tables.toSet,
+      s"need exactly ${Tables.mkString("/")}, got ${tables.keySet}")
+    val hfs = fs(spark, stateDir)
+    val next = currentGen(hfs, stateDir).getOrElse(0) + 1
+    val dir = genDir(stateDir, next)
+    hfs.delete(dir, true) // uncommitted leftovers from a crashed attempt
+    // write every table BEFORE the marker: order within the generation is
+    // irrelevant because nothing reads an unmarked generation
+    Tables.foreach { t =>
+      tables(t).write.mode("overwrite").parquet(tablePath(stateDir, next, t))
+    }
+    hfs.create(new Path(dir, Marker), false).close() // the atomic commit
+    // retention: drop all but the newest `keep` committed generations
+    val gens = committedGens(hfs, stateDir)
+    gens.dropRight(keep).foreach { g =>
+      if (g == 0) Tables.foreach(t => hfs.delete(new Path(s"$stateDir/$t"), true))
+      else hfs.delete(genDir(stateDir, g), true)
+    }
+    next
+  }
+}

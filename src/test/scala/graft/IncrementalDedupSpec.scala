@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, DedupState}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -253,7 +253,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Cli.run(spark, List("dedup-ingest", s"$tmp/day2", s"$tmp/state"))
     // registry state == rebuild on the union (the monoid property, through
     // real files and the CLI path)
-    val reg = spark.read.parquet(s"$tmp/state/registry")
+    val reg = DedupState.read(spark, s"$tmp/state", "registry")
       .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
     val regRebuilt = Dedup.simhashBucketRegistrySigs(docs, "doc_id", "text")
       .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
@@ -261,7 +261,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // every anchor in the registry has its text persisted (day-2 verify
     // never needs the day-1 corpus)
     val anchorIds = reg.map(_._3).toSet
-    val storedAnchors = spark.read.parquet(s"$tmp/state/anchors")
+    val storedAnchors = DedupState.read(spark, s"$tmp/state", "anchors")
       .select("doc_id").as[Long].collect().toSet
     assert(anchorIds.subsetOf(storedAnchors))
     // component labels == the library composition the CLI encodes,
@@ -282,7 +282,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
           .select(col("doc_id"), col("cluster_id")),
         pairs, Some(day2.select(col("doc_id"))), withSizes = false)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
-    val comp = spark.read.parquet(s"$tmp/state/components")
+    val comp = DedupState.read(spark, s"$tmp/state", "components")
     val got = comp.orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(got.map(_._1).distinct.size === docs.count(), "every doc labeled exactly once")
     assert(got === expected)
@@ -319,10 +319,78 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/day2")
     Cli.run(spark, List("dedup-build", s"$tmp/day1", s"$tmp/state"))
     Cli.run(spark, List("dedup-ingest", s"$tmp/day2", s"$tmp/state"))
-    val comp = spark.read.parquet(s"$tmp/state/components")
+    val comp = DedupState.read(spark, s"$tmp/state", "components")
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(comp === Seq((1L, 1L), (2L, 2L), (100L, 100L), (101L, 100L), (102L, 102L)),
       "same-day duplicates must fold into one cluster; the rest stay singletons")
+  }
+
+  test("DedupState: multi-day loop retains `keep` generations, commits atomically, replays after a crash") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_gen").toString
+    val state = s"$tmp/state"
+    // five disjoint daily batches, two docs each; texts unique per day so
+    // every doc stays a singleton (the clustering itself is pinned by the
+    // round-trip tests above — THIS test pins the persistence protocol)
+    def writeDay(n: Int): Unit =
+      Seq((n * 10L, s"day$n one$n two$n three$n four$n five$n"),
+          (n * 10L + 1L, s"day$n other$n words$n entirely$n unlike$n those$n"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/day$n")
+    (1 to 5).foreach(writeDay)
+    val hfs = DedupState.fs(spark, state)
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", state))
+    assert(DedupState.committedGens(hfs, state) === Seq(1))
+    // three daily folds at keep=2: generations vacuum behind the loop
+    (2 to 4).foreach(n => Cli.run(spark, List("dedup-ingest", s"$tmp/day$n", state, "2")))
+    assert(DedupState.committedGens(hfs, state) === Seq(3, 4),
+      "a year of daily folds must not accumulate a directory per day")
+    // all three tables flipped together and the registry still equals a
+    // from-scratch rebuild on the union (the monoid property THROUGH the
+    // retention loop)
+    val union = (1 to 4).map(n => spark.read.parquet(s"$tmp/day$n"))
+      .reduce(_ unionByName _)
+    val reg = DedupState.read(spark, state, "registry")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val rebuilt = Dedup.simhashBucketRegistrySigs(union, "doc_id", "text")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(reg === rebuilt)
+    assert(DedupState.read(spark, state, "components").count() === 8L)
+    // CRASHED ATTEMPT: an uncommitted v5 (tables written, marker never
+    // created) must be invisible to readers and harmless to the replay —
+    // the re-run reads gen 4, deletes the leftovers, and merges the day-5
+    // delta exactly once (no double-merge, no mixed-day state)
+    spark.range(1).toDF("junk").write.mode("overwrite").parquet(s"$state/v5/components")
+    assert(DedupState.committedGens(hfs, state) === Seq(3, 4))
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day5", state, "2"))
+    assert(DedupState.committedGens(hfs, state) === Seq(4, 5))
+    val reg5 = DedupState.read(spark, state, "registry")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val rebuilt5 = Dedup.simhashBucketRegistrySigs(
+        union.unionByName(spark.read.parquet(s"$tmp/day5")), "doc_id", "text")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(reg5 === rebuilt5, "replay after a crash must merge the delta exactly once")
+  }
+
+  test("DedupState: legacy flat layout reads as generation 0 and is superseded by the first versioned commit") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_legacy").toString
+    Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/day1")
+    Seq((2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/day2")
+    // build a versioned state, then copy its tables FLAT to a second root —
+    // the pre-versioned on-disk contract
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", s"$tmp/stateA"))
+    val legacy = s"$tmp/stateB"
+    DedupState.Tables.foreach { t =>
+      DedupState.read(spark, s"$tmp/stateA", t)
+        .write.mode("overwrite").parquet(s"$legacy/$t")
+    }
+    val hfs = DedupState.fs(spark, legacy)
+    assert(DedupState.committedGens(hfs, legacy) === Seq(0))
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day2", legacy, "1"))
+    // keep=1: the migration commit supersedes AND vacuums the flat tables
+    assert(DedupState.committedGens(hfs, legacy) === Seq(1))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$legacy/registry")))
+    assert(DedupState.read(spark, legacy, "components").count() === 2L)
   }
 
   // ---- composition shapes of the folded bench gates ---------------------
