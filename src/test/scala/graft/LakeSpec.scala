@@ -147,6 +147,37 @@ class LakeSpec extends AnyFunSuite {
       None, None, Seq("ts", "close")).columns.toSeq === Seq("ts", "close"))
   }
 
+  test("concurrent upserts to DIFFERENT months never clobber each other's partitions") {
+    // The reference writer assumes a single writer per symbol tree
+    // (writer.py:202-208 rewrites a whole month file in place). Our upsert
+    // commits through Spark's dynamic partition overwrite, which replaces
+    // ONLY the partitions the batch touches — so two writers landing
+    // corrections into different months of the same (source, symbol, tf)
+    // must both survive, each month keeping exactly its own writer's rows.
+    // (A static overwrite — the naive mode("overwrite") — would have the
+    // second commit delete the first writer's month wholesale.)
+    val root = Files.createTempDirectory("lake_conc").toString
+    val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
+    val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
+    LakeWriter.upsert(spark, root, jan)
+    LakeWriter.upsert(spark, root, feb)
+    val patchJan = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .withColumn("close", lit(111111.0))
+    val patchFeb = feb.where(col("ts") === lit("2025-02-10 10:00:00"))
+      .withColumn("close", lit(222222.0))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    Await.result(Future.sequence(Seq(patchJan, patchFeb)
+      .map(b => Future(LakeWriter.upsert(spark, root, b)))), 180.seconds)
+    val all = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(all.count() === 2880, "no month lost, no duplicate introduced")
+    assert(all.where(col("ts") === lit("2025-01-10 10:00:00")).head
+      .getAs[Double]("close") === 111111.0)
+    assert(all.where(col("ts") === lit("2025-02-10 10:00:00")).head
+      .getAs[Double]("close") === 222222.0)
+  }
+
   test("upsert keep-last: a re-ingested bar overwrites the old row") {
     val root = Files.createTempDirectory("lake").toString
     val bars = SynthSource.m1(spark, "ETH-USD", "2025-08-01", "2025-08-01")
