@@ -279,6 +279,32 @@ object Bench {
     val hook = new Thread(() => { degraded = true; emit(viaFd = true) })
     Runtime.getRuntime.addShutdownHook(hook)
 
+    // TARGETED warm of the expensive head at the smallest scale factor
+    // (round 12, default ON when the sibling sf0.001 dir exists): the
+    // head queries run FIRST in pass 1 (expensive-first ordering), so
+    // their first samples absorb the session's remaining first-run costs —
+    // after the lake-write pre-warm, q124's first sample still carried
+    // ~5.5 s (plan codegen + AQE + committer paths specific to its chain)
+    // against a 0.3-1 s cost to run the same chain once at sf0.001. Only
+    // queries with a cost hint >= 3 s warm (7 of 137): for the cheap tail
+    // a tiny-SF run costs about what it saves. Budget-guarded like the
+    // full warm pass below.
+    val headWarmDir = "/root/testdata/sf0.001"
+    if (sys.env.get("SPARK_GRAFT_WARM_DIR").isEmpty &&
+        new java.io.File(headWarmDir).isDirectory) {
+      val it = queries.iterator.filter { case (n, _) => costHint.getOrElse(n, 0.0) >= 3.0 }
+      var warmCut = false
+      while (it.hasNext && !warmCut) {
+        val (_, fn) = it.next()
+        // NOT runOnce: a warm-only failure (tiny-SF quirk) must never mark
+        // the query failed — that would exclude its REAL timing from the
+        // headline total even though the sf0.1 run succeeds
+        try { fn(spark, headWarmDir).queryExecution.toRdd.count(); () }
+        catch { case _: Throwable => () }
+        if (elapsed > budget * 0.15) warmCut = true // warm is optional work:
+        // shedding it is not degradation, pass 1 still covers everything
+      }
+    }
     // Optional separate warmup pass at a SMALL scale factor (JMH-style
     // steady state). OFF by default since the suite crossed ~100 queries: a
     // full extra pass costs more budget than it buys — the coverage pass
@@ -290,8 +316,9 @@ object Bench {
       val it = queries.iterator
       var warmCut = false
       while (it.hasNext && !warmCut) {
-        val (nm, fn) = it.next()
-        runOnce(fn, warmDir, nm)
+        val (_, fn) = it.next()
+        try { fn(spark, warmDir).queryExecution.toRdd.count(); () }
+        catch { case _: Throwable => () } // warm failures don't mark `failed`
         if (elapsed > budget * 0.3) { warmCut = true; degraded = true }
       }
     }
