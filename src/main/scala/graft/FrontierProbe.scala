@@ -41,14 +41,18 @@ object FrontierProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val delta = 10000L
     println(f"${"corpus"}%12s ${"delta"}%8s ${"touched"}%8s ${"frontier_s"}%10s ${"flat_s"}%8s ${"rebuild_s"}%9s")
-    for (n <- Seq(1000000L, 4000000L, 16000000L)) {
+    // axis 1: corpus grows, delta fixed (the daily-fold claim);
+    // axis 2: corpus fixed at the largest size, delta grows (the
+    // O(delta + affected) slope itself)
+    val shapes = Seq(1000000L, 4000000L, 16000000L).map(n => (n, 10000L)) ++
+      Seq((16000000L, 100000L), (16000000L, 1000000L))
+    for ((n, delta) <- shapes) {
       // standing table: clusters of 4, labels = min member id
       spark.range(n)
         .select(col("id").as("doc_id"),
           (col("id") - pmod(col("id"), lit(4L))).as("cluster_id"))
-        .write.mode("overwrite").parquet(s"$tmp/comps_$n")
+        .write.mode("overwrite").parquet(s"$tmp/comps_${n}_$delta")
       // delta: each new id (n + i) pairs with old id i*spread*4 — 10k
       // pairs touching 10k DISTINCT old components spread across the whole
       // id range (no locality for the semi-joins to exploit)
@@ -56,12 +60,12 @@ object FrontierProbe {
       spark.range(delta)
         .select((col("id") + n).as("id_a"),
           (col("id") * spread * 4L).as("id_b"))
-        .write.mode("overwrite").parquet(s"$tmp/pairs_$n")
+        .write.mode("overwrite").parquet(s"$tmp/pairs_${n}_$delta")
       spark.range(delta).select((col("id") + n).as("doc_id"))
-        .write.mode("overwrite").parquet(s"$tmp/new_$n")
-      val comps = spark.read.parquet(s"$tmp/comps_$n")
-      val pairs = spark.read.parquet(s"$tmp/pairs_$n")
-      val fresh = spark.read.parquet(s"$tmp/new_$n")
+        .write.mode("overwrite").parquet(s"$tmp/new_${n}_$delta")
+      val comps = spark.read.parquet(s"$tmp/comps_${n}_$delta")
+      val pairs = spark.read.parquet(s"$tmp/pairs_${n}_$delta")
+      val fresh = spark.read.parquet(s"$tmp/new_${n}_$delta")
 
       def time2(mk: => DataFrame): Double = {
         def once(): Double = {
