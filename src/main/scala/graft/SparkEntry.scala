@@ -399,28 +399,11 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
-    // LSH quality evaluation: the minhash band candidates (q17) scored
-    // against the exact Jaccard >= 0.1 ground truth (q16) — the
-    // precision/recall readout that justifies (or retunes) the banding
-    // before trusting the sketch at scale
-    "q129_lsh_quality" -> ((s, dir) => {
-      // half corpus — the scorecard's exact-ground-truth side is the
-      // declared-exact q16 contract (see q16's gate note)
-      val d = tbl(s, dir, "documents").where(col("doc_id") % 2 === 0)
-      val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1)
-        .select(col("id_a"), col("id_b"))
-      val cand = Dedup.minhashCandidates(d, "doc_id", "text", 3, 16, 4)
-        .select(col("id_a"), col("id_b"))
-      val ne = exact.agg(count(lit(1)).as("n_exact"))
-      val nc = cand.agg(count(lit(1)).as("n_candidates"))
-      val tp = cand.join(exact, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_tp"))
-      ne.crossJoin(broadcast(nc)).crossJoin(broadcast(tp))
-        .withColumn("precision", when(col("n_candidates") > 0L,
-          round(col("n_tp").cast("double") / col("n_candidates"), 6)))
-        .withColumn("recall", when(col("n_exact") > 0L,
-          round(col("n_tp").cast("double") / col("n_exact"), 6)))
-    }),
+    // q129_lsh_quality FOLDED round 12 (bench budget; the round-11 verdict
+    // names it the sanctioned fold candidate): it composed two still-oracled
+    // gates (q16 exact ground truth, q17 minhash candidates) into a
+    // precision/recall scorecard; the composition is pinned in
+    // IncrementalDedupSpec (ex-q129), same discipline as q56/q58/q120.
 
     // join-key skew diagnosis: per-key count distribution of lineitem's
     // part key — cardinality, heaviest key, exact p50/p90/p99 via the
@@ -474,21 +457,10 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
-    // language-ID confusion matrix: the langId op evaluated against the
-    // labeled corpus — per (true lang, guess) counts and within-lang
-    // fractions, the error-analysis view a pipeline needs before trusting
-    // the classifier as a filter
-    "q126_lang_confusion" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .withColumn("lang_guess", TextAnalysis.langId(col("text")))
-      val counts = d.groupBy(col("lang"), col("lang_guess"))
-        .agg(count(lit(1)).as("n"))
-      val tot = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-      counts.join(tot, "lang")
-        .withColumn("frac", round(col("n").cast("double") / col("n_lang"), 6))
-        .select(col("lang"), col("lang_guess"), col("n"), col("n_lang"), col("frac"))
-        .orderBy(col("lang"), col("lang_guess"))
-    }),
+    // q126_lang_confusion FOLDED round 12 (bench budget; sanctioned fold
+    // candidate): the confusion matrix shares q09's oracled langId
+    // derivation end to end — only the (true, guess) pivot was new, and
+    // that composition is pinned in IncrementalDedupSpec (ex-q126).
 
     // whole-table NDV profile from ONE stacked pass of HLL sketches — the
     // 100 TB twin of q70's exact countDistinct profile (register state per
@@ -2086,7 +2058,7 @@ object SparkEntry {
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c,''), c->ascii(c)::BIGINT)), (a,b)->(a*31+b)%1000000007)"
     // ONE tokenizer/shingle CTE source, parameterized by the corpus-subset
     // predicate: the full-corpus form plus the deterministic subset twins
-    // the declared-exact ground-truth gates run on (q16/q87/q129/q138/q139
+    // the declared-exact ground-truth gates run on (q16/q87/q138/q139
     // half corpus, q27 quarter — the q134 pattern: an all-pairs-exact
     // contract tests the same semantics on a subset at a fraction of the
     // quadratic pair cost, keeping the suite inside the driver's bench
@@ -2452,34 +2424,6 @@ object SparkEntry {
            |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
       // LSH quality: exact (q16) and candidate (q17) CTE chains composed,
       // counts + one fixed ratio chain
-      "q129_lsh_quality" ->
-        s"""WITH sh AS ($shingleSqlH),
-           | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-           | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-           |           FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2),
-           | exact AS (SELECT id_a, id_b FROM (
-           |            SELECT id_a, id_b,
-           |             round(inter::DOUBLE/(sa.sz+sb.sz-inter), 4) AS jaccard
-           |            FROM inter JOIN sizes sa ON sa.doc_id = id_a
-           |            JOIN sizes sb ON sb.doc_id = id_b) x WHERE jaccard >= 0.1),
-           | h AS (SELECT doc_id, ${fpSql("shingle")} AS hv FROM sh),
-           | sig AS (SELECT doc_id, t.i AS i,
-           |          min((hv*(2*t.i+3) + ((1442695040888963407%1000000007)*(t.i+1))%1000000007) % 1000000007) AS m
-           |         FROM h, range(0,16) t(i) GROUP BY 1,2),
-           | band AS (SELECT doc_id, (i//4)::INT AS band,
-           |           list_reduce(list_prepend(0::BIGINT, list(m ORDER BY i)), (a,b)->(a*31 + b%1000000007)%1000000007) AS band_sig
-           |          FROM sig GROUP BY 1,2),
-           | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |          FROM band a JOIN band b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
-           | x AS (SELECT (SELECT count(*) FROM exact) AS ne,
-           |        (SELECT count(*) FROM cand) AS nc,
-           |        (SELECT count(*) FROM cand c JOIN exact e
-           |          ON c.id_a = e.id_a AND c.id_b = e.id_b) AS tp)
-           |SELECT ne::BIGINT AS n_exact, nc::BIGINT AS n_candidates, tp::BIGINT AS n_tp,
-           | CASE WHEN nc > 0 THEN round(tp::DOUBLE / nc, 6) END AS precision,
-           | CASE WHEN ne > 0 THEN round(tp::DOUBLE / ne, 6) END AS recall
-           |FROM x""".stripMargin,
-      // key skew: quantile_cont over the key-grain count table
       "q128_key_skew" ->
         """WITH c AS (SELECT l_partkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1)
           |SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
@@ -2519,28 +2463,6 @@ object SparkEntry {
           | r_q::VARCHAR || '-' || f_q::VARCHAR || '-' || m_q::VARCHAR AS segment
           |FROM q ORDER BY user_id""".stripMargin,
       // confusion matrix over the SAME guess CTE as q09
-      "q126_lang_confusion" ->
-        s"""WITH ws AS ($wsSql),
-           | sc AS (SELECT doc_id, lang,
-           |   len(list_filter(l, w->list_contains(['the','and','of','is','a'], w))) AS s_en,
-           |   len(list_filter(l, w->list_contains(['el','la','los','que','y'], w))) AS s_es,
-           |   len(list_filter(l, w->list_contains(['der','die','das','und','ist'], w))) AS s_de,
-           |   len(list_filter(l, w->list_contains(['le','la','les','et','est'], w))) AS s_fr,
-           |   len(list_filter(l, w->list_contains(['的','是','了','在','和'], w))) AS s_zh
-           |  FROM ws),
-           | g AS (SELECT doc_id, lang, CASE
-           |   WHEN greatest(s_en,s_es,s_de,s_fr,s_zh) <= 0 THEN 'unknown'
-           |   WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'en'
-           |   WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'es'
-           |   WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'de'
-           |   WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'fr'
-           |   WHEN s_zh = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'zh'
-           |   ELSE 'unknown' END AS lang_guess FROM sc),
-           | c AS (SELECT lang, lang_guess, count(*)::BIGINT AS n FROM g GROUP BY 1, 2),
-           | t AS (SELECT lang, count(*)::BIGINT AS n_lang FROM g GROUP BY 1)
-           |SELECT c.lang, lang_guess, n, n_lang,
-           | round(n::DOUBLE / n_lang, 6) AS frac
-           |FROM c JOIN t ON c.lang = t.lang ORDER BY 1, 2""".stripMargin,
       "q09_lang_id" ->
         s"""WITH ws AS ($wsSql),
            | sc AS (SELECT doc_id, lang,

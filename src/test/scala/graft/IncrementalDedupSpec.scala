@@ -406,6 +406,57 @@ class IncrementalDedupSpec extends AnyFunSuite {
     (20L, "unique words never repeated anywhere", "web", 36L)
   ).toDF("doc_id", "text", "source", "n_chars")
 
+  test("ex-q129 composition: LSH precision/recall scorecard over the oracled q16/q17 stages") {
+    // both stages remain independently oracled (q16 jaccardPairs exact
+    // ground truth, q17 minhashCandidates); the folded gate only composed
+    // them into n_exact/n_candidates/n_tp + precision/recall — pinned here
+    // against a plain-collections recomputation from the collected sets
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashCandidates(corpus, "doc_id", "text", 3, 16, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // texts A={1,2,3} and B={10,11} are identical within group: their pairs
+    // are exact matches AND guaranteed band collisions
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).subsetOf(exact))
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).subsetOf(cand))
+    val tp = (cand & exact).size.toLong
+    val got = Seq((exact.size.toLong, cand.size.toLong, tp,
+      BigDecimal(tp.toDouble / cand.size).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+      BigDecimal(tp.toDouble / exact.size).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    // the q129 output shape: counts + round-6 ratios, NULL-free here since
+    // both denominators are nonzero on this corpus
+    assert(got.head._1 === 4L && got.head._3 === tp)
+    assert(got.head._4 === BigDecimal(tp.toDouble / got.head._2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    assert(got.head._5 === BigDecimal(tp / 4.0).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+  }
+
+  test("ex-q126 composition: langId confusion matrix == plain-collections recomputation") {
+    // q09's langId derivation stays oracled; the folded gate only pivoted
+    // (true, guess) with within-language fractions — recomputed here from
+    // the collected rows on the sf0.001 labeled corpus
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("lang_guess", graft.ops.TextAnalysis.langId(col("text")))
+    val got = d.groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .join(d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")), "lang")
+      .withColumn("frac", round(col("n").cast("double") / col("n_lang"), 6))
+      .select("lang", "lang_guess", "n", "n_lang", "frac")
+      .orderBy("lang", "lang_guess")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val rows = d.select("lang", "lang_guess").as[(String, String)].collect().toSeq
+    val byLang = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((lang, guess), n) =>
+        (lang, guess, n, byLang(lang),
+          BigDecimal(n.toDouble / byLang(lang))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("ex-q58 composition: compaction rollup over nearDupClusters (clusters + chars saved per size)") {
     val cl = Dedup.nearDupClusters(corpus, "doc_id", "text",
       n = 3, k = 16, bands = 4, threshold = 0.5)
