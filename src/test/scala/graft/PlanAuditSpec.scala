@@ -125,10 +125,9 @@ class PlanAuditSpec extends AnyFunSuite {
                        // treatment) — both arm-grain aggregates
     "q127_rfm_segments", // user rows x broadcast(1-row max-ts + 1-row
                        // pivoted quintile edges) — branch-compare binning
-    "q128_key_skew",   // summary join: 1-row stats x broadcast(1-row
+    "q128_key_skew"    // summary join: 1-row stats x broadcast(1-row
                        // quantiles) on a constant-folded key
-    "q129_lsh_quality" // the scorecard join: 1-row exact-count x
-                       // broadcast(1-row candidate/tp counts)
+    // (q129's 1-row scorecard crosses left with it, folded round 12)
   )
 
   test("whitelist: NO query plans CartesianProduct/BNLJ except declared-exact all-pairs") {
