@@ -265,9 +265,11 @@ object Cli {
       // optional trailing arg: committed generations to retain (default 3)
       val keep = rest.headOption.map(_.toInt).getOrElse(DedupState.DefaultKeep)
       val newDocs = spark.read.parquet(docsParquet)
-      val reg = DedupState.read(spark, stateDir, "registry")
-      val anchors = DedupState.read(spark, stateDir, "anchors")
-      val comps = DedupState.read(spark, stateDir, "components")
+      // one generation resolution for all three tables — never mixed-day
+      val state = DedupState.readAll(spark, stateDir)
+      val reg = state("registry")
+      val anchors = state("anchors")
+      val comps = state("components")
       // merge the new batch's delta registry FIRST and route against the
       // MERGED registry: same-day duplicates (two identical docs in one
       // crawl batch — the common case) then route to the batch's own

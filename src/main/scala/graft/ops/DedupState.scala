@@ -69,11 +69,29 @@ object DedupState {
   def tablePath(stateDir: String, gen: Int, table: String): String =
     if (gen == 0) s"$stateDir/$table" else s"$stateDir/v$gen/$table"
 
-  /** Read one state table from the current committed generation. */
+  /** Read one state table from the current committed generation. For a
+    * multi-table read use [[readAll]] — calling this three times resolves
+    * the generation three times, and a commit landing in between would
+    * hand the caller tables from DIFFERENT generations.
+    */
   def read(spark: SparkSession, stateDir: String, table: String): DataFrame = {
     val cur = currentGen(fs(spark, stateDir), stateDir).getOrElse(
       sys.error(s"no committed dedup state under $stateDir"))
     spark.read.parquet(tablePath(stateDir, cur, table))
+  }
+
+  /** All three state tables from ONE generation resolution — the
+    * consistent-snapshot read (`Cli dedup-ingest` uses this). The frames
+    * are lazy: they list/read their files at action time, so they remain
+    * valid as long as the generation's directory lives — with the default
+    * retention (`keep` = 3) a reader's snapshot survives two subsequent
+    * commits before vacuum can touch it; the writer itself is single
+    * (one daily ingest), matching the reference's single-writer model.
+    */
+  def readAll(spark: SparkSession, stateDir: String): Map[String, DataFrame] = {
+    val cur = currentGen(fs(spark, stateDir), stateDir).getOrElse(
+      sys.error(s"no committed dedup state under $stateDir"))
+    Tables.map(t => t -> spark.read.parquet(tablePath(stateDir, cur, t))).toMap
   }
 
   /** Write all three tables as the next generation and commit atomically;
