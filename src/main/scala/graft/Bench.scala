@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * numbers (r05 load-inflated, r06 stdout overflow, r07 rc=124 timeout). The
   * suite's steady-state cost is ~58 s, but under concurrent box load queries
   * inflate 5-30x, so an un-bounded warmup + min-of-2 pass can outlive any
-  * plausible driver timeout. SPARK_GRAFT_BUDGET_S (default 355 s) bounds the
+  * plausible driver timeout. SPARK_GRAFT_BUDGET_S (default 365 s) bounds the
   * run: as the budget is consumed the runner degrades gracefully -
   *   1. skip the remaining sf0.01 warmup pass          (>30% consumed)
   *   2. drop to repeat=1 for the remaining queries     (>70% consumed)
@@ -293,7 +293,7 @@ object Bench {
     // after the lake-write pre-warm, q124's first sample still carried
     // ~5.5 s (plan codegen + AQE + committer paths specific to its chain)
     // against a 0.3-1 s cost to run the same chain once at sf0.001. Only
-    // queries with a cost hint >= 3 s warm (7 of 137): for the cheap tail
+    // queries with a cost hint >= 3 s warm (7 of 135): for the cheap tail
     // a tiny-SF run costs about what it saves. Budget-guarded like the
     // full warm pass below.
     val headWarmDir = "/root/testdata/sf0.001"

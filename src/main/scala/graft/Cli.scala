@@ -263,8 +263,38 @@ object Cli {
       import org.apache.spark.sql.functions._
       import graft.ops.DedupState
       // optional trailing arg: committed generations to retain (default 3)
-      val keep = rest.headOption.map(_.toInt).getOrElse(DedupState.DefaultKeep)
+      // — validated at PARSE time: a typo must print usage, not throw a
+      // raw NumberFormatException, and keep=0 must fail before the
+      // expensive merge/verify work runs, not at commit
+      val keep = rest.headOption.map { k =>
+        val v = scala.util.Try(k.toInt).getOrElse(-1)
+        if (v < 1) {
+          System.err.println(s"dedup-ingest: invalid keep '$k' (need a positive integer)")
+          sys.exit(2)
+        }
+        v
+      }.getOrElse(DedupState.DefaultKeep)
       val newDocs = spark.read.parquet(docsParquet)
+      // BATCH IDENTITY (replay guard): order-insensitive fingerprint of the
+      // batch — row count + mod-P checksums of ids and text lengths,
+      // decimal-summed so no batch size overflows. If the CURRENT
+      // generation's commit marker already records this fingerprint, the
+      // previous run crashed AFTER its commit: re-applying would re-merge
+      // the delta registry (mergeBucketRegistries' disjointness), so the
+      // replay is a no-op instead.
+      val P = 1000000007L
+      val fpRow = newDocs.agg(
+        count(lit(1)),
+        sum(pmod(col("doc_id"), lit(P)).cast("decimal(38,0)")) % P,
+        sum(pmod(length(col("text")).cast("long"), lit(P)).cast("decimal(38,0)")) % P).head
+      val nNew = fpRow.getLong(0)
+      val batchId = s"n=$nNew;id=${Option(fpRow.get(1)).getOrElse(0)};tx=${Option(fpRow.get(2)).getOrElse(0)}"
+      if (DedupState.currentBatchId(spark, stateDir).contains(batchId)) {
+        println(s"[cli] dedup-ingest: batch already applied by the current " +
+          s"generation (replay after a crash past the commit marker) — " +
+          s"state unchanged in $stateDir")
+        return
+      }
       // one generation resolution for all three tables — never mixed-day
       val state = DedupState.readAll(spark, stateDir)
       val reg = state("registry")
@@ -296,19 +326,20 @@ object Cli {
           frontier = true, withSizes = false)
       val mergedAnchors = mergedReg.select(col("anchor_id").as("doc_id")).distinct()
         .join(anchorTexts, "doc_id")
-      val nNew = newDocs.count()
       val nDup = routed.count()
       val nPairs = newPairs.count()
       // versioned commit (DedupState): the new generation is written to its
       // own v<N+1> directory — so the fold's lineage can read the CURRENT
       // generation's files while writing, no staging dance — and all three
-      // tables flip together on the single marker-file create. A crash at
-      // any point leaves the old generation live and the replay merges the
-      // delta exactly once (the round-11 in-place swap could mix days and
-      // double-merge the delta registry on replay).
+      // tables flip together on the single marker-file create, which also
+      // records the batch fingerprint. A crash BEFORE the marker leaves the
+      // old generation live and the replay merges the delta exactly once;
+      // a crash AFTER it is caught by the batch-identity no-op above (the
+      // round-11 in-place swap could mix days and double-merge the delta
+      // registry on replay).
       val gen = graft.ops.DedupState.commit(spark, stateDir,
         Map("components" -> folded, "registry" -> mergedReg,
-          "anchors" -> mergedAnchors), keep)
+          "anchors" -> mergedAnchors), keep, Some(batchId))
       println(s"[cli] ingested $nNew docs: $nDup routed to anchors, " +
         s"$nPairs verified near-dup pairs folded; state updated in $stateDir (gen v$gen, keep $keep)")
 

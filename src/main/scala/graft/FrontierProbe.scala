@@ -89,6 +89,12 @@ object FrontierProbe {
       }
       println(f"$n%12d $delta%8d $delta%8d $frontierS%10.2f $flatS%8.2f $rebuildS%9.2f")
     }
+    // the probe's value is the printed table — don't leave ~GBs of
+    // generated parquet in /tmp across runs
+    try {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

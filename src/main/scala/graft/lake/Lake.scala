@@ -226,16 +226,40 @@ object LakeWriter {
   */
 private[lake] object UpsertCore {
 
+  // cap on the collected touched-partition tuples (a daily/monthly batch
+  // touches a handful of cells; 1000 ≈ 80 symbols × 12 months); beyond it
+  // the probe falls back to the semi-join form
+  private val MaxTouchedPartitions = 1000
+
   def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
                  partCols: Seq[String], key: Seq[String], sortCol: String): Unit = {
     // first-write probe, NOT a catch-all (see LakeFs.readParquetIfData):
     // a transient/corruption read error aborts the upsert instead of being
     // mistaken for a first write and dropping pre-existing rows
     val existing = LakeFs.readParquetIfData(spark, path).map { cur =>
-      // restrict to partitions the batch touches (broadcast semi-join on
-      // partition values — partition pruning at 100 TB, not a full scan)
-      val touched = batch.select(partCols.map(col): _*).distinct()
-      cur.join(broadcast(touched), partCols, "left_semi")
+      // restrict to partitions the batch touches, as a LITERAL
+      // partition-column predicate: collecting the touched tuples (bounded
+      // — a batch spans few (source, symbol, tf, year, month) cells; cap
+      // guarded below) buys deterministic FILE-level partition pruning,
+      // where the previous broadcast semi-join pruned files only when
+      // dynamic file pruning happened to fire. At 100 TB that is the
+      // difference between scanning the touched months and scanning the
+      // tree — and it confines this writer's reads to its own partitions,
+      // which is what makes concurrent writers to different months safe
+      // (LakeSpec's contract): this job never opens files a different-
+      // month writer's commit is about to replace.
+      val distinctTouched = batch.select(partCols.map(col): _*).distinct()
+      val touched = distinctTouched.limit(MaxTouchedPartitions + 1).collect()
+      if (touched.isEmpty) cur.where(lit(false))
+      else if (touched.length > MaxTouchedPartitions)
+        // a batch touching >1000 partition cells: fall back to the
+        // semi-join rather than build a kilometer-long predicate
+        cur.join(broadcast(distinctTouched), partCols, "left_semi")
+      else
+        cur.where(touched.map { row =>
+          partCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _))
     }
 
     val tagged = batch.withColumn("_prec", lit(1))

@@ -18,9 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   - readers resolve the highest COMMITTED generation, so all three
   *     tables always flip together;
-  *   - a crash mid-write leaves an uncommitted `v<N>` that readers never
-  *     see and the next ingest deletes and rewrites — replay reads the
-  *     OLD generation, so the delta is merged exactly once;
+  *   - a crash BEFORE the marker leaves an uncommitted `v<N>` that readers
+  *     never see and the next ingest deletes and rewrites — replay reads
+  *     the OLD generation, so the delta is merged exactly once;
+  *   - a crash AFTER the marker (but before the caller's own success
+  *     signal — the run "looks failed" to an orchestrator, whose repair is
+  *     to re-run) is covered by BATCH IDENTITY: the marker file carries
+  *     the committed batch's fingerprint, and the ingest skips as a no-op
+  *     when the current generation already records the batch it is about
+  *     to apply — without this, the replay would re-merge the delta
+  *     registry and violate mergeBucketRegistries' disjointness;
   *   - the new generation's write never overlaps the files its own
   *     lineage reads (different directory), so no staging dance is needed.
   *
@@ -55,7 +62,8 @@ object DedupState {
     val versioned = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+      .collect { case n if n.length > 1 && n.length <= 10 &&
+          n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
         n.drop(1).toInt }
       .filter(g => fs.exists(new Path(genDir(stateDir, g), Marker)))
     val legacy =
@@ -94,13 +102,39 @@ object DedupState {
     Tables.map(t => t -> spark.read.parquet(tablePath(stateDir, cur, t))).toMap
   }
 
+  /** The batch fingerprint recorded by the CURRENT generation's commit
+    * marker, if any (legacy gen 0 and pre-batch-id markers read as None).
+    * An ingest compares this against its own batch's fingerprint to make
+    * replay-after-a-crash-past-the-marker a no-op instead of a
+    * double-merge.
+    */
+  def currentBatchId(spark: SparkSession, stateDir: String): Option[String] = {
+    val hfs = fs(spark, stateDir)
+    currentGen(hfs, stateDir).filter(_ > 0).flatMap { g =>
+      val m = new Path(genDir(stateDir, g), Marker)
+      try {
+        val in = hfs.open(m)
+        try {
+          val bytes = new Array[Byte](4096)
+          val n = in.read(bytes)
+          Option(new String(bytes, 0, math.max(n, 0), "UTF-8").trim)
+            .filter(_.nonEmpty)
+        } finally in.close()
+      } catch { case _: Throwable => None }
+    }
+  }
+
   /** Write all three tables as the next generation and commit atomically;
     * then vacuum generations older than the newest `keep`. Returns the
-    * committed generation number.
+    * committed generation number. `batchId` (the applied batch's
+    * fingerprint) is recorded IN the marker file — one create carries both
+    * the commit and the identity, so there is no window where the
+    * generation is live but unidentified.
     */
   def commit(spark: SparkSession, stateDir: String,
              tables: Map[String, DataFrame],
-             keep: Int = DefaultKeep): Int = {
+             keep: Int = DefaultKeep,
+             batchId: Option[String] = None): Int = {
     require(keep >= 1, "need keep >= 1")
     require(tables.keySet == Tables.toSet,
       s"need exactly ${Tables.mkString("/")}, got ${tables.keySet}")
@@ -113,7 +147,9 @@ object DedupState {
     Tables.foreach { t =>
       tables(t).write.mode("overwrite").parquet(tablePath(stateDir, next, t))
     }
-    hfs.create(new Path(dir, Marker), false).close() // the atomic commit
+    val out = hfs.create(new Path(dir, Marker), false) // the atomic commit
+    try batchId.foreach(id => out.write(id.getBytes("UTF-8")))
+    finally out.close()
     // retention: drop all but the newest `keep` committed generations
     val gens = committedGens(hfs, stateDir)
     gens.dropRight(keep).foreach { g =>

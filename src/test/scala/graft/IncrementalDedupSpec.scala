@@ -368,6 +368,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
         union.unionByName(spark.read.parquet(s"$tmp/day5")), "doc_id", "text")
       .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(reg5 === rebuilt5, "replay after a crash must merge the delta exactly once")
+    // CRASH PAST THE MARKER: the commit landed but the run "looked failed"
+    // (killed before its success print) — the orchestrator's repair is to
+    // re-run the same ingest. The batch fingerprint in the marker must turn
+    // that replay into a no-op: same generation, registry NOT re-merged.
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day5", state, "2"))
+    assert(DedupState.committedGens(hfs, state) === Seq(4, 5),
+      "replaying an already-committed batch must not create a new generation")
+    val regReplay = DedupState.read(spark, state, "registry")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(regReplay === rebuilt5,
+      "replaying an already-committed batch must not double-merge the delta registry")
   }
 
   test("DedupState: legacy flat layout reads as generation 0 and is superseded by the first versioned commit") {
@@ -408,27 +419,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   test("ex-q129 composition: LSH precision/recall scorecard over the oracled q16/q17 stages") {
     // both stages remain independently oracled (q16 jaccardPairs exact
-    // ground truth, q17 minhashCandidates); the folded gate only composed
-    // them into n_exact/n_candidates/n_tp + precision/recall — pinned here
-    // against a plain-collections recomputation from the collected sets
-    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.1)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val cand = Dedup.minhashCandidates(corpus, "doc_id", "text", 3, 16, 4)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth, q17 minhashCandidates); the folded gate composed them
+    // into n_exact/n_candidates/n_tp + round-6 precision/recall — rebuild
+    // that ENGINE-SIDE composition verbatim and pin it against a
+    // plain-collections recomputation from the collected sets
+    val exactDf = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.1)
+      .select("id_a", "id_b")
+    val candDf = Dedup.minhashCandidates(corpus, "doc_id", "text", 3, 16, 4)
+      .select("id_a", "id_b")
+    val ne = exactDf.agg(count(lit(1)).as("n_exact"))
+    val nc = candDf.agg(count(lit(1)).as("n_candidates"))
+    val tpDf = candDf.join(exactDf, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_tp"))
+    val got = ne.crossJoin(broadcast(nc)).crossJoin(broadcast(tpDf))
+      .withColumn("precision", when(col("n_candidates") > 0L,
+        round(col("n_tp").cast("double") / col("n_candidates"), 6)))
+      .withColumn("recall", when(col("n_exact") > 0L,
+        round(col("n_tp").cast("double") / col("n_exact"), 6)))
+      .as[(Long, Long, Long, Double, Double)].head()
+    // independent reference: collected sets + plain scala arithmetic
+    val exact = exactDf.as[(Long, Long)].collect().toSet
+    val cand = candDf.as[(Long, Long)].collect().toSet
     // texts A={1,2,3} and B={10,11} are identical within group: their pairs
     // are exact matches AND guaranteed band collisions
     assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).subsetOf(exact))
     assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).subsetOf(cand))
     val tp = (cand & exact).size.toLong
-    val got = Seq((exact.size.toLong, cand.size.toLong, tp,
-      BigDecimal(tp.toDouble / cand.size).setScale(6, BigDecimal.RoundingMode.HALF_UP),
-      BigDecimal(tp.toDouble / exact.size).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
-    // the q129 output shape: counts + round-6 ratios, NULL-free here since
-    // both denominators are nonzero on this corpus
-    assert(got.head._1 === 4L && got.head._3 === tp)
-    assert(got.head._4 === BigDecimal(tp.toDouble / got.head._2)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP))
-    assert(got.head._5 === BigDecimal(tp / 4.0).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === ((exact.size.toLong, cand.size.toLong, tp,
+      r6(tp.toDouble / cand.size), r6(tp.toDouble / exact.size))))
+    assert(got._1 === 4L)
   }
 
   test("ex-q126 composition: langId confusion matrix == plain-collections recomputation") {
