@@ -97,6 +97,18 @@ object LakeReader {
     */
   def readRange(spark: SparkSession, root: String, source: String, symbol: String,
                 timeframe: String, from: Option[Timestamp], to: Option[Timestamp],
+                columns: Seq[String] = Nil): DataFrame =
+    readRangeUnsorted(spark, root, source, symbol, timeframe, from, to, columns)
+      .orderBy(col("ts"))
+
+  /** [[readRange]] without the trailing global ts sort — for callers that
+    * union/re-shuffle the result anyway ([[readUnified]]): the range sort is
+    * a full range-partition exchange whose output order the next shuffle
+    * destroys, so paying it before a union is pure waste.
+    */
+  private def readRangeUnsorted(spark: SparkSession, root: String, source: String,
+                symbol: String, timeframe: String,
+                from: Option[Timestamp], to: Option[Timestamp],
                 columns: Seq[String] = Nil): DataFrame = {
     val path = LakeLayout.dataRoot(root)
     // empty-lake short-circuit: an absent tree reads as an empty canonical
@@ -123,9 +135,12 @@ object LakeReader {
       df = df.where(col("year") < y || (col("year") === y && col("month") <= m))
       df = df.where(col("ts") < lit(t))
     }
-    val deduped = dedupeKeepFirst(df, Seq("source", "symbol", "timeframe", "ts"))
-    val projected = if (columns.nonEmpty) deduped.select(columns.map(col): _*) else deduped
-    projected.orderBy(col("ts"))
+    // dedupe key INCLUDES market: the tree is partitioned by it, and a
+    // symbol legitimately present under two markets must keep both rows —
+    // a market-less key would collapse them to one arbitrary market's bar
+    val deduped = dedupeKeepFirst(df,
+      Seq("source", "market", "symbol", "timeframe", "ts"))
+    if (columns.nonEmpty) deduped.select(columns.map(col): _*) else deduped
   }
 
   /** Legacy closed-range read [from, to] — implemented as [from, to+1s) per
@@ -169,9 +184,9 @@ object LakeReader {
                   source: String, symbol: String, timeframe: String,
                   from: Option[Timestamp], to: Option[Timestamp],
                   columns: Seq[String] = Nil): DataFrame = {
-    val key = Seq("source", "symbol", "timeframe", "ts")
+    val key = Seq("source", "market", "symbol", "timeframe", "ts")
     val base = CandleSchema.schema.fieldNames.toSeq
-    val batch = readRange(spark, root, source, symbol, timeframe, from, to)
+    val batch = readRangeUnsorted(spark, root, source, symbol, timeframe, from, to)
       .select(base.map(col): _*)
     val stream = LakeFs.readParquetIfData(spark, streamDir).map { raw =>
       var s = CandleSchema.enforce(raw)
@@ -179,7 +194,18 @@ object LakeReader {
           col("timeframe") === timeframe)
       from.foreach(f => s = s.where(col("ts") >= lit(f)))
       to.foreach(t => s = s.where(col("ts") < lit(t)))
-      dedupeKeepFirst(s.select(base.map(col): _*), key)
+      // append-side duplicates carry NO recency marker (append mode emits
+      // each finalized bar once; duplicates only arise from replays, which
+      // re-emit identical rows) — so dedupe on the VALUE TUPLE, not on
+      // monotonically_increasing_id's file-listing order: two listings of
+      // the same directory must serve the same row even if a replay ever
+      // disagreed
+      val valueCols = base.filterNot(key.contains)
+      val wst = Window.partitionBy(key.map(col): _*)
+        .orderBy(struct(valueCols.map(col): _*).desc)
+      s.select(base.map(col): _*)
+        .withColumn("_rn", row_number().over(wst))
+        .where(col("_rn") === 1).drop("_rn")
     }
     val unified = stream match {
       case None => batch
@@ -267,7 +293,14 @@ private[lake] object UpsertCore {
       case Some(old) => old.withColumn("_prec", lit(0)).unionByName(tagged, allowMissingColumns = true)
       case None => tagged
     }
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec").desc)
+    // precedence first (new beats old), then a DETERMINISTIC value-tuple
+    // tiebreak: duplicate keys WITHIN one batch (both _prec = 1) would
+    // otherwise be broken by shuffle order, so the same ingest re-run could
+    // land a different survivor — violating O8 idempotence. Well-formed
+    // batches have unique keys and never reach the tiebreak.
+    val valueCols = merged.columns.filterNot(c => key.contains(c) || c == "_prec")
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("_prec").desc, struct(valueCols.map(col): _*).desc)
     // Break the lineage BEFORE the overwrite: the batch's lineage may read
     // the very files the dynamic overwrite replaces (e.g. repair flows that
     // derive the fill from the lake itself) — without this, the write job

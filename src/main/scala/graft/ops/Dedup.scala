@@ -109,6 +109,10 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 16, bands: Int = 4,
                         maxBucket: Int = 100000): DataFrame = {
+    // a non-dividing bands would silently DROP the trailing k % bands
+    // hashes — the effective scheme (and its recall curve) would not be
+    // the one the parameters imply; fail loudly instead
+    require(bands >= 1 && k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val sig = minhashSignature(shingles(docs, idCol, textCol, n), idCol, k)
     // band signature: ordered fold over the band's slice of the signature —
@@ -201,7 +205,12 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, "need 0 < threshold < 1")
-    val tBp = math.round(threshold * 10000).toInt // basis points, exact
+    // basis points, FLOORED — rounding could round UP (t = 2/3 -> 6667 >
+    // t·10000), making every prefix/length/positional filter STRICTER than
+    // the true threshold and silently dropping qualifying pairs. Flooring
+    // only loosens the (provably lossless at exact t) filters: a few extra
+    // candidates reach the exact verify below, which decides membership.
+    val tBp = (threshold * 10000).toInt
     val arr = docs.select(col(idCol),
       graft.functions.TextFunctions.wordShingles(col(textCol), n).as("_arr"))
       .cache() // feeds index and verify (object cache convention)
@@ -655,6 +664,9 @@ object Dedup {
                        maxBucket: Int = 100000): DataFrame = {
     val arr = docs.select(col(idCol),
       graft.functions.TextFunctions.wordShingles(col(textCol), n).as("_arr"))
+      .cache() // feeds BOTH sides of the candidate join (object cache
+      // convention — prefixJaccardPairs caches the identical projection);
+      // without it the scan+shingle pipeline runs twice
     val cands = minhashCandidates(docs, idCol, textCol, n, k, bands, maxBucket)
     val a = arr.select(col(idCol).as("id_a"), col("_arr").as("_arr_a"))
     val b = arr.select(col(idCol).as("id_b"), col("_arr").as("_arr_b"))

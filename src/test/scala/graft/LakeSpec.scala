@@ -192,6 +192,38 @@ class LakeSpec extends AnyFunSuite {
     assert(row.getAs[Double]("close") === 123456.0)
   }
 
+  test("upsert determinism: intra-batch duplicate keys resolve identically on re-run (O8)") {
+    // a malformed batch carrying the same key twice must land the SAME
+    // survivor every run (value-tuple tiebreak), not whatever shuffle
+    // order produced — re-running the identical ingest is a no-op
+    val root = Files.createTempDirectory("lake_dupkey").toString
+    val bar = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+      .where(col("ts") === lit("2025-08-01 10:00:00"))
+    val dupBatch = bar.withColumn("close", lit(111.0))
+      .unionByName(bar.withColumn("close", lit(222.0)))
+    def readClose(): Double = LakeReader.readRange(spark, root, "synth",
+        "BTC-USD", "M1", None, None)
+      .where(col("ts") === lit("2025-08-01 10:00:00")).head.getAs[Double]("close")
+    LakeWriter.upsert(spark, root, dupBatch)
+    val first = readClose()
+    LakeWriter.upsert(spark, root, dupBatch) // identical ingest re-run
+    assert(first === 222.0 && readClose() === 222.0,
+      "greatest value tuple must win, both runs")
+  }
+
+  test("readRange keeps BOTH markets' rows for the same (source, symbol, timeframe, ts)") {
+    // the tree partitions by market; a symbol present under two markets
+    // must not have one market's bars collapsed away by the read dedupe
+    val root = Files.createTempDirectory("lake_mkt").toString
+    val bars = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+    LakeWriter.upsert(spark, root, bars) // market defaults to crypto
+    LakeWriter.upsert(spark, root,
+      bars.withColumn("market", lit("stocks")).withColumn("close", col("close") + 7.0))
+    val got = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(got.count() === 2880, "1440 bars per market, none collapsed")
+    assert(got.select("market").distinct().count() === 2)
+  }
+
   test("gap detection finds removed minutes as islands; synthFill repairs them") {
     val day = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
     val gappy = day.where(!(col("ts") >= lit("2025-08-01 03:00:00") &&

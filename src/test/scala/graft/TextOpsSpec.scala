@@ -97,6 +97,26 @@ class TextOpsSpec extends AnyFunSuite {
       assert(pref === full, s"prefix plan diverged from full join at t=$t")
       assert(full.nonEmpty, s"degenerate fixture: no pairs at t=$t")
     }
+    // non-basis-point threshold with a pair at EXACTLY jaccard = t: a
+    // rounded-up tBp (the pre-round-12 bug) made the length filter require
+    // sz_b*10000 >= sz_a*6667 — 20000 < 20001 for (3,2)-shingle docs — and
+    // dropped the qualifying pair the full join emits; floored tBp keeps it
+    val boundary = Seq(
+      (1L, "a b c d e"), // shingles: "a b c","b c d","c d e"
+      (2L, "a b c d")    // shingles: "a b c","b c d" -> jaccard 2/3
+    ).toDF("doc_id", "text")
+    val t23 = 2.0 / 3
+    val fullB = norm(Dedup.jaccardPairs(boundary, "doc_id", "text", 3, t23))
+    val prefB = norm(Dedup.prefixJaccardPairs(boundary, "doc_id", "text", 3, t23))
+    assert(fullB === Seq((1L, 2L, 2L, 0.6667)) && prefB === fullB,
+      "pair at exactly t=2/3 must survive the prefix filters")
+  }
+
+  test("minhashCandidates rejects a bands that does not divide k (silent hash drop)") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(docs, "doc_id", "text", 3, 16, 5)
+    }
   }
 
   test("fuzzyPairs: qualifying distances exact, beyond-threshold and cross-block dropped") {
