@@ -69,13 +69,18 @@ object Corpus {
     corpus.join(decontaminate(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
-  /** Graded contamination report: for EVERY corpus document (including the
-    * clean ones [[decontaminate]] omits), the distinct-shingle count, the
-    * eval-set overlap count, and the contamination rate in integer basis
-    * points (n_overlap · 10000 ÷ n_shingles, floor division — exact across
-    * engines, no floating point). The boolean decontamination filter drops
-    * a doc over a single 3-gram hit; pipelines that instead threshold on
-    * the RATE (e.g. quarantine > 500 bps) need this graded form.
+  /** Graded contamination report: for every corpus document WITH AT LEAST
+    * ONE `n`-shingle (including the clean ones [[decontaminate]] omits),
+    * the distinct-shingle count, the eval-set overlap count, and the
+    * contamination rate in integer basis points (n_overlap · 10000 ÷
+    * n_shingles, floor division — exact across engines, no floating
+    * point). Documents shorter than `n` words produce no shingle evidence
+    * and are ABSENT from the report (their rate would be 0/0); a consumer
+    * joining on it should treat absence as "no evidence", i.e. 0 bps —
+    * they cannot be contaminated at this `n`. The boolean decontamination
+    * filter drops a doc over a single 3-gram hit; pipelines that instead
+    * threshold on the RATE (e.g. quarantine > 500 bps) need this graded
+    * form.
     *
     * Same scale shape as [[decontaminate]]: the eval-set shingle set is
     * broadcast, the corpus side never shuffles data-sized rows — the only
@@ -139,11 +144,18 @@ object Corpus {
                      weightCol: String, k: Int,
                      hashSeed: Long = 37L): DataFrame = {
     val u = pmod(idHash(col(idCol), hashSeed), lit(1000000L)) + lit(1L)
+    // priority defined ONLY for w > 0 (the documented precondition): a
+    // bare division let a NULL weight sort first under asc-nulls-first
+    // and a negative weight produce a negative (always-winning) priority —
+    // one bad row silently hijacked the whole sample. NULL priority +
+    // nulls-LAST ordering means non-positive/NULL weights are simply
+    // never selected.
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(col("priority"), col(idCol))
-    df.withColumn("priority", u.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority").asc_nulls_last, col(idCol))
+    df.withColumn("priority", when(col(weightCol).cast("double") > 0,
+        u.cast("double") / col(weightCol).cast("double")))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= k)
+      .where(col("rn") <= k && col("priority").isNotNull)
   }
 
   /** Per-stratum feature scaling for model-ready exports: every row gets

@@ -32,8 +32,17 @@ object Similarity {
     * (same `dot / (normA * normB)` IEEE evaluation order), so the DuckDB
     * oracle formula still matches exactly.
     */
+  /** NaN-guarded: a zero-norm vector (a failed/dead encode — realistic in
+    * any large embedding corpus) has no defined cosine, and the bare
+    * division yields NaN, which Spark ORDERS ABOVE every real double — one
+    * dead embedding would rank #1 in every top-k and pass every
+    * >= threshold near-dup gate. NULL instead: descending sorts put nulls
+    * LAST and threshold predicates drop them, so dead vectors simply never
+    * match anything.
+    */
   private def pairCosine(av: String, an: String, bv: String, bn: String): Column =
-    dotNative(col(av), col(bv)) / (col(an) * col(bn))
+    when(col(an) > 0 && col(bn) > 0,
+      dotNative(col(av), col(bv)) / (col(an) * col(bn)))
 
   /** Spread the STREAM side of a nested-loop pair join across the cluster.
     * A small corpus often arrives as ONE input partition (a single parquet
@@ -58,7 +67,9 @@ object Similarity {
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     corpus
-      .withColumn("cosine", round(cosineNative(col(vecCol), q), 6))
+      // zero-norm guard (see pairCosine): NULL, not NaN-ranked-first
+      .withColumn("cosine", round(when(normNative(col(vecCol)) > 0,
+        cosineNative(col(vecCol), q)), 6))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -391,10 +402,14 @@ object Similarity {
              dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m
-    // bounded collect: codes vectors (codes × dim doubles), the codebook
+    // bounded collect: codes vectors (codes × dim doubles), the codebook.
+    // Cast to array<double> first: every other op here accepts float OR
+    // double embeddings (DotProduct handles both), and a bare
+    // getSeq[Float] crashed on double-typed columns; float -> double is
+    // exact, so float corpora are unchanged.
     val seeds: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(codes)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
     require(seeds.length == codes, s"corpus has < $codes vectors")
     // cb(mi)(c) = centroid sub-vector; norms via the same sequential fold
     // DuckDB's list_dot_product uses

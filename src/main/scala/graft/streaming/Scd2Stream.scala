@@ -28,9 +28,13 @@ object Scd2Stream {
 
   case class Change(key: Long, id: Long, attr: String, ts: Timestamp)
 
-  /** The open (unclosed) version for a key. */
-  case class OpenVersion(attr: String, valid_from: Long, version: Long,
-                         last_id: Long)
+  /** The open (unclosed) version for a key. (An earlier revision also
+    * carried the last change id; it was never read by the fold — dead
+    * state bloating every checkpointed row — and is gone. Note for
+    * operators resuming a pre-change checkpoint: the state encoder schema
+    * changed, so restart from a fresh checkpoint.)
+    */
+  case class OpenVersion(attr: String, valid_from: Long, version: Long)
 
   case class VersionRow(key: Long, attr: String, valid_from: Long,
                         valid_to: Option[Long], version: Long)
@@ -50,14 +54,23 @@ object Scd2Stream {
       .sortBy(c => (c._1, c._2))
     val out = Vector.newBuilder[VersionRow]
     var open = state.getOption
-    sorted.foreach { case (tsec, id, attr) =>
+    sorted.foreach { case (tsec, _, attr) =>
       open match {
+        // LATE-ARRIVAL GUARD: a change older than the open version's start
+        // arrived in a LATER micro-batch (a watermark bounds lateness, it
+        // does not reorder cross-batch arrivals). The already-emitted
+        // history cannot be restated through an append sink, and closing
+        // the open version at the stale timestamp would emit an INVERTED
+        // interval (valid_to < valid_from); drop the stale change instead —
+        // the documented contract is in-order-per-key effective history,
+        // with the batch operator as the reconciler for late data.
+        case Some(o) if tsec < o.valid_from => ()
         case Some(o) if o.attr == attr => () // consecutive repeat: compacted
         case Some(o) =>
           out += VersionRow(key, o.attr, o.valid_from, Some(tsec), o.version)
-          open = Some(OpenVersion(attr, tsec, o.version + 1, id))
+          open = Some(OpenVersion(attr, tsec, o.version + 1))
         case None =>
-          open = Some(OpenVersion(attr, tsec, 1L, id))
+          open = Some(OpenVersion(attr, tsec, 1L))
       }
     }
     open.foreach(state.update)

@@ -43,8 +43,11 @@ object SketchStream {
     require(k >= 2, "KMV needs k >= 2")
     import events.sparkSession.implicits._
     events
-      .selectExpr(s"CAST($groupCol AS STRING) AS group",
-        s"(pmod(CAST($valueCol AS LONG), ${P}L) * 2654435761L + 11L) % ${P}L AS hv")
+      // hash via the batch twin's Column (Sketches.longHash), not a
+      // re-typed SQL string: the whole stream-vs-batch bit-parity contract
+      // rests on the constants matching, so there must be ONE definition
+      .select(org.apache.spark.sql.functions.col(groupCol).cast("string").as("group"),
+        graft.ops.Sketches.longHash(org.apache.spark.sql.functions.col(valueCol)).as("hv"))
       .as[Keyed]
       .groupByKey(_.group)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(stateFn(k))
@@ -94,8 +97,11 @@ object SketchStream {
     require(p >= 7 && p <= 14, "need 7 <= p <= 14 (alpha assumes m >= 128)")
     import events.sparkSession.implicits._
     events
-      .selectExpr(s"CAST($groupCol AS STRING) AS group",
-        s"(pmod(CAST($valueCol AS LONG), ${P}L) * 2654435761L + 11L) % ${P}L AS _h")
+      // first-level hash shared with the batch twin (one definition — see
+      // kmvDistinct); the second-level remix string mirrors Sketches'
+      // hllDistinct remix verbatim
+      .select(org.apache.spark.sql.functions.col(groupCol).cast("string").as("group"),
+        graft.ops.Sketches.longHash(org.apache.spark.sql.functions.col(valueCol)).as("_h"))
       .selectExpr("group",
         s"shiftleft((_h * _h % ${P}L * 2654435761L + 11L) % ${P}L, 33)" +
           s" DIV ${P}L AS hv")
@@ -177,6 +183,11 @@ object SketchStream {
     */
   def countMin(events: DataFrame, keyCol: String,
                depth: Int = 4, width: Int = 1024): DataFrame = {
+    // same guard as the batch twin (Sketches.countMinSketch): width < 2
+    // makes cellOf a modulo-by-zero/one (all-null or single-cell sketch)
+    // and depth < 1 an empty explode that drops every event — both
+    // silently, so fail loudly instead
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
     import org.apache.spark.sql.functions._
     val rows = graft.ops.Sketches.mixConsts(depth).zipWithIndex.map {
       case ((a, b), i) =>
@@ -242,10 +253,11 @@ object SketchStream {
     import events.sparkSession.implicits._
     events
       .where(org.apache.spark.sql.functions.col(valueCol).isNotNull)
-      .selectExpr(s"CAST($groupCol AS STRING) AS group",
-        s"(pmod(CAST($idCol AS LONG), ${P}L) * 2654435761L + 11L) % ${P}L AS hv",
-        s"CAST($idCol AS LONG) AS id",
-        s"CAST($valueCol AS DOUBLE) AS v")
+      // hash via the batch twin's Column — one definition (see kmvDistinct)
+      .select(org.apache.spark.sql.functions.col(groupCol).cast("string").as("group"),
+        graft.ops.Sketches.longHash(org.apache.spark.sql.functions.col(idCol)).as("hv"),
+        org.apache.spark.sql.functions.col(idCol).cast("long").as("id"),
+        org.apache.spark.sql.functions.col(valueCol).cast("double").as("v"))
       .as[QKeyed]
       .groupByKey(_.group)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(sampleStateFn(k))

@@ -98,7 +98,13 @@ object TransitionStream {
     sorted.foreach { case (tsec, id, ty, v) =>
       if (ty == targetType) {
         val attributed = last match {
-          case Some(p) if tsec - p.tsec <= gapSeconds => p.typ
+          // tsec >= p.tsec: a conversion that arrived in a LATER micro-
+          // batch than a touch that happened AFTER it (cross-batch late
+          // arrival) must not be credited to that future touch — the
+          // negative delta trivially passes <= gapSeconds without the
+          // lower bound, and "direct" is the batch operator's answer for
+          // a conversion with no prior touch in the gap
+          case Some(p) if tsec >= p.tsec && tsec - p.tsec <= gapSeconds => p.typ
           case _ => "direct"
         }
         out += AttributedConversion(userId, attributed, v)

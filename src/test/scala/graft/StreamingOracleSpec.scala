@@ -96,6 +96,52 @@ class StreamingOracleSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("Scd2Stream drops cross-batch LATE changes instead of emitting inverted intervals") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    // REAL batch boundaries (addData before start can merge into one
+    // batch, which the in-batch sort would handle — not the late path):
+    // start first, then one processAllAvailable per add
+    val q = graft.streaming.Scd2Stream
+      .history(in.toDF().toDF("key", "id", "attr", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_late").start()
+    try {
+      in.addData((1L, 1L, "A", t(100))); q.processAllAvailable() // open A@100
+      in.addData((1L, 2L, "B", t(50))); q.processAllAvailable()  // LATE
+      in.addData((1L, 3L, "C", t(200))); q.processAllAvailable() // legitimate
+    } finally q.stop()
+    val closed = spark.table("scd2_late")
+      .orderBy(col("version"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // the late B is dropped (no valid_to=50 inversion); C closes A at 200
+    assert(closed === Seq(("A", 100L, 200L, 1L)),
+      "a late change must not close the open version backwards")
+  }
+
+  test("TransitionStream does not attribute a late conversion to a FUTURE touch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    val q = graft.streaming.TransitionStream
+      .attributions(in.toDF().toDF("user_id", "event_id", "event_type", "ts", "value"),
+        gapSeconds = 1800L, targetType = "purchase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_late").start()
+    try {
+      in.addData((1L, 1L, "ad_click", t(200), 0.0)); q.processAllAvailable() // touch at 200
+      in.addData((1L, 2L, "purchase", t(100), 5.0)); q.processAllAvailable() // LATE conversion
+    } finally q.stop()
+    val got = spark.table("attr_late")
+      .collect().map(r => (r.getString(1), 1L)).toSeq
+    assert(got === Seq(("direct", 1L)),
+      "negative touch->conversion delta must fall back to direct")
+  }
+
   test("TransitionStream.attributions over time-ordered micro-batches == oracled q92") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext

@@ -233,6 +233,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(topk.map(_.getAs[Double]("cosine")).toSeq === Seq(1.0, 0.0, -1.0))
   }
 
+  test("zero-norm embeddings never rank or match (NULL cosine, not NaN-ranked-first)") {
+    // a dead/failed encode is realistic in any large corpus; bare division
+    // gives NaN, which Spark orders ABOVE every double — it would be rank 1
+    // for every query and pass every threshold without the guard
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // cos 1 with query
+      (2L, Seq(0.0f, 1.0f, 0.0f)),   // cos 0
+      (9L, Seq(0.0f, 0.0f, 0.0f)),   // DEAD vector
+    ).toDF("vec_id", "embedding")
+    val topk = Similarity.topKJoin(vecs.where(col("vec_id") === 0), vecs,
+        "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(topk.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L),
+      "the dead vector must not outrank real neighbors")
+    val dups = Similarity.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(dups === Seq((0L, 1L)), "the dead vector must not pass the threshold gate")
+  }
+
   test("LSH near-dup finds identical vectors (same bucket by construction)") {
     val vecs = (0 until 20).map(i =>
       (i.toLong, (0 until 8).map(j => if (i % 2 == 0) j.toFloat else -j.toFloat - 1f)))
