@@ -91,18 +91,26 @@ object Eval {
     val wLoc = Window.partitionBy((g :+ col("_chunk")): _*).orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // cumulative count BEFORE this score = carry + within-chunk running sum
-    // minus the score's own count; doubled rank-sum term stays BIGINT
+    // minus the score's own count. The doubled rank-sum is ~2·n⁺·n, and
+    // n⁺(n⁺+1) / 2·n⁺·n⁻ are ~n² — all past BIGINT once a group holds
+    // ~3e9 rows (ANSI throws, non-ANSI wraps SILENTLY into a wrong AUC),
+    // which is precisely the 100 TB shape this op exists for. DECIMAL(38,0)
+    // keeps the integer arithmetic exact to ~1e38 rows² and is
+    // bit-identical below 2^53: the same two exact values reach the one
+    // IEEE division either way.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val ranked = withCarry
       .withColumn("_cum0", sum(col("_c")).over(wLoc) + col("_carry") - col("_c"))
-      .withColumn("_r2", col("_p") * (lit(2L) * col("_cum0") + col("_c") + 1L))
+      .withColumn("_r2",
+        col("_p").cast(d38) * (lit(2L) * col("_cum0") + col("_c") + 1L))
     ranked.groupBy(g: _*)
       .agg(sum(col("_p")).as("n_pos"),
         (sum(col("_c")) - sum(col("_p"))).as("n_neg"),
         sum(col("_r2")).as("_r2s"))
       .withColumn("auc",
         when(col("n_pos") > 0L && col("n_neg") > 0L,
-          round((col("_r2s") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
-            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6)))
+          round((col("_r2s") - col("n_pos").cast(d38) * (col("n_pos") + 1L)).cast("double") /
+            (col("n_pos").cast(d38) * col("n_neg") * 2L).cast("double"), 6)))
       .select((g :+ col("n_pos") :+ col("n_neg") :+ col("auc")): _*)
   }
 

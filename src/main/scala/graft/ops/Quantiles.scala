@@ -63,8 +63,9 @@ object Quantiles {
     * its token count. Weights must be non-negative integers for the rank
     * arithmetic to stay exact; zero-weight rows contribute nothing — they
     * are filtered with the nulls, so a group whose rows are ALL zero-weight
-    * is absent from the output entirely (same as the weight-expanded
-    * multiset, where such a group has no rows).
+    * comes back with NULL percentiles via the same all-null-group restore
+    * the unweighted path uses (exactly what Spark's `percentile(col, p,
+    * freq)` returns for an empty aggregation buffer).
     */
   def exactInterpolatedWeighted(df: DataFrame, groupCols: Seq[String],
                                 valueCol: String, weight: Column,
@@ -420,7 +421,11 @@ object Quantiles {
     val cell = (groupCols :+ partCol).map(col)
     val wRank = Window.partitionBy(cell: _*).orderBy(col("_hv"), col("_id"))
     val wCnt = Window.partitionBy(cell: _*)
-    df.where(col(valueCol).isNotNull)
+    // null ids are dropped with null values: a NULL id hashes to a NULL
+    // _hv that sorts FIRST under the ascending rank window, stealing a
+    // bottom-k slot from a real row (and the id is the sample's identity —
+    // a row without one has no place in an id-keyed sketch)
+    df.where(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(cell ++ Seq(Sketches.longHash(col(idCol)).as("_hv"),
         col(idCol).cast("long").as("_id"), col(valueCol).as("_v")): _*)
       .withColumn("_pn", count(lit(1)).over(wCnt))

@@ -71,7 +71,13 @@ object Sketches {
                   k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("_hv"))
-    df.select(col(groupCol), longHash(col(valueCol)).as("_hv"))
+    // NULL values carry no identity to count — countDistinct ignores them,
+    // and so does every sketch here. Without the filter a NULL hash sorts
+    // FIRST under the ascending top-k window (stealing a sketch slot and
+    // inflating n_seen by a value that does not exist); the streaming twin
+    // would outright crash its non-nullable encoder field.
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), longHash(col(valueCol)).as("_hv"))
       .distinct()
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k)
@@ -93,7 +99,8 @@ object Sketches {
                valueCol: String, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val w = Window.partitionBy(col(groupCol), col(partCol)).orderBy(col("_hv"))
-    df.select(col(groupCol), col(partCol), longHash(col(valueCol)).as("_hv"))
+    df.where(col(valueCol).isNotNull) // see kmvDistinct's null contract
+      .select(col(groupCol), col(partCol), longHash(col(valueCol)).as("_hv"))
       .distinct()
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k)
@@ -178,7 +185,11 @@ object Sketches {
     val m = 1 << p
     val w = 33 - p
     val kMax = w + 1
-    df.select(col(groupCol), longHash(col(valueCol)).as("_h"))
+    // see kmvDistinct's null contract: a NULL value would register a
+    // phantom NULL bucket (counted in n_buckets_hit, absent from _zhit),
+    // skewing the estimate for a value that does not exist
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), longHash(col(valueCol)).as("_h"))
       .select(col(groupCol),
         expr(s"shiftleft((_h * _h % ${P}L * 2654435761L + 11L) % ${P}L, 33)" +
           s" DIV ${P}L").as("_g"))
@@ -249,7 +260,8 @@ object Sketches {
                  k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val w = Window.partitionBy(col("_g")).orderBy(col("_hv"))
-    val sk = df.select(col(groupCol).cast("string").as("_g"),
+    val sk = df.where(col(valueCol).isNotNull) // kmvDistinct's null contract
+      .select(col(groupCol).cast("string").as("_g"),
         longHash(col(valueCol)).as("_hv"))
       .distinct()
       .withColumn("_rn", row_number().over(w))
@@ -303,7 +315,10 @@ object Sketches {
     val rows = mixConsts(depth).zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("row"), cellOf(col(keyCol), a, b, width).as("cell"))
     }
-    df.select(explode(array(rows: _*)).as("rc"))
+    // NULL keys hash to NULL cells — unprobeable rows that only bloat the
+    // sketch (kmvDistinct's null contract: no identity, nothing to count)
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array(rows: _*)).as("rc"))
       .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -363,7 +378,10 @@ object Sketches {
     val positions = mixConsts(k).map { case (a, b) =>
       bloomPos(col(hashCol), a, b, mBits)
     }
-    items.select(explode(array(positions: _*)).as("p"))
+    // a NULL hash yields a NULL position/word, and the driver-side
+    // getInt(0) below would NPE on it — nulls set no bits
+    items.where(col(hashCol).isNotNull)
+      .select(explode(array(positions: _*)).as("p"))
       .select(shiftright(col("p"), 6).cast("int").as("w"),
         shl1(col("p") % 64).as("m"))
       .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))

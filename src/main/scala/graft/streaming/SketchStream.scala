@@ -43,6 +43,9 @@ object SketchStream {
     require(k >= 2, "KMV needs k >= 2")
     import events.sparkSession.implicits._
     events
+      // NULL values count nothing (the batch twin's contract); unfiltered
+      // they would also null the non-nullable encoder field below
+      .where(org.apache.spark.sql.functions.col(valueCol).isNotNull)
       // hash via the batch twin's Column (Sketches.longHash), not a
       // re-typed SQL string: the whole stream-vs-batch bit-parity contract
       // rests on the constants matching, so there must be ONE definition
@@ -97,6 +100,9 @@ object SketchStream {
     require(p >= 7 && p <= 14, "need 7 <= p <= 14 (alpha assumes m >= 128)")
     import events.sparkSession.implicits._
     events
+      // NULL values count nothing — the batch twin's contract (see
+      // kmvDistinct above)
+      .where(org.apache.spark.sql.functions.col(valueCol).isNotNull)
       // first-level hash shared with the batch twin (one definition — see
       // kmvDistinct); the second-level remix string mirrors Sketches'
       // hllDistinct remix verbatim
@@ -252,7 +258,10 @@ object SketchStream {
     require(k >= 2, "need k >= 2")
     import events.sparkSession.implicits._
     events
-      .where(org.apache.spark.sql.functions.col(valueCol).isNotNull)
+      // null ids too: a NULL id has a NULL hash — it cannot hold a sample
+      // slot (and would null the encoder's non-nullable hv/id fields)
+      .where(org.apache.spark.sql.functions.col(valueCol).isNotNull &&
+        org.apache.spark.sql.functions.col(idCol).isNotNull)
       // hash via the batch twin's Column — one definition (see kmvDistinct)
       .select(org.apache.spark.sql.functions.col(groupCol).cast("string").as("group"),
         graft.ops.Sketches.longHash(org.apache.spark.sql.functions.col(idCol)).as("hv"),

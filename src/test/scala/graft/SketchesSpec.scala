@@ -31,6 +31,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(est === est1, "KMV must not depend on partitioning")
   }
 
+  test("sketches ignore NULL values: with-nulls == without-nulls, bit for bit") {
+    // a NULL hash sorted FIRST in KMV's ascending top-k (stealing a slot,
+    // inflating n_seen), registered a phantom NULL bucket in HLL, and
+    // NPE'd bloomBits' driver-side word fill — the contract is
+    // countDistinct's: nulls carry no identity, sketches never see them
+    val clean = Seq(("a", 1L), ("a", 2L), ("b", 7L)).toDF("g", "v")
+    val dirty = clean.unionByName(
+      Seq(("a", Option.empty[Long]), ("b", Option.empty[Long])).toDF("g", "v"))
+    assert(Sketches.kmvDistinct(dirty, "g", "v", 8).orderBy("g").collect().toSeq ===
+      Sketches.kmvDistinct(clean, "g", "v", 8).orderBy("g").collect().toSeq)
+    assert(Sketches.hllDistinct(dirty, "g", "v").orderBy("g").collect().toSeq ===
+      Sketches.hllDistinct(clean, "g", "v").orderBy("g").collect().toSeq)
+    assert(Sketches.kmvOverlap(dirty, "g", "v", 8).orderBy("g1", "g2").collect().toSeq ===
+      Sketches.kmvOverlap(clean, "g", "v", 8).orderBy("g1", "g2").collect().toSeq)
+    assert(Sketches.countMinSketch(dirty, "v").orderBy("row", "cell").collect().toSeq ===
+      Sketches.countMinSketch(clean, "v").orderBy("row", "cell").collect().toSeq)
+    assert(Sketches.bloomBits(dirty.select(col("v").as("h")), "h").toSeq ===
+      Sketches.bloomBits(clean.select(col("v").as("h")), "h").toSeq)
+  }
+
   // -------------------------------------------------------------------
   // HyperLogLog
   // -------------------------------------------------------------------
