@@ -142,6 +142,12 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
       s"column collision: ${rightVals.intersect(leftCols).mkString(",")}")
+    // the matched right timestamp rides as the reserved fill columns
+    // _p_ts/_n_ts; a right VALUE column literally named "ts" while joining
+    // on another column (ts/ts_ns coexist in this engine) would silently
+    // collide with them — rename it before calling
+    require(on == "ts" || !rightVals.contains("ts"),
+      s"right value column 'ts' collides with the matched-timestamp columns when on=$on; rename it")
     val needP = direction != "forward"
     val needN = direction != "backward"
     val pCols = if (needP) rightVals.map(c => s"_p_$c") :+ "_p_ts" else Nil

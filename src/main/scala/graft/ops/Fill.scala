@@ -41,6 +41,13 @@ object Fill {
   /** Forward-fill `cols` (last non-null wins) ordered by `ts` within `keys`
     * groups. `ts` must be unique per key group (a resample/grid output is) —
     * unless a `tie` column makes (ts, tie) unique, e.g. AsofJoin's side tag.
+    * With a tie column, at most ONE row per equal-(keys, ts) set may carry a
+    * non-null fill value (true for every as-of shape: only the ctx side is
+    * non-null, and ctx timestamps are unique per key) — the phase-2 carry
+    * summaries pick the boundary donor by struct min/max, which at equal ts
+    * resolves backward ties toward the SMALLEST tie while the in-chunk desc
+    * traversal resolves toward the largest; with a single donor per ts the
+    * two agree and the global-window bit-equality holds.
     * `chunkSeconds` is in the native unit of `ts` cast to long (seconds for
     * timestamps; pass ns-scaled chunks for raw ts_ns columns).
     */

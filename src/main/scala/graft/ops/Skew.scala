@@ -14,12 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Add a deterministic salt column in [0, factor) to the large side. */
+  /** Add a deterministic salt column in [0, factor) to the large side.
+    *
+    * The salt hashes the ROW'S FULL CONTENT — never
+    * `monotonically_increasing_id`/`rand`/`spark_partition_id`, which are
+    * indeterminate across task retries: an indeterminate shuffle key is the
+    * classic partial-stage-retry hazard (rows rehash to different reducers
+    * than the already-fetched outputs, losing or duplicating them; Spark's
+    * indeterminate-stage rollback mitigates but can abort the job). Content
+    * hashing re-executes identically. The one trade: EXACT duplicate rows
+    * share a salt, so a hot key made of byte-identical rows does not split —
+    * add any distinguishing column upstream if that shape is real.
+    */
   def saltLarge(df: DataFrame, keyCols: Seq[String], factor: Int,
                 saltCol: String = "_salt"): DataFrame =
     df.withColumn(saltCol,
-      pmod(xxhash64((keyCols.map(col) :+ monotonically_increasing_id()): _*), lit(factor))
-        .cast("int"))
+      pmod(xxhash64(df.columns.map(col): _*), lit(factor)).cast("int"))
 
   /** Replicate the small side across every salt value. */
   def replicateSmall(df: DataFrame, factor: Int, saltCol: String = "_salt"): DataFrame =
