@@ -115,10 +115,20 @@ object DedupState {
       try {
         val in = hfs.open(m)
         try {
+          // drain, never a single read(): InputStream.read may legally
+          // return fewer bytes than available (HDFS/S3A streams do), and a
+          // TRUNCATED fingerprint reads as a batch-identity mismatch —
+          // which un-skips the replay and double-merges the delta, the
+          // exact failure the marker protocol exists to prevent
           val bytes = new Array[Byte](4096)
-          val n = in.read(bytes)
-          Option(new String(bytes, 0, math.max(n, 0), "UTF-8").trim)
-            .filter(_.nonEmpty)
+          var total = 0
+          var n = in.read(bytes, 0, bytes.length)
+          while (n > 0 && total + n < bytes.length) {
+            total += n
+            n = in.read(bytes, total, bytes.length - total)
+          }
+          if (n > 0) total += n
+          Option(new String(bytes, 0, total, "UTF-8").trim).filter(_.nonEmpty)
         } finally in.close()
       } catch { case _: Throwable => None }
     }
