@@ -58,6 +58,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq === again.toSeq, "weighted sample must be deterministic")
   }
 
+  test("weightedSample: NULL/zero/negative weights are never selected and never displace") {
+    // a NULL weight's priority sorted FIRST under asc-nulls-first and a
+    // negative weight produced a negative (always-winning) priority — one
+    // bad row hijacked its stratum's whole sample; the guard defines the
+    // priority only for w > 0
+    val clean = (0 until 30).map(i => (i.toLong, "en", Some(i.toLong + 1)))
+    val dirty = clean ++ Seq(
+      (900L, "en", Option.empty[Long]),  // NULL weight
+      (901L, "en", Some(0L)),            // zero
+      (902L, "en", Some(-5L)))           // negative
+    val sel = Corpus.weightedSample(dirty.toDF("doc_id", "lang", "wt"),
+        "lang", "doc_id", "wt", k = 10)
+      .select("doc_id", "rn").as[(Long, Long)].collect().sortBy(_._2)
+    val ref = Corpus.weightedSample(clean.toDF("doc_id", "lang", "wt"),
+        "lang", "doc_id", "wt", k = 10)
+      .select("doc_id", "rn").as[(Long, Long)].collect().sortBy(_._2)
+    assert(sel.forall(_._1 < 900), "non-positive/NULL-weight rows must never be selected")
+    assert(sel.toSeq === ref.toSeq,
+      "bad-weight rows must not displace or re-rank the clean sample")
+  }
+
   test("featureScale: endpoints 0 and 1, deterministic ties, degenerate strata null") {
     val df = Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0), (4L, "a", 40.0),
