@@ -2257,9 +2257,9 @@ object SparkEntry {
            |       FROM grid g JOIN ns USING (source)),
            | q AS (SELECT source, nsv, pa, pb, (pa + pb) / 2.0 AS pm FROM p)
            |SELECT source, max(nsv)::BIGINT AS n_tokens,
-           | round(sum(CAST(round(pa * ln(pa / pb), 7) AS DECIMAL(38,7)))::DOUBLE, 6) AS kl_slice_rest,
-           | round(sum(CAST(round(pb * ln(pb / pa), 7) AS DECIMAL(38,7)))::DOUBLE, 6) AS kl_rest_slice,
-           | round(sum(CAST(round(0.5 * (pa * ln(pa / pm) + pb * ln(pb / pm)), 7) AS DECIMAL(38,7)))::DOUBLE, 6) AS js
+           | round(sum(CAST(round(pa * ln(pa / pb), 7) AS DECIMAL(38,7)))::DOUBLE, 7) AS kl_slice_rest,
+           | round(sum(CAST(round(pb * ln(pb / pa), 7) AS DECIMAL(38,7)))::DOUBLE, 7) AS kl_rest_slice,
+           | round(sum(CAST(round(0.5 * (pa * ln(pa / pm) + pb * ln(pb / pm)), 7) AS DECIMAL(38,7)))::DOUBLE, 7) AS js
            |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
       // chi-square: identical contingency and one fixed double chain
       "q114_chi2_terms" ->
@@ -2395,7 +2395,7 @@ object SparkEntry {
            |SELECT g.win_sec, max(nwv)::BIGINT AS n_tokens,
            | round(sum(CAST(round(((cw + 1.0)/(nwv + v)) *
            |   ln(((cw + 1.0)/(nwv + v)) / ((cr + 1.0)/(nr + v))), 7)
-           |   AS DECIMAL(38,7)))::DOUBLE, 6) AS kl
+           |   AS DECIMAL(38,7)))::DOUBLE, 7) AS kl
            |FROM grid g JOIN nw USING (win_sec) CROSS JOIN vn
            |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q08_text_stats" ->

@@ -530,7 +530,7 @@ object Corpus {
     * minus the slice's own — the corpus is never scanned twice.
     *
     * Output per slice: (sliceCol, n_tokens, kl_slice_rest, kl_rest_slice,
-    * js), divergences r6.
+    * js), divergences r7 (the term grain — see the dsum7 note).
     */
   def sliceDivergence(docs: DataFrame, sliceCol: String, textCol: String,
                       vocab: Int = 500): DataFrame = {
@@ -567,9 +567,15 @@ object Corpus {
       .withColumn("_pa", (col("_cs") + 1.0) / (col("_ns") + v))
       .withColumn("_pb", (col("_cr") + 1.0) / (col("_nr") + v))
       .withColumn("_pm", (col("_pa") + col("_pb")) / 2.0)
+    // report at the TERM grain (7), never coarser: the decimal sum is
+    // exact at 7 decimals, so round-7 discards nothing and has no half-way
+    // case — a final round-6 can land exactly on a .5 boundary of the
+    // exact sum, where Spark (HALF_UP on the shortest decimal repr) and a
+    // binary-double-rounding engine legitimately disagree (observed on
+    // q117's twin at sf0.1: sum exactly 0.0040785)
     def dsum7(c: Column): Column =
       round(sum(round(c, 7).cast(org.apache.spark.sql.types.DecimalType(38, 7)))
-        .cast("double"), 6)
+        .cast("double"), 7)
     withN.groupBy(col(sliceCol))
       .agg(max(col("_ns")).as("n_tokens"),
         dsum7(col("_pa") * log(col("_pa") / col("_pb"))).as("kl_slice_rest"),

@@ -71,7 +71,14 @@ object DriftStream {
     * 7 decimals and DECIMAL-summed — the q113 convention, so the number is
     * partition- and engine-portable.
     *
-    * Output per window: (win_sec, n_tokens, kl r6).
+    * Output per window: (win_sec, n_tokens, kl r7). The report grain IS
+    * the term grain (7): the decimal sum is exact at 7 decimals, so
+    * re-rounding it there discards nothing and cannot hit a half-way case
+    * — while one final round to a COARSER grain can land exactly on a
+    * .5 boundary of the exact sum, where engines legitimately disagree
+    * (measured at sf0.1: a window's contribution sum was exactly
+    * 0.0040785; Spark's HALF_UP on the shortest decimal repr said
+    * 0.004079, DuckDB's binary-double round said 0.004078).
     */
   def klByWindow(counts: DataFrame, ref: DataFrame): DataFrame = {
     val spark = ref.sparkSession
@@ -95,6 +102,6 @@ object DriftStream {
       .groupBy(col("win_sec"))
       .agg(max(col("_nw")).as("n_tokens"),
         round(sum(round(col("_pw") * log(col("_pw") / col("_pr")), 7).cast(dec))
-          .cast("double"), 6).as("kl"))
+          .cast("double"), 7).as("kl"))
   }
 }

@@ -301,7 +301,7 @@ class CorpusSpec extends AnyFunSuite {
     (topv, bySlice)
   }
 
-  test("sliceDivergence matches a plain-collections reference, r6") {
+  test("sliceDivergence matches a plain-collections reference, r7") {
     val rows = Seq(
       ("a", "x x x y z common common"),
       ("a", "x y common words here"),
@@ -327,8 +327,10 @@ class CorpusSpec extends AnyFunSuite {
         kab += r7(pa * math.log(pa / pb)); kba += r7(pb * math.log(pb / pa))
         js += r7(0.5 * (pa * math.log(pa / pm) + pb * math.log(pb / pm)))
       }
-      def r6(d: BigDecimal) = d.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (ns, r6(kab), r6(kba), r6(js))
+      // report grain == term grain (7): the decimal sum is exact there, so
+      // no half-way case exists — see sliceDivergence's dsum7 note
+      def rep(d: BigDecimal) = d.setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ns, rep(kab), rep(kba), rep(js))
     }
     val got = Corpus.sliceDivergence(df, "source", "text", vocab = vocabN)
       .orderBy("source").collect()
