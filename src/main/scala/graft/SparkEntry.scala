@@ -2183,7 +2183,7 @@ object SparkEntry {
            |        FROM q JOIN post p USING (term) JOIN dfq USING (term)
            |        JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN n),
            | agg AS (SELECT query_id, doc_id,
-           |          round(sum(CAST(contrib AS DECIMAL(38,6)))::DOUBLE, 4) AS score
+           |          round(sum(CAST(contrib AS DECIMAL(38,6)))::DOUBLE, 6) AS score
            |         FROM sc GROUP BY 1, 2),
            | r AS (SELECT query_id, doc_id, score,
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank

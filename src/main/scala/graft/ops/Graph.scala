@@ -37,10 +37,17 @@ object Graph {
     * carries is reproducible bit-for-bit across engines and partitionings.
     *
     * Output: (node, rank) with rank rounded to `outScale` decimals.
+    * `outScale` defaults to 12 — the ITERATION grain, where the re-round is
+    * the identity: each round's rank lies exactly on the 1e-12 grid, so a
+    * coarser final round can land exactly on a .5 boundary of that grid,
+    * where Spark's decimal-string HALF_UP and a binary-double-rounding
+    * engine legitimately disagree (the q117 lesson; ~1e-6 per node at the
+    * old outScale=6). Callers who want a display grain should round AFTER
+    * any cross-engine comparison.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int = 10, damping: Double = 0.85,
-               outScale: Int = 6): DataFrame = {
+               outScale: Int = 12): DataFrame = {
     require(iters >= 1 && iters <= 100, "iters must be in [1, 100]")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     // Eagerly truncate the EDGE lineage too, not just the rank vector's:
@@ -103,7 +110,7 @@ object Graph {
     * (src, dst, w BIGINT) columns with exactly those names.
     */
   def pagerankSql(edgesSql: String, iters: Int, damping: Double = 0.85,
-                  outScale: Int = 6): String = {
+                  outScale: Int = 12): String = {
     val d = damping.toString
     val tel = (1.0 - damping).toString
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each

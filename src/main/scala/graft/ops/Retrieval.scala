@@ -32,8 +32,12 @@ object Retrieval {
     *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
     * Per-term contributions are rounded to 6 decimals and summed as
     * DECIMAL(38,6) so the reduction is exact and order-independent — the
-    * total is bit-identical across engines and partitionings; the final
-    * score is rounded to 4.
+    * total is bit-identical across engines and partitionings. The score is
+    * reported AT the contribution grain (6): the sum is exact there, so
+    * re-rounding discards nothing and has no half-way case, while a
+    * coarser final round (the old r4) hits an exact .xxxx5 boundary for
+    * ~1 in 100 scores, where Spark's decimal-string HALF_UP and a
+    * binary-double-rounding engine legitimately disagree (the q117 lesson).
     *
     * Output: (query_id, rank, idCol, score), rank 1-based by
     * (score DESC, id) within each query, rank <= k.
@@ -72,7 +76,7 @@ object Retrieval {
           (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))), 6))
     val scored = contrib.groupBy(col("query_id"), col(idCol))
-      .agg(round(sum(col("contrib").cast("decimal(38,6)")).cast("double"), 4)
+      .agg(round(sum(col("contrib").cast("decimal(38,6)")).cast("double"), 6)
         .as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast("long"))
