@@ -2565,7 +2565,7 @@ object SparkEntry {
            |SELECT lang, n_docs, n_tokens,
            | round(n_tokens / tot_tokens, 6) AS share,
            | round(least((tot_tokens / n_domains) / n_tokens, 5.0), 6) AS weight,
-           | round(n_tokens * round(least((tot_tokens / n_domains) / n_tokens, 5.0), 6), 2) AS eff_tokens
+           | round(n_tokens * round(least((tot_tokens / n_domains) / n_tokens, 5.0), 6), 6) AS eff_tokens
            |FROM pd, tot ORDER BY lang""".stripMargin,
       "q106_lag_features" ->
         """WITH x AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS tsec,

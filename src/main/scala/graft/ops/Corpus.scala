@@ -458,7 +458,10 @@ object Corpus {
     * total. The corpus is scanned once; nothing data-sized shuffles.
     *
     * Output per domain: n_docs, n_tokens, share (r6), weight (r6),
-    * eff_tokens = n_tokens*weight (r2) — the post-reweight token budget.
+    * eff_tokens = n_tokens*weight (r6 — the weight's grain: an integer
+    * multiple of an r6-grid value rounded coarser can land on a decimal
+    * half-way point where engines disagree, the q117 class; at the
+    * weight's own grain the round is effectively the identity).
     */
   def mixtureWeights(docs: DataFrame, domainCol: String, textCol: String,
                      maxWeight: Double = 5.0): DataFrame = {
@@ -474,7 +477,7 @@ object Corpus {
       .withColumn("weight",
         round(least((col("tot_tokens") / col("n_domains")) / col("n_tokens"),
           lit(maxWeight)), 6))
-      .withColumn("eff_tokens", round(col("n_tokens") * col("weight"), 2))
+      .withColumn("eff_tokens", round(col("n_tokens") * col("weight"), 6))
       .select(col(domainCol), col("n_docs"), col("n_tokens"),
         col("share"), col("weight"), col("eff_tokens"))
   }
