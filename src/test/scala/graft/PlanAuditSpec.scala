@@ -157,6 +157,51 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // Queries whose plan is ALLOWED to read a cached relation, each with the
+  // justification for why that cache is safe at 100 TB. Everything else
+  // must plan cache-free — a future edit that quietly caches a data-sized
+  // frame inside an operator's lineage (the q60 duplicateSpans post-mortem:
+  // a block-manager resident set proportional to the corpus) fails here
+  // instead of surfacing as executor memory pressure at scale.
+  private val declaredCached: Map[String, String] = Map(
+    "q06_or_levels" -> "OrLevels.build base: 3 consumers (OR-range agg, after-window agg, retest join) of a session-day-bounded read; MEMORY_AND_DISK, documented lifecycle",
+    "q16_jaccard_pairs" -> "Dedup shingle projections: one narrow (id, shingles) row per doc, read by both sides of the index join",
+    "q17_minhash_candidates" -> "Dedup signature projection: one (id, sig) row per doc, read by both band-join sides",
+    "q20_ffill_resample" -> "ohlcvFfill's resampled aggregate: bucket-grain (smaller than input), 4 consumers (grid bounds, grid join, both fill phases)",
+    "q27_simhash_pairs" -> "Dedup signature projection (see q17)",
+    "q31_ffill_multi_symbol" -> "ohlcvFfill's resampled aggregate (see q20)",
+    "q36_verified_near_dups" -> "verifiedNearDups shingle projection: narrow per-doc rows read by candidate generation and both verify sides",
+    "q38_sequence_pack" -> "prefixSum chunk totals: ONE summary row per (keys, chunk), read by both carry self-join sides",
+    "q53_session_overlap" -> "sessionize lineage read by both self-join sides — its own plan test requires >= 2 InMemoryTableScan",
+    "q62_contamination_rate" -> "benchmark shingle set: eval-suite-bounded, read by the overlap join and the bloom build",
+    "q87_prefix_jaccard" -> "Dedup shingle projections (see q16)",
+    "q133_simhash_wide_pairs" -> "Dedup wide-signature projection (see q17)",
+    "q135_simhash_anchor_candidates" -> "Dedup signature projection feeding registry build + probe sides")
+
+  test("whitelist: NO query plans an InMemoryTableScan except declared caches") {
+    assume(new java.io.File(sf).isDirectory)
+    withStaticPlans {
+      // CacheManager matches cached plans by logical subtree across QUERIES:
+      // building q20 registers ohlcvFfill's cache, and q03's resample then
+      // plans an InMemoryTableScan it never asked for. Start from a clean
+      // slate so each query's plan reflects only caches registered by
+      // itself or an earlier-sorted query in THIS sweep — deterministic,
+      // and every cross-query match still traces to a declared cache site.
+      spark.sharedState.cacheManager.clearCache()
+      val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val cached = planOf(name).collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+        }
+        if (declaredCached.contains(name) && cached.isEmpty)
+          Some(s"$name is whitelisted as cached but plans no InMemoryTableScan — drop it from the list")
+        else if (!declaredCached.contains(name) && cached.nonEmpty)
+          Some(s"$name plans ${cached.length} InMemoryTableScan(s); justify it in declaredCached or drop the cache")
+        else None
+      }
+      assert(bad.isEmpty, bad.mkString("\n"))
+    }
+  }
+
   test("q02 range predicate reaches the parquet scan (PushedFilters on raw ts)") {
     assume(new java.io.File(sf).isDirectory)
     withStaticPlans {
