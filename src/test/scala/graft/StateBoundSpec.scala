@@ -47,6 +47,57 @@ class StateBoundSpec extends AnyFunSuite {
     assert(rows === touched)
   }
 
+  test("stateful stream resumes from its checkpoint on the RocksDB store: fold across a restart == batch") {
+    // the two operational axes every other streaming spec holds constant:
+    // (a) the query is STOPPED and a new query resumes from the same
+    // checkpoint — state must round-trip through the store, not just live
+    // in memory for one run; (b) the store is the RocksDB provider (the
+    // backend a 100 TB deployment runs) instead of the default HDFS-backed
+    // maps — provider choice must not alter a single bit of the fold.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+      val in = MemoryStream[(String, Long)]
+      // the memory sink refuses checkpoint RECOVERY ("does not support
+      // recovering from checkpoint location"), so the restart leg needs a
+      // recoverable sink — foreachBatch, collecting into a driver buffer
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      def start() = graft.streaming.SketchStream
+        .kmvDistinct(in.toDF().toDF("g", "v"), "g", "v", k = 8)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$ckptDir/_ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.SketchStream.KmvEstimate], _: Long) =>
+          val rows = df.collect().map(e => (e.group, e.n_seen, e.kth, e.est_distinct))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+      val batch1 = (0 until 40).map(i => ("a", i.toLong)) ++ Seq(("b", 1L), ("b", 2L))
+      val q1 = start()
+      try { in.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+      // restart from the SAME checkpoint; the second batch touches both
+      // groups, so the post-restart emissions are each group's final estimate
+      buf.synchronized(buf.clear())
+      val batch2 = (40 until 50).map(i => ("a", i.toLong)) :+ (("b", 3L))
+      val q2 = start()
+      try { in.addData(batch2: _*); q2.processAllAvailable() } finally q2.stop()
+      val got = buf.synchronized(buf.toSeq).sortBy(_._1)
+      val whole = ops.Sketches.kmvDistinct((batch1 ++ batch2).toDF("g", "v"), "g", "v", 8)
+        .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+      assert(got === whole, "resumed fold must equal the batch sketch over ALL data")
+      // and it genuinely CONTINUED (not restarted fresh on batch 2): a
+      // fresh fold would see only b=3 -> n_seen 1; the resumed one sees 3
+      assert(got.find(_._1 == "b").get._2 === 3L,
+        "pre-restart state did not survive the checkpoint round trip")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Scd2Stream state == distinct keys (one open version per key, forever)") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
