@@ -510,6 +510,47 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming writeToLake survives a restart; a replayed batch upserts harmlessly") {
+    // the sink's exactly-once story = checkpoint recovery (foreachBatch)
+    // + idempotent merge keyed on (source,symbol,tf,ts): restart must
+    // continue, and re-delivering an already-landed batch must change
+    // nothing — pin both
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("streamlake_rs").toString
+    val ckpt = Files.createTempDirectory("ckpt_rs").toString
+    val input = MemoryStream[(Timestamp, String, Double, Double)]
+    val ticks = input.toDF().toDF("ts", "symbol", "price", "size")
+    def t(s: String) = Timestamp.valueOf(s)
+    def start() = CandleStream.writeToLake(CandleStream.m1Bars(ticks), root, ckpt).start()
+    val q1 = start()
+    try {
+      input.addData((t("2025-08-01 00:00:05"), "BTC-USD", 100.0, 1.0))
+      q1.processAllAvailable()
+      input.addData((t("2025-08-01 00:05:00"), "BTC-USD", 102.0, 1.0)) // closes 00:00
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // resume from the same checkpoint
+    try {
+      input.addData((t("2025-08-01 00:10:00"), "BTC-USD", 104.0, 2.0)) // closes 00:05
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def bars() = spark.read.parquet(s"$root/data")
+      .select("ts", "open", "close", "volume").orderBy("ts")
+      .as[(Timestamp, Double, Double, Double)].collect().toSeq
+    val afterRestart = bars()
+    assert(afterRestart === Seq(
+      (t("2025-08-01 00:00:00"), 100.0, 100.0, 1.0),
+      (t("2025-08-01 00:05:00"), 102.0, 102.0, 1.0)),
+      "restarted stream must continue landing closed bars exactly once")
+    // simulated at-least-once redelivery: the SAME closed bar upserted
+    // again by hand — keep-last merge must leave the lake bit-identical
+    graft.lake.LakeWriter.upsert(spark, root,
+      Seq((t("2025-08-01 00:05:00"), 102.0, 102.0, 102.0, 102.0, 1.0, "BTC-USD", "M1", "stream"))
+        .toDF("ts", "open", "high", "low", "close", "volume", "symbol", "timeframe", "source"))
+    assert(bars() === afterRestart, "a replayed batch must upsert to a no-op")
+  }
+
   test("graft SQL functions: extensions class at construction + live-session register") {
     // live-session registration on the shared session
     graft.functions.GraftExtensions.register(spark)
