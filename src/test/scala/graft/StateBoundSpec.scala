@@ -98,6 +98,77 @@ class StateBoundSpec extends AnyFunSuite {
     }
   }
 
+  test("SessionStream's event-time TIMEOUT survives a restart: a session opened before the stop closes after resume") {
+    // flatMapGroupsWithState recovery has two parts — the value AND the
+    // registered timeout timestamp; losing the latter would leave resumed
+    // sessions open forever. Open a session, stop, resume from the same
+    // checkpoint, then advance the watermark past last+gap from the NEW
+    // query: the pre-restart session must emit, with its pre-restart bounds.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_sess_rs").toString
+    val in = MemoryStream[(Long, Timestamp)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    def start() = graft.streaming.SessionStream
+      .sessions(in.toDF().toDF("user_id", "ts"), gapSeconds = 1800L, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckptDir/_ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.SessionStream.ClosedSession], _: Long) =>
+        val rows = df.collect().map(c => (c.user_id, c.session_start, c.session_end, c.n_events))
+        buf.synchronized { buf ++= rows }; ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData((1L, t(1000)), (1L, t(1200))) // one open session for user 1
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf.synchronized(buf.isEmpty), "nothing may close before the watermark says so")
+    val q2 = start() // resume from the same checkpoint
+    try {
+      // user 2's events advance the watermark past 1200+1800 (+30 min
+      // delay); the SECOND batch then fires the recovered timeout
+      in.addData((2L, t(1200 + 1800 + 1800 + 100))); q2.processAllAvailable()
+      in.addData((2L, t(1200 + 1800 + 1800 + 200))); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(buf.synchronized(buf.toSeq) === Seq((1L, 1000L, 1200L, 2L)),
+      "the pre-restart session must close with its pre-restart bounds (user 2's stays open)")
+  }
+
+  test("DocumentStream dedup state survives a restart: a duplicate re-delivered after resume is still dropped") {
+    // dropDuplicatesWithinWatermark keys its state on the content hash;
+    // losing it across a restart would re-admit every duplicate arriving
+    // after the resume — the silent-corpus-pollution failure mode
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_doc_rs").toString
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    def start() = graft.streaming.DocumentStream
+      .cleaned(in.toDF().toDF("ts", "doc_id", "text"), minQuality = 0.0)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckptDir/_ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0))
+        buf.synchronized { buf ++= ids }; ()
+      }
+      .start()
+    val q1 = start()
+    try { in.addData((t(1000), 1L, "the quick brown fox")); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start() // resume from the same checkpoint
+    try {
+      in.addData(
+        (t(1060), 2L, "the quick brown fox"), // DUPLICATE content, within watermark
+        (t(1070), 3L, "an entirely different document"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(buf.synchronized(buf.toSeq).sorted === Seq(1L, 3L),
+      "the re-delivered duplicate must be dropped by the RECOVERED dedup state")
+  }
+
   test("Scd2Stream state == distinct keys (one open version per key, forever)") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
