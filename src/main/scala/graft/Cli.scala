@@ -276,19 +276,25 @@ object Cli {
       }.getOrElse(DedupState.DefaultKeep)
       val newDocs = spark.read.parquet(docsParquet)
       // BATCH IDENTITY (replay guard): order-insensitive fingerprint of the
-      // batch — row count + mod-P checksums of ids and text lengths,
-      // decimal-summed so no batch size overflows. If the CURRENT
-      // generation's commit marker already records this fingerprint, the
-      // previous run crashed AFTER its commit: re-applying would re-merge
-      // the delta registry (mergeBucketRegistries' disjointness), so the
-      // replay is a no-op instead.
+      // batch — row count + mod-P checksums of ids and of the texts' CONTENT
+      // hashes (xxhash64 of the bytes, not length: two batches with the same
+      // ids whose edited texts happen to length-collide must NOT read as the
+      // same batch — only byte-identical batches may skip), decimal-summed
+      // so no batch size overflows. If the CURRENT generation's commit
+      // marker already records this fingerprint, the previous run crashed
+      // AFTER its commit: re-applying would re-merge the delta registry
+      // (mergeBucketRegistries' disjointness), so the replay is a no-op
+      // instead. Fingerprints are versioned ("h=" term): a marker written by
+      // the pre-content-hash format simply never matches, which fails OPEN
+      // to a re-apply only across a library upgrade mid-crash-replay — the
+      // ordinary upgrade path commits a new generation first.
       val P = 1000000007L
       val fpRow = newDocs.agg(
         count(lit(1)),
         sum(pmod(col("doc_id"), lit(P)).cast("decimal(38,0)")) % P,
-        sum(pmod(length(col("text")).cast("long"), lit(P)).cast("decimal(38,0)")) % P).head
+        sum(pmod(xxhash64(col("text")), lit(P)).cast("decimal(38,0)")) % P).head
       val nNew = fpRow.getLong(0)
-      val batchId = s"n=$nNew;id=${Option(fpRow.get(1)).getOrElse(0)};tx=${Option(fpRow.get(2)).getOrElse(0)}"
+      val batchId = s"n=$nNew;id=${Option(fpRow.get(1)).getOrElse(0)};h=${Option(fpRow.get(2)).getOrElse(0)}"
       if (DedupState.currentBatchId(spark, stateDir).contains(batchId)) {
         println(s"[cli] dedup-ingest: batch already applied by the current " +
           s"generation (replay after a crash past the commit marker) — " +

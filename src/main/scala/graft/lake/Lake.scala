@@ -97,9 +97,15 @@ object LakeReader {
     */
   def readRange(spark: SparkSession, root: String, source: String, symbol: String,
                 timeframe: String, from: Option[Timestamp], to: Option[Timestamp],
-                columns: Seq[String] = Nil): DataFrame =
-    readRangeUnsorted(spark, root, source, symbol, timeframe, from, to, columns)
+                columns: Seq[String] = Nil): DataFrame = {
+    // sort BEFORE the caller's projection: a columns list without "ts" must
+    // still read back ts-ordered (the reference sorts then projects,
+    // api.py:67-74) — ordering by a column the projection already dropped is
+    // an AnalysisException, not a contract
+    val sorted = readRangeUnsorted(spark, root, source, symbol, timeframe, from, to)
       .orderBy(col("ts"))
+    if (columns.nonEmpty) sorted.select(columns.map(col): _*) else sorted
+  }
 
   /** [[readRange]] without the trailing global ts sort — for callers that
     * union/re-shuffle the result anyway ([[readUnified]]): the range sort is
@@ -108,16 +114,13 @@ object LakeReader {
     */
   private def readRangeUnsorted(spark: SparkSession, root: String, source: String,
                 symbol: String, timeframe: String,
-                from: Option[Timestamp], to: Option[Timestamp],
-                columns: Seq[String] = Nil): DataFrame = {
+                from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
     val path = LakeLayout.dataRoot(root)
     // empty-lake short-circuit: an absent tree reads as an empty canonical
     // frame, not an error (reference: api.py:23-24, tests/test_read_api.py)
-    if (!LakeFs.exists(spark, path)) {
-      val empty = spark.createDataFrame(
+    if (!LakeFs.exists(spark, path))
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partitionedSchema)
-      return if (columns.nonEmpty) empty.select(columns.map(col): _*) else empty
-    }
     var df = spark.read.schema(partitionedSchema).parquet(path)
       .where(col("source") === source && col("symbol") === symbol && col("timeframe") === timeframe)
     // derived partition predicates so year/month pruning always fires
@@ -138,9 +141,7 @@ object LakeReader {
     // dedupe key INCLUDES market: the tree is partitioned by it, and a
     // symbol legitimately present under two markets must keep both rows —
     // a market-less key would collapse them to one arbitrary market's bar
-    val deduped = dedupeKeepFirst(df,
-      Seq("source", "market", "symbol", "timeframe", "ts"))
-    if (columns.nonEmpty) deduped.select(columns.map(col): _*) else deduped
+    dedupeKeepFirst(df, Seq("source", "market", "symbol", "timeframe", "ts"))
   }
 
   /** Legacy closed-range read [from, to] — implemented as [from, to+1s) per
@@ -235,6 +236,26 @@ object LakeReader {
   * the touched partitions via dynamic partition overwrite — the Spark commit
   * protocol provides the atomic tmp+rename the reference does by hand
   * (aggregate.py:64). Re-running the same ingest is a no-op (O8 idempotence).
+  *
+  * ==Concurrency contract==
+  * ONE writer per partition cell (source, market, timeframe, symbol, year,
+  * month) at a time. Concurrent upserts into DIFFERENT cells are safe and
+  * spec-pinned (LakeSpec: each writer's probe reads only its own cells via
+  * the literal partition predicate, and dynamic overwrite replaces only the
+  * partitions its batch touches — both corrections land, no row loss).
+  * Concurrent upserts into the SAME cell are a lost-update race: each runs
+  * read-merge-overwrite without a transaction, so the second commit can
+  * replace rows the first one merged. This matches the reference's own
+  * model — writer.py:202-208 assumes a single ingest process per month tree
+  * — and the engine DETECTS the violation rather than prevent it: mergeWrite
+  * snapshots each touched cell's committed-files fingerprint at probe time
+  * and re-checks it immediately before launching the publish job, aborting
+  * with [[ConcurrentWriteException]] when another commit landed in between —
+  * shrinking the undetected window from the whole probe-merge-publish span
+  * to the publish job alone (>1000-cell batches fall back to the semi-join
+  * probe and skip detection; the cap note documents why). True prevention
+  * needs a transactional table format or an external per-cell lock — out of
+  * scope by design, not by omission.
   */
 object LakeWriter {
 
@@ -245,6 +266,13 @@ object LakeWriter {
   }
 }
 
+/** Another committer published into a partition cell this upsert had already
+  * read and merged — publishing anyway would silently drop the other
+  * writer's rows (lost update). The caller's repair is to re-run the upsert:
+  * it re-reads the now-current cell contents and the merge is idempotent.
+  */
+class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
 /** The ONE merge-dedupe upsert implementation, shared by the data tree
   * ([[LakeWriter]]), the aggregates tree ([[Aggregates]]), and the levels
   * tree ([[LevelsWriter]]) — same probe, precedence merge, keep-last dedupe,
@@ -254,11 +282,42 @@ private[lake] object UpsertCore {
 
   // cap on the collected touched-partition tuples (a daily/monthly batch
   // touches a handful of cells; 1000 ≈ 80 symbols × 12 months); beyond it
-  // the probe falls back to the semi-join form
+  // the probe falls back to the semi-join form — which also skips the
+  // same-cell conflict detection below (listing >1000 cells twice costs
+  // more than the contract violation it would catch is worth)
   private val MaxTouchedPartitions = 1000
 
+  /** (file name, length, mtime) per data file in each touched cell dir —
+    * the cheapest observable that changes on EVERY commit into the cell
+    * (the committer renames new part files in and deletes replaced ones).
+    * One listStatus RPC per touched cell, ≤ [[MaxTouchedPartitions]].
+    */
+  private def cellSnapshot(spark: SparkSession, dirs: Seq[String]): Map[String, Seq[(String, Long, Long)]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    dirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (!fs.exists(p)) Seq.empty[(String, Long, Long)]
+        else fs.listStatus(p).toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+          .sortBy(_._1)
+      d -> files
+    }.toMap
+  }
+
+  /** `beforePublish` is a test seam (defaults to a no-op): it runs between
+    * the merge-plan construction and the conflict re-check, where a
+    * concurrent committer would land — specs use it to interleave a
+    * same-cell writer deterministically.
+    */
   def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
-                 partCols: Seq[String], key: Seq[String], sortCol: String): Unit = {
+                 partCols: Seq[String], key: Seq[String], sortCol: String,
+                 beforePublish: () => Unit = () => ()): Unit = {
+    // same-cell conflict detection (see LakeWriter's concurrency contract):
+    // populated on the literal-probe path, None on first write / semi-join
+    var probeSnapshot: Option[Map[String, Seq[(String, Long, Long)]]] = None
+    var touchedDirs: Seq[String] = Nil
     // first-write probe, NOT a catch-all (see LakeFs.readParquetIfData):
     // a transient/corruption read error aborts the upsert instead of being
     // mistaken for a first write and dropping pre-existing rows
@@ -281,11 +340,17 @@ private[lake] object UpsertCore {
         // a batch touching >1000 partition cells: fall back to the
         // semi-join rather than build a kilometer-long predicate
         cur.join(broadcast(distinctTouched), partCols, "left_semi")
-      else
+      else {
+        touchedDirs = touched.toSeq.map { row =>
+          path + "/" + partCols.zipWithIndex
+            .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+        }
+        probeSnapshot = Some(cellSnapshot(spark, touchedDirs))
         cur.where(touched.map { row =>
           partCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }
             .reduce(_ && _)
         }.reduce(_ || _))
+      }
     }
 
     val tagged = batch.withColumn("_prec", lit(1))
@@ -319,6 +384,25 @@ private[lake] object UpsertCore {
       .where(col("_rn") === 1).drop("_rn", "_prec")
       .localCheckpoint(eager = false)
 
+    beforePublish()
+    // same-cell lost-update DETECTION: if any touched cell's committed files
+    // changed since the probe listed them, a concurrent committer has
+    // published rows this merge never read — publishing now would silently
+    // replace them. Abort instead; the re-run re-reads the current state and
+    // the merge is idempotent. The remaining undetected window is the
+    // publish job below (its tasks re-read the old files lazily, and the
+    // dynamic-overwrite commit swaps partitions at job end) — closing that
+    // too needs a transactional table format, which this engine deliberately
+    // does not reimplement.
+    probeSnapshot.foreach { before =>
+      val now = cellSnapshot(spark, touchedDirs)
+      val changed = touchedDirs.filter(d => before(d) != now(d))
+      if (changed.nonEmpty)
+        throw new ConcurrentWriteException(
+          s"concurrent commit detected in ${changed.size} touched partition cell(s) " +
+            s"since this upsert's probe (first: ${changed.head}) — " +
+            "single-writer-per-cell contract violated; re-run the upsert")
+    }
     deduped
       .repartition(partCols.map(col): _*)
       .sortWithinPartitions(col(sortCol)) // ordered within files (reference O6)

@@ -130,7 +130,15 @@ object DedupState {
           if (n > 0) total += n
           Option(new String(bytes, 0, total, "UTF-8").trim).filter(_.nonEmpty)
         } finally in.close()
-      } catch { case _: Throwable => None }
+      } catch {
+        // ONLY a vanished marker (vacuum raced the read) means "no recorded
+        // batch". Any other I/O failure must PROPAGATE: mapping a transient
+        // store error to None would un-skip a genuine replay and
+        // double-merge the delta registry — the exact failure the marker
+        // protocol exists to prevent. Better the ingest aborts and is
+        // re-run than the state silently corrupts.
+        case _: java.io.FileNotFoundException => None
+      }
     }
   }
 

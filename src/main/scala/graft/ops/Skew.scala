@@ -25,11 +25,26 @@ object Skew {
     * hashing re-executes identically. The one trade: EXACT duplicate rows
     * share a salt, so a hot key made of byte-identical rows does not split —
     * add any distinguishing column upstream if that shape is real.
+    *
+    * Columns whose type contains a MapType are excluded from the hash:
+    * xxhash64 rejects maps at analysis time (map equality is order-free, so
+    * no canonical hash exists), and a frame carrying a map column must still
+    * salt on the rest of its content. A frame whose EVERY column is
+    * map-typed cannot be content-salted and is rejected up front.
     */
   def saltLarge(df: DataFrame, keyCols: Seq[String], factor: Int,
-                saltCol: String = "_salt"): DataFrame =
-    df.withColumn(saltCol,
-      pmod(xxhash64(df.columns.map(col): _*), lit(factor)).cast("int"))
+                saltCol: String = "_salt"): DataFrame = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty,
+      "saltLarge: every column contains a MapType — no content to hash a deterministic salt from")
+    df.withColumn(saltCol, pmod(xxhash64(cols.toIndexedSeq: _*), lit(factor)).cast("int"))
+  }
 
   /** Replicate the small side across every salt value. */
   def replicateSmall(df: DataFrame, factor: Int, saltCol: String = "_salt"): DataFrame =

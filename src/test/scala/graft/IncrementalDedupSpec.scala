@@ -381,6 +381,51 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "replaying an already-committed batch must not double-merge the delta registry")
   }
 
+  test("DedupState growth audit: registry and anchors stay keyspace-bounded through a 10-day ingest loop") {
+    // DedupState bounds GENERATIONS at O(keep); this pins the other axis —
+    // the tables INSIDE a generation. The documented bounds: registry
+    // ≤ 4·2^(bits/4) rows (4 chunk positions × the 8-bit chunk keyspace at
+    // the default 32 bits = 1024), anchors == distinct anchor_ids in the
+    // registry (one text per anchor doc, so anchors ≤ registry rows). Only
+    // `components` may grow with the corpus — it is the doc-grain label
+    // table, the product itself. A simulated multi-week loop must hold
+    // those bounds EVERY day, not just at the end: a day-over-day leak
+    // (e.g. anchors accumulating superseded texts) would pass an end-state
+    // check long before it OOMs a year-long deployment.
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_growth").toString
+    val state = s"$tmp/state"
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    val rnd = new scala.util.Random(13)
+    def writeDay(n: Int): Unit =
+      (0 until 12).map { i =>
+        (n * 100L + i,
+          (0 until 8).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/gday$n")
+    (1 to 10).foreach(writeDay)
+    Cli.run(spark, List("dedup-build", s"$tmp/gday1", state))
+    val keyspace = 4L * 256L // 4 chunks x 2^(32/4) values
+    var prevAnchors = -1L
+    (2 to 10).foreach { n =>
+      Cli.run(spark, List("dedup-ingest", s"$tmp/gday$n", state, "2"))
+      val all = DedupState.readAll(spark, state)
+      val regRows = all("registry").count()
+      val anchorRows = all("anchors").count()
+      val distinctAnchorIds = all("registry").select("anchor_id").distinct().count()
+      assert(regRows <= keyspace,
+        s"day $n: registry $regRows exceeds the 4*2^8 keyspace")
+      assert(anchorRows === distinctAnchorIds,
+        s"day $n: anchors table must hold exactly the registry's anchor texts " +
+          s"($anchorRows rows vs $distinctAnchorIds anchor ids) — more means " +
+          "superseded texts are accumulating")
+      assert(all("components").count() === n * 12L,
+        s"day $n: components is doc-grain — one label per ingested doc")
+      prevAnchors = anchorRows
+    }
+    assert(prevAnchors > 0 && prevAnchors <= keyspace)
+  }
+
   test("DedupState: legacy flat layout reads as generation 0 and is superseded by the first versioned commit") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup_legacy").toString
     Seq((1L, "alpha beta gamma delta epsilon"))

@@ -484,6 +484,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(salted.count() === 1000)
     val counts = graft.ops.Skew.twoPhaseCount(large, Seq("k"), factor = 8).collect()
     assert(counts.length === 1 && counts.head.getAs[Long]("n") === 1000L)
+    // a map-typed column must not break the content-hash salt (xxhash64
+    // rejects MapType at analysis time — saltLarge excludes it and hashes
+    // the rest of the row)
+    val withMap = large.withColumn("m", map(col("k"), col("v")))
+    val saltedMap = graft.ops.Skew.saltLarge(withMap, Seq("k"), factor = 8)
+    assert(saltedMap.select("_salt").distinct().count() > 1,
+      "salt must still split the hot key from the non-map content")
+    // but an all-map frame has no content to hash deterministically
+    intercept[IllegalArgumentException](
+      graft.ops.Skew.saltLarge(withMap.select("m"), Seq("m"), factor = 8))
   }
 
   test("streaming writeToLake: bars land in the lake via the idempotent upsert sink") {

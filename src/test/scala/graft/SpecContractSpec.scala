@@ -65,6 +65,44 @@ class SpecContractSpec extends AnyFunSuite {
         "silently downgrades the driver's check to rows-only")
   }
 
+  test("cross-engine rounding contract: the knife-edge cases round the way the oracles assume") {
+    // The round-12 post-mortem class: an exact-at-grain-K decimal sum
+    // rounded to a COARSER grain J can land exactly on a .5 boundary, where
+    // Spark (BigDecimal HALF_UP on the double's shortest decimal repr) and
+    // DuckDB (binary-double rounding) legitimately disagree — measured live
+    // at sf0.1, q117's window contribution sum was exactly 0.0040785 and
+    // the engines split 0.004079 vs 0.004078. The fix was to report at the
+    // EXACT grain (klByWindow/sliceDivergence r7, BM25 r6, PageRank r12),
+    // where re-rounding is the identity and no half-way case exists. This
+    // test pins BOTH halves of that contract against dependency bumps:
+    // (a) Spark's half-way behavior is HALF_UP — if an upgrade changes it,
+    // every "oracle in lockstep" assumption needs re-auditing; (b) the
+    // exact-grain identity the fix relies on actually holds.
+    // PLANS.md rule: a rounded reduction must either end in a division/log
+    // (measure-zero half-way) or report at the exact grain of its sum.
+    val spark = SparkTestSession.spark
+    def one(expr: String): String =
+      spark.sql(s"SELECT CAST(($expr) AS STRING)").head.getString(0)
+    // (a) half-way pins — the post-mortem value, both as the exact decimal
+    // sum and as the double a divergent engine would carry
+    assert(one("round(CAST(0.0040785 AS DECIMAL(38,7)), 6)") === "0.004079",
+      "decimal half-way must round HALF_UP (away from zero)")
+    assert(one("round(CAST(-0.0040785 AS DECIMAL(38,7)), 6)") === "-0.004079",
+      "negative half-way mirrors (HALF_UP is away-from-zero, not toward +inf)")
+    assert(one("round(0.0040785D, 6)") === "0.004079",
+      "doubles round via the SHORTEST DECIMAL REPR (0.0040785 prints as the " +
+        "half-way case even though the binary double is below it) — the very " +
+        "divergence-from-DuckDB the exact-grain rule exists to dodge")
+    assert(one("round(2.5D, 0)") === "3.0" && one("round(-2.5D, 0)") === "-3.0",
+      "HALF_UP, not banker's rounding")
+    // (b) exact-grain identity: rounding a DECIMAL(38,7) at 7 changes
+    // nothing — so q113/q117-style reports at the sum's own grain are
+    // engine-portable by construction
+    assert(one("round(CAST(0.0040785 AS DECIMAL(38,7)), 7)") === "0.0040785")
+    assert(one("CAST(round(CAST(1.2345678 AS DECIMAL(38,7)) + CAST(2.0000002 AS DECIMAL(38,7)), 7) AS STRING)")
+      === "3.234568", "decimal addition then round-at-grain is exact")
+  }
+
   test("tf alias and default timeframe resolve through the Timeframe vocabulary") {
     val aliases = spec.get("aliases")
     assert(aliases.get("tf").asText() === "timeframe")

@@ -169,6 +169,61 @@ class StateBoundSpec extends AnyFunSuite {
       "the re-delivered duplicate must be dropped by the RECOVERED dedup state")
   }
 
+  test("DriftStream's windowed-aggregation state survives a restart: run-to-completion KL == oracled q117") {
+    // the restart matrix's fourth mechanism: the other three (mapGroups /
+    // flatMapGroups event-time timeout / dropDuplicatesWithinWatermark)
+    // are pinned above — this one is the WINDOWED STATEFUL AGGREGATION
+    // (partial per-window term counts live in the store between batches).
+    // Stop the query mid-stream with windows still OPEN, resume from the
+    // same checkpoint, finish; the pre-restart partial counts must carry,
+    // so the shared KL gate still reproduces oracled q117 bit-for-bit. A
+    // fresh (state-lost) resume would undercount every window spanning the
+    // stop and the KL would differ.
+    assume(new java.io.File(sf).isDirectory)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docsBatch = spark.read.parquet(s"$sf/documents.parquet")
+    val ref = graft.streaming.DriftStream.reference(docsBatch, "text", vocab = 200)
+    // the same deterministic doc_id-minute clock q117 uses
+    val docs = docsBatch.select(col("doc_id"), col("text"))
+      .collect().map(r => (new Timestamp((1704067200L + r.getLong(0) * 60L) * 1000L),
+        r.getString(1))).toSeq
+    val maxTs = docs.map(_._1.getTime).max
+    val outDir = java.nio.file.Files.createTempDirectory("drift_restart").toString
+    val in = MemoryStream[(Timestamp, String)]
+    def start() = graft.streaming.DriftStream
+      .termCounts(in.toDF().toDF("ts", "text"), ref, delay = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .start()
+    val chunks = docs.sortBy(_._1.getTime).grouped((docs.size + 1) / 2).toSeq
+    val q1 = start()
+    // first half only, then STOP — every window the second half also
+    // touches is open in the store at this point
+    try { in.addData(chunks.head: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start() // resume from the same checkpoint
+    try {
+      chunks.tail.foreach { c => in.addData(c: _*); q2.processAllAvailable() }
+      in.addData((new Timestamp(maxTs + 2 * 3600 * 1000L), "zz_sentinel"))
+      q2.processAllAvailable()
+      in.addData((new Timestamp(maxTs + 4 * 3600 * 1000L), "zz_sentinel"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val lastRealWin = (maxTs / 1000L) / 3600L * 3600L
+    val counts = spark.read.parquet(s"$outDir/data")
+      .where(col("win_sec") <= lastRealWin)
+    val streamed = graft.streaming.DriftStream.klByWindow(counts, ref)
+      .orderBy(col("win_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = SparkEntry.queries("q117_drift_windows")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === batch,
+      "windowed state lost across the restart: resumed KL diverges from the oracled batch twin")
+  }
+
   test("Scd2Stream state == distinct keys (one open version per key, forever)") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext

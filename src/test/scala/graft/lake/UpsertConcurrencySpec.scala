@@ -1,0 +1,122 @@
+package graft.lake
+
+import graft.SparkTestSession
+import graft.core.CandleSchema
+import graft.sources.SynthSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** The upsert's concurrency + commit-timing contract (LakeWriter scaladoc):
+  * ONE writer per partition cell at a time; a same-cell violation is
+  * DETECTED (ConcurrentWriteException) rather than silently losing the
+  * other writer's update; different-cell interleavings publish untouched;
+  * and a repair flow whose lineage reads the very files it overwrites keeps
+  * working (the lazy-localCheckpoint commit-timing assumption ADVICE r12
+  * asked to pin).
+  *
+  * Lives in package graft.lake to drive [[UpsertCore.mergeWrite]]'s
+  * `beforePublish` test seam directly — the only way to interleave a
+  * concurrent committer deterministically.
+  */
+class UpsertConcurrencySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** mergeWrite with LakeWriter.upsert's exact arguments + the test seam. */
+  private def upsertWithSeam(root: String, batch: org.apache.spark.sql.DataFrame,
+                             beforePublish: () => Unit): Unit =
+    UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root),
+      LakeFs.withUtcYearMonth(CandleSchema.enforce(batch)),
+      LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts",
+      beforePublish)
+
+  test("a SAME-cell commit landing mid-upsert is detected, not silently lost") {
+    val root = Files.createTempDirectory("lake_conflict").toString
+    val day = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+    LakeWriter.upsert(spark, root, day)
+    // writer B's update: one bar's close -> 777, committed while writer A
+    // is between its probe and its publish
+    val patchB = day.where(col("ts") === lit("2025-08-01 09:00:00"))
+      .withColumn("close", lit(777.0))
+    // writer A's update into the SAME (source,market,tf,symbol,year,month)
+    // cell — without detection its publish would rewrite the cell from the
+    // pre-B files and erase B's 777
+    val patchA = day.where(col("ts") === lit("2025-08-01 10:00:00"))
+      .withColumn("close", lit(111.0))
+    val e = intercept[ConcurrentWriteException] {
+      upsertWithSeam(root, patchA, () => LakeWriter.upsert(spark, root, patchB))
+    }
+    assert(e.getMessage.contains("concurrent commit detected"))
+    // writer B's commit SURVIVED (A aborted before publishing)...
+    val readBack = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(readBack.where(col("ts") === lit("2025-08-01 09:00:00"))
+      .head.getAs[Double]("close") === 777.0)
+    // ...and the documented repair — re-run the aborted upsert — lands A's
+    // update on top of the now-current cell, preserving B's
+    LakeWriter.upsert(spark, root, patchA)
+    val after = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(after.count() === 1440)
+    assert(after.where(col("ts") === lit("2025-08-01 09:00:00"))
+      .head.getAs[Double]("close") === 777.0)
+    assert(after.where(col("ts") === lit("2025-08-01 10:00:00"))
+      .head.getAs[Double]("close") === 111.0)
+  }
+
+  test("a DIFFERENT-cell commit mid-upsert does NOT trip the detector") {
+    // the detector lists only the cells THIS batch touches — a concurrent
+    // writer in another month must never abort it (that interleaving is the
+    // proven-safe contract, LakeSpec's different-months test)
+    val root = Files.createTempDirectory("lake_diffcell").toString
+    val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
+    val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
+    LakeWriter.upsert(spark, root, jan)
+    LakeWriter.upsert(spark, root, feb)
+    val patchJan = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .withColumn("close", lit(111111.0))
+    val patchFeb = feb.where(col("ts") === lit("2025-02-10 10:00:00"))
+      .withColumn("close", lit(222222.0))
+    // writer A (January) sees writer B (February) commit mid-flight: fine
+    upsertWithSeam(root, patchJan, () => LakeWriter.upsert(spark, root, patchFeb))
+    val all = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(all.count() === 2880)
+    assert(all.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .head.getAs[Double]("close") === 111111.0)
+    assert(all.where(col("ts") === lit("2025-02-10 10:00:00"))
+      .head.getAs[Double]("close") === 222222.0)
+  }
+
+  test("a repair flow whose lineage READS the partitions it overwrites publishes cleanly") {
+    // ADVICE r12 (Lake.scala:320): the lazy localCheckpoint's safety rests
+    // on dynamic-partition-overwrite deleting old files only at job COMMIT,
+    // after every task has read them. Pin that assumption with the exact
+    // shape that would break first: a batch derived from readRange over the
+    // same cell it upserts into — the write job's tasks read the very files
+    // its commit replaces. A refactor that splits the write into two actions
+    // (or drops the lineage break) turns this into FAILED_READ_FILE.
+    val root = Files.createTempDirectory("lake_selfread").toString
+    val day = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+    LakeWriter.upsert(spark, root, day)
+    // lineage reads the lake's OWN files — no collect/checkpoint in between
+    val fromLake = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1",
+      Some(ts("2025-08-01 00:00:00")), Some(ts("2025-08-02 00:00:00")))
+    val patched = fromLake.where(col("ts") >= lit("2025-08-01 10:00:00") &&
+        col("ts") < lit("2025-08-01 11:00:00"))
+      .withColumn("close", col("close") + 5.0)
+    LakeWriter.upsert(spark, root, patched) // overwrites the partition it reads
+    val back = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(back.count() === 1440, "no row loss, no duplicates")
+    val orig = day.where(col("ts") === lit("2025-08-01 10:30:00"))
+      .head.getAs[Double]("close")
+    assert(back.where(col("ts") === lit("2025-08-01 10:30:00"))
+      .head.getAs[Double]("close") === orig + 5.0)
+    // rows outside the patched hour kept their original values
+    val orig2 = day.where(col("ts") === lit("2025-08-01 12:00:00"))
+      .head.getAs[Double]("close")
+    assert(back.where(col("ts") === lit("2025-08-01 12:00:00"))
+      .head.getAs[Double]("close") === orig2)
+  }
+}
