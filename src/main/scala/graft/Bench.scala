@@ -122,6 +122,36 @@ object Bench {
       once() // codegen warm
       math.min(once(), once())
     }
+    // I/O-SPEED CALIBRATION PROBE (round 13): the CPU calib above is blind
+    // to storage phases — round 12 measured identical code at 137.7 vs
+    // 177.1 s across runs while calib_sec read NORMAL both times; the whole
+    // swing was host I/O, concentrated in the lake-flow queries
+    // (q124/q76/q55/q121). This probe times a fixed parquet write+read
+    // (256k rows, zstd, 4 files — the upsert write path's shape at a
+    // fraction of its size) min-of-2, so artifacts carry BOTH axes: compare
+    // totals across rounds only when both calibs match; when io_calib is
+    // inflated, normalize the I/O-heavy queries by io-calib-ratio and the
+    // rest by calib-ratio (PLANS.md "Bench normalization" rule). Idle
+    // steady state ≈ 0.4-0.6 s on this host class.
+    val ioCalibSec: Double = {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_iocalib_${ProcessHandle.current().pid()}"
+      def once(): Double = {
+        val s = System.nanoTime()
+        spark.range(262144)
+          .selectExpr("id", "CAST(id AS STRING) AS s", "id * 1.5 AS v")
+          .repartition(4)
+          .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+        spark.read.parquet(dir).queryExecution.toRdd.count()
+        (System.nanoTime() - s) / 1e9
+      }
+      val r = try { once(); math.min(once(), once()) }
+        catch { case _: Throwable => -1.0 } // a broken tmpdir must not kill the bench
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Throwable => () }
+      r
+    }
     // Local-profiling hooks (unset in driver runs): comma-separated query
     // filter and a repeat count so one query's steady-state cost can be
     // isolated without running the whole suite.
@@ -215,6 +245,7 @@ object Bench {
         case (k, v) if !failed.contains(k) => v.min
       }.sum
       val flags = List(s""""calib":${fp(2)(calibSec)}""",
+        s""""io_calib":${fp(2)(ioCalibSec)}""",
         s""""workload":"$workloadVersion"""") ++
         (if (degraded) List("\"degraded\":true") else Nil) ++
         (if (skipped > 0) List(s"\"skipped\":$skipped") else Nil) ++
@@ -256,7 +287,7 @@ object Bench {
         failed.asScala.toVector.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       val rawLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${f(calibSec)},"workload":"$workloadVersion","queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"failed":$errs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${f(calibSec)},"io_calib_sec":${f(ioCalibSec)},"workload":"$workloadVersion","queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"failed":$errs,"sf":"$sfDir"}"""
       try {
         val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RAW_OUT",
           "/root/repo/BENCH_RAW.json"))
