@@ -636,6 +636,18 @@ object Dedup {
     * (two docs within hamming distance <= chunks-1 share at least one exact
     * chunk), then verify with the true hamming distance. `maxBucket` caps
     * degenerate (chunk, value) blocks (see object scaladoc).
+    *
+    * Cost model (measured, PLANS.md round 13): candidate pairs within the
+    * FIXED 4·2^(bits/4)-bucket keyspace grow ~n²/2^(bits/4) — the price of
+    * the EXACT ≤(chunks−1)-hamming pigeonhole guarantee. Sizing rule: pick
+    * `bits` so 2^(bits/4) stays within ~an order of magnitude of n (48 bits
+    * ≈ 4096 buckets/chunk carried 50k docs at ~11 s single-node; 64 bits
+    * ≈ 65k buckets/chunk is the next step), or cap the degenerate blocks
+    * via `maxBucket` (recall-lossy, reported). For a standing corpus the
+    * scale path is NOT this all-pairs form at all — it is the anchor
+    * registry + routing ([[simhashBucketRegistry]]/[[simhashRoute]]),
+    * O(1) candidates per doc against a keyspace-bounded registry, measured
+    * exponent ≤0.24 over the same decade.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 100000,
