@@ -29,6 +29,28 @@ object Scratch {
         val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
         println(s"[rows] $name @ $sfDir = " +
           SparkEntry.queries(name)(spark, sfDir).count())
+      case "simhash-ab" :: rest =>
+        // head-to-head of the two wide-signature candidate generators on
+        // the SAME host phase (the cross-run ladder confounds host speed):
+        // sign once (localCheckpoint), then time chunk blocking vs the
+        // two-half MIH join, min-of-3 alternating
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), graft.ops.Dedup.simhash(col("text"), 48).as("sig"))
+          .localCheckpoint()
+        def time(f: => org.apache.spark.sql.DataFrame): Double = {
+          val s = System.nanoTime(); f.queryExecution.toRdd.count()
+          (System.nanoTime() - s) / 1e9
+        }
+        val (cs, ms) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+        for (_ <- 1 to 3) {
+          cs += time(graft.ops.Dedup.simhashCandidatesFromSignatures(
+            sigs, "doc_id", "sig", 3, 100000, 12))
+          ms += time(graft.ops.Dedup.simhashCandidatesMih(
+            sigs, "doc_id", "sig", 3, 100000, 48))
+        }
+        println(f"[ab] $sfDir chunk=${cs.result().min}%.2fs mih=${ms.result().min}%.2fs (min-of-3)")
+
       case "profile" :: name :: rest =>
         // split a query's cost into plan-build / analysis+optimization /
         // execution, repeated so JIT warmup is visible

@@ -252,10 +252,12 @@ object SparkEntry {
     }),
 
     // 48-bit wide-signature SimHash near-dup pairs with 12-bit chunk
-    // blocking — the corpus-scale twin of q27: same 4-chunk <=3-hamming
-    // pigeonhole (exact, not recall-lossy), 16x the bucket keyspace, so
-    // collision candidates shrink 16x (the round-10 scale probe measured
-    // the 8-bit blocking super-linear past ~10^4 docs)
+    // blocking — the corpus-scale twin of q27, exact ≤3-hamming over the
+    // wide 48-bit signature. Round 13: the wide path generates candidates
+    // via the two-half multi-index (MIH) join — same exact output (this
+    // oracle pins it), candidate growth ~n²/2^24 instead of ~n²/2^12
+    // (measured exp 0.66 vs 1.02 over sf0.1→sf1; crossover ≈ 5·10⁴ docs,
+    // so the bench-scale run pays ~0.5 s for the decade-up sanity)
     "q133_simhash_wide_pairs" -> ((s, dir) => {
       Dedup.simhashCandidates(tbl(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3, bits = 48)

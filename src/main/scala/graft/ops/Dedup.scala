@@ -637,17 +637,19 @@ object Dedup {
     * chunk), then verify with the true hamming distance. `maxBucket` caps
     * degenerate (chunk, value) blocks (see object scaladoc).
     *
-    * Cost model (measured, PLANS.md round 13): candidate pairs within the
-    * FIXED 4·2^(bits/4)-bucket keyspace grow ~n²/2^(bits/4) — the price of
-    * the EXACT ≤(chunks−1)-hamming pigeonhole guarantee. Sizing rule: pick
-    * `bits` so 2^(bits/4) stays within ~an order of magnitude of n (48 bits
-    * ≈ 4096 buckets/chunk carried 50k docs at ~11 s single-node; 64 bits
-    * ≈ 65k buckets/chunk is the next step), or cap the degenerate blocks
-    * via `maxBucket` (recall-lossy, reported). For a standing corpus the
-    * scale path is NOT this all-pairs form at all — it is the anchor
-    * registry + routing ([[simhashBucketRegistry]]/[[simhashRoute]]),
-    * O(1) candidates per doc against a keyspace-bounded registry, measured
-    * exponent ≤0.24 over the same decade.
+    * Cost model (measured, PLANS.md round 13): chunk-blocked candidate
+    * pairs within the FIXED 4·2^(bits/4)-bucket keyspace grow
+    * ~n²/2^(bits/4) — measured exp ~1.0 over sf0.1→sf1 at 48 bits. Wide
+    * signatures (bits > 32, maxHamming ≤ 3) therefore route to the
+    * two-half multi-index generator ([[simhashCandidatesMih]]): identical
+    * exact output, candidates ~n²/2^(bits/2) (a 2^(bits/4)× smaller
+    * quadratic term) for a constant (1 + bits/2)× probe fan-out — measured
+    * exp 0.66 over the same decade, crossover vs chunking ≈ 5·10⁴ docs.
+    * Degenerate blocks cap via `maxBucket` on either path (recall-lossy,
+    * by dropped-bucket). For a standing corpus the scale path is NOT an
+    * all-pairs form at all — it is the anchor registry + routing
+    * ([[simhashBucketRegistry]]/[[simhashRoute]]), O(1) candidates per doc
+    * against a keyspace-bounded registry, measured exponent ≤0.24.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 100000,
@@ -656,8 +658,96 @@ object Dedup {
     // self-joined below: cache the (id, sig) projection so the scan+sign
     // pipeline runs once, not once per join side (round-1 q27 hot spot)
     val withSig = docs.select(col(idCol), simhash(col(textCol), bits).as("simhash")).cache()
-    simhashCandidatesFromSignatures(withSig, idCol, "simhash", maxHamming,
-      maxBucket, chunkBits = bits / 4)
+    // strategy routing (round 13): wide signatures take the two-half
+    // multi-index form — same exact ≤3-hamming output (the q133 oracle
+    // pins it bit-for-bit), candidate growth ~n²/2^(bits/2) instead of
+    // ~n²/2^(bits/4); the narrow 32-bit path keeps the chunk blocking
+    // (q27's contract-parity form, and the cap's first-match emission)
+    if (bits > 32 && bits % 2 == 0 && maxHamming <= 3)
+      simhashCandidatesMih(withSig, idCol, "simhash", maxHamming, maxBucket, bits)
+    else
+      simhashCandidatesFromSignatures(withSig, idCol, "simhash", maxHamming,
+        maxBucket, chunkBits = bits / 4)
+  }
+
+  /** Multi-index Hamming blocking (the "MIH" scheme — Norouzi, Punjani &
+    * Fleet, "Fast search in Hamming space with multi-index hashing", CVPR
+    * 2012, adapted to a self-join): split the `bits`-bit signature into TWO
+    * halves; a pair within hamming distance ≤ 3 has min(d₁, d₂) ≤ 1 by
+    * pigeonhole, so candidates come from an equi-join between each doc's
+    * EXACT half values (index side) and every ≤1-bit perturbation of the
+    * other docs' halves (probe side, 1 + bits/2 variants per half), then
+    * the true hamming distance verifies. Output is identical to
+    * [[simhashCandidatesFromSignatures]] at chunkBits = bits/4 — same
+    * exact contract, different candidate generator.
+    *
+    * Why it scales where chunk blocking doesn't: chunk blocking's
+    * candidates grow ~n²/2^(bits/4) inside a fixed 4·2^(bits/4) keyspace
+    * (measured exp ~1.05 over sf0.1→sf1 at 48 bits, PLANS.md round 13);
+    * the two-half index has keyspace 2·2^(bits/2) — 2^(bits/4) times
+    * larger — so the quadratic term shrinks by the same factor, at the
+    * price of a constant (1 + bits/2)× probe-side fan-out. At small n the
+    * fan-out dominates and chunk blocking is cheaper; past ~10⁴ docs the
+    * quadratic term does, which is why [[simhashCandidates]] routes only
+    * the wide path here.
+    *
+    * `maxBucket` caps degenerate index-side (half, value) buckets (an
+    * all-identical-signature corpus); a pair survives if ANY of its
+    * matching (direction, half) paths lands in an uncapped bucket — the
+    * same maximal-recall-under-cap semantics as the chunked form's
+    * first-surviving-match emission. Candidates are canonicalized and
+    * deduped explicitly (the cheap shuffle here: MIH's whole point is that
+    * the candidate set stays small).
+    */
+  def simhashCandidatesMih(sigs: DataFrame, idCol: String,
+                           sigCol: String = "simhash",
+                           maxHamming: Int = 3,
+                           maxBucket: Int = 100000,
+                           bits: Int = 48): DataFrame = {
+    require(bits % 2 == 0 && bits >= 8 && bits <= 60, s"need even 8 <= bits <= 60, got $bits")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "two-half pigeonhole covers maxHamming <= 3; use the chunked form beyond")
+    val halfBits = bits / 2
+    val mask = (1L << halfBits) - 1L
+    val span = 1L << halfBits
+    val withSig = sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+    def half(sig: Column, h: Int): Column =
+      shiftright(sig, h * halfBits).bitwiseAND(mask)
+    val idx = withSig.select(col("_id").as("id_i"), col("_sig").as("sig_i"),
+      explode(array((0 until 2).map(h =>
+        struct(lit(h).as("h"), half(col("_sig"), h).as("v"))): _*)).as("_c"))
+      .select(col("id_i"), col("sig_i"), col("_c.h").as("_h"), col("_c.v").as("_v"))
+    // degenerate-bucket cap on the INDEX side; over-cap keys number at most
+    // n/maxBucket (tiny), collected once and inlined as literals — probe
+    // rows aimed at a dropped bucket are filtered by the same list
+    val droppedKeys: Seq[Long] =
+      if (maxBucket <= 0) Nil
+      else idx.groupBy(col("_h"), col("_v"))
+        .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
+        .select((col("_h") * span + col("_v")).as("k"))
+        .collect().map(_.getLong(0)).toSeq
+    def surviving(df: DataFrame): DataFrame =
+      if (droppedKeys.isEmpty) df
+      else df.where(!(col("_h") * span + col("_v")).isin(droppedKeys: _*))
+    val masks = 0L +: (0 until halfBits).map(j => 1L << j)
+    val probe = withSig.select(col("_id").as("id_p"), col("_sig").as("sig_p"),
+      explode(array((for (h <- 0 until 2; m <- masks) yield
+        struct(lit(h).as("h"),
+          half(col("_sig"), h).bitwiseXOR(lit(m)).as("v"))): _*)).as("_c"))
+      .select(col("id_p"), col("sig_p"), col("_c.h").as("_h"), col("_c.v").as("_v"))
+    surviving(idx).join(surviving(probe), Seq("_h", "_v"))
+      .where(col("id_i") =!= col("id_p"))
+      // canonical orientation, then dedupe: a pair can match from both
+      // directions and on both halves (≤ 4 rows)
+      .select(when(col("id_i") < col("id_p"),
+          struct(col("id_i").as("ia"), col("sig_i").as("sa"),
+            col("id_p").as("ib"), col("sig_p").as("sb")))
+        .otherwise(struct(col("id_p").as("ia"), col("sig_p").as("sa"),
+          col("id_i").as("ib"), col("sig_i").as("sb"))).as("_p"))
+      .distinct()
+      .select(col("_p.ia").as("id_a"), col("_p.ib").as("id_b"),
+        hamming(col("_p.sa"), col("_p.sb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** The canonical near-dup pipeline composition: MinHash+LSH candidate

@@ -139,6 +139,58 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("MIH two-half blocking == chunk blocking == brute force at 48 bits (exact ≤3-hamming, both strategies)") {
+    // the round-13 strategy routing: wide signatures generate candidates
+    // via the two-half multi-index join instead of 12-bit chunks — SAME
+    // declared-exact output (q133's oracle pins it end-to-end; this pins
+    // the generator directly on adversarial planted distances, including
+    // the d=3 boundary and d=4 just past it)
+    val rnd = new scala.util.Random(29)
+    val mask48 = (1L << 48) - 1L
+    val base = (0 until 260).map(i => (i.toLong, rnd.nextLong() & mask48))
+    def flip(sig: Long, k: Int, seed: Int): Long = {
+      var s = sig
+      val r = new scala.util.Random(seed)
+      (0 until k).foreach(_ => s ^= 1L << r.nextInt(48))
+      s
+    }
+    // planted: exact dup, d=1..4 (4 must NOT pair), plus a d=3 pair whose
+    // bits all fall in ONE half (the other half exact — the pigeonhole's
+    // easy case) and one spread 2+1 across halves (min-half = 1, the case
+    // a buggy variant generator misses)
+    val planted = Seq(
+      (1000L, base(0)._2), (1001L, flip(base(1)._2, 1, 1)),
+      (1002L, flip(base(2)._2, 2, 2)), (1003L, flip(base(3)._2, 3, 3)),
+      (1004L, flip(base(4)._2, 4, 4)),
+      (1005L, base(5)._2 ^ 7L),                      // d=3, all in half 0
+      (1006L, base(6)._2 ^ (1L << 2) ^ (1L << 30) ^ (1L << 40))) // 1+2 split
+    val all = base ++ planted
+    val sigs = all.toDF("doc_id", "sig")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    val mih = got(Dedup.simhashCandidatesMih(sigs, "doc_id", "sig",
+      maxHamming = 3, bits = 48))
+    val chunked = got(Dedup.simhashCandidatesFromSignatures(sigs, "doc_id", "sig",
+      maxHamming = 3, chunkBits = 12))
+    val brute = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib, d.toLong)).sortBy(p => (p._1, p._2))
+    assert(mih === brute, "MIH candidates must be the exact ≤3-hamming set")
+    assert(chunked === brute, "chunk blocking must agree (shared contract)")
+    assert(brute.exists(p => p._2 == 1005L) && brute.exists(p => p._2 == 1006L),
+      "planted boundary pairs must actually be in the answer set")
+    assert(!brute.exists(p => p._2 == 1004L), "d=4 must not pair")
+    // degenerate-bucket cap: identical-signature corpus, cap below the
+    // bucket width -> every path capped, zero candidates; default cap keeps
+    // the full clique
+    val same = (0 until 40).map(i => (i.toLong, 123456789L)).toDF("doc_id", "sig")
+    assert(Dedup.simhashCandidatesMih(same, "doc_id", "sig", 3, maxBucket = 10,
+      bits = 48).count() === 0L)
+    assert(Dedup.simhashCandidatesMih(same, "doc_id", "sig", 3,
+      bits = 48).count() === 40L * 39L / 2L)
+  }
+
   test("wide anchor routing: batch simhashAnchorCandidates(bits=48) == brute anchors; streaming twin bit-matches under id-ordered replay") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/documents.parquet").exists())
