@@ -403,6 +403,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: simhashCandidatesMih == chunked == brute across seeds, bit widths, and pair densities") {
+    // the two wide-signature candidate generators share one exact contract
+    // (all pairs within maxHamming); sweep it across seeded corpora dense
+    // with near-boundary pairs — random signatures alone almost never land
+    // within distance 3, so half the corpus is derived by flipping 0-5 bits
+    // of earlier members (d=4,5 plants must NOT pair; cross-half splits
+    // exercise the variant generator's min-half case)
+    import spark.implicits._
+    for (seed <- seeds; bits <- Seq(40, 48, 60)) {
+      val rnd = new scala.util.Random(seed * 31 + bits)
+      val mask = (1L << bits) - 1L
+      val baseSigs = (0 until 120).map(_ => rnd.nextLong() & mask)
+      val derived = (0 until 120).map { i =>
+        var s = baseSigs(rnd.nextInt(baseSigs.size))
+        (0 until rnd.nextInt(6)).foreach(_ => s ^= 1L << rnd.nextInt(bits))
+        s
+      }
+      val all = (baseSigs ++ derived).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val sigs = all.toDF("doc_id", "sig")
+      def got(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+      val brute = (for {
+        (ia, sa) <- all; (ib, sb) <- all if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+      } yield (ia, ib, d.toLong)).sortBy(p => (p._1, p._2))
+      assert(brute.nonEmpty, s"seed $seed bits $bits: degenerate corpus, no pairs to test")
+      assert(got(graft.ops.Dedup.simhashCandidatesMih(sigs, "doc_id", "sig",
+        maxHamming = 3, bits = bits)) === brute, s"MIH at seed $seed bits $bits")
+      assert(got(graft.ops.Dedup.simhashCandidatesFromSignatures(sigs, "doc_id", "sig",
+        maxHamming = 3, chunkBits = bits / 4)) === brute, s"chunked at seed $seed bits $bits")
+    }
+  }
+
   test("property: prefixJaccardPairs == jaccardPairs across seeds and thresholds") {
     import spark.implicits._
     // hash-derived word soup over a small vocabulary: plenty of shared
