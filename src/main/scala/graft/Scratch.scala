@@ -29,6 +29,25 @@ object Scratch {
         val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
         println(s"[rows] $name @ $sfDir = " +
           SparkEntry.queries(name)(spark, sfDir).count())
+      case "shuffle" :: name :: rest =>
+        // total shuffle-write bytes of one query execution — the evidence
+        // mode for exchange-volume claims in PLANS.md
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        val rows = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            rows.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        Thread.sleep(2000) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[shuffle] $name @ $sfDir = ${bytes.get() / 1048576.0}%.1f MB / ${rows.get()} rows shuffle-written")
+
       case "simhash-ab" :: rest =>
         // head-to-head of the two wide-signature candidate generators on
         // the SAME host phase (the cross-run ladder confounds host speed):

@@ -513,19 +513,25 @@ object Dedup {
         length(col(strCol)).as("_len"))
     val idx = segIndexSide(base, k, "id_a", "_sa")
     val probe = segProbeSide(base, k, maxDist, "id_b", "_sb")
+    // VERIFY BEFORE DEDUPE (round 13): a pair can agree on several
+    // (segment, shift) keys — bounded multiplicity, ≤ (d+1)·(2d+1) = 15 at
+    // d=2 — so the candidate stream needs a distinct(). Running the
+    // thresholded levenshtein FIRST (codegen'd, banded with early exit —
+    // cheap even ×15) and deduping the NARROW (id_a, id_b, dist) triple
+    // afterwards shuffles 24-byte rows instead of full string pairs, and
+    // any candidate failing the distance threshold dies BEFORE the
+    // exchange. Measured at the sf1 gate shape (PLANS.md round 13):
+    // −26% shuffle-write bytes, wall-neutral there because the adversarial
+    // all-pairs-similar corpus passes ~every candidate; on a realistic
+    // corpus — where most segment agreements are NOT matches — the
+    // pre-exchange kill is the dominant effect.
     idx.join(probe, Seq("_ls", "_i", "_sub"))
       .where(col("id_a") =!= col("id_b"))
-      .select(when(col("id_a") < col("id_b"),
-          struct(col("id_a").as("ia"), col("_sa").as("sa"),
-            col("id_b").as("ib"), col("_sb").as("sb")))
-        .otherwise(struct(col("id_b").as("ia"), col("_sb").as("sa"),
-          col("id_a").as("ib"), col("_sa").as("sb"))).as("_p"))
-      .select(col("_p.ia").as("id_a"), col("_p.sa").as("_sa"),
-        col("_p.ib").as("id_b"), col("_p.sb").as("_sb"))
-      .distinct() // a pair can agree on several (segment, shift) keys
       .withColumn("dist", expr(s"levenshtein(_sa, _sb, $maxDist)").cast("long"))
       .where(col("dist") >= 0L && col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+      .distinct()
   }
 
   // segment i of a length-L string: the first k - L%k segments get
@@ -584,12 +590,15 @@ object Dedup {
         .select(col(id).as("_id"), col(s).as("_s"), length(col(s)).as("_len"))
     val idx = segIndexSide(prep(left, leftId, leftStr), k, "id_l", "_sl")
     val probe = segProbeSide(prep(right, rightId, rightStr), k, maxDist, "id_r", "_sr")
+    // verify-before-dedupe, same reasoning as [[fuzzyPairsSegmented]]:
+    // banded levenshtein on the multiplied candidates (bounded ≤15× at
+    // d=2), then distinct over the narrow id/id/dist triple — no
+    // full-string shuffle, false candidates die before the exchange
     idx.join(probe, Seq("_ls", "_i", "_sub"))
-      .select(col("id_l"), col("_sl"), col("id_r"), col("_sr"))
-      .distinct() // a pair can agree on several (segment, shift) keys
       .withColumn("dist", expr(s"levenshtein(_sl, _sr, $maxDist)").cast("long"))
       .where(col("dist") >= 0L && col("dist") <= maxDist)
       .select(col("id_l"), col("id_r"), col("dist"))
+      .distinct()
   }
 
   /** 32-bit SimHash over word hashes: bit j of the signature is the sign of
