@@ -48,6 +48,49 @@ object Scratch {
         spark.sparkContext.removeSparkListener(l)
         println(f"[shuffle] $name @ $sfDir = ${bytes.get() / 1048576.0}%.1f MB / ${rows.get()} rows shuffle-written")
 
+      case "shuffle-all" :: rest =>
+        // per-query shuffle-write volume across the whole suite, one JVM —
+        // the exchange-volume ranking behind PLANS.md's shuffle audit.
+        // Volume (bytes/rows written) is partition-count-insensitive, so
+        // the local[8] scratch session is a fair proxy for the bench shape.
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        val rows = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            rows.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          }
+        })
+        def drain(): (Long, Long) = {
+          // listener bus is async: poll until the counters hold still
+          var prev = (-1L, -1L); var cur = (bytes.get(), rows.get()); var spins = 0
+          while (cur != prev && spins < 30) {
+            prev = cur; Thread.sleep(100); cur = (bytes.get(), rows.get()); spins += 1
+          }
+          cur
+        }
+        val out = Seq.newBuilder[(String, Double, Long, Double)]
+        for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+          spark.catalog.clearCache()
+          drain(); bytes.set(0); rows.set(0)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            val (b, r) = drain()
+            val sec = (System.nanoTime() - t0) / 1e9
+            out += ((name, b / 1048576.0, r, sec))
+            println(f"[shuffle-all] $name%-34s ${b / 1048576.0}%9.1f MB ${r}%12d rows ${sec}%6.2f s")
+          } catch {
+            case e: Throwable => println(s"[shuffle-all] $name FAILED: ${e.getMessage}")
+          }
+        }
+        println("==== top 25 by shuffle-write MB ====")
+        out.result().sortBy(-_._2).take(25).foreach { case (n, mb, r, sec) =>
+          println(f"$n%-34s $mb%9.1f MB $r%12d rows $sec%6.2f s")
+        }
+
       case "simhash-ab" :: rest =>
         // head-to-head of the two wide-signature candidate generators on
         // the SAME host phase (the cross-run ladder confounds host speed):

@@ -48,6 +48,14 @@ object Dedup {
 
   val P: Long = 1000000007L
 
+  /** Corpus size where two-half MIH blocking overtakes 12-bit chunk
+    * blocking for wide (>32-bit) signatures — the measured same-phase A/B
+    * crossover (PLANS.md round 13: chunk 0.56/0.85/5.82 s vs MIH
+    * 1.20/1.59/5.52 s at sf0.1/0.3/1, exp 1.02 vs 0.66 over the decade).
+    * [[simhashCandidates]] routes wide corpora at or above this to MIH.
+    */
+  val MihCrossoverDocs: Long = 50000L
+
   /** Deterministic per-function mixing constants for k hash functions. */
   def mixConsts(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 3L, 1442695040888963407L % P * (i + 1) % P))
@@ -671,8 +679,17 @@ object Dedup {
     // multi-index form — same exact ≤3-hamming output (the q133 oracle
     // pins it bit-for-bit), candidate growth ~n²/2^(bits/2) instead of
     // ~n²/2^(bits/4); the narrow 32-bit path keeps the chunk blocking
-    // (q27's contract-parity form, and the cap's first-match emission)
-    if (bits > 32 && bits % 2 == 0 && maxHamming <= 3)
+    // (q27's contract-parity form, and the cap's first-match emission).
+    // SIZE-ADAPTIVE below the measured crossover: MIH pays a constant
+    // (1 + bits/2)× probe fan-out to suppress the quadratic term, which
+    // only wins past ~5·10⁴ docs (same-phase A/B, PLANS.md round 13) —
+    // under it, chunk blocking generates fewer candidates outright. The
+    // count() is ~free: it materializes the (id, sig) cache the self-join
+    // needs anyway, so the signing work is pre-paid, not added. Both
+    // generators emit the identical exact pair set, so the switch changes
+    // cost, never results.
+    lazy val corpusDocs = withSig.count()
+    if (bits > 32 && bits % 2 == 0 && maxHamming <= 3 && corpusDocs >= MihCrossoverDocs)
       simhashCandidatesMih(withSig, idCol, "simhash", maxHamming, maxBucket, bits)
     else
       simhashCandidatesFromSignatures(withSig, idCol, "simhash", maxHamming,
@@ -704,9 +721,9 @@ object Dedup {
     * all-identical-signature corpus); a pair survives if ANY of its
     * matching (direction, half) paths lands in an uncapped bucket — the
     * same maximal-recall-under-cap semantics as the chunked form's
-    * first-surviving-match emission. Candidates are canonicalized and
-    * deduped explicitly (the cheap shuffle here: MIH's whole point is that
-    * the candidate set stays small).
+    * first-surviving-match emission. Candidates are hamming-verified
+    * FIRST, then canonicalized and deduped as narrow id/id/distance
+    * triples — failing candidates never reach the dedupe exchange.
     */
   def simhashCandidatesMih(sigs: DataFrame, idCol: String,
                            sigCol: String = "simhash",
@@ -746,17 +763,19 @@ object Dedup {
       .select(col("id_p"), col("sig_p"), col("_c.h").as("_h"), col("_c.v").as("_v"))
     surviving(idx).join(surviving(probe), Seq("_h", "_v"))
       .where(col("id_i") =!= col("id_p"))
-      // canonical orientation, then dedupe: a pair can match from both
-      // directions and on both halves (≤ 4 rows)
-      .select(when(col("id_i") < col("id_p"),
-          struct(col("id_i").as("ia"), col("sig_i").as("sa"),
-            col("id_p").as("ib"), col("sig_p").as("sb")))
-        .otherwise(struct(col("id_p").as("ia"), col("sig_p").as("sa"),
-          col("id_i").as("ib"), col("sig_i").as("sb"))).as("_p"))
-      .distinct()
-      .select(col("_p.ia").as("id_a"), col("_p.ib").as("id_b"),
-        hamming(col("_p.sa"), col("_p.sb")).as("hamming"))
+      // VERIFY BEFORE DEDUPE (the PassJoin reorder, same reasoning): the
+      // true-hamming verify is one codegen'd xor + bit_count — run it on
+      // the multiplied candidates (a pair can match from both directions
+      // and on both halves, ≤ 4 rows) and dedupe the NARROW
+      // (id_a, id_b, hamming) triple afterwards. Candidates failing the
+      // verify — the majority at scale; the probe join admits any pair
+      // within 1 bit on EITHER half — die before the distinct() exchange,
+      // and the exchange carries 24-byte triples, not (id, sig)² structs.
+      .withColumn("hamming", hamming(col("sig_i"), col("sig_p")))
       .where(col("hamming") <= maxHamming)
+      .select(least(col("id_i"), col("id_p")).as("id_a"),
+        greatest(col("id_i"), col("id_p")).as("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** The canonical near-dup pipeline composition: MinHash+LSH candidate
