@@ -144,12 +144,20 @@ object Bench {
         spark.read.parquet(dir).queryExecution.toRdd.count()
         (System.nanoTime() - s) / 1e9
       }
+      // NonFatal only: an OOM/VM error mid-probe means the JVM is dying —
+      // let it propagate instead of running the timed suite on a sick VM.
+      // The -1.0 sentinel marks "probe failed" in the artifact; consumers
+      // of the normalization rule must treat a negative io_calib as
+      // no-comparison-possible, never as a ratio denominator.
       val r = try { once(); math.min(once(), once()) }
-        catch { case _: Throwable => -1.0 } // a broken tmpdir must not kill the bench
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] io-calib probe failed (${e.getClass.getSimpleName}: ${e.getMessage}) — emitting -1.0")
+          -1.0 // a broken tmpdir must not kill the bench
+        }
       try {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
       r
     }
     // Local-profiling hooks (unset in driver runs): comma-separated query

@@ -44,7 +44,12 @@ object Scratch {
         }
         spark.sparkContext.addSparkListener(l)
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        Thread.sleep(2000) // let the listener bus drain
+        // listener bus is async: poll until the counters hold still (the
+        // fixed-sleep version under-reported on loaded hosts)
+        var prev = (-1L, -1L); var cur = (bytes.get(), rows.get()); var spins = 0
+        while (cur != prev && spins < 30) {
+          prev = cur; Thread.sleep(100); cur = (bytes.get(), rows.get()); spins += 1
+        }
         spark.sparkContext.removeSparkListener(l)
         println(f"[shuffle] $name @ $sfDir = ${bytes.get() / 1048576.0}%.1f MB / ${rows.get()} rows shuffle-written")
 

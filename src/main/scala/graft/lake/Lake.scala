@@ -342,8 +342,17 @@ private[lake] object UpsertCore {
         cur.join(broadcast(distinctTouched), partCols, "left_semi")
       else {
         touchedDirs = touched.toSeq.map { row =>
-          path + "/" + partCols.zipWithIndex
-            .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+          // build each cell dir EXACTLY as the parquet writer will: Spark
+          // Hive-escapes partition values in paths (e.g. symbol EUR/USD →
+          // symbol=EUR%2FUSD, null/empty → __HIVE_DEFAULT_PARTITION__).
+          // Raw interpolation here would point the snapshot at directories
+          // that never exist, and the conflict check would silently pass
+          // for any cell whose value needs escaping — failing OPEN on the
+          // exact contract it exists to enforce.
+          path + "/" + partCols.zipWithIndex.map { case (c, i) =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(c, Option(row.get(i)).map(_.toString).orNull)
+          }.mkString("/")
         }
         probeSnapshot = Some(cellSnapshot(spark, touchedDirs))
         cur.where(touched.map { row =>

@@ -663,7 +663,16 @@ object Dedup {
     * quadratic term) for a constant (1 + bits/2)× probe fan-out — measured
     * exp 0.66 over the same decade, crossover vs chunking ≈ 5·10⁴ docs.
     * Degenerate blocks cap via `maxBucket` on either path (recall-lossy,
-    * by dropped-bucket). For a standing corpus the scale path is NOT an
+    * by dropped-bucket). CAP CONTRACT: the two generators cap at their own
+    * blocking granularity — 2^(bits/4)-value chunk buckets vs
+    * 2^(bits/2)-value half buckets — so when a bucket actually EXCEEDS
+    * `maxBucket` the surviving pair set is generator-dependent (and, with
+    * the size-adaptive routing, corpus-size-dependent). Exact output
+    * equality between the strategies (pinned by PropertySpec and the q133
+    * oracle) holds on uncapped corpora; under a binding cap each path
+    * promises only its own maximal-recall-under-cap semantics. Callers
+    * needing cap-insensitive results should raise `maxBucket` or pin a
+    * generator explicitly. For a standing corpus the scale path is NOT an
     * all-pairs form at all — it is the anchor registry + routing
     * ([[simhashBucketRegistry]]/[[simhashRoute]]), O(1) candidates per doc
     * against a keyspace-bounded registry, measured exponent ≤0.24.
@@ -685,11 +694,16 @@ object Dedup {
     // only wins past ~5·10⁴ docs (same-phase A/B, PLANS.md round 13) —
     // under it, chunk blocking generates fewer candidates outright. The
     // count() is ~free: it materializes the (id, sig) cache the self-join
-    // needs anyway, so the signing work is pre-paid, not added. Both
-    // generators emit the identical exact pair set, so the switch changes
-    // cost, never results.
+    // needs anyway, so the signing work is pre-paid (NOTE this makes
+    // wide-path plan CONSTRUCTION eager — it runs the scan+sign job).
+    // Both generators emit the identical exact pair set whenever no
+    // blocking bucket exceeds `maxBucket`, so on uncapped corpora the
+    // switch changes cost, never results. When the cap BINDS, the
+    // recall-under-cap sets differ — the two schemes cap at different
+    // granularities (2^(bits/4)-value chunk buckets vs 2^(bits/2)-value
+    // half buckets), see the scaladoc's cap contract.
     lazy val corpusDocs = withSig.count()
-    if (bits > 32 && bits % 2 == 0 && maxHamming <= 3 && corpusDocs >= MihCrossoverDocs)
+    if (bits > 32 && maxHamming <= 3 && corpusDocs >= MihCrossoverDocs)
       simhashCandidatesMih(withSig, idCol, "simhash", maxHamming, maxBucket, bits)
     else
       simhashCandidatesFromSignatures(withSig, idCol, "simhash", maxHamming,

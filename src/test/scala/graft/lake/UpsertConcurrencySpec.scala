@@ -66,6 +66,29 @@ class UpsertConcurrencySpec extends AnyFunSuite {
       .head.getAs[Double]("close") === 111.0)
   }
 
+  test("same-cell detection survives partition values that need path escaping") {
+    // Spark Hive-escapes partition values in directory names (EUR/USD →
+    // symbol=EUR%2FUSD). The detector must snapshot the dirs the WRITER
+    // produces — a raw-interpolated path would not exist, the before/after
+    // snapshots would both read empty, and the conflict would pass silently
+    // (fail-open). Same interleaving as the first test, escaping-hostile
+    // symbol.
+    val root = Files.createTempDirectory("lake_escape").toString
+    val day = SynthSource.m1(spark, "EUR/USD", "2025-08-01", "2025-08-01")
+    LakeWriter.upsert(spark, root, day)
+    val patchB = day.where(col("ts") === lit("2025-08-01 09:00:00"))
+      .withColumn("close", lit(777.0))
+    val patchA = day.where(col("ts") === lit("2025-08-01 10:00:00"))
+      .withColumn("close", lit(111.0))
+    val e = intercept[ConcurrentWriteException] {
+      upsertWithSeam(root, patchA, () => LakeWriter.upsert(spark, root, patchB))
+    }
+    assert(e.getMessage.contains("concurrent commit detected"))
+    val readBack = LakeReader.readRange(spark, root, "synth", "EUR/USD", "M1", None, None)
+    assert(readBack.where(col("ts") === lit("2025-08-01 09:00:00"))
+      .head.getAs[Double]("close") === 777.0)
+  }
+
   test("a DIFFERENT-cell commit mid-upsert does NOT trip the detector") {
     // the detector lists only the cells THIS batch touches — a concurrent
     // writer in another month must never abort it (that interleaving is the
