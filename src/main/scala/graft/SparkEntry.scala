@@ -2207,15 +2207,15 @@ object SparkEntry {
       },
       "q111_winsorize" ->
         """WITH b AS (SELECT event_type, value FROM events),
-          | q AS (SELECT event_type, quantile_cont(value, 0.05) AS plo,
-          |         quantile_cont(value, 0.95) AS phi
+          | q AS (SELECT event_type, round(quantile_cont(value, 0.05), 4) AS plo,
+          |         round(quantile_cont(value, 0.95), 4) AS phi
           |       FROM b GROUP BY 1),
           | j AS (SELECT b.event_type, value, plo, phi,
           |        CASE WHEN value < plo THEN plo
           |             WHEN value > phi THEN phi ELSE value END AS wv
           |       FROM b JOIN q USING (event_type))
           |SELECT event_type, count(value)::BIGINT AS n,
-          | round(min(plo), 4) AS p_lo, round(min(phi), 4) AS p_hi,
+          | min(plo) AS p_lo, min(phi) AS p_hi,
           | round(sum(CAST(round(value, 4) AS DECIMAL(28,4)))::DOUBLE / count(value), 6) AS mean_raw,
           | round(sum(CAST(round(wv, 4) AS DECIMAL(28,4)))::DOUBLE / count(value), 6) AS mean_wins,
           | sum(CASE WHEN value < plo OR value > phi THEN 1 ELSE 0 END)::BIGINT AS n_clipped

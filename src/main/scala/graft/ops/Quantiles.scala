@@ -342,7 +342,7 @@ object Quantiles {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
-  /** Winsorized robust statistics: clip each value to its group's exact
+  /** Winsorized robust statistics: clip each value to its group's
     * interpolated [lo, hi] percentile band and report raw vs winsorized
     * means — the standard outlier-robust normalization for noisy numeric
     * features (clipping, unlike trimming, keeps n constant).
@@ -352,6 +352,18 @@ object Quantiles {
     * division), so they are bit-stable across engines and partitionings.
     * NULL values pass through un-clipped and are excluded from n and both
     * means (matching SQL avg semantics).
+    *
+    * CUTOFF GRAIN: clipping and `n_clipped` both use the REPORTED band —
+    * the percentile cutoffs rounded to 4 decimals — not the raw
+    * interpolated doubles. Comparing data against an unrounded
+    * interpolated cutoff is a cross-engine knife edge (the round-13 sf1
+    * gate caught it: a p05 falling between two EQUAL order statistics is
+    * exactly that value here, but an engine interpolating as
+    * (1-f)·lo + f·hi accrues a ulp and counts every value tied at the
+    * cutoff as clipped — 50 rows in one group at sf1). At the r4 grain
+    * both engines agree bit-for-bit (the q90/q127 cutoff discipline);
+    * the means are insensitive to the band's sub-r4 placement because
+    * each contribution is rounded to r4 before the decimal sum.
     *
     * Scale: the percentile pass is [[exactInterpolated]] (chunked two-phase,
     * no global window); the bands come back as a groups-sized broadcast
@@ -367,9 +379,9 @@ object Quantiles {
     val bands = exactInterpolated(df, groupCols, valueCol,
       Seq(lo -> "_plo", hi -> "_phi"))
     val v = col(valueCol)
-    val wv = when(v < col("_plo"), col("_plo"))
-      .when(v > col("_phi"), col("_phi"))
-      .otherwise(v)
+    val bLo = round(col("_plo"), 4) // the reported band IS the clip band
+    val bHi = round(col("_phi"), 4)
+    val wv = when(v < bLo, bLo).when(v > bHi, bHi).otherwise(v)
     def dmean(c: Column): Column =
       round(sum(round(c, 4).cast("decimal(28,4)")).cast("double") / count(v), 6)
     df.join(broadcast(bands), groupCols)
@@ -379,7 +391,7 @@ object Quantiles {
         round(min(col("_phi")), 4).as("p_hi"),
         dmean(v).as("mean_raw"),
         dmean(wv).as("mean_wins"),
-        sum(when(v < col("_plo") || v > col("_phi"), 1L).otherwise(0L))
+        sum(when(v < bLo || v > bHi, 1L).otherwise(0L))
           .as("n_clipped"))
   }
 

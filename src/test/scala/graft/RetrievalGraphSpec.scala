@@ -128,6 +128,30 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(wins >= pLo && wins <= pHi)
   }
 
+  test("winsorizedStats: values TIED at the percentile cutoff are not clipped (r4 band grain)") {
+    // The round-13 sf1 gate's knife edge: when the p05 rank falls between
+    // two EQUAL order statistics, the cutoff IS that value, and the rows
+    // tied at it sit inside the band. An engine interpolating the cutoff
+    // as (1-f)·lo + f·hi accrues a ulp above the data value and counts
+    // every tie as clipped (50 rows at sf1). Clipping/counting at the
+    // REPORTED r4 band pins the tie-inclusive behavior.
+    // 200 rows: ranks 9..10 (0-indexed, p05·199 = 9.95) are both 2.52.
+    val vals = (1 to 9).map(_ => 1.0) ++ (1 to 50).map(_ => 2.52) ++
+      (1 to 139).map(i => 10.0 + i) ++ Seq(1000.0, 2000.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val row = Quantiles.winsorizedStats(df, Seq("g"), "v", lo = 0.05, hi = 0.95)
+      .select("p_lo", "n_clipped").as[(Double, Long)].head()
+    assert(row._1 === 2.52, "p05 between two equal order stats is that value")
+    // clipped low side: the nine 1.0 rows only — the 50 ties at 2.52 are IN the band
+    val expectedHi = vals.count(_ > {  // hi cutoff at r4, ties-in by the same rule
+      val sorted = vals.sorted; val pos = 0.95 * (vals.size - 1)
+      val (l, h) = (sorted(pos.floor.toInt), sorted(pos.ceil.toInt))
+      val c = if (l == h) l else (pos.ceil - pos) * l + (pos - pos.floor) * h
+      math.rint(c * 1e4) / 1e4
+    })
+    assert(row._2 === 9L + expectedHi, s"ties at the cutoff must not count as clipped")
+  }
+
   test("winsorizedStats: nulls excluded from n and means, never clipped") {
     val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
       ("g", None: Option[Double])).toDF("g", "v")
