@@ -43,20 +43,34 @@ object DedupStream {
     * q132); bits=48 signs with the wide 60-bit word hash and blocks on
     * 4×4096 12-bit chunks — state stays two longs per TOUCHED bucket.
     */
-  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-                     bits: Int = 32): Dataset[BucketEntry] = {
-    import docs.sparkSession.implicits._
+  /** Sign `docs` and explode each signature into its 4 flattened blocking
+    * buckets (chunk·span + value) — ONE definition of the stream-side
+    * bucket layout, shared by [[simhashBuckets]] and [[anchorCandidates]]
+    * (round-13 review: the prelude was duplicated verbatim) and held in
+    * lockstep with the batch chunk layout (Dedup.simhashBucketRegistry /
+    * simhashCandidatesFromSignatures) by the parity specs. Emits
+    * (bucket, doc_id) — plus the signature when `keepSig`.
+    */
+  private def signedBuckets(docs: DataFrame, idCol: String, textCol: String,
+                            bits: Int, keepSig: Boolean): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val chunks = 4
     val chunkBits = bits / 4
     val span = 1L << chunkBits
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        graft.ops.Dedup.simhash(col(textCol), bits).as("_sig"))
-      .select(explode(array((0 until chunks).map(c =>
-        lit(c.toLong * span) + shiftright(col("_sig"), c * chunkBits)
-          .bitwiseAND(span - 1L)): _*))
-        .as("bucket"), col("doc_id"))
+    val signed = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.ops.Dedup.simhash(col(textCol), bits).as("sig"))
+    val bucket = explode(array((0 until chunks).map(c =>
+      lit(c.toLong * span) + shiftright(col("sig"), c * chunkBits)
+        .bitwiseAND(span - 1L)): _*)).as("bucket")
+    if (keepSig) signed.select(bucket, col("doc_id"), col("sig"))
+    else signed.select(bucket, col("doc_id"))
+  }
+
+  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 32): Dataset[BucketEntry] = {
+    import docs.sparkSession.implicits._
+    val span = 1L << (bits / 4)
+    signedBuckets(docs, idCol, textCol, bits, keepSig = false)
       .as[BucketRow]
       .groupByKey(_.bucket)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(stateFn(span))
@@ -106,17 +120,7 @@ object DedupStream {
   def anchorCandidates(docs: DataFrame, idCol: String, textCol: String,
                        maxHamming: Int = 3, bits: Int = 32): Dataset[Candidate] = {
     import docs.sparkSession.implicits._
-    require(bits % 4 == 0, "bits must split into 4 equal chunks")
-    val chunks = 4
-    val chunkBits = bits / 4
-    val span = 1L << chunkBits
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        graft.ops.Dedup.simhash(col(textCol), bits).as("sig"))
-      .select(explode(array((0 until chunks).map(c =>
-        lit(c.toLong * span) + shiftright(col("sig"), c * chunkBits)
-          .bitwiseAND(span - 1L)): _*))
-        .as("bucket"), col("doc_id"), col("sig"))
+    signedBuckets(docs, idCol, textCol, bits, keepSig = true)
       .as[SigRow]
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
@@ -156,14 +160,9 @@ object DedupStream {
     */
   def anchorCandidatesFinal(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int, queryName: String,
-                            bits: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
-    val q = anchorCandidates(docs, idCol, textCol, maxHamming, bits)
-      .writeStream.outputMode("update").format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName).distinct()
-  }
+                            bits: Int = 32): DataFrame =
+    StreamRun.toCompletion(anchorCandidates(docs, idCol, textCol, maxHamming, bits),
+      "update", queryName).distinct()
 
   /** Run the stream to completion over a bounded input and return the
     * final registry — the batch-parity surface used by the spec. A
@@ -172,15 +171,11 @@ object DedupStream {
     */
   def bucketsFinal(docs: DataFrame, idCol: String, textCol: String,
                    queryName: String, bits: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
-    val q = simhashBuckets(docs, idCol, textCol, bits)
-      .writeStream.outputMode("update").format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("chunk"), col("v"))
       .orderBy(col("n_docs").desc)
-    spark.table(queryName)
+    StreamRun.toCompletion(simhashBuckets(docs, idCol, textCol, bits),
+        "update", queryName)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")

@@ -26,13 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object DriftStream {
 
-  /** The OOV bucket label:  sorts below every printable term and
+  /** The OOV bucket label, "\\u0001oov" (the \\u0001 is written as an
+    * escape below precisely so reviewers can SEE it): sorts below every
+    * printable term and
     * cannot collide with whitespace-tokenizer output (tokens never contain
     * control chars unless the raw text does — and the reference vocab is
     * top-k by count, so a pathological control-char "term" would have to
     * out-count real words to collide).
     */
-  val OovTerm = "oov"
+  val OovTerm = "\u0001oov"
 
   /** Frozen reference distribution: global top-`vocab` terms by
     * (count desc, term asc) with their counts — a TakeOrdered over the

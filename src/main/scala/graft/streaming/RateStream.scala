@@ -22,7 +22,12 @@ object RateStream {
 
   /** (event_type, hour_sec, n) per closed tumbling window. `hour_sec` is
     * the window's left-closed epoch-second label, matching the batch
-    * operator's integer-DIV bucket exactly.
+    * operator's integer-DIV bucket exactly FOR POST-EPOCH timestamps (all
+    * the engine's corpora): at negative epoch seconds `window()` FLOORS
+    * (an event at −5 s lands in the window starting −3600) while integer
+    * DIV truncates toward zero (bucket 0), so the two faces would bucket
+    * pre-1970 events differently. Pre-epoch event times are out of
+    * contract here — assert/filter upstream if a corpus can carry them.
     */
   def hourlyCounts(events: DataFrame, bucketSeconds: Long = 3600L,
                    typeCol: String = "event_type", tsCol: String = "ts",

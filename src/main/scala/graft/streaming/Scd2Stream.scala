@@ -80,13 +80,8 @@ object Scd2Stream {
   /** Run the stream to completion over a bounded input and return the
     * CLOSED version rows — what the streaming operator itself emits.
     */
-  def historyFinal(changes: DataFrame, queryName: String): DataFrame = {
-    val spark = changes.sparkSession
-    val q = history(changes).writeStream.outputMode("append").format("memory")
-      .queryName(queryName).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
-  }
+  def historyFinal(changes: DataFrame, queryName: String): DataFrame =
+    StreamRun.toCompletion(history(changes), "append", queryName)
 
   /** Closed rows + reconstructed open versions (valid_to NULL) = the full
     * batch-equivalent history; the parity surface used by the spec.

@@ -153,11 +153,6 @@ object SketchStream {
     */
   def hllFinal(events: DataFrame, groupCol: String, valueCol: String,
                p: Int, queryName: String): DataFrame = {
-    val spark = events.sparkSession
-    val q = hllDistinct(events, groupCol, valueCol, p)
-      .writeStream.outputMode("update").format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
     // Registers only grow, so across a group's update rows n_buckets_hit
     // only grows and z_scaled only shrinks — the final state is the row
     // with (max hit, min z), no sink ordering assumed.
@@ -165,7 +160,8 @@ object SketchStream {
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(col("group"))
       .orderBy(col("n_buckets_hit").desc, col("z_scaled").asc)
-    spark.table(queryName)
+    StreamRun.toCompletion(hllDistinct(events, groupCol, valueCol, p),
+        "update", queryName)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")
@@ -200,7 +196,12 @@ object SketchStream {
         struct(lit(i).as("row"),
           graft.ops.Sketches.cellOf(col(keyCol), a, b, width).as("cell"))
     }
-    events.select(explode(array(rows: _*)).as("rc"))
+    // NULL keys set no cells, mirroring the batch twin's filter
+    // (Sketches.countMinSketch — "unprobeable rows that only bloat the
+    // sketch"): without it cellOf(NULL) lands depth phantom NULL-cell
+    // rows per null event and the documented bit-parity breaks
+    events.where(col(keyCol).isNotNull)
+      .select(explode(array(rows: _*)).as("rc"))
       .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -210,15 +211,11 @@ object SketchStream {
     */
   def countMinFinal(events: DataFrame, keyCol: String, depth: Int,
                     width: Int, queryName: String): DataFrame = {
-    val spark = events.sparkSession
-    val q = countMin(events, keyCol, depth, width)
-      .writeStream.outputMode("update").format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
     // Update mode re-emits a cell's row whenever its count grows; the
     // final value per cell is simply the max count ever emitted
     import org.apache.spark.sql.functions._
-    spark.table(queryName)
+    StreamRun.toCompletion(countMin(events, keyCol, depth, width),
+        "update", queryName)
       .groupBy(col("row"), col("cell"))
       .agg(max(col("cnt")).as("cnt"))
   }
@@ -310,15 +307,11 @@ object SketchStream {
   def sampleQuantilesFinal(events: DataFrame, groupCol: String, idCol: String,
                            valueCol: String, k: Int,
                            queryName: String): DataFrame = {
-    val spark = events.sparkSession
-    val q = sampleQuantiles(events, groupCol, idCol, valueCol, k)
-      .writeStream.outputMode("update").format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(col("group")).orderBy(col("n_total").desc)
-    spark.table(queryName)
+    StreamRun.toCompletion(sampleQuantiles(events, groupCol, idCol, valueCol, k),
+        "update", queryName)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")
@@ -329,11 +322,6 @@ object SketchStream {
     */
   def kmvFinal(events: DataFrame, groupCol: String, valueCol: String,
                k: Int, queryName: String): DataFrame = {
-    val spark = events.sparkSession
-    val q = kmvDistinct(events, groupCol, valueCol, k)
-      .writeStream.outputMode("update").format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
     // Update mode appends a row per (micro-batch, group). The final state
     // per group is identified by the VALUES, not sink order: n_seen only
     // grows as the stream progresses, and at equal n_seen the kth hash
@@ -342,7 +330,8 @@ object SketchStream {
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(col("group"))
       .orderBy(col("n_seen").desc, col("kth").asc)
-    spark.table(queryName)
+    StreamRun.toCompletion(kmvDistinct(events, groupCol, valueCol, k),
+        "update", queryName)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")

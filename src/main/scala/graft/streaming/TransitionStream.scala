@@ -21,7 +21,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (arrival order inside a batch is not time order); across micro-batches
   * the fold follows arrival, so with batches delivered in time order —
   * the parity spec's setup, and what a watermarked source provides — the
-  * emitted pair multiset is EXACTLY the batch operator's.
+  * emitted pair multiset is EXACTLY the batch operator's. An event
+  * arriving in a LATER batch but ordered BEFORE the stored lag row (a
+  * cross-batch late arrival — this op carries no watermark to drop it
+  * upstream) is discarded rather than emitted: the state is monotone per
+  * user, so late data can neither invert a pair's direction nor regress
+  * the last-touch attribution state (round-13 review fix; same rule in
+  * both state functions).
   */
 object TransitionStream {
 
@@ -55,11 +61,22 @@ object TransitionStream {
     var last = state.getOption
     sorted.foreach { e =>
       last match {
+        case Some(p) if e.tsec < p.tsec || (e.tsec == p.tsec && e.id < p.id) =>
+          // cross-batch LATE arrival: an event ordered before the stored
+          // lag row (impossible within a batch — the sort above — so the
+          // stored row is from an earlier micro-batch). Without this guard
+          // the negative delta passes <= gapSeconds, emitting an INVERTED
+          // pair (from an event that happened after the to-event) and
+          // regressing the state so the next pair is wrong too. Dropping
+          // it is the same monotone-per-user contract attributionFn
+          // enforces; batch (total-order lag) never faces the case.
+          ()
         case Some(p) if e.tsec - p.tsec <= gapSeconds =>
           out += Transition(userId, p.typ, e.typ)
-        case _ => () // first event, or the gap broke the session: no pair
+          last = Some(e)
+        case _ => // first event, or the gap broke the session: no pair
+          last = Some(e)
       }
-      last = Some(e)
     }
     last.foreach(state.update)
     out.result().iterator
@@ -109,7 +126,12 @@ object TransitionStream {
         }
         out += AttributedConversion(userId, attributed, v)
       } else {
-        last = Some(LastEv(tsec, id, ty))
+        // monotone-per-user state: a touch OLDER than the stored one
+        // (cross-batch late arrival) must not regress the last-touch
+        // state — a later conversion would be credited to the stale
+        // channel, where batch credits the most recent prior touch
+        if (last.forall(p => tsec > p.tsec || (tsec == p.tsec && id >= p.id)))
+          last = Some(LastEv(tsec, id, ty))
       }
     }
     last.foreach(state.update)
@@ -122,13 +144,9 @@ object TransitionStream {
     */
   def attributionsFinal(events: DataFrame, gapSeconds: Long,
                         targetType: String, queryName: String): DataFrame = {
-    val spark = events.sparkSession
-    val q = attributions(events, gapSeconds, targetType)
-      .writeStream.outputMode("append").format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
     import org.apache.spark.sql.functions._
-    spark.table(queryName)
+    StreamRun.toCompletion(attributions(events, gapSeconds, targetType),
+        "append", queryName)
       .groupBy(col("attributed"))
       .agg(count(lit(1)).as("n_conversions"),
         sum(round(col("value"), 4)
@@ -142,13 +160,8 @@ object TransitionStream {
     */
   def transitionsFinal(events: DataFrame, gapSeconds: Long,
                        queryName: String): DataFrame = {
-    val spark = events.sparkSession
-    val q = transitions(events, gapSeconds)
-      .writeStream.outputMode("append").format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
     import org.apache.spark.sql.functions._
-    spark.table(queryName)
+    StreamRun.toCompletion(transitions(events, gapSeconds), "append", queryName)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
   }

@@ -285,6 +285,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum === 1500L * 4, "every event lands in every row")
   }
 
+  test("streaming count-min: NULL keys set no cells (batch-parity, round-13 review fix)") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val vals: Seq[Option[Long]] =
+      (0 until 200).map(i => Some(i.toLong % 13)) ++ Seq.fill(40)(None)
+    val input = MemoryStream[Option[Long]]
+    input.addData(vals)
+    val streamed = graft.streaming.SketchStream
+      .countMinFinal(input.toDF().toDF("k"), "k", depth = 4, width = 64,
+        queryName = "cm_null_out")
+      .orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq
+    val batch = Sketches.countMinSketch(vals.toDF("k"), "k",
+        depth = 4, width = 64)
+      .orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq
+    assert(streamed === batch, "null keys must not produce phantom cells")
+    assert(streamed.map(_._3).sum === 200L * 4, "only the non-null events count")
+  }
+
   test("sample-quantile state survives a parquet round trip: persisted fold == in-memory fold") {
     import spark.implicits._
     // the incremental pipeline's real flow: land per-day state as parquet,

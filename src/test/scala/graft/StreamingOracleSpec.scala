@@ -142,6 +142,56 @@ class StreamingOracleSpec extends AnyFunSuite {
       "negative touch->conversion delta must fall back to direct")
   }
 
+  test("TransitionStream drops a cross-batch LATE event instead of inverting the pair") {
+    // round-13 review fix: without the monotone guard the late B passes
+    // `e.tsec - p.tsec <= gap` with a NEGATIVE delta, emitting A->B (a
+    // transition FROM an event that happened AFTER the to-event) and
+    // regressing the state so C then pairs as B->C instead of A->C
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = graft.streaming.TransitionStream
+      .transitions(in.toDF().toDF("user_id", "event_id", "event_type", "ts"),
+        gapSeconds = 1800L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_late").start()
+    try {
+      in.addData((1L, 1L, "A", t(1000))); q.processAllAvailable() // state A@1000
+      in.addData((1L, 2L, "B", t(500))); q.processAllAvailable()  // LATE: dropped
+      in.addData((1L, 3L, "C", t(1100))); q.processAllAvailable() // pairs with A
+    } finally q.stop()
+    val got = spark.table("trans_late")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq(("A", "C")),
+      "the late B must neither emit an inverted pair nor regress the lag state")
+  }
+
+  test("TransitionStream attribution state is monotone: a LATE touch cannot steal credit") {
+    // round-13 review fix: the conversion-side guard alone did not stop a
+    // late touch from REGRESSING the last-touch state — a conversion after
+    // it was then credited to the stale channel, where batch credits the
+    // most recent prior touch
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    val q = graft.streaming.TransitionStream
+      .attributions(in.toDF().toDF("user_id", "event_id", "event_type", "ts", "value"),
+        gapSeconds = 1800L, targetType = "purchase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_regress").start()
+    try {
+      in.addData((1L, 1L, "chA", t(1000), 0.0)); q.processAllAvailable() // touch A@1000
+      in.addData((1L, 2L, "chB", t(500), 0.0)); q.processAllAvailable()  // LATE touch
+      in.addData((1L, 3L, "purchase", t(1100), 5.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_regress")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq(("chA", 5.0)),
+      "credit goes to the newest touch; the late chB must not displace chA")
+  }
+
   test("TransitionStream.attributions over time-ordered micro-batches == oracled q92") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
