@@ -42,8 +42,33 @@ object Bench {
     // bounds the run hard — work is shed, the line always emits — so the
     // extra seconds only ever extend useful measurement, never the
     // worst-case wall clock past the envelope.
-    val budget = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).getOrElse(365.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Budget derivation (round 14): when the env is unset, scale the 365 s
+    // default by the corpus size relative to the driver's sf0.1 — the sf1
+    // sweep (10x the bytes) measured a ~900 s budget for full min-of-2
+    // (550 left ~100 single samples; 365 skipped queries), and hand-setting
+    // SPARK_GRAFT_BUDGET_S per scale was the round-13 verdict's "heroic
+    // manual run" complaint. Linear-ish rule 365 + 60*(ratio-1): ratio 1 ->
+    // 365 (driver runs unchanged), ratio 10 -> 905 (the measured sf1 need),
+    // capped at 1800 so a runaway ScaleGen dir cannot park the bench for
+    // hours. Explicit env always wins.
+    def dirBytes(d: String): Long = {
+      val root = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    val budget = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).getOrElse {
+      val base = dirBytes("/root/testdata/sf0.1")
+      val mine = dirBytes(sfDir)
+      if (base > 0 && mine > base)
+        math.min(1800.0, 365.0 + 60.0 * (mine.toDouble / base - 1.0))
+      else 365.0
+    }
     // default to the machine's cores, not a constant: an unset
     // SPARK_GRAFT_CPUS used to mean local[4] on a 32-core box — a 4-8x
     // wall-clock tax on exactly the runs (driver benches) that have a
@@ -133,7 +158,7 @@ object Bench {
     // inflated, normalize the I/O-heavy queries by io-calib-ratio and the
     // rest by calib-ratio (PLANS.md "Bench normalization" rule). Idle
     // steady state ≈ 0.4-0.6 s on this host class.
-    val ioCalibSec: Double = {
+    val ioCalibSec: Option[Double] = {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_iocalib_${ProcessHandle.current().pid()}"
       def once(): Double = {
         val s = System.nanoTime()
@@ -146,13 +171,13 @@ object Bench {
       }
       // NonFatal only: an OOM/VM error mid-probe means the JVM is dying —
       // let it propagate instead of running the timed suite on a sick VM.
-      // The -1.0 sentinel marks "probe failed" in the artifact; consumers
-      // of the normalization rule must treat a negative io_calib as
-      // no-comparison-possible, never as a ratio denominator.
-      val r = try { once(); math.min(once(), once()) }
+      // A failed probe emits JSON null (round 14; it was -1.0 before) so a
+      // consumer normalizing by io_calib fails loudly on the missing value
+      // instead of silently dividing by a negative sentinel.
+      val r = try Some { once(); math.min(once(), once()) }
         catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] io-calib probe failed (${e.getClass.getSimpleName}: ${e.getMessage}) — emitting -1.0")
-          -1.0 // a broken tmpdir must not kill the bench
+          System.err.println(s"[bench] io-calib probe failed (${e.getClass.getSimpleName}: ${e.getMessage}) — emitting null")
+          None // a broken tmpdir must not kill the bench
         }
       try {
         val p = new org.apache.hadoop.fs.Path(dir)
@@ -253,7 +278,7 @@ object Bench {
         case (k, v) if !failed.contains(k) => v.min
       }.sum
       val flags = List(s""""calib":${fp(2)(calibSec)}""",
-        s""""io_calib":${fp(2)(ioCalibSec)}""",
+        s""""io_calib":${ioCalibSec.map(fp(2)).getOrElse("null")}""",
         s""""workload":"$workloadVersion"""") ++
         (if (degraded) List("\"degraded\":true") else Nil) ++
         (if (skipped > 0) List(s"\"skipped\":$skipped") else Nil) ++
@@ -295,7 +320,7 @@ object Bench {
         failed.asScala.toVector.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       val rawLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${f(calibSec)},"io_calib_sec":${f(ioCalibSec)},"workload":"$workloadVersion","queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"failed":$errs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${f(calibSec)},"io_calib_sec":${ioCalibSec.map(f).getOrElse("null")},"workload":"$workloadVersion","queries":$fullQs,"raw_repeats":$raw,"degraded":$degraded,"skipped":$skipped,"failed":$errs,"sf":"$sfDir"}"""
       try {
         val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RAW_OUT",
           "/root/repo/BENCH_RAW.json"))

@@ -285,17 +285,47 @@ object Cli {
       // AFTER its commit: re-applying would re-merge the delta registry
       // (mergeBucketRegistries' disjointness), so the replay is a no-op
       // instead. Fingerprints are versioned ("h=" term): a marker written by
-      // the pre-content-hash format simply never matches, which fails OPEN
-      // to a re-apply only across a library upgrade mid-crash-replay — the
-      // ordinary upgrade path commits a new generation first.
+      // the pre-content-hash format never string-matches, and an AMBIGUOUS
+      // legacy marker (same n=/id=, content term absent) aborts via the
+      // legacy-marker guard below rather than failing open to a re-apply.
       val P = 1000000007L
       val fpRow = newDocs.agg(
         count(lit(1)),
         sum(pmod(col("doc_id"), lit(P)).cast("decimal(38,0)")) % P,
         sum(pmod(xxhash64(col("text")), lit(P)).cast("decimal(38,0)")) % P).head
       val nNew = fpRow.getLong(0)
-      val batchId = s"n=$nNew;id=${Option(fpRow.get(1)).getOrElse(0)};h=${Option(fpRow.get(2)).getOrElse(0)}"
-      if (DedupState.currentBatchId(spark, stateDir).contains(batchId)) {
+      val idSum = s"${Option(fpRow.get(1)).getOrElse(0)}"
+      val batchId = s"n=$nNew;id=$idSum;h=${Option(fpRow.get(2)).getOrElse(0)}"
+      val curMarker = DedupState.currentBatchId(spark, stateDir)
+      // LEGACY-MARKER guard (round 14): the pre-r13 fingerprint format
+      // recorded a text-LENGTH checksum ("tx=" term) where the current one
+      // records a content hash ("h="). A legacy marker whose n=/id= terms
+      // match this batch MIGHT be this very batch, committed by the old
+      // library just before a crash — re-applying would double-merge the
+      // delta registry, and the content term needed to decide is simply
+      // not in the marker. Abort with a clear upgrade-mid-replay error
+      // instead of failing open (the pre-r14 behavior); an operator who
+      // has verified the batch was NOT applied can override with
+      // SPARK_GRAFT_ACCEPT_LEGACY_MARKER=1. Markers with differing n=/id=
+      // are provably a different batch and proceed normally — so the
+      // ordinary upgrade path (new data after the upgrade) is unaffected.
+      curMarker.filter(_.contains(";tx=")).foreach { m =>
+        val legacyNid = m.split(";").filter(t =>
+          t.startsWith("n=") || t.startsWith("id=")).mkString(";")
+        if (legacyNid == s"n=$nNew;id=$idSum" &&
+            !sys.env.get("SPARK_GRAFT_ACCEPT_LEGACY_MARKER").contains("1")) {
+          System.err.println(
+            "dedup-ingest: upgrade mid-replay — the current generation's " +
+            "commit marker uses the legacy fingerprint format (tx= term) " +
+            "and its n=/id= terms match this batch, so this run cannot " +
+            "tell a crash replay (must no-op) from a coincidental match " +
+            "(must apply). Refusing to risk a double-merge. If you have " +
+            "verified this batch was never applied, re-run with " +
+            "SPARK_GRAFT_ACCEPT_LEGACY_MARKER=1.")
+          sys.exit(3)
+        }
+      }
+      if (curMarker.contains(batchId)) {
         println(s"[cli] dedup-ingest: batch already applied by the current " +
           s"generation (replay after a crash past the commit marker) — " +
           s"state unchanged in $stateDir")

@@ -253,7 +253,8 @@ object LakeReader {
   * with [[ConcurrentWriteException]] when another commit landed in between —
   * shrinking the undetected window from the whole probe-merge-publish span
   * to the publish job alone (>1000-cell batches fall back to the semi-join
-  * probe and skip detection; the cap note documents why). True prevention
+  * probe and skip detection — logged as a WARN so the skip is observable,
+  * and spec-pinned; the cap note documents why). True prevention
   * needs a transactional table format or an external per-cell lock — out of
   * scope by design, not by omission.
   */
@@ -279,6 +280,8 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   * and dynamic-partition overwrite everywhere, so a fix lands once.
   */
 private[lake] object UpsertCore {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   // cap on the collected touched-partition tuples (a daily/monthly batch
   // touches a handful of cells; 1000 ≈ 80 symbols × 12 months); beyond it
@@ -309,11 +312,15 @@ private[lake] object UpsertCore {
   /** `beforePublish` is a test seam (defaults to a no-op): it runs between
     * the merge-plan construction and the conflict re-check, where a
     * concurrent committer would land — specs use it to interleave a
-    * same-cell writer deterministically.
+    * same-cell writer deterministically. `maxTouched` is the semi-join
+    * fallback threshold ([[MaxTouchedPartitions]] in production; a seam so
+    * the spec pinning the fallback's no-detection contract doesn't have to
+    * write 1001 partition cells).
     */
   def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
                  partCols: Seq[String], key: Seq[String], sortCol: String,
-                 beforePublish: () => Unit = () => ()): Unit = {
+                 beforePublish: () => Unit = () => (),
+                 maxTouched: Int = MaxTouchedPartitions): Unit = {
     // same-cell conflict detection (see LakeWriter's concurrency contract):
     // populated on the literal-probe path, None on first write / semi-join
     var probeSnapshot: Option[Map[String, Seq[(String, Long, Long)]]] = None
@@ -334,13 +341,22 @@ private[lake] object UpsertCore {
       // (LakeSpec's contract): this job never opens files a different-
       // month writer's commit is about to replace.
       val distinctTouched = batch.select(partCols.map(col): _*).distinct()
-      val touched = distinctTouched.limit(MaxTouchedPartitions + 1).collect()
+      val touched = distinctTouched.limit(maxTouched + 1).collect()
       if (touched.isEmpty) cur.where(lit(false))
-      else if (touched.length > MaxTouchedPartitions)
+      else if (touched.length > maxTouched) {
         // a batch touching >1000 partition cells: fall back to the
-        // semi-join rather than build a kilometer-long predicate
+        // semi-join rather than build a kilometer-long predicate. This
+        // path has NO same-cell conflict detection (listing >1000 cells
+        // twice costs more than the violation it would catch is worth) —
+        // say so at runtime, so large-batch operators know this upsert
+        // runs with the single-writer contract unenforced (round-14;
+        // UpsertConcurrencySpec pins the undetected-publish behavior).
+        log.warn(s"upsert touches >$maxTouched partition cells — " +
+          "falling back to the semi-join probe; same-cell concurrent-write " +
+          "DETECTION IS DISABLED for this run (single-writer-per-cell " +
+          "contract unenforced)")
         cur.join(broadcast(distinctTouched), partCols, "left_semi")
-      else {
+      } else {
         touchedDirs = touched.toSeq.map { row =>
           // build each cell dir EXACTLY as the parquet writer will: Spark
           // Hive-escapes partition values in paths (e.g. symbol EUR/USD →

@@ -56,6 +56,20 @@ object Dedup {
     */
   val MihCrossoverDocs: Long = 50000L
 
+  /** Largest over-cap bucket-key list the simhash candidate generators
+    * inline as `isin(...)` literals. Over-cap keys number at most
+    * n/maxBucket, so the COLLECT is always driver-safe — but past a few
+    * thousand keys the literal list itself becomes the problem (a ~10⁵-
+    * entry In expression at 10¹⁰ docs blows up plan size and codegen), so
+    * above this cap both generators switch to the scale-safe form: the
+    * dropped keys become a broadcast DataFrame and survival is decided by
+    * a broadcast LEFT ANTI join (MIH) / a broadcast-joined per-doc
+    * survived-chunk bitmask (chunked — its first-surviving-match emission
+    * rule needs every chunk's survival, not just the joined one). Same
+    * semantics either side of the cap, pinned by DedupCapSpec.
+    */
+  val InlineKeyCap: Int = 4096
+
   /** Deterministic per-function mixing constants for k hash functions. */
   def mixConsts(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 3L, 1442695040888963407L % P * (i + 1) % P))
@@ -676,10 +690,20 @@ object Dedup {
     * all-pairs form at all — it is the anchor registry + routing
     * ([[simhashBucketRegistry]]/[[simhashRoute]]), O(1) candidates per doc
     * against a keyspace-bounded registry, measured exponent ≤0.24.
+    *
+    * NOTE (eager construction): on the wide path (bits > 32, maxHamming ≤ 3)
+    * the size-adaptive routing needs the corpus row count, so building the
+    * returned DataFrame runs the scan+sign Spark job — even if the caller
+    * never executes the result. Pass `docCount` (an exact or approximate
+    * corpus size; only its position relative to the ~5·10⁴ crossover
+    * matters) to keep plan construction lazy AND to make cap-bound results
+    * corpus-size-stable: with a binding `maxBucket` the two generators'
+    * recall-under-cap sets differ, so a pinned `docCount` pins the
+    * generator (see the cap contract above).
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 100000,
-                        bits: Int = 32): DataFrame = {
+                        bits: Int = 32, docCount: Option[Long] = None): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 equal chunks")
     // self-joined below: cache the (id, sig) projection so the scan+sign
     // pipeline runs once, not once per join side (round-1 q27 hot spot)
@@ -692,22 +716,28 @@ object Dedup {
     // SIZE-ADAPTIVE below the measured crossover: MIH pays a constant
     // (1 + bits/2)× probe fan-out to suppress the quadratic term, which
     // only wins past ~5·10⁴ docs (same-phase A/B, PLANS.md round 13) —
-    // under it, chunk blocking generates fewer candidates outright. The
-    // count() is ~free: it materializes the (id, sig) cache the self-join
-    // needs anyway, so the signing work is pre-paid (NOTE this makes
-    // wide-path plan CONSTRUCTION eager — it runs the scan+sign job).
+    // under it, chunk blocking generates fewer candidates outright. When
+    // the caller supplies no docCount the count() is ~free: it
+    // materializes the (id, sig) cache the self-join needs anyway, so the
+    // signing work is pre-paid (NOTE this makes wide-path plan
+    // CONSTRUCTION eager — it runs the scan+sign job; see the public
+    // scaladoc). A supplied docCount keeps construction fully lazy.
     // Both generators emit the identical exact pair set whenever no
     // blocking bucket exceeds `maxBucket`, so on uncapped corpora the
     // switch changes cost, never results. When the cap BINDS, the
     // recall-under-cap sets differ — the two schemes cap at different
     // granularities (2^(bits/4)-value chunk buckets vs 2^(bits/2)-value
     // half buckets), see the scaladoc's cap contract.
-    lazy val corpusDocs = withSig.count()
+    lazy val corpusDocs = docCount.getOrElse(withSig.count())
+    // a supplied docCount promises lazy construction, so the generators'
+    // cap computation must not collect either — they take the lazy
+    // broadcast-anti-join cap form (collectCapKeys = false)
     if (bits > 32 && maxHamming <= 3 && corpusDocs >= MihCrossoverDocs)
-      simhashCandidatesMih(withSig, idCol, "simhash", maxHamming, maxBucket, bits)
+      simhashCandidatesMih(withSig, idCol, "simhash", maxHamming, maxBucket,
+        bits, collectCapKeys = docCount.isEmpty)
     else
       simhashCandidatesFromSignatures(withSig, idCol, "simhash", maxHamming,
-        maxBucket, chunkBits = bits / 4)
+        maxBucket, chunkBits = bits / 4, collectCapKeys = docCount.isEmpty)
   }
 
   /** Multi-index Hamming blocking (the "MIH" scheme — Norouzi, Punjani &
@@ -743,7 +773,8 @@ object Dedup {
                            sigCol: String = "simhash",
                            maxHamming: Int = 3,
                            maxBucket: Int = 100000,
-                           bits: Int = 48): DataFrame = {
+                           bits: Int = 48,
+                           collectCapKeys: Boolean = true): DataFrame = {
     require(bits % 2 == 0 && bits >= 8 && bits <= 60, s"need even 8 <= bits <= 60, got $bits")
     require(maxHamming >= 0 && maxHamming <= 3,
       "two-half pigeonhole covers maxHamming <= 3; use the chunked form beyond")
@@ -758,17 +789,39 @@ object Dedup {
         struct(lit(h).as("h"), half(col("_sig"), h).as("v"))): _*)).as("_c"))
       .select(col("id_i"), col("sig_i"), col("_c.h").as("_h"), col("_c.v").as("_v"))
     // degenerate-bucket cap on the INDEX side; over-cap keys number at most
-    // n/maxBucket (tiny), collected once and inlined as literals — probe
-    // rows aimed at a dropped bucket are filtered by the same list
-    val droppedKeys: Seq[Long] =
-      if (maxBucket <= 0) Nil
-      else idx.groupBy(col("_h"), col("_v"))
-        .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
-        .select((col("_h") * span + col("_v")).as("k"))
-        .collect().map(_.getLong(0)).toSeq
-    def surviving(df: DataFrame): DataFrame =
-      if (droppedKeys.isEmpty) df
-      else df.where(!(col("_h") * span + col("_v")).isin(droppedKeys: _*))
+    // n/maxBucket (tiny) — probe rows aimed at a dropped bucket are
+    // filtered by the same key set. Three forms, same semantics (pinned by
+    // DedupCapSpec): collected keys inline as isin literals up to
+    // [[InlineKeyCap]] (the common plan, join-free); past it they move out
+    // of the plan tree into a broadcast LEFT ANTI join; and with
+    // `collectCapKeys = false` the over-cap frame is never collected at
+    // all — the anti-join right side stays a lazy aggregate, so plan
+    // construction runs NO job (the [[simhashCandidates]] docCount path).
+    val cap: Option[Either[Seq[Long], DataFrame]] =
+      if (maxBucket <= 0) None
+      else {
+        val aggKeys = idx.groupBy(col("_h"), col("_v"))
+          .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
+          .select((col("_h") * span + col("_v")).as("_dropped_k"))
+        if (!collectCapKeys) Some(Right(aggKeys))
+        else {
+          val keys = aggKeys.collect().map(_.getLong(0)).toSeq
+          if (keys.isEmpty) None
+          else if (keys.size <= InlineKeyCap) Some(Left(keys))
+          else {
+            val spark = sigs.sparkSession
+            import spark.implicits._
+            Some(Right(keys.toDF("_dropped_k")))
+          }
+        }
+      }
+    def surviving(df: DataFrame): DataFrame = cap match {
+      case None => df
+      case Some(Left(keys)) =>
+        df.where(!(col("_h") * span + col("_v")).isin(keys: _*))
+      case Some(Right(dropped)) => df.join(broadcast(dropped),
+        col("_h") * span + col("_v") === col("_dropped_k"), "left_anti")
+    }
     val masks = 0L +: (0 until halfBits).map(j => 1L << j)
     val probe = withSig.select(col("_id").as("id_p"), col("_sig").as("sig_p"),
       explode(array((for (h <- 0 until 2; m <- masks) yield
@@ -1026,7 +1079,8 @@ object Dedup {
                                       sigCol: String = "simhash",
                                       maxHamming: Int = 3,
                                       maxBucket: Int = 100000,
-                                      chunkBits: Int = 8): DataFrame = {
+                                      chunkBits: Int = 8,
+                                      collectCapKeys: Boolean = true): DataFrame = {
     require(chunkBits >= 4 && chunkBits <= 15, s"need 4 <= chunkBits <= 15")
     val withSig = sigs.select(col(idCol), col(sigCol).as("simhash"))
     val chunks = 4
@@ -1038,31 +1092,69 @@ object Dedup {
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask).as("v"))): _*)).as("_c"))
       .select(col(idCol), col("simhash"), col("_c.chunk"), col("_c.v"))
-    // Over-cap buckets, collected as (chunk*span + value) literals. The
-    // aggregate shuffles at most chunks*span rows (the whole keyspace) no
-    // matter the corpus size, so the collect is safe at any scale — unlike
-    // the generic capBucket anti-join, which must stay distributed because
-    // its bucket keyspace (shingles, band signatures) is data-sized.
-    val droppedKeys: Seq[Long] =
-      if (maxBucket <= 0) Nil
-      else chunked.groupBy(col("chunk"), col("v"))
-        .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
-        .select((col("chunk") * span + col("v")).as("k"))
-        .collect().map(_.getLong(0)).toSeq
-    val capped =
-      if (droppedKeys.isEmpty) chunked
-      else chunked.where(!(col("chunk") * span + col("v")).isin(droppedKeys: _*))
-    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("v"))
+    // Survival plumbing for the capped regime — three forms, same
+    // semantics (pinned by DedupCapSpec). Collected over-cap keys inline
+    // as isin literals up to [[InlineKeyCap]] (the common plan: join-free,
+    // and the aggregate shuffles at most the fixed chunks*span keyspace at
+    // any corpus size, so the collect is always driver-safe); past the cap
+    // — or with `collectCapKeys = false`, where the over-cap frame is
+    // never collected and plan construction runs NO job — the keys move
+    // into a broadcast join and each doc carries a survived-chunk BITMASK:
+    // the first-surviving-match emission rule below needs survival of
+    // EVERY zero-XOR chunk of sig_a, not just the joined chunk, so a plain
+    // anti-join on the pair frame cannot express it.
+    val cap: Option[Either[Seq[Long], DataFrame]] =
+      if (maxBucket <= 0) None
+      else {
+        val aggKeys = chunked.groupBy(col("chunk"), col("v"))
+          .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
+          .select((col("chunk") * span + col("v")).as("_dropped_k"))
+        if (!collectCapKeys) Some(Right(aggKeys))
+        else {
+          val keys = aggKeys.collect().map(_.getLong(0)).toSeq
+          if (keys.isEmpty) None
+          else if (keys.size <= InlineKeyCap) Some(Left(keys))
+          else {
+            val spark = sigs.sparkSession
+            import spark.implicits._
+            Some(Right(keys.toDF("_dropped_k")))
+          }
+        }
+      }
+    val useMask = cap.exists(_.isRight)
+    val capped = cap match {
+      case None => chunked
+      case Some(Left(keys)) =>
+        chunked.where(!(col("chunk") * span + col("v")).isin(keys: _*))
+      case Some(Right(dropped)) =>
+        val flagged = chunked.join(broadcast(dropped),
+            col("chunk") * span + col("v") === col("_dropped_k"), "left")
+          .withColumn("_dead", col("_dropped_k").isNotNull).drop("_dropped_k")
+        // per-doc mask over the doc's own 4 chunk rows: keyed window,
+        // bounded fan-in (chunks rows per key), never data-sized-unkeyed
+        flagged.withColumn("_survMask",
+            sum(when(col("_dead"), lit(0L))
+              .otherwise(expr("shiftleft(1L, CAST(chunk AS INT))")))
+              .over(Window.partitionBy(col(idCol))))
+          .where(!col("_dead")).drop("_dead")
+    }
+    val aCols = Seq(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("v")) ++
+      (if (useMask) Seq(col("_survMask")) else Nil)
+    val a = capped.select(aCols: _*)
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("v"))
     val x = col("sig_a").bitwiseXOR(col("sig_b"))
     // chunk index of the first matching (zero-XOR) chunk whose bucket
     // survived the cap — the one emission point for this pair. When the
     // chunk matches, sig_a and sig_b share the bucket, so testing sig_a's
     // chunk against the dropped set decides survival for both sides.
-    def survived(c: Int): Column =
-      if (droppedKeys.isEmpty) lit(true)
-      else !(lit(c * span) + shiftright(col("sig_a"), c * chunkBits).bitwiseAND(mask))
-        .isin(droppedKeys: _*)
+    def survived(c: Int): Column = cap match {
+      case None => lit(true)
+      case Some(Left(keys)) =>
+        !(lit(c * span) + shiftright(col("sig_a"), c * chunkBits).bitwiseAND(mask))
+          .isin(keys: _*)
+      case Some(Right(_)) =>
+        col("_survMask").bitwiseAND(lit(1L << c)) =!= lit(0L)
+    }
     val firstMatch = (0 until chunks).foldRight(lit(chunks): Column) { (c, rest) =>
       when(shiftright(x, c * chunkBits).bitwiseAND(mask) === 0L && survived(c), lit(c))
         .otherwise(rest)

@@ -33,6 +33,16 @@ object DriftStream {
     * control chars unless the raw text does — and the reference vocab is
     * top-k by count, so a pathological control-char "term" would have to
     * out-count real words to collide).
+    *
+    * COMPATIBILITY BREAK (round 13): this label was plain `"oov"` before
+    * round 13 — a user-visible output value. Persisted drift outputs and
+    * downstream consumers keyed on the old label will not match rows
+    * written after the upgrade, and RESUMING A PRE-ROUND-13 DRIFTSTREAM
+    * CHECKPOINT IS UNSUPPORTED: a window open at the upgrade boundary
+    * emits BOTH labels (pre-restart partial counts under the old label,
+    * post-restart ones under the new), silently splitting the OOV bucket.
+    * Drain the stream (close all windows) before upgrading, or map the
+    * legacy label on read: `when(col("term") === "oov", lit(OovTerm))`.
     */
   val OovTerm = "\u0001oov"
 
