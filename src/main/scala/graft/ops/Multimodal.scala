@@ -152,9 +152,237 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for non-interlaced 8-bit PNG (grayscale / RGB / RGBA) —
+    * JDK-only (`java.util.zip.Inflater` for the DEFLATE stream,
+    * `java.util.zip.CRC32` for chunk integrity; PNG is a public spec, RFC
+    * 2083), so the multimodal surface gains the format real corpora
+    * actually carry alongside the arithmetic-only BMP twin. decode parses
+    * the chunk stream (signature, IHDR, concatenated IDAT, IEND),
+    * validates every chunk CRC, inflates, and reverses all five scanline
+    * filters (None/Sub/Up/Average/Paeth) — a decoder that mishandles any
+    * filter, the per-row filter byte, or channel order produces different
+    * position-weighted features and fails the golden-fixture gate
+    * (PngCodecSpec pins hand-built fixtures per filter type). encode
+    * writes a spec-compliant minimal PNG (color type 2, filter 0 rows, one
+    * IDAT) so fixtures round-trip without any external tool. Everything
+    * throws loudly on non-PNG bytes, bad CRCs, or unsupported variants
+    * (bit depths ≠ 8, palette, interlace) — a codec must fail, not guess.
+    */
+  object PngCodec {
+    private val Signature = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+    val P = 1000000007L
+
+    private def crcOf(typeAndData: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32()
+      c.update(typeAndData)
+      c.getValue.toInt
+    }
+
+    /** Minimal spec-compliant encoder: 8-bit RGB (color type 2),
+      * non-interlaced, every scanline filter 0, a single IDAT. `pixel` is
+      * ((x, y from top-left) -> (r, g, b)).
+      */
+    def encode(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(width > 0 && height > 0, "need positive dimensions")
+      val raw = new Array[Byte]((1 + width * 3) * height)
+      var y = 0
+      while (y < height) {
+        val base = y * (1 + width * 3)
+        raw(base) = 0 // filter: None
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(x, y)
+          raw(base + 1 + x * 3) = r.toByte
+          raw(base + 2 + x * 3) = g.toByte
+          raw(base + 3 + x * 3) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val idat = out.toByteArray
+      val bb = java.nio.ByteBuffer.allocate(8 + (12 + 13) + (12 + idat.length) + 12)
+      bb.put(Signature)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        bb.putInt(data.length)
+        val td = typ.getBytes("US-ASCII") ++ data
+        bb.put(td)
+        bb.putInt(crcOf(td))
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(width).putInt(height)
+        .put(8: Byte).put(2: Byte) // bit depth 8, color type 2 (RGB)
+        .put(0: Byte).put(0: Byte).put(0: Byte) // deflate, adaptive filter, no interlace
+        .array()
+      chunk("IHDR", ihdr)
+      chunk("IDAT", idat)
+      chunk("IEND", Array.emptyByteArray)
+      bb.array()
+    }
+
+    /** Decoded PNG: dimensions, color type, and the SAME position-weighted
+      * channel checksums as [[BmpCodec.decode]] — sum over pixels of
+      * (1 + x + y·width)·channel mod P. Grayscale reports the gray value
+      * in all three channels; RGBA's alpha is validated (it must unfilter)
+      * but not summed.
+      */
+    case class Decoded(width: Int, height: Int, colorType: Int,
+                       rSum: Long, gSum: Long, bSum: Long)
+
+    def decode(bytes: Array[Byte]): Decoded = {
+      require(bytes.length >= 8 + 12 + 13 + 12, s"PNG too short: ${bytes.length} bytes")
+      require(java.util.Arrays.equals(bytes.slice(0, 8), Signature), "bad PNG signature")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.position(8)
+      var width = 0; var height = 0; var colorType = -1
+      var sawIhdr = false; var sawIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawIend) {
+        require(bb.remaining() >= 12, "truncated chunk stream")
+        val len = bb.getInt
+        require(len >= 0 && len <= bb.remaining() - 8, s"bad chunk length $len")
+        val td = new Array[Byte](4 + len)
+        bb.get(td)
+        val storedCrc = bb.getInt
+        require(storedCrc == crcOf(td),
+          s"CRC mismatch in ${new String(td, 0, 4, "US-ASCII")} chunk")
+        new String(td, 0, 4, "US-ASCII") match {
+          case "IHDR" =>
+            require(!sawIhdr, "duplicate IHDR")
+            require(len == 13, s"bad IHDR length $len")
+            val ib = java.nio.ByteBuffer.wrap(td, 4, 13)
+            width = ib.getInt; height = ib.getInt
+            val bitDepth = ib.get(); colorType = ib.get()
+            val compression = ib.get(); val filterMethod = ib.get()
+            val interlace = ib.get()
+            require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+            require(bitDepth == 8, s"only bit depth 8 supported, got $bitDepth")
+            require(colorType == 0 || colorType == 2 || colorType == 6,
+              s"only grayscale(0)/RGB(2)/RGBA(6) supported, got color type $colorType")
+            require(compression == 0 && filterMethod == 0,
+              "unknown compression/filter method")
+            require(interlace == 0, "interlaced PNG not supported")
+            sawIhdr = true
+          case "IDAT" =>
+            require(sawIhdr, "IDAT before IHDR")
+            idat.write(td, 4, len)
+          case "IEND" => sawIend = true
+          case _ => () // ancillary chunk: CRC-checked above, content ignored
+        }
+      }
+      require(sawIhdr, "missing IHDR")
+      val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+      // Long arithmetic: forged dimensions must not overflow Int into a
+      // passing size check (the BmpCodec discipline)
+      val stride = 1L + width.toLong * bpp
+      val expected = stride * height
+      require(expected <= Int.MaxValue, s"image too large: $expected bytes")
+      val raw = new Array[Byte](expected.toInt)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      try {
+        var off = 0
+        while (off < raw.length && !inflater.finished()) {
+          val k = inflater.inflate(raw, off, raw.length - off)
+          require(k > 0 || inflater.finished(),
+            "truncated DEFLATE stream (inflater stalled before the expected pixel volume)")
+          off += k
+        }
+        require(off == raw.length,
+          s"pixel data size mismatch: expected ${raw.length}, inflated $off")
+        // and nothing beyond: a stream carrying MORE pixels than IHDR
+        // declares is forged, not padded
+        require(inflater.finished() || inflater.inflate(new Array[Byte](1)) == 0,
+          "DEFLATE stream carries more data than IHDR's dimensions declare")
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt DEFLATE stream: ${e.getMessage}")
+      } finally inflater.end()
+      // reverse the per-scanline filters in place
+      val rowBytes = stride.toInt - 1
+      var y = 0
+      while (y < height) {
+        val base = y * stride.toInt
+        val filter = raw(base) & 0xff
+        var i = 0
+        while (i < rowBytes) {
+          val cur = raw(base + 1 + i) & 0xff
+          val a = if (i >= bpp) raw(base + 1 + i - bpp) & 0xff else 0
+          val b = if (y > 0) raw(base + 1 + i - stride.toInt) & 0xff else 0
+          val c = if (y > 0 && i >= bpp) raw(base + 1 + i - stride.toInt - bpp) & 0xff else 0
+          val recon = filter match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              cur + pred
+            case f => throw new IllegalArgumentException(s"bad filter type $f in row $y")
+          }
+          raw(base + 1 + i) = (recon & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      var rSum = 0L; var gSum = 0L; var bSum = 0L
+      y = 0
+      while (y < height) {
+        val base = y * stride.toInt + 1
+        var x = 0
+        while (x < width) {
+          val weight = 1L + x + y.toLong * width
+          val px = base + x * bpp
+          if (colorType == 0) {
+            val v = raw(px) & 0xff
+            rSum = (rSum + weight * v) % P
+            gSum = (gSum + weight * v) % P
+            bSum = (bSum + weight * v) % P
+          } else {
+            rSum = (rSum + weight * (raw(px) & 0xff)) % P
+            gSum = (gSum + weight * (raw(px + 1) & 0xff)) % P
+            bSum = (bSum + weight * (raw(px + 2) & 0xff)) % P
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(width, height, colorType, rSum, gSum, bSum)
+    }
+  }
+
   /** Typed row for decoded BMP features (the q140 gate's output grain). */
   case class BmpFeatures(id: Long, n_bytes: Long, width: Int, height: Int,
                          r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Typed row for decoded PNG features. */
+  case class PngFeatures(id: Long, n_bytes: Long, width: Int, height: Int,
+                         color_type: Int, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Decode real PNG blobs — same partition-preserving mapPartitions shape
+    * as [[extractBmpFeatures]], with [[PngCodec]]. Input: (id long,
+    * media binary) where media is an 8-bit gray/RGB/RGBA PNG.
+    */
+  def extractPngFeatures(media: DataFrame): Dataset[PngFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = PngCodec.decode(bytes)
+          PngFeatures(id, bytes.length.toLong, d.width, d.height,
+            d.colorType, d.rSum, d.gSum, d.bSum)
+        }
+      }
+  }
 
   /** Decode real BMP blobs — same partition-preserving mapPartitions shape
     * as [[extractFeatures]], with [[BmpCodec]] instead of the stub.

@@ -22,6 +22,20 @@ class StateBoundSpec extends AnyFunSuite {
   private def stateRows(ckpt: String): Long =
     spark.read.format("statestore").load(ckpt).count()
 
+  /** Set session state-store confs for `body`, restoring the previous
+    * values after — the restart matrix below runs each scenario under both
+    * the default store and [[graft.streaming.StateStores.Recommended]]
+    * (RocksDB + changelog checkpointing, the deployment config).
+    */
+  private def withStateStoreConf(pairs: Seq[(String, String)])(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("DedupStream.simhashBuckets state ≤ fixed keyspace (1024 at 32 bits) and == touched buckets") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
@@ -47,6 +61,46 @@ class StateBoundSpec extends AnyFunSuite {
     assert(rows === touched)
   }
 
+  /** Restart scenario 1 (mapGroupsWithState fold): stop, resume from the
+    * same checkpoint, resumed fold == batch over ALL data.
+    */
+  private def kmvRestartScenario(): Unit = {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+    val in = MemoryStream[(String, Long)]
+    // the memory sink refuses checkpoint RECOVERY ("does not support
+    // recovering from checkpoint location"), so the restart leg needs a
+    // recoverable sink — foreachBatch, collecting into a driver buffer
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    def start() = graft.streaming.SketchStream
+      .kmvDistinct(in.toDF().toDF("g", "v"), "g", "v", k = 8)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$ckptDir/_ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.SketchStream.KmvEstimate], _: Long) =>
+        val rows = df.collect().map(e => (e.group, e.n_seen, e.kth, e.est_distinct))
+        buf.synchronized { buf ++= rows }; ()
+      }
+      .start()
+    val batch1 = (0 until 40).map(i => ("a", i.toLong)) ++ Seq(("b", 1L), ("b", 2L))
+    val q1 = start()
+    try { in.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart from the SAME checkpoint; the second batch touches both
+    // groups, so the post-restart emissions are each group's final estimate
+    buf.synchronized(buf.clear())
+    val batch2 = (40 until 50).map(i => ("a", i.toLong)) :+ (("b", 3L))
+    val q2 = start()
+    try { in.addData(batch2: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = buf.synchronized(buf.toSeq).sortBy(_._1)
+    val whole = ops.Sketches.kmvDistinct((batch1 ++ batch2).toDF("g", "v"), "g", "v", 8)
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === whole, "resumed fold must equal the batch sketch over ALL data")
+    // and it genuinely CONTINUED (not restarted fresh on batch 2): a
+    // fresh fold would see only b=3 -> n_seen 1; the resumed one sees 3
+    assert(got.find(_._1 == "b").get._2 === 3L,
+      "pre-restart state did not survive the checkpoint round trip")
+  }
+
   test("stateful stream resumes from its checkpoint on the RocksDB store: fold across a restart == batch") {
     // the two operational axes every other streaming spec holds constant:
     // (a) the query is STOPPED and a new query resumes from the same
@@ -54,56 +108,20 @@ class StateBoundSpec extends AnyFunSuite {
     // in memory for one run; (b) the store is the RocksDB provider (the
     // backend a 100 TB deployment runs) instead of the default HDFS-backed
     // maps — provider choice must not alter a single bit of the fold.
-    implicit val sql = spark.sqlContext
-    import spark.implicits._
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ckptDir = java.nio.file.Files.createTempDirectory("graft_rocks").toString
-      val in = MemoryStream[(String, Long)]
-      // the memory sink refuses checkpoint RECOVERY ("does not support
-      // recovering from checkpoint location"), so the restart leg needs a
-      // recoverable sink — foreachBatch, collecting into a driver buffer
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
-      def start() = graft.streaming.SketchStream
-        .kmvDistinct(in.toDF().toDF("g", "v"), "g", "v", k = 8)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", s"$ckptDir/_ckpt")
-        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.SketchStream.KmvEstimate], _: Long) =>
-          val rows = df.collect().map(e => (e.group, e.n_seen, e.kth, e.est_distinct))
-          buf.synchronized { buf ++= rows }; ()
-        }
-        .start()
-      val batch1 = (0 until 40).map(i => ("a", i.toLong)) ++ Seq(("b", 1L), ("b", 2L))
-      val q1 = start()
-      try { in.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
-      // restart from the SAME checkpoint; the second batch touches both
-      // groups, so the post-restart emissions are each group's final estimate
-      buf.synchronized(buf.clear())
-      val batch2 = (40 until 50).map(i => ("a", i.toLong)) :+ (("b", 3L))
-      val q2 = start()
-      try { in.addData(batch2: _*); q2.processAllAvailable() } finally q2.stop()
-      val got = buf.synchronized(buf.toSeq).sortBy(_._1)
-      val whole = ops.Sketches.kmvDistinct((batch1 ++ batch2).toDF("g", "v"), "g", "v", 8)
-        .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
-      assert(got === whole, "resumed fold must equal the batch sketch over ALL data")
-      // and it genuinely CONTINUED (not restarted fresh on batch 2): a
-      // fresh fold would see only b=3 -> n_seen 1; the resumed one sees 3
-      assert(got.find(_._1 == "b").get._2 === 3L,
-        "pre-restart state did not survive the checkpoint round trip")
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    withStateStoreConf(Seq(graft.streaming.StateStores.ProviderKey ->
+      graft.streaming.StateStores.RocksDbProvider)) {
+      kmvRestartScenario()
     }
   }
 
-  test("SessionStream's event-time TIMEOUT survives a restart: a session opened before the stop closes after resume") {
-    // flatMapGroupsWithState recovery has two parts — the value AND the
-    // registered timeout timestamp; losing the latter would leave resumed
-    // sessions open forever. Open a session, stop, resume from the same
-    // checkpoint, then advance the watermark past last+gap from the NEW
-    // query: the pre-restart session must emit, with its pre-restart bounds.
+  /** Restart scenario 2 (flatMapGroupsWithState event-time timeout):
+    * recovery has two parts — the value AND the registered timeout
+    * timestamp; losing the latter would leave resumed sessions open
+    * forever. Open a session, stop, resume from the same checkpoint, then
+    * advance the watermark past last+gap from the NEW query: the
+    * pre-restart session must emit, with its pre-restart bounds.
+    */
+  private def sessionTimeoutRestartScenario(): Unit = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_sess_rs").toString
@@ -136,10 +154,16 @@ class StateBoundSpec extends AnyFunSuite {
       "the pre-restart session must close with its pre-restart bounds (user 2's stays open)")
   }
 
-  test("DocumentStream dedup state survives a restart: a duplicate re-delivered after resume is still dropped") {
-    // dropDuplicatesWithinWatermark keys its state on the content hash;
-    // losing it across a restart would re-admit every duplicate arriving
-    // after the resume — the silent-corpus-pollution failure mode
+  test("SessionStream's event-time TIMEOUT survives a restart: a session opened before the stop closes after resume") {
+    sessionTimeoutRestartScenario()
+  }
+
+  /** Restart scenario 3 (dropDuplicatesWithinWatermark): state is keyed on
+    * the content hash; losing it across a restart would re-admit every
+    * duplicate arriving after the resume — the silent-corpus-pollution
+    * failure mode.
+    */
+  private def dedupRestartScenario(): Unit = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_doc_rs").toString
@@ -169,16 +193,19 @@ class StateBoundSpec extends AnyFunSuite {
       "the re-delivered duplicate must be dropped by the RECOVERED dedup state")
   }
 
-  test("DriftStream's windowed-aggregation state survives a restart: run-to-completion KL == oracled q117") {
-    // the restart matrix's fourth mechanism: the other three (mapGroups /
-    // flatMapGroups event-time timeout / dropDuplicatesWithinWatermark)
-    // are pinned above — this one is the WINDOWED STATEFUL AGGREGATION
-    // (partial per-window term counts live in the store between batches).
-    // Stop the query mid-stream with windows still OPEN, resume from the
-    // same checkpoint, finish; the pre-restart partial counts must carry,
-    // so the shared KL gate still reproduces oracled q117 bit-for-bit. A
-    // fresh (state-lost) resume would undercount every window spanning the
-    // stop and the KL would differ.
+  test("DocumentStream dedup state survives a restart: a duplicate re-delivered after resume is still dropped") {
+    dedupRestartScenario()
+  }
+
+  /** Restart scenario 4 (WINDOWED STATEFUL AGGREGATION — partial
+    * per-window term counts live in the store between batches): stop the
+    * query mid-stream with windows still OPEN, resume from the same
+    * checkpoint, finish; the pre-restart partial counts must carry, so the
+    * shared KL gate still reproduces oracled q117 bit-for-bit. A fresh
+    * (state-lost) resume would undercount every window spanning the stop
+    * and the KL would differ.
+    */
+  private def driftRestartScenario(): Unit = {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
     import spark.implicits._
@@ -222,6 +249,26 @@ class StateBoundSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(streamed === batch,
       "windowed state lost across the restart: resumed KL diverges from the oracled batch twin")
+  }
+
+  test("DriftStream's windowed-aggregation state survives a restart: run-to-completion KL == oracled q117") {
+    driftRestartScenario()
+  }
+
+  test("the FULL restart matrix is green under the deployment config (RocksDB + changelog checkpointing)") {
+    // graft.streaming.StateStores.Recommended is the config a 100 TB
+    // deployment runs (measured 35–45% per-commit cost cut, PLANS.md round
+    // 13) — every restart mechanism must recover from CHANGELOG replay
+    // exactly as it does from full snapshots: mapGroupsWithState fold,
+    // flatMapGroups event-time timeout, dedup-within-watermark, and the
+    // windowed aggregation. Before round 14 the matrix pinned only the
+    // changelog-off path.
+    withStateStoreConf(graft.streaming.StateStores.Recommended) {
+      kmvRestartScenario()
+      sessionTimeoutRestartScenario()
+      dedupRestartScenario()
+      driftRestartScenario()
+    }
   }
 
   test("Scd2Stream state == distinct keys (one open version per key, forever)") {

@@ -112,6 +112,91 @@ class UpsertConcurrencySpec extends AnyFunSuite {
       .head.getAs[Double]("close") === 222222.0)
   }
 
+  test("the >maxTouched semi-join fallback publishes WITHOUT same-cell detection (documented contract hole)") {
+    // The cap note in UpsertCore documents that batches touching more
+    // cells than MaxTouchedPartitions probe via semi-join and SKIP the
+    // conflict detector (round 14 adds a WARN at the fallback). This test
+    // keeps that contract honest under test, not just in a comment: the
+    // same interleaving that ConcurrentWriteException-aborts on the
+    // literal-probe path publishes silently here — and writer B's commit
+    // is LOST (the undetected lost-update the detector exists to catch).
+    // maxTouched = 1 stands in for the production 1000-cell cap.
+    val root = Files.createTempDirectory("lake_fallback").toString
+    val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
+    val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
+    LakeWriter.upsert(spark, root, jan)
+    LakeWriter.upsert(spark, root, feb)
+    // writer A touches TWO cells -> exceeds maxTouched = 1 -> fallback
+    val patchA = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .unionByName(feb.where(col("ts") === lit("2025-02-10 10:00:00")))
+      .withColumn("close", lit(111.0))
+    // writer B lands in one of A's cells while A is between probe and publish
+    val patchB = jan.where(col("ts") === lit("2025-01-10 09:00:00"))
+      .withColumn("close", lit(777.0))
+    // NO exception: detection is disabled on this path
+    UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root),
+      LakeFs.withUtcYearMonth(CandleSchema.enforce(patchA)),
+      LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts",
+      beforePublish = () => LakeWriter.upsert(spark, root, patchB),
+      maxTouched = 1)
+    val after = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(after.count() === 2880)
+    // A's updates landed...
+    assert(after.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .head.getAs[Double]("close") === 111.0)
+    // ...and B's 777 was silently ERASED (A's publish rewrote the cell from
+    // its pre-B merge) — the exact lost update the literal path detects
+    val origB = jan.where(col("ts") === lit("2025-01-10 09:00:00"))
+      .head.getAs[Double]("close")
+    assert(after.where(col("ts") === lit("2025-01-10 09:00:00"))
+      .head.getAs[Double]("close") === origB,
+      "fallback path is documented to lose the concurrent update — if this " +
+      "now detects or preserves it, the contract improved: update the docs")
+  }
+
+  test("a write job CRASHING mid-publish leaves every old cell readable; a re-run heals") {
+    // The scaladoc leans on "the dynamic-overwrite commit swaps partitions
+    // at job END, after every task has succeeded" — pin it with task-failure
+    // injection: a two-cell batch whose February rows poison the write job
+    // (raise_error evaluates only in the write tasks; the partition-probe
+    // prunes every non-partition column, so the probe never trips it).
+    // January's tasks may well have completed when February's throw — the
+    // commit protocol must still leave BOTH cells exactly as they were.
+    val root = Files.createTempDirectory("lake_crash").toString
+    val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
+    val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
+    LakeWriter.upsert(spark, root, jan)
+    LakeWriter.upsert(spark, root, feb)
+    val origJan = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .head.getAs[Double]("close")
+    val poisoned = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .unionByName(feb.where(col("ts") === lit("2025-02-10 10:00:00")))
+      .withColumn("close",
+        when(month(col("ts")) === 2, raise_error(lit("injected task failure")))
+          .otherwise(lit(111.0)))
+    val e = intercept[Throwable] { LakeWriter.upsert(spark, root, poisoned) }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString("\n")
+    assert(chain.contains("injected task failure"), s"unexpected failure: $chain")
+    // NOTHING was swapped: both cells read back their pre-crash contents
+    val after = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(after.count() === 2880, "crash mid-publish must not lose or duplicate rows")
+    assert(after.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .head.getAs[Double]("close") === origJan,
+      "January's cell must keep its OLD contents even if its tasks finished first")
+    // and the documented repair — re-run without the failure — heals
+    val healthy = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .unionByName(feb.where(col("ts") === lit("2025-02-10 10:00:00")))
+      .withColumn("close", lit(111.0))
+    LakeWriter.upsert(spark, root, healthy)
+    val healed = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(healed.count() === 2880)
+    assert(healed.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .head.getAs[Double]("close") === 111.0)
+    assert(healed.where(col("ts") === lit("2025-02-10 10:00:00"))
+      .head.getAs[Double]("close") === 111.0)
+  }
+
   test("a repair flow whose lineage READS the partitions it overwrites publishes cleanly") {
     // ADVICE r12 (Lake.scala:320): the lazy localCheckpoint's safety rests
     // on dynamic-partition-overwrite deleting old files only at job COMMIT,
