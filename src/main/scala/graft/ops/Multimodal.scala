@@ -358,6 +358,89 @@ object Multimodal {
     }
   }
 
+  /** General-purpose image decode through the JDK's OWN codecs
+    * (`javax.imageio` — JPEG, PNG, BMP, GIF, TIFF; still zero external
+    * dependencies, and headless-safe): the format-sniffing stage a real
+    * crawl corpus needs, where one binary column carries a mix of formats.
+    * Emits the same position-weighted channel sums as [[BmpCodec]] /
+    * [[PngCodec]], which yields the cross-codec contract the spec pins:
+    * for the LOSSLESS formats, ImageIO's decode of a [[PngCodec.encode]] /
+    * [[BmpCodec.encode]] byte stream must produce BIT-IDENTICAL sums to
+    * the hand-rolled decoders — two entirely independent implementations
+    * agreeing on every pixel. For LOSSY JPEG the sums are deterministic
+    * within a JDK (same libjpeg tables) but only near-exact vs the source
+    * pixels — callers pinning JPEG features across JDK upgrades should
+    * re-baseline (the spec pins determinism + a tolerance, never exact
+    * JPEG values). Alpha is ignored, matching PngCodec.
+    */
+  object ImageIoCodec {
+    val P = 1000000007L
+
+    case class Decoded(width: Int, height: Int, rSum: Long, gSum: Long, bSum: Long)
+
+    def decode(bytes: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null,
+        s"not a decodable image (${bytes.length} bytes; ImageIO found no reader)")
+      val w = img.getWidth; val h = img.getHeight
+      var rSum = 0L; var gSum = 0L; var bSum = 0L
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w) // bulk per row — never per-pixel RPCs
+        var x = 0
+        while (x < w) {
+          val argb = row(x)
+          val weight = 1L + x + y.toLong * w
+          rSum = (rSum + weight * ((argb >> 16) & 0xff)) % P
+          gSum = (gSum + weight * ((argb >> 8) & 0xff)) % P
+          bSum = (bSum + weight * (argb & 0xff)) % P
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(w, h, rSum, gSum, bSum)
+    }
+
+    /** JPEG fixture encoder (JDK writer). Lossy by nature — fixtures built
+      * with it pin determinism and tolerance bands, never exact sums.
+      */
+    def encodeJpeg(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(width > 0 && height > 0, "need positive dimensions")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until height; x <- 0 until width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer available")
+      bos.toByteArray
+    }
+  }
+
+  /** Typed row for [[extractImageFeatures]] (format-agnostic grain). */
+  case class ImageFeatures(id: Long, n_bytes: Long, width: Int, height: Int,
+                           r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Format-sniffing decode over a mixed-format binary column — JPEG, PNG,
+    * BMP, GIF, TIFF in ONE stage via [[ImageIoCodec]]; same
+    * partition-preserving mapPartitions shape as the single-format paths.
+    */
+  def extractImageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = ImageIoCodec.decode(bytes)
+          ImageFeatures(id, bytes.length.toLong, d.width, d.height,
+            d.rSum, d.gSum, d.bSum)
+        }
+      }
+  }
+
   /** Typed row for decoded BMP features (the q140 gate's output grain). */
   case class BmpFeatures(id: Long, n_bytes: Long, width: Int, height: Int,
                          r_sum: Long, g_sum: Long, b_sum: Long)
