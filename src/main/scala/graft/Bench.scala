@@ -52,7 +52,10 @@ object Bench {
     // 365 (driver runs unchanged), ratio 10 -> 905 (the measured sf1 need),
     // capped at 1800 so a runaway ScaleGen dir cannot park the bench for
     // hours. Explicit env always wins.
-    def dirBytes(d: String): Long = {
+    // NonFatal-guarded: a file vanishing mid-walk (concurrent ScaleGen/
+    // write) or an unreadable subdir must degrade to the 365 s constant,
+    // never kill the bench before a single query runs
+    def dirBytes(d: String): Long = try {
       val root = java.nio.file.Paths.get(d)
       if (!java.nio.file.Files.isDirectory(root)) 0L
       else {
@@ -61,7 +64,7 @@ object Bench {
           .mapToLong(java.nio.file.Files.size(_)).sum()
         finally s.close()
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
     val budget = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).getOrElse {
       val base = dirBytes("/root/testdata/sf0.1")
       val mine = dirBytes(sfDir)

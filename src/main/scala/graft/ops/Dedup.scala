@@ -70,6 +70,35 @@ object Dedup {
     */
   val InlineKeyCap: Int = 4096
 
+  /** The ONE cap-policy builder both simhash candidate generators share
+    * (they differ only in blocking grain): over-cap bucket keys from
+    * `buckets` grouped by `groupCols`, keyed by `keyOfGroup`. None = no
+    * cap binds; Left(keys) = inline isin literals (≤ [[InlineKeyCap]]);
+    * Right(frame) = broadcast-join form — either the collected keys past
+    * the inline cap, or (collectKeys = false) the LAZY aggregate itself,
+    * so plan construction runs no job.
+    */
+  private def capForm(buckets: DataFrame, groupCols: Seq[Column],
+                      keyOfGroup: Column, maxBucket: Int,
+                      collectKeys: Boolean): Option[Either[Seq[Long], DataFrame]] =
+    if (maxBucket <= 0) None
+    else {
+      val aggKeys = buckets.groupBy(groupCols: _*)
+        .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
+        .select(keyOfGroup.as("_dropped_k"))
+      if (!collectKeys) Some(Right(aggKeys))
+      else {
+        val keys = aggKeys.collect().map(_.getLong(0)).toSeq
+        if (keys.isEmpty) None
+        else if (keys.size <= InlineKeyCap) Some(Left(keys))
+        else {
+          val spark = buckets.sparkSession
+          import spark.implicits._
+          Some(Right(keys.toDF("_dropped_k")))
+        }
+      }
+    }
+
   /** Deterministic per-function mixing constants for k hash functions. */
   def mixConsts(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 3L, 1442695040888963407L % P * (i + 1) % P))
@@ -699,7 +728,10 @@ object Dedup {
     * matters) to keep plan construction lazy AND to make cap-bound results
     * corpus-size-stable: with a binding `maxBucket` the two generators'
     * recall-under-cap sets differ, so a pinned `docCount` pins the
-    * generator (see the cap contract above).
+    * generator (see the cap contract above). The lazy path's cap rides
+    * broadcast joins against the (lazy, keyspace-bounded) over-cap
+    * aggregate instead of inlined literals — no shuffle either way; the
+    * joins are broadcast no-ops when no bucket is over cap at runtime.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 100000,
@@ -797,24 +829,8 @@ object Dedup {
     // `collectCapKeys = false` the over-cap frame is never collected at
     // all — the anti-join right side stays a lazy aggregate, so plan
     // construction runs NO job (the [[simhashCandidates]] docCount path).
-    val cap: Option[Either[Seq[Long], DataFrame]] =
-      if (maxBucket <= 0) None
-      else {
-        val aggKeys = idx.groupBy(col("_h"), col("_v"))
-          .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
-          .select((col("_h") * span + col("_v")).as("_dropped_k"))
-        if (!collectCapKeys) Some(Right(aggKeys))
-        else {
-          val keys = aggKeys.collect().map(_.getLong(0)).toSeq
-          if (keys.isEmpty) None
-          else if (keys.size <= InlineKeyCap) Some(Left(keys))
-          else {
-            val spark = sigs.sparkSession
-            import spark.implicits._
-            Some(Right(keys.toDF("_dropped_k")))
-          }
-        }
-      }
+    val cap = capForm(idx, Seq(col("_h"), col("_v")),
+      col("_h") * span + col("_v"), maxBucket, collectCapKeys)
     def surviving(df: DataFrame): DataFrame = cap match {
       case None => df
       case Some(Left(keys)) =>
@@ -1103,40 +1119,36 @@ object Dedup {
     // the first-surviving-match emission rule below needs survival of
     // EVERY zero-XOR chunk of sig_a, not just the joined chunk, so a plain
     // anti-join on the pair frame cannot express it.
-    val cap: Option[Either[Seq[Long], DataFrame]] =
-      if (maxBucket <= 0) None
-      else {
-        val aggKeys = chunked.groupBy(col("chunk"), col("v"))
-          .agg(count(lit(1)).as("_bw")).where(col("_bw") > maxBucket)
-          .select((col("chunk") * span + col("v")).as("_dropped_k"))
-        if (!collectCapKeys) Some(Right(aggKeys))
-        else {
-          val keys = aggKeys.collect().map(_.getLong(0)).toSeq
-          if (keys.isEmpty) None
-          else if (keys.size <= InlineKeyCap) Some(Left(keys))
-          else {
-            val spark = sigs.sparkSession
-            import spark.implicits._
-            Some(Right(keys.toDF("_dropped_k")))
-          }
-        }
-      }
+    val cap = capForm(chunked, Seq(col("chunk"), col("v")),
+      col("chunk") * span + col("v"), maxBucket, collectCapKeys)
     val useMask = cap.exists(_.isRight)
     val capped = cap match {
       case None => chunked
       case Some(Left(keys)) =>
         chunked.where(!(col("chunk") * span + col("v")).isin(keys: _*))
       case Some(Right(dropped)) =>
-        val flagged = chunked.join(broadcast(dropped),
-            col("chunk") * span + col("v") === col("_dropped_k"), "left")
-          .withColumn("_dead", col("_dropped_k").isNotNull).drop("_dropped_k")
-        // per-doc mask over the doc's own 4 chunk rows: keyed window,
-        // bounded fan-in (chunks rows per key), never data-sized-unkeyed
-        flagged.withColumn("_survMask",
-            sum(when(col("_dead"), lit(0L))
-              .otherwise(expr("shiftleft(1L, CAST(chunk AS INT))")))
-              .over(Window.partitionBy(col(idCol))))
-          .where(!col("_dead")).drop("_dead")
+        // per-doc survived-chunk bitmask via FOUR broadcast left joins at
+        // DOC grain (one per chunk, each against the tiny over-cap key
+        // frame): no shuffle, no aggregate — the mask is a pure row
+        // expression over the signature, so duplicate doc ids cannot
+        // corrupt it the way a per-id SUM over a window could (and an
+        // empty runtime dropped-key set makes the joins broadcast no-ops)
+        val maskDf = (0 until chunks).foldLeft(withSig) { (df, c) =>
+          df.join(broadcast(dropped.withColumnRenamed("_dropped_k", s"_dk$c")),
+            lit(c * span) + shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask)
+              === col(s"_dk$c"), "left")
+        }.withColumn("_survMask",
+            (0 until chunks).map(c =>
+              when(col(s"_dk$c").isNull, lit(1L << c)).otherwise(lit(0L))).reduce(_ + _))
+          .drop((0 until chunks).map(c => s"_dk$c"): _*)
+        maskDf.select(col(idCol), col("simhash"), col("_survMask"),
+            explode(array((0 until chunks).map(c =>
+              struct(lit(c).as("chunk"),
+                shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask).as("v"))): _*)).as("_c"))
+          .select(col(idCol), col("simhash"), col("_survMask"),
+            col("_c.chunk"), col("_c.v"))
+          .where(col("_survMask")
+            .bitwiseAND(expr("shiftleft(1L, CAST(chunk AS INT))")) =!= 0L)
     }
     val aCols = Seq(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("v")) ++
       (if (useMask) Seq(col("_survMask")) else Nil)

@@ -379,7 +379,17 @@ object Multimodal {
     case class Decoded(width: Int, height: Int, rSum: Long, gSum: Long, bSum: Long)
 
     def decode(bytes: Array[Byte]): Decoded = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // MemoryCacheImageInputStream, not the bare InputStream overload:
+      // ImageIO's default use-cache wraps every stream in a DISK cache
+      // file — one temp-file create/write/delete per blob in the hot
+      // mapPartitions path, and a hard failure on executors with an
+      // unwritable tmpdir, for bytes that are already in memory
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself on a
+      // successful read (but not on null/throw) — tolerate the double-close
+      val img = try javax.imageio.ImageIO.read(iis)
+        finally { try iis.close() catch { case _: java.io.IOException => () } }
       require(img != null,
         s"not a decodable image (${bytes.length} bytes; ImageIO found no reader)")
       val w = img.getWidth; val h = img.getHeight

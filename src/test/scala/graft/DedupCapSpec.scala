@@ -67,6 +67,16 @@ class DedupCapSpec extends AnyFunSuite {
       "over-cap chunked emitter must route survival through the per-doc bitmask")
     assert(got(cands) === expectedPairs,
       "bitmask form must emit exactly the literal form's recall-under-cap set")
+    // duplicate doc IDS must not corrupt the mask (it is a pure row
+    // expression over the signature, never a per-id aggregate — a per-id
+    // windowed SUM would merge both rows' bits and wrongly drop the
+    // survivor pair): a second row for survivor id 31000 with an unrelated
+    // signature (fresh buckets, so no cap widths change) leaves the
+    // emitted pair set exactly as before
+    import spark.implicits._
+    val withDup = sigs.unionByName(Seq((31000L, sigOf(4000L))).toDF("doc_id", "sig"))
+    assert(got(Dedup.simhashCandidatesFromSignatures(withDup, "doc_id", "sig",
+      maxHamming = 3, maxBucket = 2, chunkBits = bits / 4)) === expectedPairs)
   }
 
   test("lazy cap mode (collectCapKeys = false): same recall-under-cap set, no collect") {

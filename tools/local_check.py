@@ -105,6 +105,10 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: local_check.py <sfDir> <verifyOutDir> [--json <out.json>]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if len(args) != 2:
+        sys.exit("usage: local_check.py <sfDir> <verifyOutDir> [--json <out.json>]")
     sys.exit(main(args[0], args[1], json_out))

@@ -21,8 +21,12 @@ SF1_DIR=${SF1_DIR:-/tmp/graft_sf1}
 VERIFY_OUT=${VERIFY_OUT:-/tmp/graft_verify_sf1}
 CPUS=${SPARK_GRAFT_CPUS:-32}
 
-if [ ! -d "$SF1_DIR/documents.parquet" ]; then
+# reuse only a COMPLETE corpus: embeddings is the LAST table ScaleGen
+# writes, so its presence (with documents) implies the run finished — a
+# partial dir from an interrupted ScaleGen must regenerate, not half-gate
+if [ ! -d "$SF1_DIR/documents.parquet" ] || [ ! -d "$SF1_DIR/embeddings.parquet" ]; then
   echo "== [1/3] ScaleGen sf0.1 x10 -> $SF1_DIR"
+  rm -rf "$SF1_DIR"
   SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 $SF1_DIR 10"
 else
   echo "== [1/3] reusing existing $SF1_DIR"
@@ -39,7 +43,11 @@ if [ "${SKIP_BENCH:-0}" = "1" ]; then
 fi
 
 echo "== [3/3] min-of-2 bench at sf1 -> BENCH_SF1.json"
+BENCH_LOG=$(mktemp /tmp/sf1_bench.XXXXXX.log)
 SPARK_GRAFT_SF_DIR=$SF1_DIR SPARK_GRAFT_CPUS=$CPUS \
   SPARK_GRAFT_RAW_OUT=$PWD/BENCH_SF1.json \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep '{"metric' || true
+  sbt -batch "runMain graft.Bench" > "$BENCH_LOG" 2>&1 || {
+    echo "== BENCH FAILED — see $BENCH_LOG (BENCH_SF1.json may be stale)"; exit 1; }
+grep '{"metric' "$BENCH_LOG" || {
+  echo "== BENCH emitted no metric line — see $BENCH_LOG"; exit 1; }
 echo "== done: CORRECTNESS_SF1.json + BENCH_SF1.json (record totals in PLANS.md)"
