@@ -18,7 +18,8 @@ class PngCodecSpec extends AnyFunSuite {
     * can't leak into the fixtures here.
     */
   private def buildPng(width: Int, height: Int, bitDepth: Int, colorType: Int,
-                       interlace: Int, raw: Array[Byte]): Array[Byte] = {
+                       interlace: Int, raw: Array[Byte],
+                       splitIdat: Boolean = false): Array[Byte] = {
     def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
       val td = typ.getBytes("US-ASCII") ++ data
       val crc = new java.util.zip.CRC32(); crc.update(td)
@@ -31,11 +32,19 @@ class PngCodecSpec extends AnyFunSuite {
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
+    val idat = out.toByteArray
+    // the spec allows the DEFLATE stream to span any number of IDAT chunks
+    // at arbitrary split points — exercise a mid-stream split on demand
+    val idatChunks =
+      if (splitIdat && idat.length >= 2) {
+        val cut = idat.length / 2
+        chunk("IDAT", idat.take(cut)) ++ chunk("IDAT", idat.drop(cut))
+      } else chunk("IDAT", idat)
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(width).putInt(height)
       .put(bitDepth.toByte).put(colorType.toByte)
       .put(0: Byte).put(0: Byte).put(interlace.toByte).array()
     Array[Byte](137.toByte, 80, 78, 71, 13, 10, 26, 10) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IHDR", ihdr) ++ idatChunks ++
       chunk("IEND", Array.emptyByteArray)
   }
 
@@ -96,6 +105,20 @@ class PngCodecSpec extends AnyFunSuite {
     val (rs, gs, bs) = weightedSums(px, w, h)
     assert((d.width, d.height, d.colorType) === (w, h, 2))
     assert((d.rSum, d.gSum, d.bSum) === (rs, gs, bs))
+  }
+
+  test("the DEFLATE stream split across TWO IDAT chunks decodes identically") {
+    val w = 3; val h = 4
+    val px = (x: Int, y: Int) => (x * 40, y * 50, (x + y) * 30)
+    val recon = (0 until h).map { y =>
+      (0 until w).flatMap { x =>
+        val (r, g, b) = px(x, y); Seq(r.toByte, g.toByte, b.toByte)
+      }.toArray
+    }
+    val raw = recon.flatMap(row => 0.toByte +: row.toSeq).toArray
+    val one = PngCodec.decode(buildPng(w, h, 8, 2, 0, raw))
+    val two = PngCodec.decode(buildPng(w, h, 8, 2, 0, raw, splitIdat = true))
+    assert(two === one)
   }
 
   test("grayscale (color type 0) reports the gray value in all three channels") {
