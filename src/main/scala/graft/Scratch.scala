@@ -118,6 +118,29 @@ object Scratch {
         }
         println(f"[ab] $sfDir chunk=${cs.result().min}%.2fs mih=${ms.result().min}%.2fs (min-of-3)")
 
+      case "cap-ab" :: rest =>
+        // r14: cost of the LAZY cap form (collectCapKeys=false — broadcast
+        // joins against the lazy over-cap aggregate, what a supplied
+        // docCount buys) vs the default literal form, same host phase,
+        // min-of-3 alternating, on real documents where NO bucket is over
+        // cap (the common case — measures the pure plumbing overhead)
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), graft.ops.Dedup.simhash(col("text"), 48).as("sig"))
+          .localCheckpoint()
+        def time(f: => org.apache.spark.sql.DataFrame): Double = {
+          val s = System.nanoTime(); f.queryExecution.toRdd.count()
+          (System.nanoTime() - s) / 1e9
+        }
+        val (ls, zs) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+        for (_ <- 1 to 3) {
+          ls += time(graft.ops.Dedup.simhashCandidatesFromSignatures(
+            sigs, "doc_id", "sig", 3, 100000, 12, collectCapKeys = true))
+          zs += time(graft.ops.Dedup.simhashCandidatesFromSignatures(
+            sigs, "doc_id", "sig", 3, 100000, 12, collectCapKeys = false))
+        }
+        println(f"[cap-ab] $sfDir literal=${ls.result().min}%.2fs lazy=${zs.result().min}%.2fs (min-of-3)")
+
       case "profile" :: name :: rest =>
         // split a query's cost into plan-build / analysis+optimization /
         // execution, repeated so JIT warmup is visible
