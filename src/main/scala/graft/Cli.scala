@@ -27,6 +27,16 @@ import java.sql.Timestamp
   */
 object Cli {
 
+  /** A CLI gate outcome (nonzero exit) raised from [[run]] as a typed
+    * exception instead of `sys.exit`: `run` doubles as an in-process
+    * library/test entry point (IncrementalDedupSpec drives it), and a
+    * bare System.exit there would kill the embedding JVM and skip every
+    * enclosing finally — including main's own `spark.stop()`.
+    */
+  final class CliExit(val code: Int, msg: String) extends RuntimeException(msg)
+
+  private def exit(code: Int, msg: String): Nothing = throw new CliExit(code, msg)
+
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     SparkSession.builder()
@@ -43,8 +53,14 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val spark = session()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.toList)
-    finally spark.stop()
+    val code =
+      try { run(spark, args.toList); 0 }
+      catch {
+        case e: CliExit =>
+          Option(e.getMessage).filter(_.nonEmpty).foreach(System.err.println)
+          e.code
+      } finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
   private def show(df: DataFrame, rest: List[String]): Unit = rest match {
@@ -187,7 +203,8 @@ object Cli {
       val gaps = Gaps.dayScopedMinuteGaps(df.select("ts"), Timeframe(tf).seconds)
       val nBad = report.where(!org.apache.spark.sql.functions.col("complete")).count()
       println(s"[cli] incomplete days: $nBad; gap islands: ${gaps.count()}")
-      if (nBad > 0) sys.exit(1) // strict gate like tools/check_day.py:84-88
+      if (nBad > 0) // strict gate like tools/check_day.py:84-88
+        exit(1, s"check: $nBad incomplete day(s)")
 
     // gap repair: detect missing minutes, synth-fill them, upsert the fills
     // (reference: src/datalake/commands/repair_day.py gap-detect + refetch +
@@ -197,7 +214,10 @@ object Cli {
       val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
       // day-scoped like the reference's repair_day: islands never cross
       // midnight, and whole missing days inside the range are caught
-      val gaps = Gaps.dayScopedMinuteGaps(m1.select("ts"))
+      // three consumers below (sum, count, collect) — materialize the
+      // island table once (it is islands-sized, never lake-sized) instead
+      // of re-running the day-window gap scan per action
+      val gaps = Gaps.dayScopedMinuteGaps(m1.select("ts")).localCheckpoint()
       val nGaps = gaps.agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.col("n_missing"))).head()
       val missing = if (nGaps.isNullAt(0)) 0L else nGaps.getLong(0)
@@ -219,8 +239,6 @@ object Cli {
           println(s"[cli] gap ${g.getAs[Timestamp]("gap_start")}..${g.getAs[Timestamp]("gap_end")}: " +
             s"${plan.length} refetch window(s)")
         }
-      }
-      if (missing > 0) {
         val filled = Gaps.synthFill(m1)
           .where(org.apache.spark.sql.functions.col("is_synth"))
         val n = filled.count() // act on the pre-overwrite lineage first
@@ -268,23 +286,31 @@ object Cli {
       // expensive merge/verify work runs, not at commit
       val keep = rest.headOption.map { k =>
         val v = scala.util.Try(k.toInt).getOrElse(-1)
-        if (v < 1) {
-          System.err.println(s"dedup-ingest: invalid keep '$k' (need a positive integer)")
-          sys.exit(2)
-        }
+        if (v < 1)
+          exit(2, s"dedup-ingest: invalid keep '$k' (need a positive integer)")
         v
       }.getOrElse(DedupState.DefaultKeep)
+      // FAIL FAST on a missing/typo'd state dir — one listStatus — before
+      // the batch fingerprint below runs a full scan+hash of the batch
+      if (DedupState.currentGen(DedupState.fs(spark, stateDir), stateDir).isEmpty)
+        exit(2, s"dedup-ingest: no committed dedup state under $stateDir " +
+          "(run dedup-build first)")
       val newDocs = spark.read.parquet(docsParquet)
       // BATCH IDENTITY (replay guard): order-insensitive fingerprint of the
       // batch — row count + mod-P checksums of ids and of the texts' CONTENT
       // hashes (xxhash64 of the bytes, not length: two batches with the same
       // ids whose edited texts happen to length-collide must NOT read as the
       // same batch — only byte-identical batches may skip), decimal-summed
-      // so no batch size overflows. If the CURRENT generation's commit
-      // marker already records this fingerprint, the previous run crashed
-      // AFTER its commit: re-applying would re-merge the delta registry
-      // (mergeBucketRegistries' disjointness), so the replay is a no-op
-      // instead. Fingerprints are versioned ("h=" term): a marker written by
+      // so no batch size overflows. If ANY RETAINED generation's commit
+      // marker already records this fingerprint, a previous run committed
+      // this batch and then "looked failed": re-applying would re-merge
+      // the delta registry (mergeBucketRegistries' disjointness), so the
+      // replay is a no-op instead. All retained markers, not just the
+      // current one (r14): a delayed replay arriving AFTER a subsequent
+      // ingest committed would otherwise compare against the newer batch's
+      // fingerprint, miss, and double-merge — while the older retained
+      // marker still proves the batch was applied.
+      // Fingerprints are versioned ("h=" term): a marker written by
       // the pre-content-hash format never string-matches, and an AMBIGUOUS
       // legacy marker (same n=/id=, content term absent) aborts via the
       // legacy-marker guard below rather than failing open to a re-apply.
@@ -296,7 +322,7 @@ object Cli {
       val nNew = fpRow.getLong(0)
       val idSum = s"${Option(fpRow.get(1)).getOrElse(0)}"
       val batchId = s"n=$nNew;id=$idSum;h=${Option(fpRow.get(2)).getOrElse(0)}"
-      val curMarker = DedupState.currentBatchId(spark, stateDir)
+      val retainedMarkers = DedupState.committedBatchIds(spark, stateDir)
       // LEGACY-MARKER guard (round 14): the pre-r13 fingerprint format
       // recorded a text-LENGTH checksum ("tx=" term) where the current one
       // records a content hash ("h="). A legacy marker whose n=/id= terms
@@ -309,25 +335,23 @@ object Cli {
       // SPARK_GRAFT_ACCEPT_LEGACY_MARKER=1. Markers with differing n=/id=
       // are provably a different batch and proceed normally — so the
       // ordinary upgrade path (new data after the upgrade) is unaffected.
-      curMarker.filter(_.contains(";tx=")).foreach { m =>
+      retainedMarkers.filter(_.contains(";tx=")).foreach { m =>
         val legacyNid = m.split(";").filter(t =>
           t.startsWith("n=") || t.startsWith("id=")).mkString(";")
         if (legacyNid == s"n=$nNew;id=$idSum" &&
-            !sys.env.get("SPARK_GRAFT_ACCEPT_LEGACY_MARKER").contains("1")) {
-          System.err.println(
-            "dedup-ingest: upgrade mid-replay — the current generation's " +
+            !sys.env.get("SPARK_GRAFT_ACCEPT_LEGACY_MARKER").contains("1"))
+          exit(3,
+            "dedup-ingest: upgrade mid-replay — a retained generation's " +
             "commit marker uses the legacy fingerprint format (tx= term) " +
             "and its n=/id= terms match this batch, so this run cannot " +
             "tell a crash replay (must no-op) from a coincidental match " +
             "(must apply). Refusing to risk a double-merge. If you have " +
             "verified this batch was never applied, re-run with " +
             "SPARK_GRAFT_ACCEPT_LEGACY_MARKER=1.")
-          sys.exit(3)
-        }
       }
-      if (curMarker.contains(batchId)) {
-        println(s"[cli] dedup-ingest: batch already applied by the current " +
-          s"generation (replay after a crash past the commit marker) — " +
+      if (retainedMarkers.contains(batchId)) {
+        println(s"[cli] dedup-ingest: batch already applied by a retained " +
+          s"generation (replay after a crash past its commit marker) — " +
           s"state unchanged in $stateDir")
         return
       }
@@ -347,6 +371,9 @@ object Cli {
       val anchorTexts = anchors
         .unionByName(newDocs.select(col("doc_id"), col("text")))
         .dropDuplicates("doc_id")
+        .localCheckpoint() // feeds verify + mergedAnchors + the state
+                           // write — bounded (anchors ∪ one batch), so
+                           // materialize once instead of three shuffles
       val routed = graft.ops.Dedup.simhashRoute(newDocs, "doc_id", "text",
           mergedReg, maxHamming = 3)
         .where(col("is_dup") === 1L).select(col("doc_id"), col("best_anchor"))
@@ -383,15 +410,14 @@ object Cli {
     case "validate" :: root :: Nil =>
       val bad = graft.lake.ValidateLayout.invalidPaths(spark, root)
       if (bad.isEmpty) println("[cli] layout OK")
-      else { println(s"[cli] invalid paths: ${bad.mkString(", ")}"); sys.exit(1) }
+      else { println(s"[cli] invalid paths: ${bad.mkString(", ")}"); exit(1, "layout invalid") }
 
     case "resample" :: root :: symbol :: tf :: Nil =>
       val m1 = new LakeProvider(spark, root).loadM1(symbol, None, None)
       Resample.ohlcv(m1, Timeframe(tf), Seq("source", "symbol")).orderBy("ts").show(20)
 
     case other =>
-      System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: ingest-synth | read | join-mtf | aggregate | levels | check | repair | resample | ann | corpus | embed-qc | xsource | funnel | sketch | kmeans | validate | dedup-build | dedup-ingest")
-      sys.exit(2)
+      exit(2, s"unknown command: ${other.mkString(" ")}\n" +
+        "commands: ingest-synth | read | join-mtf | aggregate | levels | check | repair | resample | ann | corpus | embed-qc | xsource | funnel | sketch | kmeans | validate | dedup-build | dedup-ingest")
   }
 }

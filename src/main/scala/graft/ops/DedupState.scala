@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * precondition (the replayed delta double-merged, silently inflating
   * registry `n_docs` forever). Here every ingest writes a brand-new
   * generation directory `stateDir/v<N>/{components,registry,anchors}` and
-  * commits it with ONE atomic marker-file create (`v<N>/_COMMITTED`):
+  * commits it with ONE atomic marker-file RENAME (`v<N>/_COMMITTED`,
+  * written complete under a tmp name first — see [[commit]]):
   *
   *   - readers resolve the highest COMMITTED generation, so all three
   *     tables always flip together;
@@ -110,44 +111,60 @@ object DedupState {
     */
   def currentBatchId(spark: SparkSession, stateDir: String): Option[String] = {
     val hfs = fs(spark, stateDir)
-    currentGen(hfs, stateDir).filter(_ > 0).flatMap { g =>
-      val m = new Path(genDir(stateDir, g), Marker)
+    currentGen(hfs, stateDir).filter(_ > 0).flatMap(g => readMarker(hfs, stateDir, g))
+  }
+
+  /** Fingerprints recorded by ALL retained committed generations (oldest
+    * first). The replay guard must consult every retained marker, not just
+    * the current one: a crashed-after-marker ingest of batch B that is
+    * only re-run AFTER a subsequent batch C has committed would compare
+    * fp(B) against fp(C), miss, and double-merge B's delta — while gen
+    * N's marker still holds fp(B). O(keep) tiny reads.
+    */
+  def committedBatchIds(spark: SparkSession, stateDir: String): Seq[String] = {
+    val hfs = fs(spark, stateDir)
+    committedGens(hfs, stateDir).filter(_ > 0)
+      .flatMap(g => readMarker(hfs, stateDir, g))
+  }
+
+  private def readMarker(hfs: FileSystem, stateDir: String, g: Int): Option[String] = {
+    val m = new Path(genDir(stateDir, g), Marker)
+    try {
+      val in = hfs.open(m)
       try {
-        val in = hfs.open(m)
-        try {
-          // drain, never a single read(): InputStream.read may legally
-          // return fewer bytes than available (HDFS/S3A streams do), and a
-          // TRUNCATED fingerprint reads as a batch-identity mismatch —
-          // which un-skips the replay and double-merges the delta, the
-          // exact failure the marker protocol exists to prevent
-          val bytes = new Array[Byte](4096)
-          var total = 0
-          var n = in.read(bytes, 0, bytes.length)
-          while (n > 0 && total + n < bytes.length) {
-            total += n
-            n = in.read(bytes, total, bytes.length - total)
-          }
-          if (n > 0) total += n
-          Option(new String(bytes, 0, total, "UTF-8").trim).filter(_.nonEmpty)
-        } finally in.close()
-      } catch {
-        // ONLY a vanished marker (vacuum raced the read) means "no recorded
-        // batch". Any other I/O failure must PROPAGATE: mapping a transient
-        // store error to None would un-skip a genuine replay and
-        // double-merge the delta registry — the exact failure the marker
-        // protocol exists to prevent. Better the ingest aborts and is
-        // re-run than the state silently corrupts.
-        case _: java.io.FileNotFoundException => None
-      }
+        // drain, never a single read(): InputStream.read may legally
+        // return fewer bytes than available (HDFS/S3A streams do), and a
+        // TRUNCATED fingerprint reads as a batch-identity mismatch —
+        // which un-skips the replay and double-merges the delta, the
+        // exact failure the marker protocol exists to prevent
+        val bytes = new Array[Byte](4096)
+        var total = 0
+        var n = in.read(bytes, 0, bytes.length)
+        while (n > 0 && total + n < bytes.length) {
+          total += n
+          n = in.read(bytes, total, bytes.length - total)
+        }
+        if (n > 0) total += n
+        Option(new String(bytes, 0, total, "UTF-8").trim).filter(_.nonEmpty)
+      } finally in.close()
+    } catch {
+      // ONLY a vanished marker (vacuum raced the read) means "no recorded
+      // batch". Any other I/O failure must PROPAGATE: mapping a transient
+      // store error to None would un-skip a genuine replay and
+      // double-merge the delta registry — the exact failure the marker
+      // protocol exists to prevent. Better the ingest aborts and is
+      // re-run than the state silently corrupts.
+      case _: java.io.FileNotFoundException => None
     }
   }
 
   /** Write all three tables as the next generation and commit atomically;
     * then vacuum generations older than the newest `keep`. Returns the
     * committed generation number. `batchId` (the applied batch's
-    * fingerprint) is recorded IN the marker file — one create carries both
-    * the commit and the identity, so there is no window where the
-    * generation is live but unidentified.
+    * fingerprint) is recorded IN the marker file, which is written
+    * complete under a tmp name and RENAMED into place — the rename carries
+    * both the commit and the identity at once, so there is no window where
+    * the generation is live but unidentified.
     */
   def commit(spark: SparkSession, stateDir: String,
              tables: Map[String, DataFrame],
@@ -165,9 +182,21 @@ object DedupState {
     Tables.foreach { t =>
       tables(t).write.mode("overwrite").parquet(tablePath(stateDir, next, t))
     }
-    val out = hfs.create(new Path(dir, Marker), false) // the atomic commit
+    // The marker must become visible ATOMICALLY WITH ITS CONTENT: a bare
+    // create() exposes a zero-length _COMMITTED before the fingerprint
+    // bytes land, so a crash between create and close would publish the
+    // generation with an EMPTY identity — committedGens sees it committed,
+    // currentBatchId reads None, and the orchestrator's re-run of the
+    // "failed" ingest double-merges the delta (the exact corruption this
+    // protocol exists to prevent). Write a tmp name, then rename: rename
+    // within a directory is atomic on the local FS and HDFS, and
+    // committedGens only ever tests the final name.
+    val tmp = new Path(dir, Marker + ".tmp")
+    val out = hfs.create(tmp, false)
     try batchId.foreach(id => out.write(id.getBytes("UTF-8")))
     finally out.close()
+    if (!hfs.rename(tmp, new Path(dir, Marker))) // the atomic commit
+      sys.error(s"failed to commit dedup-state generation v$next (rename $tmp)")
     // retention: drop all but the newest `keep` committed generations
     val gens = committedGens(hfs, stateDir)
     gens.dropRight(keep).foreach { g =>

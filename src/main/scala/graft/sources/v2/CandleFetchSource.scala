@@ -120,7 +120,14 @@ case class CandleReaderFactory(fetcherClass: String, source: String)
       // per-partition init seam: one fetcher (connection, pacing state) per task
       private val fetcher = Class.forName(fetcherClass)
         .getDeclaredConstructor().newInstance().asInstanceOf[WindowFetcher]
+      // half-open clip ENFORCED here, never trusted to the fetcher:
+      // BinanceSource.fetch clips deliberately because the reference pager
+      // is inclusive-end (client.py:133 keeps ts <= end) — a fetcher with
+      // that behavior would otherwise emit every window-boundary bar into
+      // BOTH adjacent partitions, double-counting (symbol, ts) rows at
+      // each internal boundary of the scan
       private val it = fetcher.fetch(p.symbol, p.fromMs, p.toMs)
+        .filter(b => b.openTimeMs >= p.fromMs && b.openTimeMs < p.toMs)
       private var current: RawBar = _
 
       override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }

@@ -431,6 +431,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(regReplay === rebuilt5,
       "replaying an already-committed batch must not double-merge the delta registry")
+    // DELAYED REPLAY (r14): a crashed-after-marker ingest whose re-run only
+    // arrives AFTER a subsequent batch committed. Day-4's fingerprint lives
+    // in gen 4's marker (still retained at keep=2), but the CURRENT marker
+    // is day-5's — a guard that consults only the current generation would
+    // miss, re-apply day 4, and double-merge its delta. The guard reads
+    // every retained marker, so this replay must also no-op.
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day4", state, "2"))
+    assert(DedupState.committedGens(hfs, state) === Seq(4, 5),
+      "a delayed replay (after a later commit) must not create a generation")
+    assert(DedupState.read(spark, state, "registry")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+      === rebuilt5,
+      "a delayed replay must not double-merge a batch an OLDER retained marker proves applied")
+    // TORN MARKER (r14): the commit protocol writes the marker complete
+    // under a tmp name and RENAMES it into place — a crash between the tmp
+    // write and the rename leaves v6 with tables + _COMMITTED.tmp, which
+    // must be INVISIBLE (a bare create-then-write marker would instead
+    // publish a zero-length _COMMITTED and disarm the replay guard)
+    spark.range(1).toDF("junk").write.mode("overwrite").parquet(s"$state/v6/components")
+    val tornOut = hfs.create(new org.apache.hadoop.fs.Path(s"$state/v6/_COMMITTED.tmp"), true)
+    tornOut.write("n=2;id=99;h=99".getBytes("UTF-8")); tornOut.close()
+    assert(DedupState.committedGens(hfs, state) === Seq(4, 5),
+      "a torn (pre-rename) marker must not commit the generation")
+    assert(DedupState.committedBatchIds(spark, state).size === 2,
+      "torn markers must not contribute batch fingerprints")
+    // and the next real ingest sweeps the leftovers and commits v6 cleanly
+    writeDay(6)
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day6", state, "2"))
+    assert(DedupState.committedGens(hfs, state) === Seq(5, 6))
   }
 
   test("DedupState growth audit: registry and anchors stay keyspace-bounded through a 10-day ingest loop") {
