@@ -23,6 +23,19 @@ case class CandleAgg(ts: Expression, price: Expression, size: Expression)
 
   override def children: Seq[Expression] = Seq(ts, price, size)
   override def nullable: Boolean = true
+
+  // name the user's argument in the error, not the generated buffer
+  // attributes a type mismatch would otherwise surface deep inside the
+  // update expressions ("differing types in If(minTs, ts)…")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def bad(what: String, got: DataType, want: String) =
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"candle() $what must be $want, got ${got.simpleString}")
+    if (ts.dataType != LongType) bad("ordering ts", ts.dataType, "bigint")
+    else if (price.dataType != DoubleType) bad("price", price.dataType, "double")
+    else if (size.dataType != DoubleType) bad("size", size.dataType, "double")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
   override def dataType: DataType = StructType(Seq(
     StructField("open", DoubleType), StructField("high", DoubleType),
     StructField("low", DoubleType), StructField("close", DoubleType),

@@ -46,6 +46,10 @@ object TextKernels {
     * array_distinct(ngrams(split(trim(lower(text)), "\\s+"))) exactly.
     */
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    // reachable from SQL (graft_shingles) with any int literal: n <= 0
+    // would walk past the words array — fail with the argument named, not
+    // an executor-side ArrayIndexOutOfBoundsException
+    if (n < 1) throw new IllegalArgumentException(s"shingle n must be >= 1, got $n")
     val words = tokenize(text)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
@@ -145,6 +149,7 @@ object TextKernels {
     * every document at 100 TB.
     */
   def simHash(text: UTF8String, bits: Int): Long = {
+    require(bits >= 1, s"simHash needs bits >= 1, got $bits") // SQL-reachable
     val words = tokenize(text)
     val acc = new Array[Long](bits)
     // The poly word hash lives in [0, P) ⊂ [0, 2^30), so signature bits

@@ -38,10 +38,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
 
+  // LENGTH MISMATCH IS AN ERROR, never a silent prefix truncation (r14): a
+  // corpus mixing 64- and 128-dim embeddings (or a wrong `dim` parameter
+  // upstream) used to dot only the shared prefix — silently wrong cosines,
+  // buckets and PQ codes. One comparison per ROW, invisible next to the
+  // per-element loop. (Null ELEMENTS still read as 0.0 — a per-element
+  // null check would double the hot loop; enforce containsNull=false
+  // upstream for malformed inputs.)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"DotProduct: dimension mismatch ($n vs ${y.numElements()})")
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
@@ -63,7 +73,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val getL = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getR = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "DotProduct: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) { $s += $getL * $getR; }
          |${ev.value} = $s;

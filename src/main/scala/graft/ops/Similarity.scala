@@ -88,6 +88,10 @@ object Similarity {
     val scored = spread(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(pairCosine("_qv", "_qn", "_cv", "_cn"), 6))
+      // dead (zero-norm) vectors have NULL cosine — they must not OCCUPY
+      // ranks either (desc puts nulls last, but row_number still numbers
+      // them, and rank <= k would serve cosine=NULL rows as neighbors)
+      .where(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -118,6 +122,9 @@ object Similarity {
     spread(q).crossJoin(c)
       .where(col("_al") =!= col("_nl"))
       .withColumn("cosine", round(pairCosine("_qv", "_qn", "_cv", "_cn"), 6))
+      // a NULL-cosine row must never be served as a "hard negative" into
+      // training data (see topKJoin's dead-vector note)
+      .where(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("anchor_id"), col("rank"), col("negative_id"), col("cosine"))
@@ -125,11 +132,23 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * derived from a portable integer hash, mapped to [-1, 1).
+    *
+    * The hash is the SPLITMIX64 finalizer over the flat index — the
+    * xor-shift-multiply cascade matters, not just any arithmetic: the
+    * previous affine form (`seed·K1 + idx·K2`) made plane p+1 a tiny phase
+    * shift of plane p (at dim = 64, adjacent planes differ by 64·K2 mod
+    * 2^64 ≈ 0.5% of the domain per component), so all nPlanes sign bits
+    * almost always agreed and the bucket key collapsed to ~1 effective
+    * bit — LSH degenerated to one giant bucket (r14 review finding;
+    * SimilaritySpec pins plane decorrelation via bucket dispersion).
     */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
     (0 until nPlanes).map { p =>
       (0 until dim).map { j =>
-        val h = (seed * 6364136223846793005L + (p.toLong * dim + j) * 1442695040888963407L)
+        var h = seed * 6364136223846793005L + (p.toLong * dim + j) * 1442695040888963407L
+        h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+        h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+        h ^= (h >>> 31)
         ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
       }
     }
@@ -159,6 +178,7 @@ object Similarity {
     val scored = q.join(c, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(pairCosine("_qv", "_qn", "_cv", "_cn"), 6))
+      .where(col("cosine").isNotNull) // dead vectors occupy no ranks
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -177,14 +197,23 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int = 16): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("_cent"))
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_cent"),
+        normNative(col(vecCol)).as("_centn"))
+    // zero-norm-GUARDED assignment (pairCosine, one dot per pair): an
+    // unguarded cosine against a dead centroid (a zero-norm vector among
+    // the smallest-id seeds) is NaN, which sorts FIRST under desc — one
+    // dead seed would capture the ENTIRE corpus into its cell and turn the
+    // cell equi-join into the full cross product this operator exists to
+    // avoid. NULL instead: desc puts nulls last, so dead centroids never
+    // win an assignment (and a dead QUERY vector falls to the id tiebreak).
     def assign(df: DataFrame, vec: String): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("_d", cosineNative(col(vec), col("_cent")))
+      df.withColumn("_vn0", normNative(col(vec)))
+        .crossJoin(broadcast(cents))
+        .withColumn("_d", pairCosine(vec, "_vn0", "_cent", "_centn"))
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cent_id"))))
         .where(col("_rn") === 1)
-        .drop("_d", "_rn", "_cent")
+        .drop("_d", "_rn", "_cent", "_centn", "_vn0")
     val q = assign(queries.select(col(idCol), col(vecCol)), vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         normNative(col(vecCol)).as("_qn"), col("cent_id").as("cell"))
@@ -194,6 +223,7 @@ object Similarity {
     val scored = q.join(c, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(pairCosine("_qv", "_qn", "_cv", "_cn"), 6))
+      .where(col("cosine").isNotNull) // dead vectors occupy no ranks
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -269,13 +299,20 @@ object Similarity {
     val centArr = cent.groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("_c"))
-    emb.select(col(labelCol).as("label"), col(vecCol).as("_v"))
-      .join(broadcast(centArr), "label")
-      .withColumn("cos", round(cosineNative(col("_v"), col("_c")), 6))
+    emb.select(col(labelCol).as("label"), col(vecCol).as("_v"),
+        normNative(col(vecCol)).as("_vn"))
+      .join(broadcast(centArr.withColumn("_cn", normNative(col("_c")))), "label")
+      // zero-norm-guarded (pairCosine — also one dot per row instead of
+      // cosineNative's three): an unguarded dead vector's NaN cosine would
+      // cast to a silent NULL in the decimal sum while count(lit(1)) still
+      // counted it, deflating mean_cos as if the vector scored 0. NULL +
+      // a defined-cosine denominator instead: dead vectors stay visible in
+      // n but contribute to neither the mean nor the min.
+      .withColumn("cos", round(pairCosine("_v", "_vn", "_c", "_cn"), 6))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         round(sum(round(col("cos"), 6).cast(DecimalType(28, 6))).cast("double") /
-          count(lit(1)), 4).as("mean_cos"),
+          count(col("cos")), 4).as("mean_cos"),
         min(col("cos")).as("min_cos"))
   }
 

@@ -334,7 +334,10 @@ object Sketches {
     val rows = mixConsts(depth).zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("row"), cellOf(col(keyCol), a, b, width).as("cell"))
     }
-    keys.select(col(keyCol), explode(array(rows: _*)).as("rc"))
+    // same NULL contract as the build side: a NULL key has no identity —
+    // emitting it as (NULL, est_count = 0) would read as a real estimate
+    keys.where(col(keyCol).isNotNull)
+      .select(col(keyCol), explode(array(rows: _*)).as("rc"))
       .select(col(keyCol), col("rc.row").as("row"), col("rc.cell").as("cell"))
       .join(broadcast(sketch), Seq("row", "cell"), "left")
       .groupBy(col(keyCol))
@@ -353,9 +356,13 @@ object Sketches {
   // Bloom membership filter
   // ---------------------------------------------------------------------
 
-  /** Bit positions of a hash value under the j-th bloom hash. */
+  /** Bit positions of a hash value under the j-th bloom hash — derived
+    * from the ONE portable hash ([[longHash]], like [[cellOf]]) so a
+    * future change to its overflow-safety arithmetic reaches the bloom
+    * paths too instead of silently diverging the bit positions.
+    */
   private def bloomPos(h: Column, a: Long, b: Long, mBits: Int): Column =
-    ((pmod(h, lit(P)) * a + b) % P) % mBits
+    longHash(h, a, b) % mBits
 
   /** 1L << bits with a COLUMN shift amount (the public `shiftleft` only
     * takes a constant Int shift).
@@ -429,6 +436,8 @@ object Sketches {
       .select(explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
         .as("shingle"))
       .distinct()
+      .cache() // feeds the eager bloomBits collect AND the caller's verify
+               // join — without it the shingle-distinct plan runs twice
     (bsh, bloomBits(
       bsh.select(Dedup.shingleHash(col("shingle")).as("h")), "h", mBits, k))
   }

@@ -173,6 +173,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q36_verified_near_dups" -> "verifiedNearDups shingle projection: narrow per-doc rows read by candidate generation and both verify sides",
     "q38_sequence_pack" -> "prefixSum chunk totals: ONE summary row per (keys, chunk), read by both carry self-join sides",
     "q53_session_overlap" -> "sessionize lineage read by both self-join sides — its own plan test requires >= 2 InMemoryTableScan",
+    "q61_bloom_decontaminate" -> "benchmarkBloom's shingle-distinct: eval-suite-bounded, feeds BOTH the eager bloom-bit collect and the verify join (r14 — was recomputed twice)",
     "q62_contamination_rate" -> "benchmark shingle set: eval-suite-bounded, read by the overlap join and the bloom build",
     "q87_prefix_jaccard" -> "Dedup shingle projections (see q16)",
     "q133_simhash_wide_pairs" -> "Dedup wide-signature projection (see q17)",

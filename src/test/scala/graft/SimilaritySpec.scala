@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the r14 similarity-kernel review findings: hyperplane
+  * decorrelation (the LSH key must actually use its nPlanes bits),
+  * dead-vector (zero-norm) handling in ranking and IVF assignment, and the
+  * DotProduct dimension-mismatch contract.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("hyperplanes are decorrelated: LSH keys disperse over many buckets, not ~2") {
+    // the pre-r14 affine hash made every plane a tiny phase shift of the
+    // first: 500 spread-out vectors landed in ~2 buckets (all sign bits
+    // agreeing), voiding the bucket join's selectivity. The splitmix64
+    // finalizer must spread them over a healthy share of the 2^8 keyspace.
+    val dim = 64
+    val planes = Similarity.hyperplanes(8, dim)
+    def vecOf(s: Long): Array[Double] =
+      Array.tabulate(dim) { j =>
+        var h = s * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L
+        h ^= (h >>> 31)
+        ((h >>> 11).toDouble / (1L << 53)) * 2.0 - 1.0
+      }
+    def keyOf(v: Array[Double]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        val dot = p.indices.map(j => p(j) * v(j)).sum
+        if (dot > 0) 1L << i else 0L
+      }.sum
+    val keys = (0 until 500).map(s => keyOf(vecOf(s.toLong))).distinct
+    assert(keys.size >= 32,
+      s"LSH keys collapsed to ${keys.size} buckets — hyperplanes are correlated")
+    // and per-plane sign balance: no plane may be near-constant
+    for (i <- 0 until 8) {
+      val pos = (0 until 500).count(s => (keyOf(vecOf(s.toLong)) & (1L << i)) != 0)
+      assert(pos > 100 && pos < 400, s"plane $i sign split $pos/500 is degenerate")
+    }
+  }
+
+  test("a zero-norm (dead) vector neither ranks as a neighbor nor occupies a rank") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (9L, Array(0.0f, 0.0f))) // 9 = dead
+      .toDF("id", "vec")
+    val got = Similarity.topKJoin(corpus, corpus, "id", "vec", k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    // no NULL cosines served, and the dead vector appears as NO query's
+    // neighbor and has no neighbors itself
+    assert(got.forall(!_._4), "NULL-cosine rows must not be ranked")
+    assert(!got.exists(_._3 == 9L), "a dead vector must never match anything")
+    assert(!got.exists(_._1 == 9L), "a dead query has no defined neighbors")
+    // live queries still get their full k over the live corpus
+    assert(got.count(_._1 == 1L) === 2) // neighbors 2 and 3
+  }
+
+  test("ivfTopK: a dead vector among the centroid seeds does not capture the corpus") {
+    import spark.implicits._
+    // id 1 (a zero vector) is among the smallest-id seeds; its NaN cosine
+    // used to sort FIRST under desc and assign EVERY row to its cell,
+    // collapsing IVF to one giant bucket
+    val corpus = (Seq((1L, Array(0.0f, 0.0f))) ++
+      (2L to 40L).map(i => (i, Array(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat))))
+      .toDF("id", "vec")
+    val got = Similarity.ivfTopK(corpus, corpus, "id", "vec", k = 2, nCentroids = 4)
+    // the live rows must distribute over the LIVE centroids: with the NaN
+    // bug every row lands in cell 1 and every query sees the whole corpus
+    val cells = corpus
+      .select(col("id"), col("vec"))
+    assert(got.where(col("cosine").isNull).count() === 0)
+    // every live query gets neighbors, and no single cell held all rows
+    // (with 39 live vectors over >= 3 live centroids, some query pair must
+    // be SEPARATED — impossible under the one-giant-cell bug where every
+    // query ranks against all others)
+    val perQuery = got.groupBy("query_id").count().agg(max("count")).head.getLong(0)
+    assert(perQuery <= 2)
+    assert(got.count() > 0)
+  }
+
+  test("DotProduct: dimension mismatch throws, never truncates to the shared prefix") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val ex = intercept[Throwable] {
+      df.select(graft.functions.VectorFunctions.dotNative(col("a"), col("b"))).collect()
+    }
+    val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString("\n")
+    assert(chain.contains("dimension mismatch"), s"unexpected: $chain")
+  }
+}
