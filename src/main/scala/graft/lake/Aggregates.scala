@@ -28,15 +28,25 @@ object Aggregates {
     */
   def materialize(spark: SparkSession, root: String, m1: DataFrame, tf: Timeframe,
                   keys: Seq[String] = Seq("source", "symbol")): Unit = {
-    val agg = Resample.ohlcv(m1, tf, keys)
+    // carry market through the resample whenever the base HAS it (r14): a
+    // multi-market lake holds the same (source, symbol) under several
+    // markets, and a market-less groupBy would blend their bars into one
+    // fabricated aggregate that enforce() then misfiles under the default
+    // market. Bases without the column (pre-enforce candle frames) keep
+    // the declared keys and take enforce's default as before.
+    val fullKeys = if (m1.columns.contains("market") && !keys.contains("market"))
+      keys :+ "market" else keys
+    val agg = Resample.ohlcv(m1, tf, fullKeys)
       .withColumn("timeframe", lit(tf.code))
     upsertInto(spark, LakeLayout.aggregatesRoot(root), agg)
   }
 
   private[lake] def upsertInto(spark: SparkSession, path: String, batch: DataFrame): Unit = {
     val enforced = LakeFs.withUtcYearMonth(graft.core.CandleSchema.enforce(batch))
+    // market in the merge key, like LakeWriter.upsert (r14) — see its note
     UpsertCore.mergeWrite(spark, path, enforced,
-      LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts")
+      LakeLayout.partitionCols,
+      Seq("source", "market", "symbol", "timeframe", "ts"), "ts")
   }
 
   /** Incremental materialized-view maintenance: after an upsert touches a
@@ -93,13 +103,10 @@ class LakeProvider(spark: SparkSession, root: String,
         .where(col("source") === source && col("market") === market &&
           col("symbol") === symbol && col("timeframe") === tf)
     }
-    val ranged = (from, to) match {
-      case (Some(f), Some(t)) => df.where(col("ts") >= lit(f) && col("ts") < lit(t))
-      case (Some(f), None) => df.where(col("ts") >= lit(f))
-      case (None, Some(t)) => df.where(col("ts") < lit(t))
-      case _ => df
-    }
-    ranged.drop("year", "month")
+    // derived year/month predicates ride along (LakeReader.applyRange) so
+    // a one-month provider read prunes to the touched months instead of
+    // listing the whole tree (r14 — this was a ts-only filter)
+    LakeReader.applyRange(df, from, to).drop("year", "month")
   }
 
   def loadM1(symbol: String, from: Option[Timestamp], to: Option[Timestamp]): DataFrame =

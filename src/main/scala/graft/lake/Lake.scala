@@ -121,23 +121,10 @@ object LakeReader {
     if (!LakeFs.exists(spark, path))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partitionedSchema)
-    var df = spark.read.schema(partitionedSchema).parquet(path)
-      .where(col("source") === source && col("symbol") === symbol && col("timeframe") === timeframe)
-    // derived partition predicates so year/month pruning always fires
-    from.foreach { f =>
-      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
-      c.setTime(f)
-      val (y, m) = (c.get(java.util.Calendar.YEAR), c.get(java.util.Calendar.MONTH) + 1)
-      df = df.where(col("year") > y || (col("year") === y && col("month") >= m))
-      df = df.where(col("ts") >= lit(f))
-    }
-    to.foreach { t =>
-      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
-      c.setTime(t)
-      val (y, m) = (c.get(java.util.Calendar.YEAR), c.get(java.util.Calendar.MONTH) + 1)
-      df = df.where(col("year") < y || (col("year") === y && col("month") <= m))
-      df = df.where(col("ts") < lit(t))
-    }
+    val df = applyRange(
+      spark.read.schema(partitionedSchema).parquet(path)
+        .where(col("source") === source && col("symbol") === symbol && col("timeframe") === timeframe),
+      from, to)
     // dedupe key INCLUDES market: the tree is partitioned by it, and a
     // symbol legitimately present under two markets must keep both rows —
     // a market-less key would collapse them to one arbitrary market's bar
@@ -157,6 +144,33 @@ object LakeReader {
     import org.apache.spark.sql.types._
     StructType(CandleSchema.schema.fields.toSeq :+
       StructField("year", IntegerType) :+ StructField("month", IntegerType))
+  }
+
+  /** Half-open ts range WITH the derived year/month partition predicates,
+    * so directory pruning always fires (SURVEY O1). Shared by this reader
+    * and [[LakeProvider.readTree]] — a ts-only filter cannot prune year=/
+    * month= directories and degrades a one-month read over a decade-deep
+    * tree into a full-tree listing (r14: the provider had its own ts-only
+    * copy).
+    */
+  private[lake] def applyRange(df0: DataFrame, from: Option[Timestamp],
+                               to: Option[Timestamp]): DataFrame = {
+    var df = df0
+    from.foreach { f =>
+      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(f)
+      val (y, m) = (c.get(java.util.Calendar.YEAR), c.get(java.util.Calendar.MONTH) + 1)
+      df = df.where(col("year") > y || (col("year") === y && col("month") >= m))
+      df = df.where(col("ts") >= lit(f))
+    }
+    to.foreach { t =>
+      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(t)
+      val (y, m) = (c.get(java.util.Calendar.YEAR), c.get(java.util.Calendar.MONTH) + 1)
+      df = df.where(col("year") < y || (col("year") === y && col("month") <= m))
+      df = df.where(col("ts") < lit(t))
+    }
+    df
   }
 
   /** keep-first dedupe with a deterministic tiebreaker (SURVEY §7.5 item 4:
@@ -262,8 +276,15 @@ object LakeWriter {
 
   def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
     val enforced = LakeFs.withUtcYearMonth(CandleSchema.enforce(batch))
+    // market IS part of the bar's identity (r14): the readers' dedupe key
+    // includes it (readRangeUnsorted/readUnified — "a market-less key
+    // would collapse them to one arbitrary market's bar"), so the writer's
+    // merge must too — a batch carrying the same (source, symbol, tf, ts)
+    // under two markets is two different instruments' bars, not a
+    // duplicate to keep-last over.
     UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root), enforced,
-      LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts")
+      LakeLayout.partitionCols,
+      Seq("source", "market", "symbol", "timeframe", "ts"), "ts")
   }
 }
 
@@ -321,29 +342,52 @@ private[lake] object UpsertCore {
                  partCols: Seq[String], key: Seq[String], sortCol: String,
                  beforePublish: () => Unit = () => (),
                  maxTouched: Int = MaxTouchedPartitions): Unit = {
-    // same-cell conflict detection (see LakeWriter's concurrency contract):
-    // populated on the literal-probe path, None on first write / semi-join
-    var probeSnapshot: Option[Map[String, Seq[(String, Long, Long)]]] = None
-    var touchedDirs: Seq[String] = Nil
+    // Touched-cell probe — computed from the BATCH alone, so it runs
+    // BEFORE the tree is listed: the conflict-detection snapshot below
+    // must precede every read of the existing files, or a commit landing
+    // between the read's eager file listing and the snapshot would pass
+    // the pre-publish re-check (both sides post-commit) while the merge
+    // plan still reads the stale listing (r14 review — with the snapshot
+    // first, the undetected window genuinely IS the publish job alone, as
+    // the contract note claims). Collecting the touched tuples (bounded —
+    // a batch spans few (source, symbol, tf, year, month) cells; cap
+    // guarded below) buys deterministic FILE-level partition pruning,
+    // where a broadcast semi-join prunes files only when dynamic file
+    // pruning happens to fire. At 100 TB that is the difference between
+    // scanning the touched months and scanning the tree — and it confines
+    // this writer's reads to its own partitions, which is what makes
+    // concurrent writers to different months safe (LakeSpec's contract):
+    // this job never opens files a different-month writer's commit is
+    // about to replace.
+    val distinctTouched = batch.select(partCols.map(col): _*).distinct()
+    val touched = distinctTouched.limit(maxTouched + 1).collect()
+    val literalProbe = touched.nonEmpty && touched.length <= maxTouched
+    val touchedDirs: Seq[String] =
+      if (!literalProbe) Nil
+      else touched.toSeq.map { row =>
+        // build each cell dir EXACTLY as the parquet writer will: Spark
+        // Hive-escapes partition values in paths (e.g. symbol EUR/USD →
+        // symbol=EUR%2FUSD, null/empty → __HIVE_DEFAULT_PARTITION__).
+        // Raw interpolation here would point the snapshot at directories
+        // that never exist, and the conflict check would silently pass
+        // for any cell whose value needs escaping — failing OPEN on the
+        // exact contract it exists to enforce.
+        path + "/" + partCols.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, Option(row.get(i)).map(_.toString).orNull)
+        }.mkString("/")
+      }
+    // snapshot FIRST (see above); on a first write the dirs don't exist
+    // yet and the snapshots are empty — two racing first-writers into one
+    // cell then trip the re-check, which is the correct outcome
+    val probeSnapshot: Option[Map[String, Seq[(String, Long, Long)]]] =
+      if (literalProbe) Some(cellSnapshot(spark, touchedDirs)) else None
     // first-write probe, NOT a catch-all (see LakeFs.readParquetIfData):
     // a transient/corruption read error aborts the upsert instead of being
     // mistaken for a first write and dropping pre-existing rows
     val existing = LakeFs.readParquetIfData(spark, path).map { cur =>
-      // restrict to partitions the batch touches, as a LITERAL
-      // partition-column predicate: collecting the touched tuples (bounded
-      // — a batch spans few (source, symbol, tf, year, month) cells; cap
-      // guarded below) buys deterministic FILE-level partition pruning,
-      // where the previous broadcast semi-join pruned files only when
-      // dynamic file pruning happened to fire. At 100 TB that is the
-      // difference between scanning the touched months and scanning the
-      // tree — and it confines this writer's reads to its own partitions,
-      // which is what makes concurrent writers to different months safe
-      // (LakeSpec's contract): this job never opens files a different-
-      // month writer's commit is about to replace.
-      val distinctTouched = batch.select(partCols.map(col): _*).distinct()
-      val touched = distinctTouched.limit(maxTouched + 1).collect()
       if (touched.isEmpty) cur.where(lit(false))
-      else if (touched.length > maxTouched) {
+      else if (!literalProbe) {
         // a batch touching >1000 partition cells: fall back to the
         // semi-join rather than build a kilometer-long predicate. This
         // path has NO same-cell conflict detection (listing >1000 cells
@@ -357,20 +401,6 @@ private[lake] object UpsertCore {
           "contract unenforced)")
         cur.join(broadcast(distinctTouched), partCols, "left_semi")
       } else {
-        touchedDirs = touched.toSeq.map { row =>
-          // build each cell dir EXACTLY as the parquet writer will: Spark
-          // Hive-escapes partition values in paths (e.g. symbol EUR/USD →
-          // symbol=EUR%2FUSD, null/empty → __HIVE_DEFAULT_PARTITION__).
-          // Raw interpolation here would point the snapshot at directories
-          // that never exist, and the conflict check would silently pass
-          // for any cell whose value needs escaping — failing OPEN on the
-          // exact contract it exists to enforce.
-          path + "/" + partCols.zipWithIndex.map { case (c, i) =>
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionPathString(c, Option(row.get(i)).map(_.toString).orNull)
-          }.mkString("/")
-        }
-        probeSnapshot = Some(cellSnapshot(spark, touchedDirs))
         cur.where(touched.map { row =>
           partCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }
             .reduce(_ && _)

@@ -50,14 +50,25 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
       s"column collision: ${rightVals.intersect(leftCols).mkString(",")}")
+    require(!(leftCols ++ rightVals).exists(Set("_asof", "_side")),
+      "_asof/_side are reserved by the as-of join")
+    if (rightVals.isEmpty) return left
 
-    val rSchema = right.schema
+    // ROW-ATOMIC fill (r14): the matched right row travels as ONE struct —
+    // a struct is non-null whenever the ROW exists, even when its fields
+    // are null, so a null value inside the matched row is served as that
+    // row's null (the pd.merge_asof / DuckDB ASOF JOIN contract).
+    // Per-column independent fills would instead reach back through it to
+    // an OLDER row's non-null value, stitching a row that never existed.
     val lSchema = left.schema
-    val leftSide = rightVals.foldLeft(left.withColumn("_side", lit(1))) { (d, c) =>
-      d.withColumn(c, lit(null).cast(rSchema(c).dataType))
-    }
+    val asofType = right.select(struct(rightVals.map(col): _*).as("_asof"))
+      .schema("_asof").dataType
+    val leftSide = left.withColumn("_side", lit(1))
+      .withColumn("_asof", lit(null).cast(asofType))
     val rightSide = leftCols.filterNot(c => c == on || partitionCols.contains(c))
-      .foldLeft(right.withColumn("_side", lit(0))) { (d, c) =>
+      .foldLeft(right.withColumn("_side", lit(0))
+        .withColumn("_asof", struct(rightVals.map(col): _*))
+        .drop(rightVals: _*)) { (d, c) =>
         d.withColumn(c, lit(null).cast(lSchema(c).dataType))
       }
     val unioned = leftSide.unionByName(rightSide)
@@ -65,17 +76,17 @@ object AsofJoin {
       if (chunk > 0L)
         // chunked two-phase fill: (on, _side) ordering keeps ctx rows
         // visible to exec rows at equal timestamps, exactly like the window
-        Fill.ffill(unioned, rightVals, partitionCols, on, chunk, tie = Some("_side"))
+        Fill.ffill(unioned, Seq("_asof"), partitionCols, on, chunk, tie = Some("_side"))
       else {
         val w = (if (partitionCols.nonEmpty) Window.partitionBy(partitionCols.map(col): _*)
                  else Window.partitionBy())
           .orderBy(col(on).asc, col("_side").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rightVals.foldLeft(unioned) { (d, c) =>
-          d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-        }
+        unioned.withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
       }
-    filled.where(col("_side") === 1).drop("_side")
+    rightVals.foldLeft(filled.where(col("_side") === 1)) { (d, c) =>
+      d.withColumn(c, col("_asof").getField(c))
+    }.drop("_asof", "_side")
   }
 
   /** Grid-aligned as-of equi-join (J1-b): valid when ctx rows sit exactly on
@@ -85,6 +96,12 @@ object AsofJoin {
     */
   def bucketJoin(left: DataFrame, right: DataFrame, ctxTf: Timeframe,
                  on: String = "ts", partitionCols: Seq[String] = Nil): DataFrame = {
+    // same API safety as backward()/directed(): collisions error HERE, not
+    // as an AMBIGUOUS_REFERENCE at the caller's next select
+    val collide = right.columns.toSeq
+      .filterNot(c => c == on || partitionCols.contains(c))
+      .intersect(left.columns.toSeq)
+    require(collide.isEmpty, s"column collision: ${collide.mkString(",")}")
     val l = left.withColumn("_bkt", Resample.bucket(on, ctxTf))
     val r = right.withColumnRenamed(on, "_bkt")
     l.join(broadcast(r), partitionCols :+ "_bkt", "left").drop("_bkt")
@@ -100,6 +117,10 @@ object AsofJoin {
     */
   def broadcastRange(left: DataFrame, right: DataFrame, on: String = "ts",
                      partitionCols: Seq[String] = Nil): DataFrame = {
+    val collide = right.columns.toSeq
+      .filterNot(c => c == on || partitionCols.contains(c))
+      .intersect(left.columns.toSeq)
+    require(collide.isEmpty, s"column collision: ${collide.mkString(",")}")
     val w = (if (partitionCols.nonEmpty) Window.partitionBy(partitionCols.map(col): _*)
              else Window.partitionBy()).orderBy(col(on))
     val r = right
@@ -127,11 +148,16 @@ object AsofJoin {
     *    yield nulls for that row — the row itself is kept (left-join shape)
     *
     * One pass for ALL directions: union-tag both sides, then [[Fill.biFill]]
-    * forward-fills the previous ctx row's values and backward-fills the
-    * next's in the same two-phase chunked scan (no data-sized unpartitioned
-    * window even unkeyed; `chunk` is in `on`-cast-long units). The matched
-    * right timestamp rides along as a filled column, so tolerance and
-    * nearest-selection are pure per-row expression work afterwards.
+    * forward-fills the previous ctx ROW and backward-fills the next — each
+    * as one struct (matched ts + values), so tolerance and nearest-selection
+    * are pure per-row expression work afterwards and always row-atomic.
+    *
+    * `chunk` is in `on`-CAST-LONG units: the 86400 default assumes a
+    * seconds-grained column (TimestampType casts to epoch seconds). For a
+    * raw ns column pass an ns-scaled chunk (a day = 86400L·10⁹) — the
+    * default would otherwise split a day of ns data into ~10⁹ chunks and
+    * the phase-2 carry summary becomes data-sized, reintroducing exactly
+    * the collapse Fill exists to avoid.
     */
   def directed(left: DataFrame, right: DataFrame, on: String = "ts",
                partitionCols: Seq[String] = Nil, direction: String = "backward",
@@ -142,56 +168,58 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
       s"column collision: ${rightVals.intersect(leftCols).mkString(",")}")
-    // the matched right timestamp rides as the reserved fill columns
-    // _p_ts/_n_ts; a right VALUE column literally named "ts" while joining
-    // on another column (ts/ts_ns coexist in this engine) would silently
-    // collide with them — rename it before calling
-    require(on == "ts" || !rightVals.contains("ts"),
-      s"right value column 'ts' collides with the matched-timestamp columns when on=$on; rename it")
+    require(!(leftCols ++ rightVals).exists(Set("_p", "_n", "_side", "_mts")),
+      "_p/_n/_side/_mts are reserved by the as-of join")
     val needP = direction != "forward"
     val needN = direction != "backward"
-    val pCols = if (needP) rightVals.map(c => s"_p_$c") :+ "_p_ts" else Nil
-    val nCols = if (needN) rightVals.map(c => s"_n_$c") :+ "_n_ts" else Nil
 
-    val rSchema = right.schema
-    val leftSide = (pCols ++ nCols).foldLeft(left.withColumn("_side", lit(1))) { (d, c) =>
-      val src = c.stripPrefix("_p_").stripPrefix("_n_")
-      d.withColumn(c, lit(null).cast(if (src == "ts") rSchema(on).dataType else rSchema(src).dataType))
+    // ROW-ATOMIC match per direction (r14, see backward()): the candidate
+    // right row travels as ONE struct — its matched timestamp in field
+    // _mts plus every value column — so the tolerance check and the served
+    // values always come from the SAME row. The previous per-column fills
+    // could pass the tolerance on the matched ts while serving a value
+    // filled through that row's null from a row beyond the tolerance.
+    val rowStruct = struct(col(on).as("_mts") +: rightVals.map(col): _*)
+    val rowType = right.select(rowStruct.as("_x")).schema("_x").dataType
+    val dirCols = (if (needP) Seq("_p") else Nil) ++ (if (needN) Seq("_n") else Nil)
+    val leftSide = dirCols.foldLeft(left.withColumn("_side", lit(1))) { (d, c) =>
+      d.withColumn(c, lit(null).cast(rowType))
     }
-    val rightTagged = right.withColumn("_side", lit(0))
     val rightSide = leftCols.filterNot(c => c == on || partitionCols.contains(c))
-      .foldLeft((pCols ++ nCols).foldLeft(rightTagged) { (d, c) =>
-        val src = c.stripPrefix("_p_").stripPrefix("_n_")
-        d.withColumn(c, col(if (src == "ts") on else src))
+      .foldLeft(dirCols.foldLeft(right.withColumn("_side", lit(0))) { (d, c) =>
+        d.withColumn(c, rowStruct)
       }.drop(rightVals: _*)) { (d, c) =>
         d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     val unioned = leftSide.unionByName(rightSide)
-    val filled = Fill.biFill(unioned, pCols, nCols, partitionCols, on, chunk,
-      tie = Some("_side"))
+    val filled = Fill.biFill(unioned,
+      if (needP) Seq("_p") else Nil, if (needN) Seq("_n") else Nil,
+      partitionCols, on, chunk, tie = Some("_side"))
     val execRows = filled.where(col("_side") === 1)
 
     val lts = col(on).cast("long")
-    def ok(mts: String, dist: org.apache.spark.sql.Column) =
-      col(mts).isNotNull && tolerance.fold(lit(true))(t => dist <= t)
-    val pOk = if (needP) ok("_p_ts", lts - col("_p_ts").cast("long")) else lit(false)
-    val nOk = if (needN) ok("_n_ts", col("_n_ts").cast("long") - lts) else lit(false)
+    val pTs = col("_p").getField("_mts").cast("long")
+    val nTs = col("_n").getField("_mts").cast("long")
+    def ok(m: org.apache.spark.sql.Column, dist: org.apache.spark.sql.Column) =
+      m.isNotNull && tolerance.fold(lit(true))(t => dist <= t)
+    val pOk = if (needP) ok(col("_p"), lts - pTs) else lit(false)
+    val nOk = if (needN) ok(col("_n"), nTs - lts) else lit(false)
     val usePrev = direction match {
       case "backward" => pOk
       case "forward" => lit(false)
-      case "nearest" =>
-        pOk && (!nOk || (lts - col("_p_ts").cast("long")) <= (col("_n_ts").cast("long") - lts))
+      case "nearest" => pOk && (!nOk || (lts - pTs) <= (nTs - lts))
     }
+    val rSchema = right.schema
     val out = rightVals.foldLeft(execRows) { (d, c) =>
       val nullV = lit(null).cast(rSchema(c).dataType)
       val v =
-        if (!needN) when(pOk, col(s"_p_$c")).otherwise(nullV)
-        else if (!needP) when(nOk, col(s"_n_$c")).otherwise(nullV)
-        else when(usePrev, col(s"_p_$c"))
-          .otherwise(when(nOk, col(s"_n_$c")).otherwise(nullV))
+        if (!needN) when(pOk, col("_p").getField(c)).otherwise(nullV)
+        else if (!needP) when(nOk, col("_n").getField(c)).otherwise(nullV)
+        else when(usePrev, col("_p").getField(c))
+          .otherwise(when(nOk, col("_n").getField(c)).otherwise(nullV))
       d.withColumn(c, v)
     }
-    out.drop("_side").drop(pCols ++ nCols: _*)
+    out.drop("_side").drop(dirCols: _*)
   }
 
   /** Multi-timeframe join (reference: src/datalake/read/api.py:80-87 loop):

@@ -24,20 +24,37 @@ object Gaps {
     * grid, gaps.py:53) to catch gaps at the boundaries too — a missing FIRST
     * or LAST bar is invisible to a data-derived grid.
     */
-  def missing(df: DataFrame, keys: Seq[String], stepSeconds: Long,
-              gridBounds: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+  /** Keyed step grid spanning `gridBounds` (or each group's observed
+    * [min ts, max ts]) — the ONE bounds+grid builder [[missing]] and
+    * [[synthFill]] share (r14: the two copies had started to drift).
+    */
+  private def keyedGrid(df: DataFrame, keys: Seq[String], stepSeconds: Long,
+                        gridBounds: Option[(java.sql.Timestamp, java.sql.Timestamp)]): DataFrame = {
     val bounds = gridBounds match {
       case Some((f, t)) =>
-        val b = df.select(keys.map(col): _*).distinct()
-        (if (keys.isEmpty) df.sparkSession.range(1).select(lit(1).as("_one")) else b)
+        (if (keys.isEmpty) df.sparkSession.range(1).select(lit(1).as("_one"))
+         else df.select(keys.map(col): _*).distinct())
           .withColumn("_from", lit(f)).withColumn("_to", lit(t))
           .drop("_one")
       case None => df.groupBy(keys.map(col): _*)
         .agg(min(col("ts")).as("_from"), max(col("ts")).as("_to"))
     }
-    val grid = bounds.select(keys.map(col) :+
+    bounds.select(keys.map(col) :+
       explode(sequence(col("_from"), col("_to"), expr(s"INTERVAL $stepSeconds SECONDS"))).as("ts"): _*)
-    grid.join(df.select((keys :+ "ts").map(col): _*), keys :+ "ts", "left_anti")
+  }
+
+  def missing(df: DataFrame, keys: Seq[String], stepSeconds: Long,
+              gridBounds: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    // NULL-SAFE key equality (r14): the groupBy above KEEPS a null key
+    // group, so the grid contains its slots — a plain-equality anti-join
+    // would never match them and report the group's entire grid missing
+    // (Fill.biFill's <=> stitch is the package convention). Aliased: the
+    // grid DERIVES from df, so unqualified attributes would be ambiguous.
+    val grid = keyedGrid(df, keys, stepSeconds, gridBounds).alias("_g")
+    val obs = df.select((keys :+ "ts").map(col): _*).alias("_o")
+    grid.join(obs,
+      (keys :+ "ts").map(c => col(s"_g.$c") <=> col(s"_o.$c")).reduce(_ && _),
+      "left_anti")
   }
 
   /** Compress a set of grid-aligned timestamps into contiguous
@@ -94,19 +111,21 @@ object Gaps {
     // same row set as `df UNION (grid ANTI JOIN df)` but with ONE evaluation
     // of df instead of three (bounds + anti-join probe + union arm), which
     // matters because df is typically an aggregation lineage, not a scan.
-    val bounds = gridBounds match {
-      case Some((f, t)) =>
-        (if (keys.isEmpty) df.sparkSession.range(1).select(lit(1).as("_one"))
-         else df.select(keys.map(col): _*).distinct())
-          .withColumn("_from", lit(f)).withColumn("_to", lit(t))
-          .drop("_one")
-      case None => df.groupBy(keys.map(col): _*)
-        .agg(min(col("ts")).as("_from"), max(col("ts")).as("_to"))
-    }
-    val grid = bounds.select(keys.map(col) :+
-      explode(sequence(col("_from"), col("_to"), expr(s"INTERVAL $stepSeconds SECONDS"))).as("ts"): _*)
-    val unioned = grid.join(df.withColumn("_real", lit(true)),
-        keys :+ "ts", "full_outer")
+    // NULL-SAFE key equality (r14, same reasoning as `missing`): with a
+    // plain-equality full outer, a null-key group's real bars never meet
+    // their own grid slots — every slot would emit a DUPLICATE synthetic
+    // bar alongside the real one. Expression join keeps both sides' key
+    // columns, so coalesce them back to one. Aliased because the grid
+    // derives from df (self-join ambiguity otherwise).
+    val grid = keyedGrid(df, keys, stepSeconds, gridBounds).alias("_g")
+    val data = df.withColumn("_real", lit(true)).alias("_d")
+    val joinCols = keys :+ "ts"
+    val dataCols = df.columns.filterNot(joinCols.contains)
+    val unioned = grid.join(data,
+        joinCols.map(c => col(s"_g.$c") <=> col(s"_d.$c")).reduce(_ && _),
+        "full_outer")
+      .select(joinCols.map(c => coalesce(col(s"_g.$c"), col(s"_d.$c")).as(c)) ++
+        dataCols.map(c => col(s"_d.$c")) :+ col("_d._real"): _*)
       .withColumn("_synth", col("_real").isNull)
       .drop("_real")
     // prior real close / next real open via the chunked two-phase fill —

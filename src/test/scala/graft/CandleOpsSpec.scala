@@ -238,4 +238,31 @@ class CandleOpsSpec extends AnyFunSuite {
       .orderBy(col("ts")).select(col("ctx_close")).collect().toSeq
     assert(a === b)
   }
+
+  test("as-of joins are ROW-atomic: the matched row's null is served as null, never filled through") {
+    // r14: right = [(100, close=5.0), (200, close=null)]; a left row at 210
+    // matches the ts=200 ROW backward — pandas merge_asof / DuckDB ASOF
+    // JOIN serve that row's NULL close. A per-column fill instead reached
+    // back to ts=100's 5.0 (and under tolerance=50 served a value from a
+    // row 110 s away through a match only 10 s away).
+    import spark.implicits._
+    val left = Seq(210L).toDF("s")
+      .select(timestamp_seconds(col("s")).as("ts"), col("s").as("exec_id"))
+    val right = Seq((100L, Option(5.0)), (200L, Option.empty[Double])).toDF("s", "v")
+      .select(timestamp_seconds(col("s")).as("ts"), col("v"))
+    def theV(df: org.apache.spark.sql.DataFrame): Option[Double] = {
+      val r = df.select(col("v")).head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(theV(AsofJoin.backward(left, right)) === None,
+      "window-form backward must serve the matched row's null")
+    assert(theV(AsofJoin.backward(left, right, chunk = 50L)) === None,
+      "chunked backward must serve the matched row's null (row crosses chunks)")
+    assert(theV(AsofJoin.directed(left, right, tolerance = Some(50L), chunk = 100L)) === None,
+      "tolerance must never admit a value from beyond it via fill-through-null")
+    // forward direction mirror: left at 90 matches ts=100's 5.0 (non-null)
+    val left2 = Seq(90L).toDF("s")
+      .select(timestamp_seconds(col("s")).as("ts"), col("s").as("exec_id"))
+    assert(theV(AsofJoin.directed(left2, right, direction = "forward", chunk = 100L)) === Some(5.0))
+  }
 }

@@ -224,6 +224,36 @@ class LakeSpec extends AnyFunSuite {
     assert(got.select("market").distinct().count() === 2)
   }
 
+  test("ONE batch carrying the same bar under TWO markets upserts both (market in the merge key)") {
+    // r14: the writer's merge key omitted market while the reader's dedupe
+    // key includes it — a mixed-market batch (same source/symbol/tf/ts,
+    // different market = two different instruments) had one row silently
+    // keep-last'ed away before it ever reached disk
+    val root = Files.createTempDirectory("lake_mktkey").toString
+    val bars = SynthSource.m1(spark, "XAU", "2025-08-01", "2025-08-01")
+    val mixed = bars.unionByName(
+      bars.withColumn("market", lit("fx")).withColumn("close", col("close") + 7.0))
+    LakeWriter.upsert(spark, root, mixed)
+    val got = LakeReader.readRange(spark, root, "synth", "XAU", "M1", None, None)
+    assert(got.count() === 2880, "both markets' bars must survive ONE mixed upsert")
+    assert(got.select("market").distinct().count() === 2)
+  }
+
+  test("null-key group: gaps are not falsely reported and synthFill does not duplicate real bars") {
+    // r14: plain-equality joins never match null keys, so a null-symbol
+    // group used to read back its ENTIRE grid as missing, and synthFill
+    // emitted a synthetic twin beside every real bar
+    val day = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
+      .withColumn("symbol", lit(null).cast("string"))
+    val gappy = day.where(col("ts") =!= lit("2025-08-01 03:00:00"))
+    val miss = graft.ops.Gaps.minuteGaps(gappy, Seq("symbol"))
+    assert(miss.count() === 1, "exactly the one removed minute is missing")
+    assert(miss.head.getAs[Long]("n_missing") === 1L)
+    val filled = graft.ops.Gaps.synthFill(gappy, Seq("symbol"))
+    assert(filled.count() === 1440, "no duplicate synthetic twins beside real bars")
+    assert(filled.where(col("is_synth")).count() === 1)
+  }
+
   test("gap detection finds removed minutes as islands; synthFill repairs them") {
     val day = SynthSource.m1(spark, "BTC-USD", "2025-08-01", "2025-08-01")
     val gappy = day.where(!(col("ts") >= lit("2025-08-01 03:00:00") &&
