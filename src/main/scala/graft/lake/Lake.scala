@@ -359,9 +359,18 @@ private[lake] object UpsertCore {
     // concurrent writers to different months safe (LakeSpec's contract):
     // this job never opens files a different-month writer's commit is
     // about to replace.
+    // Tree-existence gate FIRST (one getFileStatus, no listing): a brand-new
+    // tree has nothing to conflict with or merge against, so the probe —
+    // which costs one extra evaluation of the batch lineage — is skipped
+    // entirely on the bootstrap write, exactly the pre-r14 cost model
+    // (measured: running it unconditionally added ~2 s to q124's chain of
+    // first-writes at the bench shape).
+    val treeExists = LakeFs.exists(spark, path)
     val distinctTouched = batch.select(partCols.map(col): _*).distinct()
-    val touched = distinctTouched.limit(maxTouched + 1).collect()
-    val literalProbe = touched.nonEmpty && touched.length <= maxTouched
+    val touched =
+      if (treeExists) distinctTouched.limit(maxTouched + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val literalProbe = treeExists && touched.nonEmpty && touched.length <= maxTouched
     val touchedDirs: Seq[String] =
       if (!literalProbe) Nil
       else touched.toSeq.map { row =>
@@ -386,7 +395,13 @@ private[lake] object UpsertCore {
     // a transient/corruption read error aborts the upsert instead of being
     // mistaken for a first write and dropping pre-existing rows
     val existing = LakeFs.readParquetIfData(spark, path).map { cur =>
-      if (touched.isEmpty) cur.where(lit(false))
+      if (!treeExists)
+        // the tree appeared between the existence check and the read (a
+        // racing bootstrap writer landed first): merge its rows for this
+        // batch's cells via the semi-join probe rather than drop them —
+        // detection is off for this race, like any semi-join-probe run
+        cur.join(broadcast(distinctTouched), partCols, "left_semi")
+      else if (touched.isEmpty) cur.where(lit(false))
       else if (!literalProbe) {
         // a batch touching >1000 partition cells: fall back to the
         // semi-join rather than build a kilometer-long predicate. This
