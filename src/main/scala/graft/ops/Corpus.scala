@@ -114,7 +114,11 @@ object Corpus {
                        k: Int, hashSeed: Long = 11L): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(idHash(col(idCol), hashSeed), col(idCol))
-    df.withColumn("rn", row_number().over(w).cast("long"))
+    // null ids are dropped (the sampleQuantileState convention): a NULL id
+    // hashes to a NULL rank key that sorts FIRST, stealing top-k slots from
+    // real rows — nondeterministically when several NULL-id rows tie
+    df.where(col(idCol).isNotNull)
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
   }
 
@@ -321,7 +325,10 @@ object Corpus {
     * export, where readers consume shards in parallel.
     */
   def shuffledExport(df: DataFrame, idCol: String, shards: Int = 16): DataFrame = {
-    val withShard = df.withColumn("shard", pmod(idHash(col(idCol), 7L), lit(shards.toLong)))
+    // null ids dropped: they'd all land in shard NULL with a
+    // nondeterministic within-shard order (see stratifiedSample)
+    val withShard = df.where(col(idCol).isNotNull)
+      .withColumn("shard", pmod(idHash(col(idCol), 7L), lit(shards.toLong)))
     // independent multiplier (xxhash prime2) for the within-shard order —
     // an affine shift of the shard hash would correlate pos with shard, and
     // a multiplier below P would not wrap the modulus for small ids,

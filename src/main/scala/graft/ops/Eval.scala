@@ -135,6 +135,12 @@ object Eval {
     *
     * Output (one row per treatment arm): (arm_control, arm_treatment, n_c,
     * n_t, conv_c, conv_t, rate_c r6, rate_t r6, lift r6, z r4).
+    *
+    * Caller contracts (r14): `control` must name an arm that EXISTS —
+    * a typo'd label yields an empty result (zero control rows → the
+    * cross join is empty), indistinguishable from no treatment arms; and
+    * units with a NULL arm match neither side and are silently excluded —
+    * pre-filter or repair assignment upstream if they must be surfaced.
     */
   def abTest(df: DataFrame, unitCol: String, armCol: String,
              convFlag: Column, control: String): DataFrame = {

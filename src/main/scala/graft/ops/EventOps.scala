@@ -111,11 +111,6 @@ object EventOps {
       .orderBy(col("bin"))
   }
 
-  /** Sessionization: split each user's event stream at inactivity gaps >
-    * `gapSeconds` (gaps-and-islands over lag). Returns one row per
-    * (user, session) with start/end/count. Scales: window partitions by
-    * user — the natural shuffle key; no global sort.
-    */
   /** Ordered conversion funnel: per stage, the number of users whose FIRST
     * qualifying event of stage i happened at-or-after their qualifying
     * time for stage i-1 (the standard ordered-funnel definition — doing
@@ -238,7 +233,8 @@ object EventOps {
                            userCol: String = "user_id",
                            typeCol: String = "event_type",
                            tsCol: String = "ts",
-                           idCol: String = "event_id"): DataFrame = {
+                           idCol: String = "event_id",
+                           valueCol: String = "value"): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col("_tsec"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -253,7 +249,7 @@ object EventOps {
           lit("direct")).otherwise(col("_lt_ty")))
       .groupBy(col("attributed"))
       .agg(count(lit(1)).as("n_conversions"),
-        sum(round(col("value"), 4).cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+        sum(round(col(valueCol), 4).cast(org.apache.spark.sql.types.DecimalType(28, 4)))
           .cast("double").as("revenue"))
   }
 
@@ -279,7 +275,17 @@ object EventOps {
       .select(expr(s"CAST(`$tsCol` AS LONG) DIV 86400").as("day"), col(userCol).as("_u"))
       .distinct()
     val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val maxDay = du.agg(max(col("day"))).head().getLong(0)
+    // empty/all-null-ts input: max(day) is NULL — return the empty frame
+    // instead of NPEing on getLong (every sibling op honors empty input)
+    val maxDayRow = du.agg(max(col("day"))).head()
+    if (maxDayRow.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      return events.sparkSession.createDataFrame(
+        events.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("day", LongType), StructField("dau", LongType),
+          StructField("wau", LongType), StructField("stickiness_bp", LongType))))
+    }
+    val maxDay = maxDayRow.getLong(0)
     val wau = du
       .withColumn("_t", explode(sequence(col("day"), least(col("day") + 6, lit(maxDay)))))
       .select(col("_t").as("day"), col("_u"))
@@ -309,9 +315,17 @@ object EventOps {
                   idCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_tsec"), col(idCol))
     val w2 = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"), col(idCol))
+    // the change detector must be NULL-SAFE (r14): lag the attr inside a
+    // struct, so "no previous row" (null struct) is distinguishable from
+    // "previous attr was NULL" (struct with null field). A bare
+    // `_prev.isNull || _prev =!= attr` both dropped changes TO NULL (the
+    // predicate is NULL) and failed to compact consecutive NULLs — the
+    // streaming face's Scala != has always been null-correct, so the two
+    // faces disagreed exactly on NULL attribute versions.
     df.withColumn("_tsec", col(tsCol).cast("long"))
-      .withColumn("_prev", lag(col(attrCol), 1).over(w))
-      .where(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .withColumn("_prev", lag(struct(col(attrCol).as("a")), 1).over(w))
+      .where(col("_prev").isNull ||
+        !(col("_prev").getField("a") <=> col(attrCol)))
       .withColumn("valid_from", col("_tsec"))
       .withColumn("valid_to", lead(col("_tsec"), 1).over(w2))
       .withColumn("version", row_number().over(w2).cast("long"))
@@ -340,18 +354,25 @@ object EventOps {
     */
   def pointInTimeJoin(facts: DataFrame, history: DataFrame, keyCol: String,
                       tsecCol: String, attrCol: String): DataFrame = {
+    // ROW-ATOMIC fill (r14, the AsofJoin pattern): (attr, version) travel
+    // as ONE struct — two independent ignoreNulls fills would desync them
+    // when a version's attr is legitimately NULL (attr falls back to an
+    // OLDER version while version advances: an (attr, version) pair that
+    // never existed, serving a superseded value into training features)
     val h = history.select(col(keyCol), col("valid_from").as(tsecCol),
-      col(attrCol).as("_pit_attr"), col("version").as("_pit_version"),
+      struct(col(attrCol).as("a"), col("version").as("v")).as("_pit"),
       lit(0).as("_pit_src"))
     val u = facts.withColumn("_pit_src", lit(1))
       .unionByName(h, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsecCol), col("_pit_src"), col("_pit_version").asc_nulls_last)
+      .orderBy(col(tsecCol), col("_pit_src"),
+        col("_pit").getField("v").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn(s"asof_$attrCol", last(col("_pit_attr"), ignoreNulls = true).over(w))
-      .withColumn("asof_version", last(col("_pit_version"), ignoreNulls = true).over(w))
+    u.withColumn("_pit_m", last(col("_pit"), ignoreNulls = true).over(w))
+      .withColumn(s"asof_$attrCol", col("_pit_m").getField("a"))
+      .withColumn("asof_version", col("_pit_m").getField("v"))
       .where(col("_pit_src") === 1)
-      .drop("_pit_attr", "_pit_version", "_pit_src")
+      .drop("_pit", "_pit_m", "_pit_src")
   }
 
   /** Top-k full session paths: each session's ordered event-type sequence
@@ -427,6 +448,11 @@ object EventOps {
       (1 to k).flatMap(i => Seq(col(s"prev_type_$i"), col(s"gap_secs_$i"))): _*)
   }
 
+  /** Sessionization: split each user's event stream at inactivity gaps >
+    * `gapSeconds` (gaps-and-islands over lag). Returns one row per
+    * (user, session) with start/end/count. Scales: window partitions by
+    * user — the natural shuffle key; no global sort.
+    */
   def sessionize(events: DataFrame, gapSeconds: Long, userCol: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("ts"))
     events

@@ -283,17 +283,35 @@ object Quantiles {
     *
     * Output: (groupCols, n, median, mad, thr_lo, thr_hi, n_outliers).
     */
+  /** Null-safe equi-join on `keys` keeping the LEFT side's key columns:
+    * groupCols may legitimately hold a NULL-keyed group (the engine-wide
+    * <=> convention exactInterpolated's restore join already follows) — a
+    * plain-equality join would silently drop that group from the output.
+    * Aliased because the right side typically derives from the left.
+    * Empty keys preserve the bare-join (cross) behavior.
+    */
+  private def nullSafeJoin(left: DataFrame, right: DataFrame,
+                           keys: Seq[String]): DataFrame = {
+    if (keys.isEmpty) return left.crossJoin(right)
+    val l = left.alias("_nsl")
+    val r = right.alias("_nsr")
+    val rightVals = right.columns.filterNot(keys.contains)
+    l.join(r, keys.map(c => col(s"_nsl.$c") <=> col(s"_nsr.$c")).reduce(_ && _))
+      .select(left.columns.map(c => col(s"_nsl.$c")) ++
+        rightVals.map(c => col(s"_nsr.$c")): _*)
+  }
+
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Double = 3.0): DataFrame = {
     val g = groupCols.map(col)
     val c = k * 1.4826
     val med = exactInterpolated(df, groupCols, valueCol, Seq(0.5 -> "_med"))
-    val dev = df.select((g :+ col(valueCol)): _*)
-      .where(col(valueCol).isNotNull)
-      .join(med, groupCols)
+    val dev = nullSafeJoin(
+      df.select((g :+ col(valueCol)): _*).where(col(valueCol).isNotNull),
+      med, groupCols)
       .withColumn("_absdev", abs(col(valueCol) - col("_med")))
     val mad = exactInterpolated(dev, groupCols, "_absdev", Seq(0.5 -> "_mad"))
-    dev.join(mad, groupCols)
+    nullSafeJoin(dev, mad, groupCols)
       .withColumn("_medr", round(col("_med"), 4))
       .withColumn("_madr", round(col("_mad"), 4))
       .withColumn("_lo", col("_medr") - lit(c) * col("_madr"))
@@ -384,7 +402,7 @@ object Quantiles {
     val wv = when(v < bLo, bLo).when(v > bHi, bHi).otherwise(v)
     def dmean(c: Column): Column =
       round(sum(round(c, 4).cast("decimal(28,4)")).cast("double") / count(v), 6)
-    df.join(broadcast(bands), groupCols)
+    nullSafeJoin(df, broadcast(bands), groupCols)
       .groupBy(g: _*)
       .agg(count(v).as("n"),
         round(min(col("_plo")), 4).as("p_lo"),
@@ -474,7 +492,7 @@ object Quantiles {
       .groupBy(g: _*).agg(sum(col("_cn")).as("n_total"))
     val counts = sample.groupBy(g: _*).agg(count(lit(1)).as("n_sampled"))
     val quants = exactInterpolated(sample, groupCols, "_v", specs)
-    totals.join(counts, groupCols).join(quants, groupCols)
+    nullSafeJoin(nullSafeJoin(totals, counts, groupCols), quants, groupCols)
   }
 
   /** Direct (single-pass) form of the sample-quantile sketch: bottom-k

@@ -14,7 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization of trimmed, lowercased text. */
+  /** Whitespace tokenization of trimmed, lowercased text.
+    *
+    * CONTRACT (mirrored bit-for-bit by every DuckDB oracle): Spark's
+    * split of an EMPTY string returns `[""]`, so an empty/whitespace-only
+    * document contributes ONE empty-string "token" to anything built on
+    * this (unigram LMs, tf-idf, chi², drift vocabularies) and counts as a
+    * 1-token doc. Changing that here would break oracle parity across a
+    * dozen queries — filter empty documents upstream when the "" token is
+    * unwanted. Note [[TextFunctions.tokenCount]]'s native kernel counts an
+    * empty doc as 0 tokens; ops mixing both tokenizers must not compare
+    * their totals.
+    */
   def words(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** One-pass native per-document statistics struct (n_tokens,

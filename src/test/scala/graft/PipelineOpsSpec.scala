@@ -271,6 +271,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2History + pointInTimeJoin are NULL-attribute-correct (change TO null kept, pair row-atomic)") {
+    // r14: the change detector used `_prev =!= attr`, whose predicate is
+    // NULL for a change TO NULL (version silently dropped) and which
+    // failed to compact consecutive NULLs; and the PIT join filled attr
+    // and version independently, so a NULL-attr version desynced the pair
+    // (old attr served with the new version number).
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, Option("a"), t(100)),
+      (2L, 1L, Option.empty[String], t(200)), // change TO null = a version
+      (3L, 1L, Option.empty[String], t(250)), // consecutive null compacted
+      (4L, 1L, Option("b"), t(300)),
+      (5L, 2L, Option.empty[String], t(50)))  // first version may be null
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val hist = graft.ops.EventOps.scd2History(ev, "user_id", "event_type")
+    val got = hist.orderBy("user_id", "version")
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, Some("a"), 100L, Some(200L), 1L),
+      (1L, None, 200L, Some(300L), 2L),
+      (1L, Some("b"), 300L, None, 3L),
+      (2L, None, 50L, None, 1L)))
+    // PIT at tsec=210 (inside the NULL version): attr NULL, version 2 —
+    // never ("a", 2), the desynced pair the independent fills produced
+    val facts = Seq((1L, 210L, "f1")).toDF("user_id", "tsec", "fact")
+    val pit = graft.ops.EventOps.pointInTimeJoin(facts, hist,
+        "user_id", "tsec", "event_type")
+      .select(col("asof_event_type"), col("asof_version")).head
+    assert(pit.isNullAt(0), "the matched version's NULL attr must be served as NULL")
+    assert(pit.getLong(1) === 2L)
+  }
+
   test("lastTouchAttribution: last qualifying touch wins; stale and first-event go direct") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
