@@ -59,6 +59,18 @@ object Graph {
     // data-sized edge table the caller should hand in a persisted/bucketed
     // one (see scaladoc), and this checkpoint is then the caller's single
     // materialization, not a per-round one.
+    // integral weights ONLY (r14): the long cast would TRUNCATE fractional
+    // weights — a source whose weights all truncate to 0 gets a 0 out-sum,
+    // NULL transition probabilities, and its rank mass silently destroyed
+    // every round (breaking the ranks-sum-to-1 invariant). Weights must
+    // also be positive; scale fractional weights to integers upstream.
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(edges.schema(weightCol).dataType)
+    }, s"pagerank needs a positive INTEGRAL weight column; got " +
+      s"${edges.schema(weightCol).dataType.simpleString} — a fractional " +
+      "weight would truncate (scale to integers upstream)")
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
       col(weightCol).cast("long").as("_w")).localCheckpoint()
     val nodes = e.select(col("_src").as("node"))

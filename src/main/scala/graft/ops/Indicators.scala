@@ -111,8 +111,9 @@ object Indicators {
     val diff = c - lag(c, 1).over(wl)
     val gain = when(diff > 0.0, diff).otherwise(lit(0.0))
     val loss = when(diff < 0.0, -diff).otherwise(lit(0.0))
-    // decimal frame-sums of the rounded gains/losses; counts exclude the
-    // null first-diff automatically via the when(isNotNull) guard
+    // scaled-long (l4) frame-sums of the rounded gains/losses (bounded
+    // n-row frames, so fsum's 2^53 contract holds); the null first-diff
+    // is excluded via the when(isNotNull) guard
     val g = sum(when(diff.isNotNull, l4(gain))).over(wf).cast("double") / 10000.0
     val l = sum(when(diff.isNotNull, l4(loss))).over(wf).cast("double") / 10000.0
     when(diff.isNull, lit(null).cast("double"))
@@ -127,7 +128,15 @@ object Indicators {
                   volume: Column): Column = {
     val day = expr(s"CAST(`$tsCol` AS LONG) DIV 86400")
     val w = Window.partitionBy((keys.map(col) :+ day): _*)
-    round(fsum(price * volume, w) / fsum(volume, w), 6)
+    // DECIMAL sums, not fsum (r14): a whole-day partition is an UNBOUNDED
+    // frame — fsum's scaled-long contract (|sum·10⁴| < 2^53) holds for the
+    // bounded n-row indicator frames but not for a day of high-notional
+    // price·volume terms, where the long sum would lose exactness and
+    // eventually wrap silently. Value-identical in the non-overflow
+    // regime: both paths produce the exact rational n/10⁴ as its nearest
+    // double before the one division (the obv convention).
+    round((sum(dec(price * volume)).over(w).cast("double")) /
+      (sum(dec(volume)).over(w).cast("double")), 6)
   }
 
   /** Average True Range (SMA flavor) over the trailing `n` bars:
@@ -265,7 +274,11 @@ object Indicators {
       col("ts").cast("long").as("ts_sec"), col("close").as("y"))
     val joined = a.join(b, "ts_sec").where(col("sym_a") < col("sym_b"))
       .withColumn("pair", concat(col("sym_a"), lit("-"), col("sym_b")))
-    val w = Window.partitionBy(col("pair")).orderBy(col("ts_sec"))
+    // partition by the TWO symbol columns, not the concat key (r14): a
+    // "-" inside a symbol makes distinct pairs collide on the string
+    // ("X-Y","Z" vs "X","Y-Z" → "X-Y-Z") and their series interleave in
+    // one window frame; the string stays as the OUTPUT label only
+    val w = Window.partitionBy(col("sym_a"), col("sym_b")).orderBy(col("ts_sec"))
       .rowsBetween(-(n - 1), 0)
     def s(c: Column): Column = sum(l4(c)).over(w).cast("double") / 10000.0
     val (x, y) = (col("x"), col("y"))

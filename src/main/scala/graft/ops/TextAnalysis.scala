@@ -17,14 +17,17 @@ object TextAnalysis {
   /** Whitespace tokenization of trimmed, lowercased text.
     *
     * CONTRACT (mirrored bit-for-bit by every DuckDB oracle): Spark's
-    * split of an EMPTY string returns `[""]`, so an empty/whitespace-only
-    * document contributes ONE empty-string "token" to anything built on
-    * this (unigram LMs, tf-idf, chi², drift vocabularies) and counts as a
-    * 1-token doc. Changing that here would break oracle parity across a
-    * dozen queries — filter empty documents upstream when the "" token is
-    * unwanted. Note [[TextFunctions.tokenCount]]'s native kernel counts an
-    * empty doc as 0 tokens; ops mixing both tokenizers must not compare
-    * their totals.
+    * split of an EMPTY string returns `[""]`, so an empty document
+    * contributes ONE empty-string "token" to anything built on this
+    * (unigram LMs, tf-idf, chi², drift vocabularies) and counts as a
+    * 1-token doc. Sharper edge (r14): `trim` strips SPACES only — text
+    * ending in `\n`/`\t` keeps a trailing empty token (split's default
+    * limit -1 keeps trailing empties), and a `\n`-only doc yields TWO
+    * empty tokens. Changing any of this would break oracle parity across
+    * a dozen queries — normalize/filter whitespace upstream when ""
+    * tokens are unwanted. Note [[graft.functions.TextFunctions]]'
+    * tokenCount native kernel counts an empty doc as 0 tokens; ops mixing
+    * both tokenizers must not compare their totals.
     */
   def words(text: Column): Column = split(trim(lower(text)), "\\s+")
 
@@ -234,6 +237,8 @@ object TextAnalysis {
     * stability is not enough). Pure per-row arithmetic; no shuffle.
     */
   def datasetSplit(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"need 0 <= trainPct + valPct <= 100, got trainPct=$trainPct valPct=$valPct")
     val bucket = pmod(fingerprint(text), lit(100L))
     when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + valPct, lit("val"))
