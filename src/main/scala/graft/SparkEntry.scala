@@ -2058,6 +2058,15 @@ object SparkEntry {
     // portable polynomial char hash (matches TextAnalysis.fingerprint exactly)
     def fpSql(c: String): String =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c,''), c->ascii(c)::BIGINT)), (a,b)->(a*31+b)%1000000007)"
+    // the regex-\s trim alphabet (space \t \n VT \f \r) as a DuckDB trim()
+    // character set — bit-identical to TextAnalysis.WsChars (a trim ALPHABET
+    // is regex-dialect-free, unlike \s itself: RE2 omits VT, Java includes
+    // it). r15 lockstep fix: both engines' tokenizers \s-trim before the
+    // split, so \n/\t-padded text no longer manufactures a trailing ""
+    // token into LM/tf-idf/chi2/drift vocabularies.
+    val wsTrimSql = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    def wsTrim(c: String): String = s"trim($c, $wsTrimSql)"
+    def nonEmptySql(c: String): String = s"len(${wsTrim(c)}) > 0"
     // ONE tokenizer/shingle CTE source, parameterized by the corpus-subset
     // predicate: the full-corpus form plus the deterministic subset twins
     // the declared-exact ground-truth gates run on (q16/q87/q138/q139
@@ -2068,7 +2077,7 @@ object SparkEntry {
     // probes). Generated from one template so a tokenizer change can never
     // drift the subset oracles from the full one.
     def wsSqlWhere(where: String) =
-      s"""SELECT doc_id, text, lang, string_split_regex(trim(lower(text)),'\\s+') AS l FROM documents$where"""
+      s"""SELECT doc_id, text, lang, string_split_regex(${wsTrim("lower(text)")},'\\s+') AS l FROM documents$where"""
     def shingleSqlWhere(where: String) =
       s"""WITH ws AS (${wsSqlWhere(where)}),
          | tok AS (SELECT doc_id, unnest(l) AS w, unnest(generate_series(1,len(l))) AS pos FROM ws),
@@ -2233,16 +2242,18 @@ object SparkEntry {
            |        row_number() OVER (ORDER BY cnt DESC, gram) AS rank,
            |        sum(cnt) OVER (ORDER BY cnt DESC, gram
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           |       FROM top)
-           |SELECT rank::BIGINT AS vocab_size, cum::BIGINT AS covered, total,
-           | round(cum::DOUBLE / total, 6) AS coverage
-           |FROM r CROSS JOIN t WHERE rank IN (10, 100, 500, 1000, 2500)
+           |       FROM top),
+           | p AS (SELECT unnest([10, 100, 500, 1000, 2500])::BIGINT AS vocab_size)
+           |SELECT p.vocab_size, coalesce(cum, total)::BIGINT AS covered, total,
+           | round(coalesce(cum, total)::DOUBLE / total, 6) AS coverage
+           |FROM p LEFT JOIN r ON r.rank = p.vocab_size CROSS JOIN t
+           |WHERE total IS NOT NULL
            |ORDER BY 1""".stripMargin,
       // KL/JS drift: same tokenizer, same deterministic top-500 vocab cut,
       // same add-one smoothing and decimal-summed r7 contributions
       "q113_kl_drift" ->
         s"""WITH tok AS (SELECT source, unnest(l) AS w
-           |         FROM (SELECT d.source, string_split_regex(trim(lower(d.text)),'\\s+') AS l
+           |         FROM (SELECT d.source, string_split_regex(${wsTrim("lower(d.text)")},'\\s+') AS l
            |               FROM documents d) x),
            | ps AS (SELECT source, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
            | tt AS (SELECT w, sum(c)::BIGINT AS ct FROM ps GROUP BY 1),
@@ -3433,7 +3444,7 @@ object SparkEntry {
            |FROM c ORDER BY doc_id""".stripMargin,
       "q37_corpus_stats" ->
         s"""WITH ws AS (SELECT doc_id, text, lang, source,
-           |              string_split_regex(trim(lower(text)),'\\s+') AS l FROM documents),
+           |              string_split_regex(${wsTrim("lower(text)")},'\\s+') AS l FROM documents),
            | p AS (SELECT lang, source, len(l)::BIGINT AS n_tokens,
            |        round((least(length(text)::DOUBLE/200.0, 1.0)
            |          + CASE WHEN ($meanWlSql) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
@@ -3459,11 +3470,12 @@ object SparkEntry {
            | (coalesce(o.n_overlap, 0) * 10000 // t.n_shingles)::BIGINT AS contamination_bps
            |FROM tot t LEFT JOIN ov o USING (doc_id) ORDER BY 1""".stripMargin,
       "q60_duplicate_spans" ->
-        s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\\s+') AS l
-           |            FROM documents WHERE len(trim(text)) > 0),
+        s"""WITH ws AS (SELECT doc_id, string_split_regex(${wsTrim("lower(text)")},'\\s+') AS l
+           |            FROM documents WHERE ${nonEmptySql("text")}),
            | nz AS (SELECT doc_id, l, len(l) AS n FROM ws WHERE len(l) > 0),
            | st AS (SELECT doc_id, l, n, unnest(generate_series(0, n-1, 10)) AS s FROM nz),
-           | ch AS (SELECT doc_id, array_to_string(l[s+1:least(s+20, n)], ' ') AS c FROM st),
+           | ch AS (SELECT doc_id, array_to_string(l[s+1:least(s+20, n)], ' ') AS c
+           |        FROM st WHERE s = 0 OR s + 10 < n),
            | f AS (SELECT doc_id, ${fpSql("c")} AS fp FROM ch),
            | stats AS (SELECT fp, count(DISTINCT doc_id) AS nd, min(doc_id) AS fst
            |           FROM f GROUP BY 1)
@@ -3641,10 +3653,10 @@ object SparkEntry {
            |                 END AS tr FROM d),
            | g AS (SELECT symbol, ts_sec, close, diff,
            |        sum(${dec4.format("close")}) OVER w10::DOUBLE AS s1_10,
-           |        count(*) OVER w10 AS n10,
+           |        count(close) OVER w10 AS n10,
            |        sum(${dec4.format("close")}) OVER w20::DOUBLE AS s1_20,
            |        sum(${dec4.format("close*close")}) OVER w20::DOUBLE AS s2_20,
-           |        count(*) OVER w20 AS n20,
+           |        count(close) OVER w20 AS n20,
            |        $emaNum AS ema_num, $emaDen AS ema_den,
            |        sum(CASE WHEN diff IS NOT NULL THEN ${dec4.format("gain")} END) OVER w14::DOUBLE AS g14,
            |        sum(CASE WHEN diff IS NOT NULL THEN ${dec4.format("loss")} END) OVER w14::DOUBLE AS l14,
@@ -3746,7 +3758,7 @@ object SparkEntry {
            |ORDER BY anchor_id, rank""".stripMargin,
       "q66_filter_funnel" ->
         s"""WITH ws AS ($wsSql),
-           | m AS (SELECT doc_id, text, len(trim(text)) > 0 AS ne, len(l) AS nt,
+           | m AS (SELECT doc_id, text, ${nonEmptySql("text")} AS ne, len(l) AS nt,
            |        round($punctSql, 4) AS pr,
            |        round(CASE WHEN len(l)>0 THEN 1.0 - len(list_distinct(l))::DOUBLE/len(l) ELSE 0.0 END, 4) AS dwf,
            |        round((least(length(text)::DOUBLE/200.0, 1.0)
@@ -3811,7 +3823,7 @@ object SparkEntry {
           |       FROM h)
           |SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
       "q43_tfidf_topk" ->
-        """WITH ws AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS l FROM documents),
+        s"""WITH ws AS (SELECT doc_id, string_split_regex(${wsTrim("lower(text)")},'\\s+') AS l FROM documents),
           | tok AS (SELECT doc_id, unnest(l) AS term FROM ws),
           | tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
           | df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
@@ -3879,12 +3891,12 @@ object SparkEntry {
           |FROM iv JOIN e ON e.tn >= iv.start_ns AND e.tn < iv.end_ns
           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q54_doc_chunks" ->
-        """WITH ws AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS l
-          |            FROM documents WHERE len(trim(text)) > 0),
+        s"""WITH ws AS (SELECT doc_id, string_split_regex(${wsTrim("lower(text)")},'\\s+') AS l
+          |            FROM documents WHERE ${nonEmptySql("text")}),
           | nz AS (SELECT doc_id, l, len(l) AS n FROM ws WHERE len(l) > 0),
           | st AS (SELECT doc_id, l, n, unnest(generate_series(0, n-1, 50)) AS s FROM nz),
           | ch AS (SELECT doc_id, (s//50)::BIGINT AS chunk_id,
-          |          l[s+1:least(s+60, n)] AS c FROM st)
+          |          l[s+1:least(s+60, n)] AS c FROM st WHERE s = 0 OR s + 10 < n)
           |SELECT doc_id, chunk_id, len(c)::BIGINT AS n_tokens,
           | list_reduce(list_prepend(0::BIGINT,
           |   list_transform(string_split(array_to_string(c, ' '),''), x->ascii(x)::BIGINT)),

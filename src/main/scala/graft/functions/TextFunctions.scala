@@ -25,19 +25,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** Tokenize exactly like Spark's split(trim(lower(text)), "\\s+"): lower
-    * is locale-independent, trim strips U+0020 only (not \t\n), and split
-    * uses limit -1 (Spark's default — a trailing \t after space-trim yields
-    * a trailing empty token, matching the HOF reference forms bit-for-bit).
-    * The ONE tokenizer behind both [[wordShingles]] and [[simHash]], so the
-    * two kernels can never drift apart.
+  /** Tokenize exactly like Spark's split(wsTrim(lower(text)), "\\s+"):
+    * lower is locale-independent, the trim strips the regex-`\s` alphabet
+    * (see [[graft.ops.TextAnalysis.WsChars]] — space \t \n VT \f \r, the
+    * r15 lockstep fix for the trailing-empty-token defect), and split uses
+    * limit -1 (Spark's default). After a `\s`-aware trim no trailing empty
+    * can survive, so limit -1 and limit 0 agree; -1 is kept to stay
+    * textually identical to the HOF reference forms. The ONE tokenizer
+    * behind both [[wordShingles]] and [[simHash]], so the two kernels can
+    * never drift apart.
     */
   def tokenize(text: UTF8String): Array[String] = {
     val lowered = text.toLowerCase.toString
+    @inline def ws(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
     var from = 0
     var to = lowered.length
-    while (from < to && lowered.charAt(from) == ' ') from += 1
-    while (to > from && lowered.charAt(to - 1) == ' ') to -= 1
+    while (from < to && ws(lowered.charAt(from))) from += 1
+    while (to > from && ws(lowered.charAt(to - 1))) to -= 1
     lowered.substring(from, to).split("\\s+", -1)
   }
 

@@ -54,12 +54,17 @@ object Indicators {
     sum(l4(c)).over(w).cast("double") / 10000.0
 
   /** Simple moving average of `c` over the trailing `n` rows (shorter at
-    * the head of the series — standard expanding warmup).
+    * the head of the series — standard expanding warmup). NULL handling is
+    * pinned to SQL AVG semantics (r15): the mean divides the null-skipping
+    * frame sum by the count of NON-NULL `c` rows, so a frame of k rows
+    * with j nulls averages the k-j real values (an all-null frame yields
+    * NULL). Candle closes are non-null in practice, but the contract is
+    * now explicit and oracle-mirrored rather than accidental.
     */
   def smaCols(keys: Seq[String], orderCol: String, c: Column, n: Int): Column = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(-(n - 1), 0)
-    round(fsum(c, w) / count(lit(1)).over(w), 6)
+    round(fsum(c, w) / count(c).over(w), 6)
   }
 
   /** Truncated exponential moving average: the N-term EMA expansion
@@ -86,13 +91,16 @@ object Indicators {
   /** Bollinger bands over the trailing `n` rows: (mid, upper, lower) with
     * `k` standard deviations (sample variance; std treated as 0 when
     * cnt <= 1 or variance <= 0, so the first row yields zero-width bands
-    * equal to mid — never null).
+    * equal to mid — never null). Like [[smaCols]], NULL handling is pinned
+    * to SQL AVG/VAR semantics (r15): cnt counts NON-NULL `c` rows, so
+    * mean and sample variance range over the real values only (an
+    * all-null frame yields NULL bands).
     */
   def bollingerCols(keys: Seq[String], orderCol: String, c: Column, n: Int,
                     k: Double = 2.0): (Column, Column, Column) = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(-(n - 1), 0)
-    val cnt = count(lit(1)).over(w)
+    val cnt = count(c).over(w)
     val s1 = fsum(c, w)
     val s2 = fsum(c * c, w) // square in double, round-4, decimal-sum
     val mid = s1 / cnt

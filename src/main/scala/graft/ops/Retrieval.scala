@@ -105,6 +105,10 @@ object Retrieval {
     *
     * Output: (vocab_size, covered, total, coverage) — one row per probe
     * size, where covered = occurrences of the top-`vocab_size` bigrams.
+    * A probe size beyond the corpus's distinct-bigram count emits
+    * (probe, total, total, 1.0) — the whole vocabulary is covered (r15
+    * lockstep fix; such probes were silently omitted before, so "one row
+    * per probe" held only for small probes).
     */
   def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
                     sizes: Seq[Int], maxVocab: Int = 20000): DataFrame = {
@@ -127,10 +131,24 @@ object Retrieval {
       .withColumn("cum", sum(col("cnt")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val probes = sizes.distinct.sorted.map(_.toLong)
-    ranked.where(col("rank").isin(probes: _*))
+    // LEFT join the probe list to the ranked cut: a probe past the
+    // distinct-bigram count has no rank row and coalesces to full
+    // coverage. Both sides are tiny (|probes| and <= maxVocab rows), so
+    // this is a broadcast join over a LIMIT-bounded input — no new
+    // data-sized work.
+    import docs.sparkSession.implicits._
+    val probeDf = probes.toDF("vocab_size")
+    probeDf
+      .join(broadcast(ranked.where(col("rank").isin(probes: _*))),
+        col("vocab_size") === col("rank"), "left")
       .crossJoin(broadcast(total))
-      .select(col("rank").as("vocab_size"), col("cum").as("covered"),
+      // an empty corpus (no bigram at all) has no meaningful coverage row:
+      // keep the pre-r15 empty output rather than emitting null rows
+      .where(col("total").isNotNull)
+      .select(col("vocab_size"),
+        coalesce(col("cum"), col("total")).as("covered"),
         col("total"),
-        round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+        round(coalesce(col("cum"), col("total")).cast("double") / col("total"),
+          6).as("coverage"))
   }
 }

@@ -14,22 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization of trimmed, lowercased text.
+  /** The regex-`\s` character set, as a trim alphabet. `trim(c, WsChars)`
+    * strips exactly the characters Java-regex `\s` matches (space, \t, \n,
+    * VT, \f, \r) from both ends — the same class the `"\\s+"` split
+    * separates on, so tokenization can no longer manufacture a trailing
+    * empty token from `\n`/`\t`-padded text (a real r14 defect: the phantom
+    * "" term entered LM, tf-idf, chi² and drift vocabularies). The DuckDB
+    * oracles trim the identical alphabet (`SparkEntry.wsTrimSql`).
+    */
+  val WsChars: String = " \t\n\u000B\f\r"
+
+  /** `\s`-aware both-ends trim (see [[WsChars]]). */
+  def wsTrim(c: Column): Column = trim(c, WsChars)
+
+  /** True when the text contains any non-whitespace character — the
+    * nonempty-document predicate every filter below shares.
+    */
+  def nonEmpty(c: Column): Column = length(wsTrim(c)) > 0
+
+  /** Whitespace tokenization of `\s`-trimmed, lowercased text.
     *
     * CONTRACT (mirrored bit-for-bit by every DuckDB oracle): Spark's
-    * split of an EMPTY string returns `[""]`, so an empty document
-    * contributes ONE empty-string "token" to anything built on this
-    * (unigram LMs, tf-idf, chi², drift vocabularies) and counts as a
-    * 1-token doc. Sharper edge (r14): `trim` strips SPACES only — text
-    * ending in `\n`/`\t` keeps a trailing empty token (split's default
-    * limit -1 keeps trailing empties), and a `\n`-only doc yields TWO
-    * empty tokens. Changing any of this would break oracle parity across
-    * a dozen queries — normalize/filter whitespace upstream when ""
-    * tokens are unwanted. Note [[graft.functions.TextFunctions]]'
-    * tokenCount native kernel counts an empty doc as 0 tokens; ops mixing
-    * both tokenizers must not compare their totals.
+    * split of an EMPTY string returns `[""]`, so a document with no
+    * non-whitespace characters contributes ONE empty-string "token" to
+    * anything built on this (unigram LMs, tf-idf, chi², drift
+    * vocabularies) and counts as a 1-token doc — filter with [[nonEmpty]]
+    * when "" tokens are unwanted. Since r15 the trim is `\s`-aware
+    * ([[WsChars]]), so interior tokens are never empty and trailing
+    * whitespace of any kind adds no token. Note
+    * [[graft.functions.TextFunctions]]' tokenCount native kernel shares
+    * this tokenizer via `TextKernels.tokenize`.
     */
-  def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+  def words(text: Column): Column = split(wsTrim(lower(text)), "\\s+")
 
   /** One-pass native per-document statistics struct (n_tokens,
     * mean_word_len, punct_ratio, stopword_ratio, lang_* marker hits) — the
@@ -50,7 +66,7 @@ object TextAnalysis {
     * engine-portable).
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), w => length(trim(w)) > 0))
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), w => length(wsTrim(w)) > 0))
 
   /** Punctuation-character ratio. */
   def punctRatio(text: Column): Column = stats(text).getField("punct_ratio")
@@ -252,6 +268,14 @@ object TextAnalysis {
     * one row per chunk with (idCol, chunk_id, n_tokens, chunk_text),
     * chunk_id 0-based. Documents with zero tokens produce zero chunks.
     *
+    * A start `s > 0` with `s + overlap >= len` would yield a chunk fully
+    * CONTAINED in its predecessor (the previous window already reaches
+    * `s - step + maxTokens = s + overlap >= len`) — duplicate training
+    * text, the exact failure a dedup pipeline exists to prevent. Such
+    * trailing starts are suppressed (r15 lockstep fix; the DuckDB oracle
+    * filters the identical predicate). Suppressed starts are always a
+    * SUFFIX of the start sequence, so surviving chunk_ids stay contiguous.
+    *
     * Pure per-row expression work (split + sequence + posexplode + slice):
     * no shuffle, no UDF; chunk explosion is the only data growth
     * (x len/(maxTokens-overlap) rows, each bounded by maxTokens tokens).
@@ -264,11 +288,15 @@ object TextAnalysis {
     docs
       // the whitespace tokenizer maps "" to [""] (one empty token), so
       // blank docs need their own explicit exclusion
-      .where(length(trim(col(textCol))) > 0)
+      .where(nonEmpty(col(textCol)))
       .select(col(idCol), words(col(textCol)).as("_w"))
       .where(size(col("_w")) > 0)
       .select(col(idCol), col("_w"),
         posexplode(sequence(lit(0), size(col("_w")) - 1, lit(step))))
+      // containment suppression: keep s = 0 (a short doc's only chunk) and
+      // every start that contributes at least one token past the previous
+      // window's end
+      .where(col("col") === 0 || col("col") + lit(overlap) < size(col("_w")))
       .select(col(idCol), col("pos").cast("long").as("chunk_id"),
         slice(col("_w"), col("col") + 1, lit(maxTokens)).as("_c"))
       .select(col(idCol), col("chunk_id"),
@@ -293,7 +321,7 @@ object TextAnalysis {
                    maxPunct: Double = 0.1, maxDupWords: Double = 0.3,
                    minQuality: Double = 0.5): DataFrame = {
     val t = col(textCol)
-    val c1 = length(trim(t)) > 0
+    val c1 = nonEmpty(t)
     val c2 = c1 && tokenCount(t) >= minTokens
     val c3 = c2 && round(punctRatio(t), 4) <= maxPunct
     val c4 = c3 && round(dupWordFraction(t), 4) <= maxDupWords

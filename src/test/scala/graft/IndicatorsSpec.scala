@@ -25,6 +25,33 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(rising(11) === 7.5)          // mean(3..12), full 10-row frame
   }
 
+  test("SMA/Bollinger: NULL closes use SQL AVG semantics — non-null count (r15)") {
+    // closes 2, NULL, 4: SMA over the 3-row frame at row 3 must be
+    // mean(2,4)=3.0 (SQL AVG), not (2+4)/3=2.0 (the old count(*) divisor)
+    val df = Seq(
+      ("A", new java.sql.Timestamp(1700000000L * 1000L), Some(2.0)),
+      ("A", new java.sql.Timestamp(1700000300L * 1000L), None: Option[Double]),
+      ("A", new java.sql.Timestamp(1700000600L * 1000L), Some(4.0)),
+    ).toDF("symbol", "ts", "close")
+    val sma = df.select(col("ts"),
+        Indicators.smaCols(Seq("symbol"), "ts", col("close"), 10).as("sma"))
+      .orderBy("ts").select("sma").as[Option[Double]].collect()
+    assert(sma(0) === Some(2.0))
+    assert(sma(1) === Some(2.0)) // frame {2, NULL}: AVG = 2
+    assert(sma(2) === Some(3.0)) // frame {2, NULL, 4}: AVG = 3, not 2
+    val (mid, up, lo) = Indicators.bollingerCols(Seq("symbol"), "ts", col("close"), 10)
+    val bb = df.select(col("ts"), mid.as("m"), up.as("u"), lo.as("l"))
+      .orderBy("ts").select("m").as[Option[Double]].collect()
+    assert(bb(2) === Some(3.0))
+    // an all-null frame yields NULL, matching SQL AVG of no rows
+    val allNull = Seq(("A", new java.sql.Timestamp(1700000000L * 1000L),
+      None: Option[Double])).toDF("symbol", "ts", "close")
+    val s0 = allNull.select(
+        Indicators.smaCols(Seq("symbol"), "ts", col("close"), 10).as("sma"))
+      .select("sma").as[Option[Double]].collect()
+    assert(s0.head === None)
+  }
+
   test("Bollinger: constant series has zero-width bands; bands bracket the mid") {
     val flat = Indicators.enrich(candles(Seq.fill(25)(7.0)), Seq("symbol"))
       .orderBy("ts").select("bb_mid", "bb_up", "bb_lo")

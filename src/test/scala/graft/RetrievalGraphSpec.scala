@@ -57,15 +57,23 @@ class RetrievalGraphSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     // bigrams doc1: "a b","b a","a b","b a","a c" ; doc2: "a b","b d","d e"
     val got = Retrieval.vocabCoverage(docs, "doc_id", "text",
-      sizes = Seq(1, 2, 5), maxVocab = 10)
+      sizes = Seq(1, 2, 5, 9), maxVocab = 10)
       .orderBy("vocab_size")
       .select("vocab_size", "covered", "total", "coverage")
       .as[(Long, Long, Long, Double)].collect()
-    assert(got.map(_._1).toSeq === Seq(1L, 2L, 5L))
+    // r15: a probe past the 5 distinct bigrams is EMITTED at full coverage,
+    // not silently omitted — one row per probe, always
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 5L, 9L))
     // top-1 is "a b" (3 occurrences of 8 total)
     assert(got(0)._2 === 3L && got(0)._3 === 8L)
     assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted, "coverage must be monotone")
-    assert(got.last._4 === 1.0, "5 distinct bigrams -> full coverage at v=5")
+    assert(got(2)._4 === 1.0, "5 distinct bigrams -> full coverage at v=5")
+    assert(got.last === ((9L, 8L, 8L, 1.0)), "beyond-vocab probe covers everything")
+  }
+
+  test("vocabCoverage: empty corpus emits no rows (not null rows)") {
+    val docs = Seq((1L, ""), (2L, "solo")).toDF("doc_id", "text") // no bigram
+    assert(Retrieval.vocabCoverage(docs, "doc_id", "text", sizes = Seq(1, 10)).count() === 0L)
   }
 
   // -------------------------------------------------------------------

@@ -207,6 +207,80 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("words: \\s-aware trim — no phantom empty token from padded text (r15)") {
+    val got = Seq(
+      (1L, "a b\n"),        // r14 defect: tokenized as ["a","b",""]
+      (2L, "\tx"),
+      (3L, "a\tb\r\n"),
+      (4L, "\n"),           // whitespace-only: one "" token, same as ""
+      (5L, ""),
+      (6L, " x \u000B"),    // VT is in Java \s — trimmed too
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a", "b"))
+    assert(got(2L) === Seq("x"))
+    assert(got(3L) === Seq("a", "b"))
+    assert(got(4L) === Seq(""))
+    assert(got(5L) === Seq(""))
+    assert(got(6L) === Seq("x"))
+    // the native kernel tokenizes identically (tokenCount = HOF count)
+    val k = Seq(("a b\n"), ("\tx"), ("\n"), ("")).toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("a"),
+        TextAnalysis.tokenCountHof(col("text")).cast("long").as("b")).collect()
+    k.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(k(0).getLong(0) === 2L) // not 3: the "" token is gone
+  }
+
+  test("subwordCount: boundary splits count alnum runs and non-ws symbols only") {
+    val got = Seq(
+      (1L, "hello, world!"),  // hello , world ! -> 4
+      (2L, "a-b"),            // a - b -> 3
+      (3L, "x\ny"),           // \n is whitespace, not a subword -> 2
+      (4L, ""),
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) === 4)
+    assert(got(2L) === 3)
+    assert(got(3L) === 2)
+    assert(got(4L) === 0)
+  }
+
+  test("chunkDocuments: trailing chunk contained in its predecessor is suppressed (r15)") {
+    // 13 tokens, maxTokens=5, overlap=2, step=3: starts 0,3,6,9,12 — the
+    // s=12 chunk (w13) is fully inside the s=9 chunk (w10..w13): suppressed
+    val docs = Seq((1L, (1 to 13).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, "doc_id", "text", maxTokens = 5, overlap = 2)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 4L)))
+    assert(got.last._3 === "w10 w11 w12 w13")
+    // no chunk is a substring-contained repeat of its predecessor
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(!a._3.endsWith(b._3), s"chunk ${b._1} contained in ${a._1}")
+    }
+    // every token still covered
+    assert(got.flatMap(_._3.split(" ")).toSet === (1 to 13).map(i => s"w$i").toSet)
+
+    // heavy-overlap regime: step < overlap can suppress SEVERAL trailing
+    // starts; chunk_ids stay contiguous and coverage still holds
+    val docs2 = Seq((1L, (1 to 6).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got2 = TextAnalysis.chunkDocuments(docs2, "doc_id", "text", maxTokens = 5, overlap = 4)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(3)))
+    // starts 0..5; keep s=0 and s=1 (1+4 < 6); suppress s=2..5
+    assert(got2.map(_._1).toSeq === Seq(0L, 1L))
+    assert(got2.map(_._2).toSeq === Seq("t1 t2 t3 t4 t5", "t2 t3 t4 t5 t6"))
+
+    // a doc shorter than the overlap keeps its single s=0 chunk
+    val got3 = TextAnalysis.chunkDocuments(
+        Seq((1L, "only two")).toDF("doc_id", "text"), "doc_id", "text",
+        maxTokens = 5, overlap = 4)
+      .collect().map(r => (r.getLong(1), r.getString(3)))
+    assert(got3.toSeq === Seq((0L, "only two")))
+  }
+
   test("language id picks marker-matching language deterministically") {
     val got = Seq(
       (1, "the cat and the dog is a friend of mine"),
