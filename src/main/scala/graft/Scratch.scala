@@ -141,6 +141,55 @@ object Scratch {
         }
         println(f"[cap-ab] $sfDir literal=${ls.result().min}%.2fs lazy=${zs.result().min}%.2fs (min-of-3)")
 
+      case "fuzzy-ab" :: rest =>
+        // r15: blocked all-pairs vs same-length PassJoin inside fuzzyPairs,
+        // on two corpus shapes — supplier-shaped (same length, shared
+        // prefix: PassJoin's degenerate case) and high-entropy (random
+        // hex names + 2% planted near-dups: realistic entity resolution).
+        // Locates FuzzyCrossoverRows on one host phase, min-of-3.
+        val shape = rest.headOption.getOrElse("entropy")
+        val sizes = if (rest.drop(1).isEmpty) Seq(250, 500, 1000, 2000, 4000, 8000)
+                    else rest.drop(1).map(_.toInt)
+        def names(n: Int) = {
+          import spark.implicits._
+          val rows =
+            if (shape == "supplier")
+              (0 until n).map(i => (i.toLong, f"Supplier#${i % (n / 2 + 1)}%09d"))
+            else {
+              val rnd = new scala.util.Random(42)
+              def hex(len: Int) = (0 until len).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+              (0 until n).map { i =>
+                if (i % 50 == 1) { // planted near-dup of the previous name
+                  val prev = { val r2 = new scala.util.Random(42L + i - 1); (0 until 18).map(_ => "0123456789abcdef"(r2.nextInt(16))).mkString }
+                  (i.toLong, prev.updated(7, 'z').toString)
+                } else {
+                  val r2 = new scala.util.Random(42L + i)
+                  (i.toLong, (0 until 18).map(_ => "0123456789abcdef"(r2.nextInt(16))).mkString)
+                }
+              }
+            }
+          rows.toDF("id", "name").localCheckpoint()
+        }
+        def time(f: => org.apache.spark.sql.DataFrame): Double = {
+          val s = System.nanoTime(); f.queryExecution.toRdd.count()
+          (System.nanoTime() - s) / 1e9
+        }
+        for (n <- sizes) {
+          val df = names(n)
+          val base = df.select(col("id").as("_id"), col("name").as("_s"),
+            length(col("name")).as("_len")).localCheckpoint()
+          val (bs, ss) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+          for (_ <- 1 to 3) {
+            bs += time(graft.ops.Dedup.blockedFuzzyPairs(
+              base.select(col("_id"), col("_s"), col("_len").as("_blk")), 2))
+            ss += time(graft.ops.Dedup.fuzzyPairsSameLength(base, 2))
+          }
+          val routed = graft.ops.Dedup.fuzzyPairs(df, "id", "name", 2)
+            .queryExecution.analyzed.toString
+          val pick = if (routed.contains("levenshtein") && routed.contains("_blk")) "blocked" else "segmented"
+          println(f"[fuzzy-ab] n=$n%6d blocked=${bs.result().min}%.2fs segmented=${ss.result().min}%.2fs router=$pick")
+        }
+
       case "profile" :: name :: rest =>
         // split a query's cost into plan-build / analysis+optimization /
         // execution, repeated so JIT warmup is visible

@@ -56,6 +56,46 @@ object Dedup {
     */
   val MihCrossoverDocs: Long = 50000L
 
+  /** Corpus size where the same-length PassJoin overtakes the blocked
+    * all-pairs join in [[fuzzyPairs]]' default-length-blocking mode ON
+    * HIGH-ENTROPY corpora — the measured same-phase A/B crossover
+    * (PLANS.md round 15, `Scratch fuzzy-ab entropy`: blocked/segmented
+    * 0.29/0.36 s at 2k rows, 0.69/0.34 at 4k, 37.9/0.53 at 32k — blocked
+    * is block-quadratic, segmented flat). Routing ALSO requires the
+    * [[segmentEntropyOk]] degeneracy probe: on shared-prefix corpora
+    * (`fuzzy-ab supplier`) the constant segments make PassJoin candidates
+    * corpus-quadratic ×15 multiplicity and it NEVER wins (measured ~9×
+    * slower at every size) — there the blocked join remains optimal and
+    * the quadratic cost is the corpus's true pairwise similarity, which
+    * no exact method can block away.
+    */
+  val FuzzyCrossoverRows: Long = 3000L
+
+  /** Max tolerated Σᵢ(mean segment-bucket width) relative to n for the
+    * PassJoin route: segmented candidate work is ~Σᵢ n·wᵢ·(probe
+    * multiplicity), blocked is ~n²/2, so segmented needs Σwᵢ ≪ n. n/16
+    * keeps an order-of-magnitude safety margin over the ~15× probe
+    * multiplicity at d=2 (both A/B shapes sit far from the boundary:
+    * entropy Σw ≈ 3, supplier Σw ≥ n).
+    */
+  private val FuzzySegWidthFrac: Double = 1.0 / 16.0
+
+  /** One-row aggregate over the k index segments' approx distinct counts:
+    * true when every segment family is selective enough that segment-
+    * agreement candidates stay far below the blocked join's n²/2 — the
+    * [[fuzzyPairs]] router's degeneracy probe (a shared constant prefix
+    * collapses a segment to ONE bucket and PassJoin to a slower
+    * quadratic). Costs one small scan-aggregate; it runs only past
+    * [[FuzzyCrossoverRows]], where the pair join it guards dwarfs it.
+    */
+  private def segmentEntropyOk(base: DataFrame, k: Int, n: Long): Boolean = {
+    val aggs = (0 until k).map(i => approx_count_distinct(expr(
+      s"substring(_s, ${segPosSql(k, "_len", i.toString)} + 1, ${segLenSql(k, "_len", i.toString)})")).as(s"_d$i"))
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    val sumWidth = (0 until k).map(i => n.toDouble / math.max(1L, r.getLong(i))).sum
+    sumWidth <= n * FuzzySegWidthFrac
+  }
+
   /** Largest over-cap bucket-key list the simhash candidate generators
     * inline as `isin(...)` literals. Over-cap keys number at most
     * n/maxBucket, so the COLLECT is always driver-safe — but past a few
@@ -323,7 +363,13 @@ object Dedup {
     * maxDist in length, so same-length blocking catches the substitution-
     * only matches; pass a phonetic/q-gram key for higher recall — any
     * blocking is recall-lossy by design and the key's selectivity is what
-    * distributes the pair join at scale). Verification uses Spark's
+    * distributes the pair join at scale). With default length blocking
+    * the op is SIZE-ADAPTIVE (r15): at or above [[FuzzyCrossoverRows]]
+    * rows the identical same-length pair set is generated by the
+    * same-length PassJoin (segment agreement prunes inside a length
+    * block, where the blocked join is quadratic); pass `rowCount` to keep
+    * plan construction lazy, else a count() on the shared cached
+    * projection decides. Verification uses Spark's
     * THRESHOLDED levenshtein (early-exits the DP past maxDist — the
     * standard banded-DP trick, returns -1 beyond), which equals the full
     * distance whenever it qualifies, so the emitted distances are exact
@@ -332,11 +378,42 @@ object Dedup {
     * Output: (id_a, id_b, dist) with 0 <= dist <= maxDist, id_a < id_b.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
-                 maxDist: Int, blockKey: Option[Column] = None): DataFrame = {
+                 maxDist: Int, blockKey: Option[Column] = None,
+                 rowCount: Option[Long] = None): DataFrame = {
     require(maxDist >= 0, "need maxDist >= 0")
-    val key = blockKey.getOrElse(length(col(strCol)))
-    val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"),
-      key.as("_blk"))
+    // SIZE-ADAPTIVE routing (r15, the q133/MihCrossoverDocs pattern): with
+    // default length blocking the all-pairs-within-a-length-block join is
+    // quadratic in the block width (measured exp 1.44 over sf0.1→sf1 on
+    // the supplier corpus, whose names share ONE length) — past the
+    // measured crossover AND the segment-entropy probe, the identical
+    // pair set comes from the same-length PassJoin instead (flat where
+    // blocked is quadratic on high-entropy corpora; see FuzzyCrossoverRows
+    // for both A/B tables — degenerate shared-prefix corpora stay
+    // blocked, where they are ~9x cheaper). Both forms are exact within
+    // same-length pairs, so routing changes cost, never results. A
+    // supplied rowCount skips the count() (when absent it runs on the
+    // cached projection both routes reuse, so the scan is pre-paid);
+    // past the crossover the one-row entropy aggregate always runs — a
+    // blind route onto a degenerate corpus would cost 10x the probe.
+    // Custom blockKeys always take the blocked join: the caller chose the
+    // blocking entropy, and a phonetic/q-gram key has no PassJoin twin.
+    if (blockKey.isEmpty && maxDist >= 1 && maxDist <= 4) {
+      val base = df.where(col(strCol).isNotNull)
+        .select(col(idCol).as("_id"), col(strCol).as("_s"),
+          length(col(strCol)).as("_len")).cache()
+      lazy val n = rowCount.getOrElse(base.count())
+      if (n >= FuzzyCrossoverRows && segmentEntropyOk(base, maxDist + 1, n))
+        fuzzyPairsSameLength(base, maxDist)
+      else blockedFuzzyPairs(base.select(col("_id"), col("_s"),
+        col("_len").as("_blk")), maxDist)
+    } else {
+      val key = blockKey.getOrElse(length(col(strCol)))
+      blockedFuzzyPairs(df.select(col(idCol).as("_id"), col(strCol).as("_s"),
+        key.as("_blk")), maxDist)
+    }
+  }
+
+  private[graft] def blockedFuzzyPairs(base: DataFrame, maxDist: Int): DataFrame = {
     val a = base.select(col("_id").as("id_a"), col("_s").as("_sa"), col("_blk"))
     val b = base.select(col("_id").as("id_b"), col("_s").as("_sb"), col("_blk"))
     a.join(b, "_blk")
@@ -344,6 +421,27 @@ object Dedup {
       .withColumn("dist", expr(s"levenshtein(_sa, _sb, $maxDist)").cast("long"))
       .where(col("dist") >= 0L && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Same-length PassJoin: [[fuzzyPairsSegmented]]'s machinery with the
+    * probe side's source-length range pinned to the probe string's OWN
+    * length, so candidates form only between equal-length strings — the
+    * exact pair set of default-length-blocked [[fuzzyPairs]] (pigeonhole
+    * still needs the ±maxDist segment-position shifts: same-length pairs
+    * at distance d can involve insert+delete combos that displace
+    * segments). Input must have (_id, _s, _len).
+    */
+  private[graft] def fuzzyPairsSameLength(base: DataFrame, maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val idx = segIndexSide(base, k, "id_a", "_sa")
+    val probe = segProbeSide(base, k, maxDist, "id_b", "_sb",
+      sameLengthOnly = true)
+    idx.join(probe, Seq("_ls", "_i", "_sub"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", expr(s"levenshtein(_sa, _sb, $maxDist)").cast("long"))
+      .where(col("dist") >= 0L && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
   }
 
   /** Anchor-candidate routing over the SimHash bucket registry: for every
@@ -606,13 +704,19 @@ object Dedup {
         col("_g.i").as("_i"), col("_g.sub").as("_sub"))
 
   /** Probe side of the PassJoin: for every candidate source length within
-    * ±maxDist and segment index, each ±maxDist-shifted same-length
+    * ±maxDist (or the string's own length only, when `sameLengthOnly` —
+    * the [[fuzzyPairs]] same-length route, 1/(2·maxDist+1) of the probe
+    * fan-out) and segment index, each ±maxDist-shifted same-length
     * substring of the string, deduped. Input must have (_id, _s, _len).
     */
   private def segProbeSide(base: DataFrame, k: Int, maxDist: Int,
-                           idOut: String, strOut: String): DataFrame =
+                           idOut: String, strOut: String,
+                           sameLengthOnly: Boolean = false): DataFrame = {
+    val lsRange =
+      if (sameLengthOnly) "sequence(_len, _len)"
+      else s"sequence(greatest(_len - $maxDist, 0), _len + $maxDist)"
     base.select(col("_id").as(idOut), col("_s").as(strOut),
-      explode(expr(s"""flatten(transform(sequence(greatest(_len - $maxDist, 0), _len + $maxDist), ls ->
+      explode(expr(s"""flatten(transform($lsRange, ls ->
         flatten(transform(sequence(0, ${k - 1}), i ->
           transform(filter(sequence(${segPosSql(k, "ls", "i")} - $maxDist, ${segPosSql(k, "ls", "i")} + $maxDist),
               q -> q >= 0 AND q + ${segLenSql(k, "ls", "i")} <= _len),
@@ -621,6 +725,7 @@ object Dedup {
       .select(col(idOut), col(strOut), col("_g.ls").as("_ls"),
         col("_g.i").as("_i"), col("_g.sub").as("_sub"))
       .distinct() // multiple shifts often yield the same substring
+  }
 
   /** TWO-TABLE form of [[fuzzyPairsSegmented]] — entity resolution across
     * registries (link a scraped vendor list against the master table):

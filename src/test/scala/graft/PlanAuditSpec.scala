@@ -176,6 +176,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q61_bloom_decontaminate" -> "benchmarkBloom's shingle-distinct: eval-suite-bounded, feeds BOTH the eager bloom-bit collect and the verify join (r14 — was recomputed twice)",
     "q62_contamination_rate" -> "benchmark shingle set: eval-suite-bounded, read by the overlap join and the bloom build",
     "q87_prefix_jaccard" -> "Dedup shingle projections (see q16)",
+    "q97_fuzzy_match" -> "fuzzyPairs (_id, _s, _len) projection: one narrow row per name, read by both join sides and the r15 router's count/entropy probes",
     "q133_simhash_wide_pairs" -> "Dedup wide-signature projection (see q17)",
     "q135_simhash_anchor_candidates" -> "Dedup signature projection feeding registry build + probe sides")
 

@@ -131,6 +131,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L, 1L), (1L, 5L, 0L), (2L, 5L, 1L)))
   }
 
+  test("fuzzyPairs routes: blocked and same-length PassJoin emit identical pairs (r15)") {
+    import org.apache.spark.sql.functions.length
+    // same-length corpus with substitution pairs AND an indel-displacement
+    // same-length pair ("abcdef" vs "bcdefa": delete front, append back —
+    // dist 2 with every segment SHIFTED, the case that needs the ±d probe)
+    val df = Seq(
+      (1L, "abcdef"), (2L, "bcdefa"), (3L, "abcxef"), (4L, "zzzzzz"),
+      (5L, "abcdef"), (6L, "short"), (7L, "shxrt"),
+    ).toDF("id", "name")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSeq.sorted
+    val base = df.select(col("id").as("_id"), col("name").as("_s"),
+      length(col("name")).as("_len"))
+    val blocked = norm(graft.ops.Dedup.blockedFuzzyPairs(
+      base.select(col("_id"), col("_s"), col("_len").as("_blk")), 2))
+    val seg = norm(graft.ops.Dedup.fuzzyPairsSameLength(base, 2))
+    assert(seg === blocked, "the two routes must emit the identical pair set")
+    assert(blocked.contains((1L, 2L, 2L)), "indel-displaced same-length pair found")
+    assert(blocked.contains((1L, 5L, 0L)) && blocked.contains((1L, 3L, 1L)))
+    assert(!blocked.exists(p => Set(p._1, p._2).contains(4L)), "no false pair")
+    // the public op (router) agrees regardless of which side it picks
+    assert(norm(graft.ops.Dedup.fuzzyPairs(df, "id", "name", 2)) === blocked)
+  }
+
+  test("fuzzyPairs router: crossover + entropy guard pick the measured winner (r15)") {
+    def plan(d: org.apache.spark.sql.DataFrame) = d.queryExecution.analyzed.toString
+    def isBlocked(p: String) = p.contains("_blk")
+    // tiny corpus: below FuzzyCrossoverRows -> blocked
+    val tiny = Seq((1L, "alpha"), (2L, "alphb")).toDF("id", "name")
+    assert(isBlocked(plan(graft.ops.Dedup.fuzzyPairs(tiny, "id", "name", 2))))
+    // large high-entropy corpus -> segmented (the flat route)
+    val rnd = new scala.util.Random(7)
+    def hex18() = (0 until 18).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+    val entropy = (0 until 4000).map(i => (i.toLong, hex18())).toDF("id", "name")
+      .localCheckpoint()
+    assert(!isBlocked(plan(graft.ops.Dedup.fuzzyPairs(entropy, "id", "name", 2,
+      rowCount = Some(4000L)))))
+    // large DEGENERATE corpus (shared prefix collapses segment buckets) ->
+    // blocked, where it is ~9x cheaper (PLANS.md r15 fuzzy-ab)
+    val degen = (0 until 4000).map(i => (i.toLong, f"Supplier#$i%09d")).toDF("id", "name")
+      .localCheckpoint()
+    assert(isBlocked(plan(graft.ops.Dedup.fuzzyPairs(degen, "id", "name", 2,
+      rowCount = Some(4000L)))))
+  }
+
   test("bucket-width caps drop degenerate buckets but keep narrow ones") {
     // 40 identical docs form width-40 LSH/simhash/shingle buckets (the
     // stopword-bucket failure mode at scale); the cap must suppress them
