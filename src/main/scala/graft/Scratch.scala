@@ -190,6 +190,46 @@ object Scratch {
           println(f"[fuzzy-ab] n=$n%6d blocked=${bs.result().min}%.2fs segmented=${ss.result().min}%.2fs router=$pick")
         }
 
+      case "neardup-ab" :: rest =>
+        // r15: exact all-pairs vs banded LSH near-dup on synthetic dim-64
+        // embeddings with planted near-dup pairs (cosine ~0.95+), t=0.9 —
+        // locates NearDupCrossoverRows and measures banded recall on one
+        // host phase, min-of-3 alternating
+        val sizes = if (rest.isEmpty) Seq(2000, 4000, 8000, 16000) else rest.map(_.toInt)
+        def embeddings(n: Int) = {
+          import spark.implicits._
+          val rows = (0 until n).map { i =>
+            val r = new scala.util.Random(if (i % 20 == 1) 9000L + i - 1 else 9000L + i)
+            val v = Array.fill(64)(r.nextGaussian())
+            if (i % 20 == 1) { // planted near-dup: tiny perturbation of i-1
+              val r2 = new scala.util.Random(777L + i)
+              (0 until 64).foreach(j => v(j) += 0.08 * r2.nextGaussian())
+            }
+            (i.toLong, v.map(_.toFloat).toSeq)
+          }
+          rows.toDF("vec_id", "embedding").localCheckpoint()
+        }
+        def time(f: => org.apache.spark.sql.DataFrame): Double = {
+          val s = System.nanoTime(); f.queryExecution.toRdd.count()
+          (System.nanoTime() - s) / 1e9
+        }
+        for (n <- sizes) {
+          val df = embeddings(n)
+          val (bs, ls) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+          for (_ <- 1 to 3) {
+            bs += time(graft.ops.Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9,
+              exact = true))
+            ls += time(graft.ops.Similarity.lshNearDupBanded(df, "vec_id", "embedding", 0.9))
+          }
+          val exact = graft.ops.Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9,
+            exact = true).select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val banded = graft.ops.Similarity.lshNearDupBanded(df, "vec_id", "embedding", 0.9)
+            .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val recall = if (exact.isEmpty) 1.0 else banded.intersect(exact).size.toDouble / exact.size
+          println(f"[neardup-ab] n=$n%6d exact=${bs.result().min}%.2fs banded=${ls.result().min}%.2fs " +
+            f"pairs=${exact.size} recall=$recall%.4f falsePos=${banded.diff(exact).size}")
+        }
+
       case "profile" :: name :: rest =>
         // split a query's cost into plan-build / analysis+optimization /
         // execution, repeated so JIT warmup is visible

@@ -876,6 +876,68 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // PngCodec gate (r15 — closes the last un-oracled first-class
+    // component): engine-encoded real PNG bytes (DEFLATE, CRC32, filtered
+    // scanlines) distributed across partitions, decoded back by the
+    // hand-rolled codec; the oracle recomputes the position-weighted
+    // channel sums from the pixel arithmetic directly and never parses
+    // bytes. n_bytes is EXCLUDED from the output on purpose — PNG length
+    // is Deflater-dependent, not arithmetic (q140's BMP gate covers the
+    // byte-length contract). Pixel constants differ from q140's so a
+    // copy-paste cross-wire of the two fixtures cannot pass both gates.
+    "q141_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 1 + (id % 9).toInt
+            val h = 1 + (id % 5).toInt
+            val bytes = Multimodal.PngCodec.encode(w, h, (x, y) => (
+              ((id * 37 + x * 5 + y * 11) % 256).toInt,
+              ((id * 41 + x * 3 + y * 17) % 256).toInt,
+              ((id * 13 + x * 19 + y * 29) % 256).toInt))
+            (id, bytes)
+          }
+        }.toDF("id", "media")
+      Multimodal.extractPngFeatures(media).toDF()
+        .select(col("id"), col("width"), col("height"), col("color_type"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy(col("id"))
+    }),
+
+    // ImageIoCodec gate (r15): MIXED-format binary column — BMP for even
+    // ids, PNG for odd — decoded in ONE format-sniffing stage
+    // (Multimodal.extractImageFeatures / javax.imageio). The oracle's sums
+    // are format-INDEPENDENT (same pixel arithmetic either branch), so a
+    // sniffing failure, a BGR/RGB crosswire, or a row-order bug in either
+    // underlying reader fails the hash. Lossless formats only: JPEG stays
+    // spec-gated (determinism within a JDK, tolerance bands) by
+    // ImageIoCodecSpec.
+    "q142_imageio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 1 + (id % 6).toInt
+            val h = 1 + (id % 3).toInt
+            val pixel = (x: Int, y: Int) => (
+              ((id * 23 + x * 13 + y * 7) % 256).toInt,
+              ((id * 43 + x * 29 + y * 3) % 256).toInt,
+              ((id * 19 + x * 5 + y * 23) % 256).toInt)
+            val bytes =
+              if (id % 2 == 0) Multimodal.BmpCodec.encode(w, h, pixel)
+              else Multimodal.PngCodec.encode(w, h, pixel)
+            (id, bytes)
+          }
+        }.toDF("id", "media")
+      Multimodal.extractImageFeatures(media).toDF()
+        .withColumn("format",
+          when(col("id") % 2 === 0, lit("bmp")).otherwise(lit("png")))
+        .select(col("id"), col("format"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy(col("id"))
+    }),
+
     // multimodal plumbing: stubbed decode over binary media columns
     // (rows-only check: the codec stub's outputs are pinned by unit tests)
     "q23_multimodal_features" -> ((s, dir) => {
@@ -3143,6 +3205,42 @@ object SparkEntry {
           |        sum((1 + x + y*w) * ((doc_id*29 + x*3 + y*19) % 256)) AS bs
           |       FROM px GROUP BY 1,2,3)
           |SELECT doc_id AS id, (54 + ((3*w + 3)//4*4)*h)::BIGINT AS n_bytes,
+          | w::INT AS width, h::INT AS height,
+          | (rs % 1000000007)::BIGINT AS r_sum,
+          | (gs % 1000000007)::BIGINT AS g_sum,
+          | (bs % 1000000007)::BIGINT AS b_sum
+          |FROM s ORDER BY id""".stripMargin,
+      // PngCodec gate: same never-parses-bytes contract as q140 — the sums
+      // come straight from the pixel arithmetic, so the encode->DEFLATE->
+      // filter->decode round trip must be internally exact (n_bytes
+      // deliberately absent: PNG length is Deflater-dependent)
+      "q141_png_decode" ->
+        """WITH d AS (SELECT doc_id, 1 + doc_id % 9 AS w, 1 + doc_id % 5 AS h FROM documents),
+          | xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w-1)) AS x FROM d),
+          | px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h-1)) AS y FROM xs),
+          | s AS (SELECT doc_id, w, h,
+          |        sum((1 + x + y*w) * ((doc_id*37 + x*5 + y*11) % 256)) AS rs,
+          |        sum((1 + x + y*w) * ((doc_id*41 + x*3 + y*17) % 256)) AS gs,
+          |        sum((1 + x + y*w) * ((doc_id*13 + x*19 + y*29) % 256)) AS bs
+          |       FROM px GROUP BY 1,2,3)
+          |SELECT doc_id AS id, w::INT AS width, h::INT AS height, 2 AS color_type,
+          | (rs % 1000000007)::BIGINT AS r_sum,
+          | (gs % 1000000007)::BIGINT AS g_sum,
+          | (bs % 1000000007)::BIGINT AS b_sum
+          |FROM s ORDER BY id""".stripMargin,
+      // ImageIoCodec gate: format-independent sums over a mixed BMP/PNG
+      // column — the oracle has no format branch at all, so the sniffing
+      // stage and both JDK readers must agree with the pixel arithmetic
+      "q142_imageio_decode" ->
+        """WITH d AS (SELECT doc_id, 1 + doc_id % 6 AS w, 1 + doc_id % 3 AS h FROM documents),
+          | xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w-1)) AS x FROM d),
+          | px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h-1)) AS y FROM xs),
+          | s AS (SELECT doc_id, w, h,
+          |        sum((1 + x + y*w) * ((doc_id*23 + x*13 + y*7) % 256)) AS rs,
+          |        sum((1 + x + y*w) * ((doc_id*43 + x*29 + y*3) % 256)) AS gs,
+          |        sum((1 + x + y*w) * ((doc_id*19 + x*5 + y*23) % 256)) AS bs
+          |       FROM px GROUP BY 1,2,3)
+          |SELECT doc_id AS id, CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
           | w::INT AS width, h::INT AS height,
           | (rs % 1000000007)::BIGINT AS r_sum,
           | (gs % 1000000007)::BIGINT AS g_sum,

@@ -88,6 +88,103 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** All `bands` LSH bucket keys of an embedding in ONE compiled pass —
+  * returns array<long> of length `bands`, where element b is the
+  * `planesPerBand`-sign-bit bucket under hyperplane family seed+b.
+  *
+  * Why an expression: the column-composition form (`lshKey` per band)
+  * inlines every plane as a 64-literal array and a [[DotProduct]] each —
+  * at 32 bands × 12 planes that is 384 dot expressions whose generated
+  * method exceeds the JVM's 64 KB limit, knocking the whole stage out of
+  * codegen (observed r15). Here the planes live in ONE broadcast-referenced
+  * array and the key loop is ordinary JIT'd Scala, bit-identical to the
+  * composition (same [[VectorKernels.planeValue]] doubles, same
+  * sequential IEEE dot fold, same `> 0` sign test — SimilaritySpec pins
+  * the equality).
+  */
+case class BandedLshKeys(child: Expression, bands: Int, planesPerBand: Int,
+                         dim: Int, seed: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"BandedLshKeys requires array<float>/array<double>, got $other")
+    }
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(bands * planesPerBand) { i =>
+      val b = i / planesPerBand
+      val p = i % planesPerBand
+      Array.tabulate(dim)(j => VectorKernels.planeValue(seed + b, p, dim, j))
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"BandedLshKeys: dimension mismatch (vector $n vs planes $dim)")
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        val plane = planes(b * planesPerBand + p)
+        var s = 0.0
+        var j = 0
+        while (j < dim) {
+          val xv = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+          s += xv * plane(j)
+          j += 1
+        }
+        if (s > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandedLsh", this, classOf[BandedLshKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared scalar kernels for vector hashing. */
+object VectorKernels {
+  /** Deterministic hyperplane component: splitmix64 finalizer over
+    * (seed, plane, element) mapped to [-1, 1). THE single source of the
+    * plane doubles — [[graft.ops.Similarity.hyperplanes]] and
+    * [[BandedLshKeys]] both read it, so the composition and kernel forms
+    * can never drift (the r14 affine-generator postmortem is why this is
+    * centralized: decorrelation lives in exactly one place).
+    */
+  def planeValue(seed: Long, p: Int, dim: Int, j: Int): Double = {
+    var h = seed * 6364136223846793005L + (p.toLong * dim + j) * 1442695040888963407L
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge
 
@@ -101,4 +198,9 @@ object VectorFunctions {
 
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (normNative(a) * normNative(b))
+
+  /** All banded LSH bucket keys in one compiled pass (see [[BandedLshKeys]]). */
+  def bandedLshKeys(vec: Column, bands: Int, planesPerBand: Int, dim: Int,
+                    seed: Long = 42L): Column =
+    GraftColumnBridge.toColumn(BandedLshKeys(expr(vec), bands, planesPerBand, dim, seed))
 }

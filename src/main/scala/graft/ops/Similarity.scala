@@ -144,13 +144,9 @@ object Similarity {
     */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
     (0 until nPlanes).map { p =>
-      (0 until dim).map { j =>
-        var h = seed * 6364136223846793005L + (p.toLong * dim + j) * 1442695040888963407L
-        h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
-        h ^= (h >>> 27); h *= 0x94d049bb133111ebL
-        h ^= (h >>> 31)
-        ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-      }
+      // delegates to the ONE plane-value source (r15) so the composition
+      // form and the BandedLshKeys kernel can never drift
+      (0 until dim).map(j => graft.functions.VectorKernels.planeValue(seed, p, dim, j))
     }
 
   /** Random-hyperplane LSH bucket key: sign bits of dot(v, plane_p). */
@@ -230,21 +226,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** All pairs with cosine >= threshold (embedding near-dup detection),
-    * exact. Pair generation is the brute-force cross product here; the LSH
-    * variant is [[lshNearDup]].
+  /** Corpus size where [[nearDupPairs]]' default mode routes HIGH-threshold
+    * calls to the banded LSH generator ([[lshNearDupBanded]]) — measured
+    * same-phase A/B (PLANS.md round 15, `Scratch neardup-ab`). Routing
+    * additionally requires threshold >= [[NearDupLshMinThreshold]]:
+    * random-hyperplane collision probability is p = 1 - arccos(t)/π, so a
+    * LOW threshold collapses per-band recall (at t = 0.35, p^12 ≈ 3·10⁻³ —
+    * LSH finds nothing) while the qualifying pair set itself becomes dense
+    * — below the line, exact all-pairs is the only honest answer and its
+    * quadratic cost is the contract (q15's oracled face, whose t = 0.35
+    * can therefore never route). Measured (min-of-3, planted-pair corpus,
+    * t = 0.9): exact 0.33/0.81/2.55/10.6 s at 2k/4k/8k/16k vs banded
+    * 0.44/0.53/0.92/1.90 s — recall 1.0, false positives 0 at every size.
+    */
+  val NearDupCrossoverRows: Long = 4000L
+  val NearDupLshMinThreshold: Double = 0.8
+
+  /** All pairs with cosine >= threshold (embedding near-dup detection).
+    * Below [[NearDupCrossoverRows]] rows (or whenever `threshold` <
+    * [[NearDupLshMinThreshold]], where hyperplane LSH cannot reach useful
+    * recall — see the constant's doc) pair generation is the exact
+    * brute-force cross product; at or above BOTH lines the default mode
+    * routes to [[lshNearDupBanded]], which is APPROXIMATE with measured,
+    * tunable recall (r15: ≥ 0.99 at its defaults for t >= 0.9 — the
+    * PropertySpec planted-pair gate). Pass `exact = true` to pin the
+    * brute-force face regardless of size (the oracle/ground-truth mode);
+    * pass `rowCount` to skip the routing count() and keep construction
+    * lazy. Emitted pairs are always verified — routing can only MISS
+    * pairs (bounded by the banded recall), never invent them.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
-      normNative(col(vecCol)).as("_na"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
-      normNative(col(vecCol)).as("_nb"))
-    spread(a).crossJoin(b)
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(pairCosine("_va", "_na", "_vb", "_nb"), 6))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+                   threshold: Double, exact: Boolean = false,
+                   rowCount: Option[Long] = None, dim: Int = 64): DataFrame = {
+    def brute = {
+      val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+        normNative(col(vecCol)).as("_na"))
+      val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+        normNative(col(vecCol)).as("_nb"))
+      spread(a).crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(pairCosine("_va", "_na", "_vb", "_nb"), 6))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+    if (exact || threshold < NearDupLshMinThreshold) brute
+    else {
+      lazy val n = rowCount.getOrElse(corpus.count())
+      if (n >= NearDupCrossoverRows)
+        lshNearDupBanded(corpus, idCol, vecCol, threshold, dim = dim)
+      else brute
+    }
   }
 
   /** LSH-bucketed near-dup pairs (approximate; scale path). Each vector
@@ -266,6 +297,52 @@ object Similarity {
       .withColumn("cosine", round(pairCosine("_va", "_na", "_vb", "_nb"), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Banded (OR-amplified) LSH near-dup pairs — the measured scale path
+    * for HIGH-threshold near-dup detection. `bands` independent hyperplane
+    * families of `planesPerBand` sign bits each; a pair is a candidate
+    * when it shares ANY band's bucket, then the true cosine verifies.
+    * Recall for a pair at cosine t is 1 - (1 - p^r)^B with
+    * p = 1 - arccos(t)/π (Charikar 2002 random-hyperplane collision), so
+    * the defaults (B=32, r=12) give ~0.996 at t=0.9, ~0.99997 at t=0.95,
+    * ~1 at planted-dup similarity — and ~nothing below t≈0.8, which is why
+    * [[nearDupPairs]] refuses to route low thresholds here. Precision is
+    * always 1 (every candidate is verified).
+    *
+    * Scale shape: per-row key work is B·r dot products (compiled
+    * [[graft.functions.DotProduct]]); candidates shuffle on (band,
+    * bucket) — ~B·n²/2^r per uniform band, a 1/128 constant at the
+    * defaults — and a pair meeting in several bands is deduped AFTER the
+    * cheap verify on the narrow (id_a, id_b, cosine) triple, the
+    * verify-before-dedupe shape fuzzyPairsSegmented measured (-26%
+    * exchange bytes).
+    */
+  def lshNearDupBanded(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, bands: Int = 32,
+                       planesPerBand: Int = 12, dim: Int = 64): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62,
+      s"need 1 <= planesPerBand <= 62 and bands >= 1, got $planesPerBand/$bands")
+    // ONE compiled pass computes all band keys (graft.functions
+    // .BandedLshKeys): the per-band lshKey composition inlines bands x
+    // planes literal-array dot expressions and blows the 64 KB generated-
+    // method limit at the defaults, knocking the stage out of codegen
+    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"),
+        normNative(col(vecCol)).as("_n"),
+        graft.functions.VectorFunctions.bandedLshKeys(col(vecCol), bands,
+          planesPerBand, dim).as("_keys"))
+      .select(col("id"), col("_v"), col("_n"),
+        posexplode(col("_keys")).as(Seq("band", "bucket")))
+    val a = keyed.select(col("id").as("id_a"), col("_v").as("_va"),
+      col("_n").as("_na"), col("band"), col("bucket"))
+    val b = keyed.select(col("id").as("id_b"), col("_v").as("_vb"),
+      col("_n").as("_nb"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(pairCosine("_va", "_na", "_vb", "_nb"), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
   }
 
   /** Embedding-space QC per class label: the label centroid (element-wise

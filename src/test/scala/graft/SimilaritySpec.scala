@@ -40,6 +40,73 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("BandedLshKeys kernel == per-band lshKey composition, bit for bit (r15)") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)).toDF("id", "vec")
+    val bands = 6; val ppb = 5
+    val kernel = vecs.select(col("id"),
+        graft.functions.VectorFunctions.bandedLshKeys(col("vec"), bands, ppb, dim).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = vecs.select(col("id") +: (0 until bands).map(b =>
+        Similarity.lshKey(col("vec"),
+          Similarity.hyperplanes(ppb, dim, seed = 42L + b)).as(s"b$b")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to bands).map(r.getLong(_))).toMap
+    kernel.foreach { case (id, ks) => assert(ks === composed(id), s"id=$id") }
+    // dimension mismatch fails loudly, like DotProduct
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.VectorFunctions.bandedLshKeys(col("vec"), 2, 3, dim)).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
+  }
+
+  test("nearDupPairs routing: low threshold and exact=true pin brute force; " +
+    "big high-threshold corpora take banded LSH (r15)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val tiny = (0 until 10).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq)).toDF("vec_id", "embedding")
+    def plan(d: org.apache.spark.sql.DataFrame) = d.queryExecution.analyzed.toString
+    // low threshold: never routes (LSH recall collapses below ~0.8) — and
+    // constructs NO job (q15's lazy-construction contract)
+    assert(!plan(Similarity.nearDupPairs(tiny, "vec_id", "embedding", 0.35))
+      .contains("posexplode"))
+    // high threshold + big rowCount hint: banded plan
+    assert(plan(Similarity.nearDupPairs(tiny, "vec_id", "embedding", 0.9,
+      rowCount = Some(100000L), dim = 8)).contains("posexplode"))
+    // exact=true pins brute force regardless of size
+    assert(!plan(Similarity.nearDupPairs(tiny, "vec_id", "embedding", 0.9,
+      exact = true, rowCount = Some(100000L))).contains("posexplode"))
+  }
+
+  test("banded LSH near-dup: full recall on planted near-dups, verified precision (r15)") {
+    import spark.implicits._
+    // 400 random dim-32 vectors; every 10th is a small perturbation of its
+    // predecessor (cosine ~0.97+) — the planted truth set
+    val rows = (0 until 400).map { i =>
+      val base = new scala.util.Random(if (i % 10 == 1) 100L + i - 1 else 100L + i)
+      val v = Array.fill(32)(base.nextGaussian())
+      if (i % 10 == 1) {
+        val p = new scala.util.Random(500L + i)
+        (0 until 32).foreach(j => v(j) += 0.05 * p.nextGaussian())
+      }
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint()
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9, exact = true))
+    val banded = pairSet(Similarity.lshNearDupBanded(df, "vec_id", "embedding", 0.9, dim = 32))
+    assert(exact.size >= 30, s"fixture degenerate: only ${exact.size} true pairs")
+    val recall = banded.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, f"banded recall $recall%.3f under the 0.95 gate")
+    assert(banded.diff(exact).isEmpty, "banded emitted an unverified (false) pair")
+  }
+
   test("a zero-norm (dead) vector neither ranks as a neighbor nor occupies a rank") {
     import spark.implicits._
     val corpus = Seq(
