@@ -336,9 +336,16 @@ object Cli {
       // are provably a different batch and proceed normally — so the
       // ordinary upgrade path (new data after the upgrade) is unaffected.
       retainedMarkers.filter(_.contains(";tx=")).foreach { m =>
-        val legacyNid = m.split(";").filter(t =>
-          t.startsWith("n=") || t.startsWith("id=")).mkString(";")
-        if (legacyNid == s"n=$nNew;id=$idSum" &&
+        // ORDER-INDEPENDENT term compare (r15 ADVICE): parse the marker's
+        // k=v terms into a map and compare the n=/id= VALUES — the old
+        // rebuilt-string equality assumed the legacy writer's term order,
+        // so a reordered/interleaved legacy marker slipped past the guard
+        // and the ingest proceeded into the exact double-merge the guard
+        // exists to prevent (failing OPEN on its own contract)
+        val terms = m.split(";").iterator.map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap
+        if (terms.get("n").contains(nNew.toString) &&
+            terms.get("id").contains(idSum) &&
             !sys.env.get("SPARK_GRAFT_ACCEPT_LEGACY_MARKER").contains("1"))
           exit(3,
             "dedup-ingest: upgrade mid-replay — a retained generation's " +

@@ -267,9 +267,11 @@ object LakeReader {
   * with [[ConcurrentWriteException]] when another commit landed in between —
   * shrinking the undetected window from the whole probe-merge-publish span
   * to the publish job alone (>1000-cell batches fall back to the semi-join
-  * probe and skip detection — logged as a WARN so the skip is observable,
-  * and spec-pinned; the cap note documents why). True prevention
-  * needs a transactional table format or an external per-cell lock — out of
+  * probe with SAMPLED detection — the first 1000 cell dirs are snapshotted
+  * and re-checked; conflicts landing only in unsampled cells publish
+  * undetected, logged as a WARN and spec-pinned; the cap note documents
+  * why full listing is not worth it). True prevention needs a
+  * transactional table format or an external per-cell lock — out of
   * scope by design, not by omission.
   */
 object LakeWriter {
@@ -306,9 +308,10 @@ private[lake] object UpsertCore {
 
   // cap on the collected touched-partition tuples (a daily/monthly batch
   // touches a handful of cells; 1000 ≈ 80 symbols × 12 months); beyond it
-  // the probe falls back to the semi-join form — which also skips the
-  // same-cell conflict detection below (listing >1000 cells twice costs
-  // more than the contract violation it would catch is worth)
+  // the probe falls back to the semi-join form, and the same-cell conflict
+  // detection below runs on a bounded SAMPLE of the cells (listing EVERY
+  // cell twice costs more than the violations it would catch are worth;
+  // sampling keeps the contract enforced at the literal path's cost)
   private val MaxTouchedPartitions = 1000
 
   /** (file name, length, mtime) per data file in each touched cell dir —
@@ -335,8 +338,23 @@ private[lake] object UpsertCore {
     * concurrent committer would land — specs use it to interleave a
     * same-cell writer deterministically. `maxTouched` is the semi-join
     * fallback threshold ([[MaxTouchedPartitions]] in production; a seam so
-    * the spec pinning the fallback's no-detection contract doesn't have to
-    * write 1001 partition cells).
+    * the spec pinning the fallback's sampled-detection contract doesn't
+    * have to write 1001 partition cells).
+    *
+    * REQUIREMENT: `batch` must be DETERMINISTIC under re-evaluation (r15
+    * ADVICE). The touched-cell probe and the write job evaluate the batch
+    * lineage separately; a non-deterministic batch (rand()/sampling/
+    * now()-derived partition values upstream) can touch cells at write
+    * time that the probe never listed — the dynamic overwrite would then
+    * replace a cell whose old rows were never unioned into the merge
+    * (silent row loss), and the conflict snapshot never covered it.
+    * Every engine-internal caller (upsert, repair, aggregate refresh,
+    * levels) is deterministic; a caller ingesting a sampled/generated
+    * batch must `localCheckpoint()` (eager) or persist it first. Not
+    * checkpointed here: pinning every upsert with an eager materialization
+    * job costs ~2 s per lake chain at bench shape (the r12/r14 lazy-
+    * checkpoint work exists to avoid exactly that) to defend against a
+    * caller contract no internal flow violates.
     */
   def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
                  partCols: Seq[String], key: Seq[String], sortCol: String,
@@ -371,26 +389,40 @@ private[lake] object UpsertCore {
       if (treeExists) distinctTouched.limit(maxTouched + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
     val literalProbe = treeExists && touched.nonEmpty && touched.length <= maxTouched
+    def cellDir(row: org.apache.spark.sql.Row): String =
+      // build each cell dir EXACTLY as the parquet writer will: Spark
+      // Hive-escapes partition values in paths (e.g. symbol EUR/USD →
+      // symbol=EUR%2FUSD, null/empty → __HIVE_DEFAULT_PARTITION__).
+      // Raw interpolation here would point the snapshot at directories
+      // that never exist, and the conflict check would silently pass
+      // for any cell whose value needs escaping — failing OPEN on the
+      // exact contract it exists to enforce.
+      path + "/" + partCols.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, Option(row.get(i)).map(_.toString).orNull)
+      }.mkString("/")
     val touchedDirs: Seq[String] =
-      if (!literalProbe) Nil
-      else touched.toSeq.map { row =>
-        // build each cell dir EXACTLY as the parquet writer will: Spark
-        // Hive-escapes partition values in paths (e.g. symbol EUR/USD →
-        // symbol=EUR%2FUSD, null/empty → __HIVE_DEFAULT_PARTITION__).
-        // Raw interpolation here would point the snapshot at directories
-        // that never exist, and the conflict check would silently pass
-        // for any cell whose value needs escaping — failing OPEN on the
-        // exact contract it exists to enforce.
-        path + "/" + partCols.zipWithIndex.map { case (c, i) =>
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(c, Option(row.get(i)).map(_.toString).orNull)
-        }.mkString("/")
-      }
+      if (!literalProbe) Nil else touched.toSeq.map(cellDir)
+    // conflict-detection snapshot scope: the literal path snapshots EVERY
+    // touched cell; the >maxTouched fallback snapshots a BOUNDED
+    // DETERMINISTIC SAMPLE — the first maxTouched cell dirs by path order
+    // out of the maxTouched+1 the cap probe already collected (r15; was: no
+    // detection at all). Sampled detection is partial by construction
+    // (a conflict landing only in an unsampled cell still publishes —
+    // the WARN says so), but it keeps the single-writer contract enforced
+    // with the same bounded listing cost as the literal path: 2×maxTouched
+    // listStatus calls against a write job that itself rewrites more
+    // partitions than that.
+    val snapshotDirs: Seq[String] =
+      if (literalProbe) touchedDirs
+      else if (treeExists && touched.nonEmpty)
+        touched.toSeq.map(cellDir).sorted.take(maxTouched)
+      else Nil
     // snapshot FIRST (see above); on a first write the dirs don't exist
     // yet and the snapshots are empty — two racing first-writers into one
     // cell then trip the re-check, which is the correct outcome
     val probeSnapshot: Option[Map[String, Seq[(String, Long, Long)]]] =
-      if (literalProbe) Some(cellSnapshot(spark, touchedDirs)) else None
+      if (snapshotDirs.nonEmpty) Some(cellSnapshot(spark, snapshotDirs)) else None
     // first-write probe, NOT a catch-all (see LakeFs.readParquetIfData):
     // a transient/corruption read error aborts the upsert instead of being
     // mistaken for a first write and dropping pre-existing rows
@@ -404,16 +436,18 @@ private[lake] object UpsertCore {
       else if (touched.isEmpty) cur.where(lit(false))
       else if (!literalProbe) {
         // a batch touching >1000 partition cells: fall back to the
-        // semi-join rather than build a kilometer-long predicate. This
-        // path has NO same-cell conflict detection (listing >1000 cells
-        // twice costs more than the violation it would catch is worth) —
-        // say so at runtime, so large-batch operators know this upsert
-        // runs with the single-writer contract unenforced (round-14;
-        // UpsertConcurrencySpec pins the undetected-publish behavior).
+        // semi-join rather than build a kilometer-long predicate.
+        // Conflict detection on this path is SAMPLED (r15): the first
+        // maxTouched cell dirs (path order) are snapshotted and re-checked
+        // like the literal path — a concurrent commit into a sampled cell
+        // aborts; one landing ONLY in unsampled cells still publishes
+        // undetected (full detection would list every cell twice, which is
+        // the cost the cap exists to avoid). Say so at runtime so
+        // large-batch operators know the contract is enforced on a sample.
         log.warn(s"upsert touches >$maxTouched partition cells — " +
           "falling back to the semi-join probe; same-cell concurrent-write " +
-          "DETECTION IS DISABLED for this run (single-writer-per-cell " +
-          "contract unenforced)")
+          s"detection is SAMPLED ($maxTouched of the touched cells) for " +
+          "this run")
         cur.join(broadcast(distinctTouched), partCols, "left_semi")
       } else {
         cur.where(touched.map { row =>
@@ -465,8 +499,8 @@ private[lake] object UpsertCore {
     // too needs a transactional table format, which this engine deliberately
     // does not reimplement.
     probeSnapshot.foreach { before =>
-      val now = cellSnapshot(spark, touchedDirs)
-      val changed = touchedDirs.filter(d => before(d) != now(d))
+      val now = cellSnapshot(spark, snapshotDirs)
+      val changed = snapshotDirs.filter(d => before(d) != now(d))
       if (changed.nonEmpty)
         throw new ConcurrentWriteException(
           s"concurrent commit detected in ${changed.size} touched partition cell(s) " +

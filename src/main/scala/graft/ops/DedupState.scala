@@ -47,6 +47,15 @@ object DedupState {
   val Tables: Seq[String] = Seq("components", "registry", "anchors")
   val DefaultKeep = 3
   private val Marker = "_COMMITTED"
+  // markers OUTLIVE their table generations (r15 ADVICE): vacuum copies a
+  // deleted generation's marker into this directory first, so the replay
+  // guard consults every batch id EVER committed — without it, a
+  // crashed-after-marker ingest replayed after `keep` subsequent commits
+  // had its proving marker vacuumed and double-merged (the window widened
+  // as keep shrank). Tombstones are tiny (one fingerprint line per commit,
+  // ~60 bytes); a daily ingest grows this by ~22 KB/year, and the guard's
+  // read cost stays one listStatus + O(commits) tiny reads.
+  private val MarkerArchive = "_applied_markers"
 
   def fs(spark: SparkSession, stateDir: String): FileSystem =
     new Path(stateDir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -114,21 +123,34 @@ object DedupState {
     currentGen(hfs, stateDir).filter(_ > 0).flatMap(g => readMarker(hfs, stateDir, g))
   }
 
-  /** Fingerprints recorded by ALL retained committed generations (oldest
-    * first). The replay guard must consult every retained marker, not just
-    * the current one: a crashed-after-marker ingest of batch B that is
-    * only re-run AFTER a subsequent batch C has committed would compare
-    * fp(B) against fp(C), miss, and double-merge B's delta — while gen
-    * N's marker still holds fp(B). O(keep) tiny reads.
+  /** Fingerprints recorded by EVERY generation ever committed: archived
+    * markers of vacuumed generations (oldest first), then the retained
+    * generations' live markers. The replay guard must consult all of them,
+    * not just the current one: a crashed-after-marker ingest of batch B
+    * that is only re-run AFTER a subsequent batch C has committed would
+    * compare fp(B) against fp(C), miss, and double-merge B's delta — and
+    * since r15 the same holds even when B's generation has been VACUUMED
+    * (its marker survives in the [[MarkerArchive]] tombstones; before,
+    * a replay delayed past `keep` commits failed open). O(commits) tiny
+    * reads, one extra listStatus.
     */
   def committedBatchIds(spark: SparkSession, stateDir: String): Seq[String] = {
     val hfs = fs(spark, stateDir)
-    committedGens(hfs, stateDir).filter(_ > 0)
+    val archDir = new Path(s"$stateDir/$MarkerArchive")
+    val archived =
+      if (!hfs.exists(archDir)) Seq.empty[String]
+      else hfs.listStatus(archDir).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.endsWith(".tmp"))
+        .sortBy(_.getPath.getName)
+        .flatMap(s => readMarkerFile(hfs, s.getPath))
+    archived ++ committedGens(hfs, stateDir).filter(_ > 0)
       .flatMap(g => readMarker(hfs, stateDir, g))
   }
 
-  private def readMarker(hfs: FileSystem, stateDir: String, g: Int): Option[String] = {
-    val m = new Path(genDir(stateDir, g), Marker)
+  private def readMarker(hfs: FileSystem, stateDir: String, g: Int): Option[String] =
+    readMarkerFile(hfs, new Path(genDir(stateDir, g), Marker))
+
+  private def readMarkerFile(hfs: FileSystem, m: Path): Option[String] = {
     try {
       val in = hfs.open(m)
       try {
@@ -197,11 +219,31 @@ object DedupState {
     finally out.close()
     if (!hfs.rename(tmp, new Path(dir, Marker))) // the atomic commit
       sys.error(s"failed to commit dedup-state generation v$next (rename $tmp)")
-    // retention: drop all but the newest `keep` committed generations
+    // retention: drop all but the newest `keep` committed generations —
+    // ARCHIVING each vacuumed generation's marker first (r15: markers
+    // outlive tables, see MarkerArchive), with the same tmp+rename
+    // atomicity as the live marker so a crash mid-archive never publishes
+    // a torn tombstone. Archive-write failures PROPAGATE: deleting the
+    // generation after losing its marker would reopen the beyond-retention
+    // replay hole this mechanism closes.
     val gens = committedGens(hfs, stateDir)
     gens.dropRight(keep).foreach { g =>
       if (g == 0) Tables.foreach(t => hfs.delete(new Path(s"$stateDir/$t"), true))
-      else hfs.delete(genDir(stateDir, g), true)
+      else {
+        readMarker(hfs, stateDir, g).foreach { id =>
+          val archDir = new Path(s"$stateDir/$MarkerArchive")
+          hfs.mkdirs(archDir)
+          val fin = new Path(archDir, f"v$g%09d")
+          if (!hfs.exists(fin)) { // idempotent under commit re-runs
+            val atmp = new Path(archDir, f"v$g%09d.tmp")
+            val aout = hfs.create(atmp, true)
+            try aout.write(id.getBytes("UTF-8")) finally aout.close()
+            if (!hfs.rename(atmp, fin))
+              sys.error(s"failed to archive marker of vacuumed generation v$g ($atmp)")
+          }
+        }
+        hfs.delete(genDir(stateDir, g), true)
+      }
     }
     next
   }

@@ -275,6 +275,12 @@ object Multimodal {
           case _ => () // ancillary chunk: CRC-checked above, content ignored
         }
       }
+      // nothing may follow IEND (r15 ADVICE): the codec rejects over-long
+      // DEFLATE streams and bad CRCs as forged, so silently accepting
+      // arbitrary trailing bytes was the one lenient spot in an otherwise
+      // fail-loud contract — keep the posture uniform
+      require(bb.remaining() == 0,
+        s"${bb.remaining()} trailing byte(s) after IEND — not a valid PNG stream")
       require(sawIhdr, "missing IHDR")
       val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
       // Long arithmetic: forged dimensions must not overflow Int into a

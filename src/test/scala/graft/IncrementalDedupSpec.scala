@@ -454,8 +454,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
     tornOut.write("n=2;id=99;h=99".getBytes("UTF-8")); tornOut.close()
     assert(DedupState.committedGens(hfs, state) === Seq(4, 5),
       "a torn (pre-rename) marker must not commit the generation")
-    assert(DedupState.committedBatchIds(spark, state).size === 2,
+    // every batch EVER ingested is still provable: days 2 and 3 from the
+    // marker archive (their generations vacuumed at keep=2), days 4 and 5
+    // from the retained generations' live markers; the torn v6 marker and
+    // dedup-build's id-less gen-1 marker contribute nothing
+    assert(DedupState.committedBatchIds(spark, state).size === 4,
+      "archived + retained markers must cover every ingested batch; torn markers none")
+    assert(!DedupState.committedBatchIds(spark, state).contains("n=2;id=99;h=99"),
       "torn markers must not contribute batch fingerprints")
+    // BEYOND-RETENTION REPLAY (r15): day-2's generation was vacuumed three
+    // commits ago — before marker archiving, this replay compared against
+    // surviving markers only, missed, and DOUBLE-MERGED day-2's delta (the
+    // exact hole the ADVICE flagged). The archived tombstone must turn it
+    // into a no-op.
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day2", state, "2"))
+    assert(DedupState.committedGens(hfs, state) === Seq(4, 5),
+      "a beyond-retention replay must not create a generation")
+    assert(DedupState.read(spark, state, "registry")
+      .orderBy("chunk", "v").as[(Long, Long, Long, Long, Long)].collect().toSeq
+      === rebuilt5,
+      "a beyond-retention replay must not double-merge a batch whose " +
+      "generation was vacuumed — its archived marker proves it applied")
     // and the next real ingest sweeps the leftovers and commits v6 cleanly
     writeDay(6)
     Cli.run(spark, List("dedup-ingest", s"$tmp/day6", state, "2"))

@@ -112,15 +112,12 @@ class UpsertConcurrencySpec extends AnyFunSuite {
       .head.getAs[Double]("close") === 222222.0)
   }
 
-  test("the >maxTouched semi-join fallback publishes WITHOUT same-cell detection (documented contract hole)") {
-    // The cap note in UpsertCore documents that batches touching more
-    // cells than MaxTouchedPartitions probe via semi-join and SKIP the
-    // conflict detector (round 14 adds a WARN at the fallback). This test
-    // keeps that contract honest under test, not just in a comment: the
-    // same interleaving that ConcurrentWriteException-aborts on the
-    // literal-probe path publishes silently here — and writer B's commit
-    // is LOST (the undetected lost-update the detector exists to catch).
-    // maxTouched = 1 stands in for the production 1000-cell cap.
+  test("the >maxTouched fallback DETECTS a conflict landing in a sampled cell (r15)") {
+    // r15 upgrades the fallback from no-detection to SAMPLED detection:
+    // the first maxTouched cell dirs (path order) are snapshotted and
+    // re-checked exactly like the literal path. With maxTouched = 1 the
+    // sample is the January cell (month=1 sorts before month=2), so a
+    // concurrent commit into January must abort the publish.
     val root = Files.createTempDirectory("lake_fallback").toString
     val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
     val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
@@ -130,10 +127,50 @@ class UpsertConcurrencySpec extends AnyFunSuite {
     val patchA = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
       .unionByName(feb.where(col("ts") === lit("2025-02-10 10:00:00")))
       .withColumn("close", lit(111.0))
-    // writer B lands in one of A's cells while A is between probe and publish
+    // writer B lands in the SAMPLED (January) cell mid-flight: detected
     val patchB = jan.where(col("ts") === lit("2025-01-10 09:00:00"))
       .withColumn("close", lit(777.0))
-    // NO exception: detection is disabled on this path
+    intercept[ConcurrentWriteException] {
+      UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root),
+        LakeFs.withUtcYearMonth(CandleSchema.enforce(patchA)),
+        LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts",
+        beforePublish = () => LakeWriter.upsert(spark, root, patchB),
+        maxTouched = 1)
+    }
+    // the abort left B's commit intact; A's re-run (no interleaver) merges
+    // both — the documented repair path
+    UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root),
+      LakeFs.withUtcYearMonth(CandleSchema.enforce(patchA)),
+      LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts",
+      maxTouched = 1)
+    val after = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(after.count() === 2880)
+    assert(after.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .head.getAs[Double]("close") === 111.0)
+    assert(after.where(col("ts") === lit("2025-02-10 10:00:00"))
+      .head.getAs[Double]("close") === 111.0)
+    assert(after.where(col("ts") === lit("2025-01-10 09:00:00"))
+      .head.getAs[Double]("close") === 777.0, "B's commit must survive the abort+retry")
+  }
+
+  test("the >maxTouched fallback still MISSES a conflict landing only in an unsampled cell (pinned partial contract)") {
+    // Sampled detection is partial by construction: a concurrent commit
+    // into a cell OUTSIDE the first-maxTouched sample (February here)
+    // publishes undetected and is lost — the residual hole the WARN
+    // message discloses. Full detection = list every cell twice, which
+    // the cap exists to avoid; if this test starts detecting, the
+    // contract improved — update the docs.
+    val root = Files.createTempDirectory("lake_fallback2").toString
+    val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
+    val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
+    LakeWriter.upsert(spark, root, jan)
+    LakeWriter.upsert(spark, root, feb)
+    val patchA = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .unionByName(feb.where(col("ts") === lit("2025-02-10 10:00:00")))
+      .withColumn("close", lit(111.0))
+    // writer B lands in the UNSAMPLED (February) cell: not detected
+    val patchB = feb.where(col("ts") === lit("2025-02-10 09:00:00"))
+      .withColumn("close", lit(777.0))
     UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root),
       LakeFs.withUtcYearMonth(CandleSchema.enforce(patchA)),
       LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts",
@@ -141,17 +178,14 @@ class UpsertConcurrencySpec extends AnyFunSuite {
       maxTouched = 1)
     val after = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
     assert(after.count() === 2880)
-    // A's updates landed...
-    assert(after.where(col("ts") === lit("2025-01-10 10:00:00"))
+    assert(after.where(col("ts") === lit("2025-02-10 10:00:00"))
       .head.getAs[Double]("close") === 111.0)
-    // ...and B's 777 was silently ERASED (A's publish rewrote the cell from
-    // its pre-B merge) — the exact lost update the literal path detects
-    val origB = jan.where(col("ts") === lit("2025-01-10 09:00:00"))
+    val origB = feb.where(col("ts") === lit("2025-02-10 09:00:00"))
       .head.getAs[Double]("close")
-    assert(after.where(col("ts") === lit("2025-01-10 09:00:00"))
+    assert(after.where(col("ts") === lit("2025-02-10 09:00:00"))
       .head.getAs[Double]("close") === origB,
-      "fallback path is documented to lose the concurrent update — if this " +
-      "now detects or preserves it, the contract improved: update the docs")
+      "unsampled-cell conflict is documented to be lost — if preserved, " +
+      "the contract improved: update the docs")
   }
 
   test("a write job CRASHING mid-publish leaves every old cell readable; a re-run heals") {
