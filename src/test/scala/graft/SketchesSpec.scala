@@ -206,15 +206,19 @@ class SketchesSpec extends AnyFunSuite {
   test("duplicateSpans: cross-doc duplicated windows and first-occurrence ownership") {
     val thirty = (1 to 30).map(i => s"t$i").mkString(" ")
     val docs = Seq(
-      (1L, thirty),                 // spans at 0,10,20 -> 3 spans
-      (2L, thirty),                 // identical: all 3 duplicated, none owned
+      // spans at starts 0 and 10 — the start-20 span (t21..t30) is fully
+      // CONTAINED in the start-10 span (t11..t30) and is suppressed since
+      // the r15 chunk-containment fix (window 20, stride 10 => overlap 10;
+      // 20 + 10 >= 30)
+      (1L, thirty),                 // 2 spans
+      (2L, thirty),                 // identical: both duplicated, none owned
       (3L, "u1 u2 u3 u4 u5"),       // 1 unique span
     ).toDF("doc_id", "text")
     val got = Dedup.duplicateSpans(docs, "doc_id", "text", window = 20, stride = 10)
       .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
     assert(got === Seq(
-      (1L, 3L, 3L, 3L), // all spans shared with doc 2; doc 1 owns them (min id)
-      (2L, 3L, 3L, 0L),
+      (1L, 2L, 2L, 2L), // both spans shared with doc 2; doc 1 owns them (min id)
+      (2L, 2L, 2L, 0L),
       (3L, 1L, 0L, 1L)))
     // scale guard: the span table must NOT be cached inside the returned
     // lineage (a data-sized MEMORY_ONLY resident set at 100 TB — the q19
