@@ -335,16 +335,19 @@ object Cli {
       // SPARK_GRAFT_ACCEPT_LEGACY_MARKER=1. Markers with differing n=/id=
       // are provably a different batch and proceed normally — so the
       // ordinary upgrade path (new data after the upgrade) is unaffected.
-      retainedMarkers.filter(_.contains(";tx=")).foreach { m =>
+      retainedMarkers.foreach { m =>
         // ORDER-INDEPENDENT term compare (r15 ADVICE): parse the marker's
         // k=v terms into a map and compare the n=/id= VALUES — the old
         // rebuilt-string equality assumed the legacy writer's term order,
         // so a reordered/interleaved legacy marker slipped past the guard
         // and the ingest proceeded into the exact double-merge the guard
-        // exists to prevent (failing OPEN on its own contract)
+        // exists to prevent (failing OPEN on its own contract). The
+        // legacy-format test itself is the parsed tx key, not a ";tx="
+        // substring (which missed a tx-first term order the same way).
         val terms = m.split(";").iterator.map(_.split("=", 2))
           .collect { case Array(k, v) => k -> v }.toMap
-        if (terms.get("n").contains(nNew.toString) &&
+        if (terms.contains("tx") &&
+            terms.get("n").contains(nNew.toString) &&
             terms.get("id").contains(idSum) &&
             !sys.env.get("SPARK_GRAFT_ACCEPT_LEGACY_MARKER").contains("1"))
           exit(3,

@@ -481,6 +481,46 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(DedupState.committedGens(hfs, state) === Seq(5, 6))
   }
 
+  test("legacy-marker guard: aborts on a tx= marker matching this batch, term-order-independent (r15)") {
+    // A retained generation committed by the PRE-content-hash library
+    // (fingerprint "tx=" instead of "h=") whose n=/id= match this batch
+    // MIGHT be this very batch — the ingest must abort (CliExit 3) rather
+    // than risk a double-merge. r15: the comparison parses marker terms
+    // into a map, so a REORDERED legacy marker (tx first — which the old
+    // ';tx=' substring filter and rebuilt-string equality both missed)
+    // still trips the guard instead of failing open.
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_legacy").toString
+    val state = s"$tmp/state"
+    Seq((1L, "alpha words one"), (2L, "beta words two"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/day1")
+    Seq((10L, "gamma words three"), (11L, "delta words four"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/day2")
+    val hfs = DedupState.fs(spark, state)
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", state))
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day2", state, "3"))
+    // rewrite day-2's marker as a REORDERED legacy marker: same n=/id=,
+    // content term tx= FIRST
+    val gen = DedupState.currentGen(hfs, state).get
+    val mPath = new org.apache.hadoop.fs.Path(s"$state/v$gen/_COMMITTED")
+    val in = hfs.open(mPath)
+    val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    val terms = cur.split(";").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    val legacy = s"tx=12345;id=${terms("id")};n=${terms("n")}"
+    val out = hfs.create(mPath, true)
+    out.write(legacy.getBytes("UTF-8")); out.close()
+    // replaying day 2 now hits an ambiguous legacy marker -> abort code 3
+    val e = intercept[Cli.CliExit] {
+      Cli.run(spark, List("dedup-ingest", s"$tmp/day2", state, "3"))
+    }
+    assert(e.code === 3, e.getMessage)
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+    // a DIFFERENT batch (differing n=/id=) proceeds normally past it
+    Seq((20L, "epsilon words five"), (21L, "zeta words six"), (22L, "eta words seven"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/day3")
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day3", state, "3"))
+    assert(DedupState.currentGen(hfs, state).get === gen + 1)
+  }
+
   test("DedupState growth audit: registry and anchors stay keyspace-bounded through a 10-day ingest loop") {
     // DedupState bounds GENERATIONS at O(keep); this pins the other axis —
     // the tables INSIDE a generation. The documented bounds: registry
