@@ -360,7 +360,7 @@ object Bench {
     // after the lake-write pre-warm, q124's first sample still carried
     // ~5.5 s (plan codegen + AQE + committer paths specific to its chain)
     // against a 0.3-1 s cost to run the same chain once at sf0.001. Only
-    // queries with a cost hint >= 3 s warm (7 of 135): for the cheap tail
+    // queries with a cost hint >= 3 s warm (7 of 137): for the cheap tail
     // a tiny-SF run costs about what it saves. Budget-guarded like the
     // full warm pass below.
     val headWarmDir = "/root/testdata/sf0.001"

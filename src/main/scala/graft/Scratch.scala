@@ -97,14 +97,22 @@ object Scratch {
         }
 
       case "simhash-ab" :: rest =>
-        // head-to-head of the two wide-signature candidate generators on
-        // the SAME host phase (the cross-run ladder confounds host speed):
+        // head-to-head of the two signature candidate generators on the
+        // SAME host phase (the cross-run ladder confounds host speed):
         // sign once (localCheckpoint), then time chunk blocking vs the
-        // two-half MIH join, min-of-3 alternating
+        // two-half MIH join, min-of-3 alternating. Optional second arg =
+        // signature bits (default 48; r15 adds the 32-bit ladder — the
+        // chunk form's keyspace there is only 4·256, so its quadratic
+        // term bites much earlier). Optional third arg = doc limit.
         val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
-        val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"), graft.ops.Dedup.simhash(col("text"), 48).as("sig"))
+        val bits = rest.lift(1).map(_.toInt).getOrElse(48)
+        val limit = rest.lift(2).map(_.toInt)
+        val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = limit.map(n => docs0.limit(n)).getOrElse(docs0)
+        val sigs = docs
+          .select(col("doc_id"), graft.ops.Dedup.simhash(col("text"), bits).as("sig"))
           .localCheckpoint()
+        val nDocs = sigs.count()
         def time(f: => org.apache.spark.sql.DataFrame): Double = {
           val s = System.nanoTime(); f.queryExecution.toRdd.count()
           (System.nanoTime() - s) / 1e9
@@ -112,11 +120,11 @@ object Scratch {
         val (cs, ms) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
         for (_ <- 1 to 3) {
           cs += time(graft.ops.Dedup.simhashCandidatesFromSignatures(
-            sigs, "doc_id", "sig", 3, 100000, 12))
+            sigs, "doc_id", "sig", 3, 100000, bits / 4))
           ms += time(graft.ops.Dedup.simhashCandidatesMih(
-            sigs, "doc_id", "sig", 3, 100000, 48))
+            sigs, "doc_id", "sig", 3, 100000, bits))
         }
-        println(f"[ab] $sfDir chunk=${cs.result().min}%.2fs mih=${ms.result().min}%.2fs (min-of-3)")
+        println(f"[ab] $sfDir bits=$bits n=$nDocs chunk=${cs.result().min}%.2fs mih=${ms.result().min}%.2fs (min-of-3)")
 
       case "cap-ab" :: rest =>
         // r14: cost of the LAZY cap form (collectCapKeys=false — broadcast

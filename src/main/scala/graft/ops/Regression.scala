@@ -43,7 +43,17 @@ object Regression {
     val base = df.select(col(groupCol), col(xCol).cast("long").as("_x"),
       col(yCol).cast("double").as("_y"))
     val x0 = base.groupBy(col(groupCol)).agg(min(col("_x")).as("x0"))
-    base.join(x0, Seq(groupCol)) // groups-sized side: broadcasts
+    // FORCED broadcast (r15): the x0 side is one row per group, but its
+    // pre-execution size ESTIMATE scales with the input, so past ~sf1 the
+    // planner flipped this to a sort-merge join that shuffled the ENTIRE
+    // fact side (measured at sf3: 3.0M rows / 41 MB shuffle-written vs 85
+    // rows at sf1 — the q85 exponent bend in the triple-decade probe).
+    // The hint pins the join to the groups-sized reality. Like every
+    // groups-grain broadcast in the engine (labelCentroidStats' centroid
+    // table, the quantile bounds when AQE sizes them), this requires the
+    // GROUP DOMAIN to fit in a broadcast — a per-group trend fit whose
+    // output is one row per group already assumes that.
+    base.join(broadcast(x0), Seq(groupCol))
       .withColumn("_xs", col("_x") - col("x0"))
       .groupBy(col(groupCol), col("x0"))
       .agg(
