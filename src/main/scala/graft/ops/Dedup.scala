@@ -825,6 +825,16 @@ object Dedup {
     * ([[simhashBucketRegistry]]/[[simhashRoute]]), O(1) candidates per doc
     * against a keyspace-bounded registry, measured exponent ≤0.24.
     *
+    * 32-BIT SIGNATURES AT SCALE (measured r15, PLANS.md sf3 probe): the
+    * narrow default's 4·2^8 chunk keyspace concentrates on real text and
+    * its quadratic term bites past ~10⁴ docs (q27 exp 1.43 over
+    * sf1→sf3). Extending MIH to 32 bits was measured and REJECTED —
+    * real-text signatures concentrate per 16-bit half too, and MIH ran
+    * ~3× SLOWER at every size (`Scratch simhash-ab <dir> 32`:
+    * 0.95/3.02 s at 5k, 30.9/86.2 at 25k). The scale remedy is signature
+    * WIDTH, not a different 32-bit blocking: pass `bits = 48` (the q133
+    * face — same contract, exp 0.69 over the same triple decade).
+    *
     * NOTE (eager construction): on the wide path (bits > 32, maxHamming ≤ 3)
     * the size-adaptive routing needs the corpus row count, so building the
     * returned DataFrame runs the scan+sign Spark job — even if the caller
