@@ -295,6 +295,24 @@ object Cli {
       if (DedupState.currentGen(DedupState.fs(spark, stateDir), stateDir).isEmpty)
         exit(2, s"dedup-ingest: no committed dedup state under $stateDir " +
           "(run dedup-build first)")
+      // TOKENIZER-VERSION guard (r15): the standing registry's signatures
+      // were computed by the tokenizer version recorded in the state dir;
+      // folding THIS library's signatures against a state built by a
+      // different one (e.g. the pre-r15 space-only trim) silently fails
+      // to match duplicates of whitespace-padded documents — a recall
+      // hole no downstream check can see. Mismatch (or a pre-r15 state
+      // with no version file) demands a dedup-build rebuild.
+      val stateTokV = DedupState.tokenizerVersion(spark, stateDir)
+      if (!stateTokV.contains(DedupState.TokenizerVersion) &&
+          !sys.env.get("SPARK_GRAFT_ACCEPT_TOKENIZER_MISMATCH").contains("1"))
+        exit(4, s"dedup-ingest: state under $stateDir was built with " +
+          s"tokenizer version ${stateTokV.getOrElse("pre-r15 (unversioned)")} " +
+          s"but this library tokenizes at version ${DedupState.TokenizerVersion} — " +
+          "its signatures would not match the standing registry's for " +
+          "whitespace-padded documents (silently kept as uniques). Rebuild " +
+          "the state with dedup-build, or override with " +
+          "SPARK_GRAFT_ACCEPT_TOKENIZER_MISMATCH=1 if you have verified the " +
+          "corpus has no such documents.")
       val newDocs = spark.read.parquet(docsParquet)
       // BATCH IDENTITY (replay guard): order-insensitive fingerprint of the
       // batch — row count + mod-P checksums of ids and of the texts' CONTENT

@@ -46,9 +46,11 @@ object TextKernels {
     lowered.substring(from, to).split("\\s+", -1)
   }
 
-  /** Lowercase, trim, split on whitespace runs, emit DISTINCT space-joined
-    * word n-grams (first-occurrence order). Matches
-    * array_distinct(ngrams(split(trim(lower(text)), "\\s+"))) exactly.
+  /** Lowercase, `\s`-trim, split on whitespace runs, emit DISTINCT
+    * space-joined word n-grams (first-occurrence order). Matches
+    * array_distinct(ngrams(split(wsTrim(lower(text)), "\\s+"))) exactly —
+    * wsTrim as in [[graft.ops.TextAnalysis.wsTrim]] (r15; a plain
+    * space-only trim here would resurrect the phantom-""-token defect).
     */
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     // reachable from SQL (graft_shingles) with any int literal: n <= 0

@@ -367,9 +367,12 @@ object Dedup {
     * the op is SIZE-ADAPTIVE (r15): at or above [[FuzzyCrossoverRows]]
     * rows the identical same-length pair set is generated by the
     * same-length PassJoin (segment agreement prunes inside a length
-    * block, where the blocked join is quadratic); pass `rowCount` to keep
-    * plan construction lazy, else a count() on the shared cached
-    * projection decides. Verification uses Spark's
+    * block, where the blocked join is quadratic). `rowCount` skips the
+    * routing count() — but NOT the segment-entropy probe: past the
+    * crossover a one-row aggregate ALWAYS runs at construction time (a
+    * blind route onto a degenerate corpus would cost 10× the probe), so
+    * construction is eager there by design; below the crossover a
+    * supplied rowCount keeps it fully lazy. Verification uses Spark's
     * THRESHOLDED levenshtein (early-exits the DP past maxDist — the
     * standard banded-DP trick, returns -1 beyond), which equals the full
     * distance whenever it qualifies, so the emitted distances are exact

@@ -47,6 +47,30 @@ object DedupState {
   val Tables: Seq[String] = Seq("components", "registry", "anchors")
   val DefaultKeep = 3
   private val Marker = "_COMMITTED"
+  /** Version of the TOKENIZER whose signatures/shingles the standing
+    * state was built with. v2 = the r15 `\s`-aware trim
+    * ([[graft.ops.TextAnalysis.WsChars]]); v1 (implicit — pre-r15 states
+    * have no version file) = the space-only trim, whose simhash
+    * signatures differ for `\n`/`\t`-padded documents. An ingest folding
+    * NEW-tokenizer signatures against an OLD-tokenizer registry would
+    * silently miss duplicates of padded docs (different signature →
+    * different bucket → kept as unique), so `Cli dedup-ingest` refuses a
+    * version mismatch and demands a `dedup-build` rebuild (override:
+    * SPARK_GRAFT_ACCEPT_TOKENIZER_MISMATCH=1). Bump this whenever
+    * tokenize/wordShingles/simHash arithmetic changes.
+    */
+  val TokenizerVersion = 2
+  private val TokVerFile = "_tokenizer_version"
+
+  /** The tokenizer version recorded by the state dir, None for a pre-r15
+    * (or pre-versioned) state that never recorded one.
+    */
+  def tokenizerVersion(spark: SparkSession, stateDir: String): Option[Int] = {
+    val hfs = fs(spark, stateDir)
+    readMarkerFile(hfs, new Path(s"$stateDir/$TokVerFile"))
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+  }
+
   // markers OUTLIVE their table generations (r15 ADVICE): vacuum copies a
   // deleted generation's marker into this directory first, so the replay
   // guard consults every batch id EVER committed — without it, a
@@ -219,6 +243,19 @@ object DedupState {
     finally out.close()
     if (!hfs.rename(tmp, new Path(dir, Marker))) // the atomic commit
       sys.error(s"failed to commit dedup-state generation v$next (rename $tmp)")
+    // record (or refresh) the tokenizer version the state's signatures
+    // were computed with — the ingest guard reads it (same tmp+rename
+    // atomicity; content is idempotent so overwrite is safe). Written
+    // AFTER the generation commit: a crash in between leaves a committed
+    // generation with a stale/absent version file, which fails CLOSED at
+    // the next ingest (a rebuild prompt, never a silent mixed-tokenizer
+    // fold).
+    val vtmp = new Path(stateDir, TokVerFile + ".tmp")
+    val vout = hfs.create(vtmp, true)
+    try vout.write(TokenizerVersion.toString.getBytes("UTF-8")) finally vout.close()
+    hfs.delete(new Path(stateDir, TokVerFile), false)
+    if (!hfs.rename(vtmp, new Path(stateDir, TokVerFile)))
+      sys.error(s"failed to record tokenizer version under $stateDir")
     // retention: drop all but the newest `keep` committed generations —
     // ARCHIVING each vacuumed generation's marker first (r15: markers
     // outlive tables, see MarkerArchive), with the same tmp+rename

@@ -238,26 +238,53 @@ object Similarity {
     * can therefore never route). Measured (min-of-3, planted-pair corpus,
     * t = 0.9): exact 0.33/0.81/2.55/10.6 s at 2k/4k/8k/16k vs banded
     * 0.44/0.53/0.92/1.90 s — recall 1.0, false positives 0 at every size.
+    * Routed calls size `bands` from the threshold ([[bandsForRecall]]) so
+    * the ≥[[NearDupTargetRecall]] contract holds for THRESHOLD-GRAZING
+    * pairs across the whole routed range — a fixed 32 bands would quietly
+    * drop ~12% of pairs sitting exactly at t = 0.8 (r15 review finding).
     */
   val NearDupCrossoverRows: Long = 4000L
   val NearDupLshMinThreshold: Double = 0.8
+  val NearDupTargetRecall: Double = 0.995
+
+  /** Random-hyperplane collision probability of a pair at cosine `t`
+    * (Charikar 2002): p = 1 − arccos(t)/π.
+    */
+  def planeCollisionProb(t: Double): Double = 1.0 - math.acos(t) / math.Pi
+
+  /** Bands needed for ≥ `target` recall of a pair AT the threshold, given
+    * r sign bits per band: recall = 1 − (1 − p^r)^B. Floors at 32 (the
+    * measured defaults), caps at 128 — at the cap the per-row key work is
+    * 128·r dots, still linear and far under the quadratic it replaces.
+    */
+  def bandsForRecall(threshold: Double, planesPerBand: Int,
+                     target: Double = NearDupTargetRecall): Int = {
+    val pr = math.pow(planeCollisionProb(threshold), planesPerBand)
+    val b = math.ceil(math.log(1.0 - target) / math.log(1.0 - pr))
+    math.min(128, math.max(32, if (b.isNaN || b.isInfinite) 128 else b.toInt))
+  }
 
   /** All pairs with cosine >= threshold (embedding near-dup detection).
     * Below [[NearDupCrossoverRows]] rows (or whenever `threshold` <
     * [[NearDupLshMinThreshold]], where hyperplane LSH cannot reach useful
     * recall — see the constant's doc) pair generation is the exact
     * brute-force cross product; at or above BOTH lines the default mode
-    * routes to [[lshNearDupBanded]], which is APPROXIMATE with measured,
-    * tunable recall (r15: ≥ 0.99 at its defaults for t >= 0.9 — the
-    * PropertySpec planted-pair gate). Pass `exact = true` to pin the
-    * brute-force face regardless of size (the oracle/ground-truth mode);
-    * pass `rowCount` to skip the routing count() and keep construction
-    * lazy. Emitted pairs are always verified — routing can only MISS
-    * pairs (bounded by the banded recall), never invent them.
+    * routes to [[lshNearDupBanded]] with [[bandsForRecall]]-sized bands,
+    * which is APPROXIMATE with recall ≥ [[NearDupTargetRecall]] for
+    * pairs AT the threshold (and higher above it — the SimilaritySpec
+    * planted-pair gates, measured 1.0 at t = 0.9's defaults). Pass
+    * `exact = true` to pin the brute-force face regardless of size (the
+    * oracle/ground-truth mode); pass `rowCount` to skip the routing
+    * count(). `dim` defaults to the corpus's own first-row dimension
+    * (one tiny lookup, only when actually routing — pass it to stay
+    * fully lazy); a mixed-dimension corpus fails loudly in the key
+    * kernel either way. Emitted pairs are always verified — routing can
+    * only MISS pairs (bounded by the banded recall), never invent them.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, exact: Boolean = false,
-                   rowCount: Option[Long] = None, dim: Int = 64): DataFrame = {
+                   rowCount: Option[Long] = None,
+                   dim: Option[Int] = None): DataFrame = {
     def brute = {
       val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
         normNative(col(vecCol)).as("_na"))
@@ -272,9 +299,15 @@ object Similarity {
     if (exact || threshold < NearDupLshMinThreshold) brute
     else {
       lazy val n = rowCount.getOrElse(corpus.count())
-      if (n >= NearDupCrossoverRows)
-        lshNearDupBanded(corpus, idCol, vecCol, threshold, dim = dim)
-      else brute
+      if (n >= NearDupCrossoverRows) {
+        // infer the embedding dimension from the data unless supplied —
+        // the old fixed default (64) made routing a size-dependent CRASH
+        // for any other corpus width (r15 review finding)
+        val d = dim.getOrElse(
+          corpus.select(size(col(vecCol))).head.getInt(0))
+        lshNearDupBanded(corpus, idCol, vecCol, threshold,
+          bands = bandsForRecall(threshold, 12), dim = d)
+      } else brute
     }
   }
 

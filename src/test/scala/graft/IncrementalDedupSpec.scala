@@ -481,6 +481,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(DedupState.committedGens(hfs, state) === Seq(5, 6))
   }
 
+  test("tokenizer-version guard: ingest refuses a state built by a different tokenizer (r15)") {
+    // A pre-r15 registry holds signatures computed with the space-only
+    // trim; folding r15 (\s-trim) signatures against it would silently
+    // keep duplicates of \n/\t-padded docs as uniques. The guard fails
+    // CLOSED on a version mismatch AND on an unversioned (pre-r15) state.
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_tokv").toString
+    val state = s"$tmp/state"
+    Seq((1L, "alpha words one"), (2L, "beta words two"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/day1")
+    Seq((10L, "gamma words three"), (11L, "delta words four"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/day2")
+    val hfs = DedupState.fs(spark, state)
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", state))
+    assert(DedupState.tokenizerVersion(spark, state)
+      === Some(DedupState.TokenizerVersion), "build must record the version")
+    // matching version: ingest proceeds
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day2", state, "3"))
+    // forge an OLD version: ingest refuses with the rebuild prompt
+    val vPath = new org.apache.hadoop.fs.Path(s"$state/_tokenizer_version")
+    val o1 = hfs.create(vPath, true); o1.write("1".getBytes("UTF-8")); o1.close()
+    Seq((20L, "epsilon words five"), (21L, "zeta words six"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/day3")
+    val e1 = intercept[Cli.CliExit] {
+      Cli.run(spark, List("dedup-ingest", s"$tmp/day3", state, "3"))
+    }
+    assert(e1.code === 4 && e1.getMessage.contains("tokenizer"), e1.getMessage)
+    // an UNVERSIONED (pre-r15) state refuses too
+    hfs.delete(vPath, false)
+    val e2 = intercept[Cli.CliExit] {
+      Cli.run(spark, List("dedup-ingest", s"$tmp/day3", state, "3"))
+    }
+    assert(e2.code === 4 && e2.getMessage.contains("pre-r15"), e2.getMessage)
+    // dedup-build rebuild restores the version and ingest proceeds again
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", state))
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day3", state, "3"))
+  }
+
   test("legacy-marker guard: aborts on a tx= marker matching this batch, term-order-independent (r15)") {
     // A retained generation committed by the PRE-content-hash library
     // (fingerprint "tx=" instead of "h=") whose n=/id= match this batch
@@ -582,6 +619,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
     val hfs = DedupState.fs(spark, legacy)
     assert(DedupState.committedGens(hfs, legacy) === Seq(0))
+    // r15: an UNVERSIONED flat state first trips the tokenizer guard (flat
+    // layouts predate the \s-trim, so that is the right default)...
+    val eTok = intercept[Cli.CliExit] {
+      Cli.run(spark, List("dedup-ingest", s"$tmp/day2", legacy, "1"))
+    }
+    assert(eTok.code === 4, eTok.getMessage)
+    // ...an operator who has VERIFIED the tokenizer (this state's tables
+    // were in fact built by the current library above) records the
+    // version, and the layout migration proceeds exactly as before
+    val vout = hfs.create(new org.apache.hadoop.fs.Path(s"$legacy/_tokenizer_version"), true)
+    vout.write(DedupState.TokenizerVersion.toString.getBytes("UTF-8")); vout.close()
     Cli.run(spark, List("dedup-ingest", s"$tmp/day2", legacy, "1"))
     // keep=1: the migration commit supersedes AND vacuums the flat tables
     assert(DedupState.committedGens(hfs, legacy) === Seq(1))

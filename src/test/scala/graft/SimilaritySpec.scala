@@ -75,12 +75,47 @@ class SimilaritySpec extends AnyFunSuite {
     // constructs NO job (q15's lazy-construction contract)
     assert(!plan(Similarity.nearDupPairs(tiny, "vec_id", "embedding", 0.35))
       .contains("posexplode"))
-    // high threshold + big rowCount hint: banded plan
+    // high threshold + big rowCount hint: banded plan (dim INFERRED from
+    // the corpus — the fixed-64 default was a size-dependent crash for
+    // any other width, r15 review finding)
     assert(plan(Similarity.nearDupPairs(tiny, "vec_id", "embedding", 0.9,
-      rowCount = Some(100000L), dim = 8)).contains("posexplode"))
+      rowCount = Some(100000L))).contains("posexplode"))
+    // an explicitly supplied dim keeps routing construction lookup-free
+    assert(plan(Similarity.nearDupPairs(tiny, "vec_id", "embedding", 0.9,
+      rowCount = Some(100000L), dim = Some(8))).contains("posexplode"))
     // exact=true pins brute force regardless of size
     assert(!plan(Similarity.nearDupPairs(tiny, "vec_id", "embedding", 0.9,
       exact = true, rowCount = Some(100000L))).contains("posexplode"))
+  }
+
+  test("bandsForRecall sizes bands so THRESHOLD-GRAZING pairs keep the recall contract (r15)") {
+    import spark.implicits._
+    // at t = 0.8 a grazing pair's per-band collision is p^12 ~= 0.064, so
+    // the fixed 32 bands only reach ~0.88 recall — bandsForRecall must
+    // demand more
+    assert(Similarity.bandsForRecall(0.8, 12) >= 70)
+    assert(Similarity.bandsForRecall(0.9, 12) === 32) // floor: defaults suffice
+    // planted pairs AT ~0.80-0.88 cosine (heavy perturbation), threshold
+    // 0.8, adaptive bands: recall must clear 0.95 where 32 bands would not
+    val rows = (0 until 300).map { i =>
+      val base = new scala.util.Random(if (i % 5 == 1) 40L + i - 1 else 40L + i)
+      val v = Array.fill(32)(base.nextGaussian())
+      if (i % 5 == 1) {
+        val p = new scala.util.Random(900L + i)
+        (0 until 32).foreach(j => v(j) += 0.55 * p.nextGaussian())
+      }
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint()
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.nearDupPairs(df, "vec_id", "embedding", 0.8, exact = true))
+    assert(exact.size >= 20, s"fixture degenerate: only ${exact.size} grazing pairs")
+    val banded = pairSet(Similarity.lshNearDupBanded(df, "vec_id", "embedding", 0.8,
+      bands = Similarity.bandsForRecall(0.8, 12), dim = 32))
+    val recall = banded.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, f"grazing recall $recall%.3f under the 0.95 gate")
+    assert(banded.diff(exact).isEmpty)
   }
 
   test("banded LSH near-dup: full recall on planted near-dups, verified precision (r15)") {
