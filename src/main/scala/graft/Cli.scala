@@ -303,10 +303,16 @@ object Cli {
       // hole no downstream check can see. Mismatch (or a pre-r15 state
       // with no version file) demands a dedup-build rebuild.
       val stateTokV = DedupState.tokenizerVersion(spark, stateDir)
-      if (!stateTokV.contains(DedupState.TokenizerVersion) &&
+      // an override-admitted mismatch is remembered (r15 ADVICE): the
+      // commit below records the "mixed" sentinel instead of re-stamping
+      // the state as current, so the NEXT ingest surfaces the mismatch
+      // again — one override admits one batch, not all future ones
+      val tokMismatch = !stateTokV.contains(DedupState.TokenizerVersion)
+      if (tokMismatch &&
           !sys.env.get("SPARK_GRAFT_ACCEPT_TOKENIZER_MISMATCH").contains("1"))
         exit(4, s"dedup-ingest: state under $stateDir was built with " +
-          s"tokenizer version ${stateTokV.getOrElse("pre-r15 (unversioned)")} " +
+          s"tokenizer version ${DedupState.tokenizerVersionRaw(spark, stateDir)
+            .getOrElse("pre-r15 (unversioned)")} " +
           s"but this library tokenizes at version ${DedupState.TokenizerVersion} — " +
           "its signatures would not match the standing registry's for " +
           "whitespace-padded documents (silently kept as uniques). Rebuild " +
@@ -430,7 +436,8 @@ object Cli {
       // registry on replay).
       val gen = graft.ops.DedupState.commit(spark, stateDir,
         Map("components" -> folded, "registry" -> mergedReg,
-          "anchors" -> mergedAnchors), keep, Some(batchId))
+          "anchors" -> mergedAnchors), keep, Some(batchId),
+        mixedTokenizer = tokMismatch)
       println(s"[cli] ingested $nNew docs: $nDup routed to anchors, " +
         s"$nPairs verified near-dup pairs folded; state updated in $stateDir (gen v$gen, keep $keep)")
 

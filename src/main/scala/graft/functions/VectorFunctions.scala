@@ -133,6 +133,19 @@ case class BandedLshKeys(child: Expression, bands: Int, planesPerBand: Int,
     if (n != dim)
       throw new IllegalArgumentException(
         s"BandedLshKeys: dimension mismatch (vector $n vs planes $dim)")
+    // fail LOUD on null elements (r15 ADVICE), matching the dim-mismatch
+    // contract: getFloat on a null slot silently reads 0.0, which would
+    // hash a corrupt vector into real buckets — whereas the brute-force
+    // face nulls the cosine and drops the pair. One prepass, not a check
+    // inside the bands×planes loops (each element is read B·r times).
+    var j0 = 0
+    while (j0 < n) {
+      if (v.isNullAt(j0))
+        throw new IllegalArgumentException(
+          s"BandedLshKeys: null element at index $j0 (dense vectors " +
+            "required; filter null-element embeddings before hashing)")
+      j0 += 1
+    }
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {

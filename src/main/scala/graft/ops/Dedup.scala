@@ -394,21 +394,37 @@ object Dedup {
     // for both A/B tables — degenerate shared-prefix corpora stay
     // blocked, where they are ~9x cheaper). Both forms are exact within
     // same-length pairs, so routing changes cost, never results. A
-    // supplied rowCount skips the count() (when absent it runs on the
-    // cached projection both routes reuse, so the scan is pre-paid);
-    // past the crossover the one-row entropy aggregate always runs — a
-    // blind route onto a degenerate corpus would cost 10x the probe.
+    // supplied rowCount skips the count() (when absent it runs on a
+    // cached projection that the PassJoin route keeps and the blocked
+    // route releases — see the cache-lifecycle note below); past the
+    // crossover the one-row entropy aggregate always runs — a blind
+    // route onto a degenerate corpus would cost 10x the probe.
     // Custom blockKeys always take the blocked join: the caller chose the
     // blocking entropy, and a phonetic/q-gram key has no PassJoin twin.
     if (blockKey.isEmpty && maxDist >= 1 && maxDist <= 4) {
-      val base = df.where(col(strCol).isNotNull)
+      val proj = df.where(col(strCol).isNotNull)
         .select(col(idCol).as("_id"), col(strCol).as("_s"),
-          length(col(strCol)).as("_len")).cache()
-      lazy val n = rowCount.getOrElse(base.count())
-      if (n >= FuzzyCrossoverRows && segmentEntropyOk(base, maxDist + 1, n))
-        fuzzyPairsSameLength(base, maxDist)
-      else blockedFuzzyPairs(base.select(col("_id"), col("_s"),
-        col("_len").as("_blk")), maxDist)
+          length(col(strCol)).as("_len"))
+      // Cache only while the ROUTING jobs (count + entropy probe) need to
+      // re-scan the projection, and let the winner decide its fate (r15
+      // ADVICE — the unconditional .cache() pinned one projection per call
+      // in long-lived sessions, released only by the object-level
+      // clearCache convention):
+      //  - PassJoin route keeps the cache: index and probe sides read it
+      //    twice inside one plan;
+      //  - the blocked route unpersists it — the projection is
+      //    re-derivable and the blocked self-join re-derives it lazily;
+      //  - below the crossover with a supplied rowCount the lazy cache is
+      //    never touched: no cache entry, no job, fully lazy construction.
+      lazy val cached = proj.cache()
+      val n = rowCount.getOrElse(cached.count())
+      if (n >= FuzzyCrossoverRows && segmentEntropyOk(cached, maxDist + 1, n))
+        fuzzyPairsSameLength(cached, maxDist)
+      else {
+        if (rowCount.isEmpty || n >= FuzzyCrossoverRows) cached.unpersist()
+        blockedFuzzyPairs(proj.select(col("_id"), col("_s"),
+          col("_len").as("_blk")), maxDist)
+      }
     } else {
       val key = blockKey.getOrElse(length(col(strCol)))
       blockedFuzzyPairs(df.select(col(idCol).as("_id"), col(strCol).as("_s"),

@@ -62,14 +62,32 @@ object DedupState {
   val TokenizerVersion = 2
   private val TokVerFile = "_tokenizer_version"
 
-  /** The tokenizer version recorded by the state dir, None for a pre-r15
-    * (or pre-versioned) state that never recorded one.
+  /** Sentinel recorded instead of a version number when a commit was
+    * admitted under SPARK_GRAFT_ACCEPT_TOKENIZER_MISMATCH: the state now
+    * holds signatures from MORE THAN ONE tokenizer, which no single number
+    * can describe. It never parses as an Int, so [[tokenizerVersion]]
+    * reads None and the ingest guard keeps firing — one override must not
+    * permanently re-stamp a mixed state as current (r15 ADVICE).
     */
-  def tokenizerVersion(spark: SparkSession, stateDir: String): Option[Int] = {
+  val TokenizerMixed = "mixed"
+
+  /** The raw tokenizer-version string recorded by the state dir (a version
+    * number, [[TokenizerMixed]], or None for a pre-r15/pre-versioned state
+    * that never recorded one). The ingest guard's error message shows this
+    * verbatim so the operator can tell "never versioned" from "mixed".
+    */
+  def tokenizerVersionRaw(spark: SparkSession, stateDir: String): Option[String] = {
     val hfs = fs(spark, stateDir)
-    readMarkerFile(hfs, new Path(s"$stateDir/$TokVerFile"))
-      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+    readMarkerFile(hfs, new Path(s"$stateDir/$TokVerFile")).map(_.trim)
   }
+
+  /** The tokenizer version recorded by the state dir, None for a pre-r15
+    * (or pre-versioned) state that never recorded one — and None for a
+    * [[TokenizerMixed]] state, which must keep failing the ingest guard.
+    */
+  def tokenizerVersion(spark: SparkSession, stateDir: String): Option[Int] =
+    tokenizerVersionRaw(spark, stateDir)
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
 
   // markers OUTLIVE their table generations (r15 ADVICE): vacuum copies a
   // deleted generation's marker into this directory first, so the replay
@@ -215,7 +233,8 @@ object DedupState {
   def commit(spark: SparkSession, stateDir: String,
              tables: Map[String, DataFrame],
              keep: Int = DefaultKeep,
-             batchId: Option[String] = None): Int = {
+             batchId: Option[String] = None,
+             mixedTokenizer: Boolean = false): Int = {
     require(keep >= 1, "need keep >= 1")
     require(tables.keySet == Tables.toSet,
       s"need exactly ${Tables.mkString("/")}, got ${tables.keySet}")
@@ -249,10 +268,16 @@ object DedupState {
     // AFTER the generation commit: a crash in between leaves a committed
     // generation with a stale/absent version file, which fails CLOSED at
     // the next ingest (a rebuild prompt, never a silent mixed-tokenizer
-    // fold).
+    // fold). A commit admitted under the mismatch override records the
+    // [[TokenizerMixed]] sentinel instead of re-stamping the state as
+    // current (r15 ADVICE): the fold just mixed two tokenizers' signatures,
+    // and the guard must keep surfacing that on every later ingest until a
+    // dedup-build rebuild makes the state single-tokenizer again.
+    val recordedVersion =
+      if (mixedTokenizer) TokenizerMixed else TokenizerVersion.toString
     val vtmp = new Path(stateDir, TokVerFile + ".tmp")
     val vout = hfs.create(vtmp, true)
-    try vout.write(TokenizerVersion.toString.getBytes("UTF-8")) finally vout.close()
+    try vout.write(recordedVersion.getBytes("UTF-8")) finally vout.close()
     hfs.delete(new Path(stateDir, TokVerFile), false)
     if (!hfs.rename(vtmp, new Path(stateDir, TokVerFile)))
       sys.error(s"failed to record tokenizer version under $stateDir")

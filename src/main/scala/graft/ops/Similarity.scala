@@ -300,13 +300,25 @@ object Similarity {
     else {
       lazy val n = rowCount.getOrElse(corpus.count())
       if (n >= NearDupCrossoverRows) {
-        // infer the embedding dimension from the data unless supplied —
-        // the old fixed default (64) made routing a size-dependent CRASH
-        // for any other corpus width (r15 review finding)
-        val d = dim.getOrElse(
-          corpus.select(size(col(vecCol))).head.getInt(0))
-        lshNearDupBanded(corpus, idCol, vecCol, threshold,
-          bands = bandsForRecall(threshold, 12), dim = d)
+        // infer the embedding dimension from a NON-NULL row unless supplied
+        // — the old fixed default (64) made routing a size-dependent CRASH
+        // for any other corpus width (r15 review finding), and probing the
+        // bare first row made a leading NULL vector one too (r15 ADVICE):
+        // the exact path tolerates null vectors (null cosine → pair
+        // dropped; the banded path drops them at posexplode of the null
+        // key array), so routing must not turn them into an NPE. An
+        // all-null corpus has no pairs under either face, so brute
+        // (trivially empty, and fully lazy) is the correct fallback.
+        val probed =
+          if (dim.isDefined) Array.empty[org.apache.spark.sql.Row]
+          else corpus.where(col(vecCol).isNotNull)
+            .select(size(col(vecCol))).head(1)
+        if (dim.isEmpty && probed.isEmpty) brute
+        else {
+          val d = dim.getOrElse(probed(0).getInt(0))
+          lshNearDupBanded(corpus, idCol, vecCol, threshold,
+            bands = bandsForRecall(threshold, 12), dim = d)
+        }
       } else brute
     }
   }

@@ -518,6 +518,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Cli.run(spark, List("dedup-ingest", s"$tmp/day3", state, "3"))
   }
 
+  test("an override-admitted mismatch records the 'mixed' sentinel — one " +
+    "override admits one batch, not all future ingests (r16 ADVICE)") {
+    // The r15 commit refreshed _tokenizer_version to CURRENT on every
+    // commit, so one SPARK_GRAFT_ACCEPT_TOKENIZER_MISMATCH=1 ingest
+    // permanently re-stamped a mixed-tokenizer state as clean and silenced
+    // the guard forever. Now a mixed commit records the "mixed" sentinel,
+    // which never parses as a version — the guard keeps firing until a
+    // dedup-build rebuild makes the state single-tokenizer again.
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_mixed").toString
+    val state = s"$tmp/state"
+    Seq((1L, "alpha words one"), (2L, "beta words two"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/day1")
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", state))
+    // simulate the override-admitted ingest's commit (the Cli passes
+    // mixedTokenizer = true whenever the guard condition was overridden;
+    // the env var itself can't be set from inside the JVM)
+    val tables = DedupState.readAll(spark, state)
+    DedupState.commit(spark, state, tables, mixedTokenizer = true)
+    assert(DedupState.tokenizerVersionRaw(spark, state)
+      === Some(DedupState.TokenizerMixed))
+    assert(DedupState.tokenizerVersion(spark, state) === None,
+      "the mixed sentinel must not parse as a version — the guard must keep firing")
+    // the NEXT ingest without the override refuses, naming the mixed state
+    Seq((10L, "gamma words three")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/day2")
+    val e = intercept[Cli.CliExit] {
+      Cli.run(spark, List("dedup-ingest", s"$tmp/day2", state, "3"))
+    }
+    assert(e.code === 4 && e.getMessage.contains("mixed"), e.getMessage)
+    // a rebuild clears the sentinel and ingest proceeds again
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", state))
+    assert(DedupState.tokenizerVersion(spark, state)
+      === Some(DedupState.TokenizerVersion))
+    Cli.run(spark, List("dedup-ingest", s"$tmp/day2", state, "3"))
+  }
+
   test("legacy-marker guard: aborts on a tx= marker matching this batch, term-order-independent (r15)") {
     // A retained generation committed by the PRE-content-hash library
     // (fingerprint "tx=" instead of "h=") whose n=/id= match this batch

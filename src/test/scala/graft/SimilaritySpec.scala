@@ -88,6 +88,60 @@ class SimilaritySpec extends AnyFunSuite {
       exact = true, rowCount = Some(100000L))).contains("posexplode"))
   }
 
+  test("nearDupPairs routing tolerates null vectors: dim inferred from a " +
+    "non-null row, all-null falls back to brute (r16 ADVICE)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def vec(seed: Long) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat).toSeq
+    }
+    // LEADING null vector (the r15 probe read row 0 bare → NPE), one
+    // planted near-identical pair (1,2), filler vectors
+    val perturbed = vec(1L).zipWithIndex.map { case (x, j) =>
+      x + 0.01f * new scala.util.Random(99L + j).nextGaussian().toFloat }
+    val rows: Seq[(Long, Option[Seq[Float]])] =
+      Seq((0L, Option.empty[Seq[Float]]), (1L, Some(vec(1L))), (2L, Some(perturbed))) ++
+        (3 until 12).map(i => (i.toLong, Some(vec(100L + i))))
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint()
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // forced past the crossover via rowCount: routed plan must construct
+    // AND run (the null row is dropped at posexplode of its null key array)
+    val routed = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9,
+      rowCount = Some(100000L))
+    assert(routed.queryExecution.analyzed.toString.contains("posexplode"))
+    val got = pairSet(routed)
+    val exact = pairSet(Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9,
+      exact = true))
+    assert(exact.contains((1L, 2L)), "fixture degenerate: planted pair missing")
+    assert(got === exact, "routed face must match brute on a null-bearing corpus")
+    assert(!got.exists(p => p._1 == 0L || p._2 == 0L))
+    // ALL-null corpus: no non-null row to infer from — brute fallback,
+    // trivially empty, never a crash
+    val allNull = (0 until 5).map(i => (i.toLong, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val fb = Similarity.nearDupPairs(allNull, "vec_id", "embedding", 0.9,
+      rowCount = Some(100000L))
+    assert(!fb.queryExecution.analyzed.toString.contains("posexplode"))
+    assert(fb.count() === 0L)
+  }
+
+  test("BandedLshKeys fails loudly on a null ELEMENT instead of hashing it " +
+    "as 0.0 (r16 ADVICE)") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq[Option[Float]](Some(1f), None, Some(2f), Some(3f),
+      Some(4f), Some(5f), Some(6f), Some(7f)))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.VectorFunctions.bandedLshKeys(col("vec"), 2, 3, 8))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null element")), msgs(e).mkString(" | "))
+  }
+
   test("bandsForRecall sizes bands so THRESHOLD-GRAZING pairs keep the recall contract (r15)") {
     import spark.implicits._
     // at t = 0.8 a grazing pair's per-band collision is p^12 ~= 0.064, so

@@ -176,6 +176,40 @@ class TextOpsSpec extends AnyFunSuite {
       rowCount = Some(4000L)))))
   }
 
+  test("fuzzyPairs cache lifecycle: only the PassJoin route keeps its routing " +
+    "projection cached (r16 ADVICE)") {
+    spark.catalog.clearCache()
+    def cacheEmpty = spark.sharedState.cacheManager.isEmpty
+    // below the crossover with NO rowCount: the count() runs on the cached
+    // projection, but the blocked route must release it afterwards
+    val tiny = Seq((1L, "alpha"), (2L, "alphb"), (3L, "gamma")).toDF("id", "name")
+    graft.ops.Dedup.fuzzyPairs(tiny, "id", "name", 2).collect()
+    assert(cacheEmpty, "blocked route leaked its routing projection cache")
+    // below the crossover WITH rowCount: fully lazy — no cache entry and no
+    // job at construction, none after collect either
+    val lazyOut = graft.ops.Dedup.fuzzyPairs(tiny, "id", "name", 2,
+      rowCount = Some(3L))
+    assert(cacheEmpty, "lazy construction must not register a cache")
+    lazyOut.collect()
+    assert(cacheEmpty)
+    // past the crossover on a DEGENERATE corpus (blocked route wins after
+    // the entropy probe): probe's materialized cache is released
+    val degen = (0 until 3200).map(i => (i.toLong, f"Supplier#$i%09d"))
+      .toDF("id", "name").localCheckpoint()
+    graft.ops.Dedup.fuzzyPairs(degen, "id", "name", 2, rowCount = Some(3200L))
+    assert(cacheEmpty, "probe-then-blocked route leaked its projection cache")
+    // past the crossover on an entropy corpus: the PassJoin route KEEPS the
+    // cache (index + probe sides read it twice inside one plan) — the
+    // documented object-level convention releases it
+    val rnd = new scala.util.Random(13)
+    def hex18() = (0 until 18).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+    val entropy = (0 until 3200).map(i => (i.toLong, hex18())).toDF("id", "name")
+      .localCheckpoint()
+    graft.ops.Dedup.fuzzyPairs(entropy, "id", "name", 2, rowCount = Some(3200L))
+    assert(!cacheEmpty, "PassJoin route must keep the shared projection cached")
+    spark.catalog.clearCache()
+  }
+
   test("bucket-width caps drop degenerate buckets but keep narrow ones") {
     // 40 identical docs form width-40 LSH/simhash/shingle buckets (the
     // stopword-bucket failure mode at scale); the cap must suppress them
