@@ -143,7 +143,10 @@ object Bench {
         spark.range(200000)
           .select(concat_ws(" ", (0 until 12).map(i =>
             pmod(col("id") * (i * 7 + 3), lit(997)).cast("string")): _*).as("t"))
-          .select(graft.ops.Dedup.simhash(col("t")).as("sig"))
+          // bits PINNED at 32: calib_sec is the cross-round host-speed
+          // yardstick — it must measure the HOST, never a library-default
+          // change (r16 widened the pipeline default to 48)
+          .select(graft.ops.Dedup.simhash(col("t"), bits = 32).as("sig"))
           .selectExpr("sum(sig)").queryExecution.toRdd.count()
         (System.nanoTime() - s) / 1e9
       }

@@ -263,8 +263,14 @@ object Cli {
       import graft.ops.DedupState
       val docs = spark.read.parquet(docsParquet)
       // keyspace-bounded (≤ 4·2^(bits/4) rows) — checkpoint so the anchor
-      // projection and the state write don't re-sign the corpus twice
-      val reg = graft.ops.Dedup.simhashBucketRegistrySigs(docs, "doc_id", "text")
+      // projection and the state write don't re-sign the corpus twice.
+      // Signed at the WIDE default (r16): this registry is the standing
+      // state a 100 TB incremental pipeline keeps forever, exactly where a
+      // 32-bit signature saturates; the width is recorded in the committed
+      // generation so every later ingest signs to match.
+      val buildBits = graft.ops.Dedup.DefaultSimhashBits
+      val reg = graft.ops.Dedup.simhashBucketRegistrySigs(docs, "doc_id", "text",
+          bits = buildBits)
         .localCheckpoint()
       val anchors = reg.select(col("anchor_id").as("doc_id")).distinct()
         .join(docs.select(col("doc_id"), col("text")), "doc_id")
@@ -272,10 +278,12 @@ object Cli {
         .nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
         .select(col("doc_id"), col("cluster_id"))
       val gen = DedupState.commit(spark, stateDir,
-        Map("registry" -> reg, "anchors" -> anchors, "components" -> comps))
+        Map("registry" -> reg, "anchors" -> anchors, "components" -> comps),
+        sigBits = buildBits)
       val nb = DedupState.read(spark, stateDir, "registry").count()
       val nc = DedupState.read(spark, stateDir, "components").count()
-      println(s"[cli] dedup state built: $nb registry buckets, $nc docs labeled -> $stateDir (gen v$gen)")
+      println(s"[cli] dedup state built: $nb registry buckets ($buildBits-bit " +
+        s"signatures), $nc docs labeled -> $stateDir (gen v$gen)")
 
     case "dedup-ingest" :: docsParquet :: stateDir :: rest if rest.lengthIs <= 1 =>
       import org.apache.spark.sql.functions._
@@ -389,6 +397,24 @@ object Cli {
           s"state unchanged in $stateDir")
         return
       }
+      // SIGNATURE-WIDTH migration guard (r16): the batch must be signed at
+      // the width the standing registry was built with — 48-bit signatures
+      // probed against a 32-bit registry match NOTHING (every duplicate
+      // silently kept), the same failure class as the tokenizer guard. A
+      // pre-r16 state (no recorded width) reads as 32, so legacy states
+      // keep folding CORRECTLY at their own width; the WARN is the scale
+      // story, not a correctness one — 32-bit signatures saturate by
+      // birthday collision at large corpus scale (q27's measured sf3
+      // exponent 1.43 vs 0.69 wide), and the remedy is a dedup-build
+      // rebuild, which re-signs the corpus at the wide default.
+      val stateBits = DedupState.sigBits(spark, stateDir)
+      if (stateBits != graft.ops.Dedup.DefaultSimhashBits)
+        println(s"[cli] WARN dedup-ingest: state under $stateDir holds " +
+          s"$stateBits-bit simhash signatures (library default is now " +
+          s"${graft.ops.Dedup.DefaultSimhashBits}); this ingest signs and " +
+          "routes at the persisted width, which stays correct — but narrow " +
+          "signatures saturate by birthday collision at corpus scale. " +
+          "Rebuild the state with dedup-build to widen.")
       // one generation resolution for all three tables — never mixed-day
       val state = DedupState.readAll(spark, stateDir)
       val reg = state("registry")
@@ -400,7 +426,8 @@ object Cli {
       // anchors instead of being silently missed; simhashRoute's
       // self-exclusion keeps a doc from routing to itself
       val mergedReg = graft.ops.Dedup.mergeBucketRegistries(reg,
-        graft.ops.Dedup.simhashBucketRegistrySigs(newDocs, "doc_id", "text"))
+        graft.ops.Dedup.simhashBucketRegistrySigs(newDocs, "doc_id", "text",
+          bits = stateBits))
         .localCheckpoint()
       val anchorTexts = anchors
         .unionByName(newDocs.select(col("doc_id"), col("text")))
@@ -409,7 +436,7 @@ object Cli {
                            // write — bounded (anchors ∪ one batch), so
                            // materialize once instead of three shuffles
       val routed = graft.ops.Dedup.simhashRoute(newDocs, "doc_id", "text",
-          mergedReg, maxHamming = 3)
+          mergedReg, maxHamming = 3, bits = stateBits)
         .where(col("is_dup") === 1L).select(col("doc_id"), col("best_anchor"))
         .localCheckpoint() // feeds verify + the report count, once
       val newPairs = graft.ops.Dedup.verifyRoutedPairs(routed, newDocs,
@@ -437,7 +464,10 @@ object Cli {
       val gen = graft.ops.DedupState.commit(spark, stateDir,
         Map("components" -> folded, "registry" -> mergedReg,
           "anchors" -> mergedAnchors), keep, Some(batchId),
-        mixedTokenizer = tokMismatch)
+        mixedTokenizer = tokMismatch,
+        // the state stays at ITS width until a rebuild widens it — the
+        // fold just merged stateBits-wide signatures
+        sigBits = stateBits)
       println(s"[cli] ingested $nNew docs: $nDup routed to anchors, " +
         s"$nPairs verified near-dup pairs folded; state updated in $stateDir (gen v$gen, keep $keep)")
 

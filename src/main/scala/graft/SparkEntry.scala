@@ -241,10 +241,11 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // SimHash bucket registry: per 8-bit blocking bucket the min-id anchor
-    // and population — the standing candidate-routing state an incremental
-    // near-dup pipeline persists (bounded: <= 1024 rows forever), and the
-    // batch twin the streaming DedupStream face is parity-gated against
+    // SimHash bucket registry: per blocking bucket (12-bit chunks at the
+    // r16 wide default) the min-id anchor and population — the standing
+    // candidate-routing state an incremental near-dup pipeline persists
+    // (keyspace-bounded: <= 4*2^12 = 16384 rows forever), and the batch
+    // twin the streaming DedupStream face is parity-gated against
     // (graft.ops.Dedup.simhashBucketRegistry)
     "q132_simhash_buckets" -> ((s, dir) => {
       Dedup.simhashBucketRegistry(tbl(s, dir, "documents"), "doc_id", "text")
@@ -308,7 +309,7 @@ object SparkEntry {
 
     // incremental-ingest routing: day-2 documents dispositioned against
     // the PERSISTED day-1 anchor registry — sign + one broadcast probe of
-    // a <=1024-row artifact, the day-1 corpus never re-read
+    // a keyspace-bounded (<=16384-row) artifact, the day-1 corpus never re-read
     // (graft.ops.Dedup.simhashBucketRegistrySigs + simhashRoute)
     "q137_incremental_route" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
@@ -352,7 +353,7 @@ object SparkEntry {
     // day-1 BUILD persists the standing state (simhash anchor registry +
     // minhash-verified component table) to real parquet; day-2 INCREMENT
     // reads it back and never re-reads the day-1 corpus — simhashRoute
-    // against the ≤1024-row registry, exact-Jaccard verify of the routed
+    // against the keyspace-bounded (≤16384-row) registry, exact-Jaccard verify of the routed
     // (doc, anchor) candidates only, incrementalClusters fold, compaction
     // report. The oracle recomputes the same chain from scratch in DuckDB
     // (registry routing semantics = q137's oracle, pair verify = q16's,
@@ -791,7 +792,8 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // 32-bit SimHash signatures (graft.ops.Dedup)
+    // SimHash signatures at the wide 48-bit pipeline default (graft.ops
+    // .Dedup; r16 — the oracle mirrors the h2 remix for bits past 29)
     "q18_simhash" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -994,12 +996,13 @@ object SparkEntry {
 
     // SimHash near-dup candidates: 8-bit chunk blocking + hamming verify.
     // Quarter-corpus gate (q16's note): kept as the oracle-parity contract
-    // for the legacy 32-bit blocking; q133's wide 48-bit form is the
-    // full-scale path and the round-10 probe measured both.
+    // for the legacy 32-bit blocking (bits PINNED — the library default is
+    // 48 since r16); q133's wide 48-bit form is the full-scale path and
+    // the round-10 probe measured both.
     "q27_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashCandidates(
           tbl(s, dir, "documents").where(col("doc_id") % 4 === 0),
-          "doc_id", "text", maxHamming = 3)
+          "doc_id", "text", maxHamming = 3, bits = 32)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -2939,8 +2942,10 @@ object SparkEntry {
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
            | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
-           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
-           |          FROM wh, range(0,32) t(j) GROUP BY 1,2)
+           | w2 AS (SELECT doc_id, h, ((h*h) % 1000000007 * 2654435761 + 11) % 1000000007 AS h2 FROM wh),
+           | bits AS (SELECT doc_id, t.j AS j,
+           |          sum(((CASE WHEN t.j < 30 THEN h >> t.j ELSE h2 >> (t.j - 30) END) & 1)*2 - 1) AS contrib
+           |          FROM w2, range(0,48) t(j) GROUP BY 1,2)
            |SELECT doc_id, -- ::BIGINT: DuckDB sum(BIGINT) is HUGEINT; Spark emits int64
            | sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -3040,11 +3045,13 @@ object SparkEntry {
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
            | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
-           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
-           |          FROM wh, range(0,32) t(j) GROUP BY 1,2),
+           | w2 AS (SELECT doc_id, h, ((h*h) % 1000000007 * 2654435761 + 11) % 1000000007 AS h2 FROM wh),
+           | bits AS (SELECT doc_id, t.j AS j,
+           |          sum(((CASE WHEN t.j < 30 THEN h >> t.j ELSE h2 >> (t.j - 30) END) & 1)*2 - 1) AS contrib
+           |          FROM w2, range(0,48) t(j) GROUP BY 1,2),
            | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
            |          FROM bits GROUP BY 1),
-           | ch AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           | ch AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*12)) & 4095 AS v
            |        FROM sigs, range(0,4) t(c)),
            | reg AS (SELECT chunk, v, min(doc_id) AS anchor_id FROM ch GROUP BY 1,2),
            | j AS (SELECT DISTINCT c.doc_id, r.anchor_id,
@@ -3064,16 +3071,18 @@ object SparkEntry {
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
            | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
-           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
-           |          FROM wh, range(0,32) t(j) GROUP BY 1,2),
+           | w2 AS (SELECT doc_id, h, ((h*h) % 1000000007 * 2654435761 + 11) % 1000000007 AS h2 FROM wh),
+           | bits AS (SELECT doc_id, t.j AS j,
+           |          sum(((CASE WHEN t.j < 30 THEN h >> t.j ELSE h2 >> (t.j - 30) END) & 1)*2 - 1) AS contrib
+           |          FROM w2, range(0,48) t(j) GROUP BY 1,2),
            | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
            |          FROM bits GROUP BY 1),
-           | ch1 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           | ch1 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*12)) & 4095 AS v
            |         FROM sigs, range(0,4) t(c) WHERE doc_id % 3 <> 0),
            | reg AS (SELECT chunk, v, min(doc_id) AS anchor_id FROM ch1 GROUP BY 1,2),
            | regs AS (SELECT r.chunk, r.v, r.anchor_id, s.simhash AS anchor_sig
            |          FROM reg r JOIN sigs s ON s.doc_id = r.anchor_id),
-           | ch2 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           | ch2 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*12)) & 4095 AS v
            |         FROM sigs, range(0,4) t(c) WHERE doc_id % 3 = 0),
            | cand AS (SELECT c.doc_id, r.anchor_id,
            |            bit_count(xor(c.simhash, r.anchor_sig))::BIGINT AS hh
@@ -3129,16 +3138,18 @@ object SparkEntry {
         s"""WITH RECURSIVE ws AS ($wsSqlH),
            | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
            | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
-           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
-           |          FROM wh, range(0,32) t(j) GROUP BY 1,2),
+           | w2 AS (SELECT doc_id, h, ((h*h) % 1000000007 * 2654435761 + 11) % 1000000007 AS h2 FROM wh),
+           | bits AS (SELECT doc_id, t.j AS j,
+           |          sum(((CASE WHEN t.j < 30 THEN h >> t.j ELSE h2 >> (t.j - 30) END) & 1)*2 - 1) AS contrib
+           |          FROM w2, range(0,48) t(j) GROUP BY 1,2),
            | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
            |          FROM bits GROUP BY 1),
-           | ch1 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           | ch1 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*12)) & 4095 AS v
            |         FROM sigs, range(0,4) t(c) WHERE doc_id % 3 <> 0),
            | reg AS (SELECT chunk, v, min(doc_id) AS anchor_id FROM ch1 GROUP BY 1,2),
            | regs AS (SELECT r.chunk, r.v, r.anchor_id, s.simhash AS anchor_sig
            |          FROM reg r JOIN sigs s ON s.doc_id = r.anchor_id),
-           | ch2 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           | ch2 AS (SELECT doc_id, simhash, t.c AS chunk, (simhash >> (t.c*12)) & 4095 AS v
            |         FROM sigs, range(0,4) t(c) WHERE doc_id % 3 = 0),
            | cand AS (SELECT c.doc_id, r.anchor_id,
            |            bit_count(xor(c.simhash, r.anchor_sig))::BIGINT AS hh
@@ -3262,11 +3273,13 @@ object SparkEntry {
         s"""WITH ws AS ($wsSql),
            | tok AS (SELECT doc_id, unnest(l) AS w FROM ws),
            | wh AS (SELECT doc_id, ${fpSql("w")} AS h FROM tok),
-           | bits AS (SELECT doc_id, t.j AS j, sum(((h >> t.j) & 1)*2 - 1) AS contrib
-           |          FROM wh, range(0,32) t(j) GROUP BY 1,2),
+           | w2 AS (SELECT doc_id, h, ((h*h) % 1000000007 * 2654435761 + 11) % 1000000007 AS h2 FROM wh),
+           | bits AS (SELECT doc_id, t.j AS j,
+           |          sum(((CASE WHEN t.j < 30 THEN h >> t.j ELSE h2 >> (t.j - 30) END) & 1)*2 - 1) AS contrib
+           |          FROM w2, range(0,48) t(j) GROUP BY 1,2),
            | sigs AS (SELECT doc_id, sum(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT AS simhash
            |          FROM bits GROUP BY 1),
-           | ch AS (SELECT doc_id, t.c AS chunk, (simhash >> (t.c*8)) & 255 AS v
+           | ch AS (SELECT doc_id, t.c AS chunk, (simhash >> (t.c*12)) & 4095 AS v
            |        FROM sigs, range(0,4) t(c))
            |SELECT chunk::BIGINT AS chunk, v::BIGINT AS v,
            | min(doc_id)::BIGINT AS anchor_id, count(*)::BIGINT AS n_docs

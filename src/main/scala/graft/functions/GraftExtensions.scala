@@ -51,7 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val bits = children.lift(1).map {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(s"bits must be an int literal, got $other")
-        }.getOrElse(32)
+        }.getOrElse(graft.ops.Dedup.DefaultSimhashBits)
         SimHash(children.head, bits)
       }))
     ext.injectFunction((

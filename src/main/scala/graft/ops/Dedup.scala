@@ -56,6 +56,23 @@ object Dedup {
     */
   val MihCrossoverDocs: Long = 50000L
 
+  /** Default SimHash signature width for every pipeline entry point
+    * ([[simhash]], the registry/route/candidate faces, `Cli dedup-build`'s
+    * persisted standing state). 48 since r16 — a 32-bit signature
+    * saturates by birthday collision at LLM-corpus doc counts (≫ 2³²):
+    * the n²/2^(bits/4) candidate term bit measurably at the triple-decade
+    * gate (q27's sf3 exponent 1.43 at 32 bits vs 0.69 at 48, PLANS.md
+    * round 15), and at 100 TB the 32-bit keyspace (4·2⁸ chunk buckets)
+    * concentrates real text into quadratic buckets. 48 bits keeps the
+    * 4-chunk ≤3-hamming pigeonhole with 2¹²-value chunks (16× smaller
+    * buckets) and routes to MIH two-half blocking past
+    * [[MihCrossoverDocs]]. The legacy 32-bit layout stays available by
+    * explicit argument (q27 pins it as the oracle-parity contract), and
+    * pre-r16 persisted states keep routing at their recorded width via
+    * [[DedupState.sigBits]]'s migration guard.
+    */
+  val DefaultSimhashBits: Int = 48
+
   /** Corpus size where the same-length PassJoin overtakes the blocked
     * all-pairs join in [[fuzzyPairs]]' default-length-blocking mode ON
     * HIGH-ENTROPY corpora — the measured same-phase A/B crossover
@@ -474,8 +491,8 @@ object Dedup {
     * `streaming.DedupStream.anchorCandidates` maintains the same emission
     * live with two-longs-per-bucket state.
     *
-    * Scale shape: one fixed-keyspace aggregate (4·2^(bits/4) rows — 1024
-    * at the 32-bit default), broadcast
+    * Scale shape: one fixed-keyspace aggregate (4·2^(bits/4) rows — 16384
+    * at the 48-bit default, 1024 at the legacy 32), broadcast
     * back onto the chunk table, per-row hamming verify — no pair shuffle
     * at all. Recall is anchors-only BY DESIGN: pairs between two
     * non-anchor members surface when the batch layer runs the full
@@ -485,7 +502,8 @@ object Dedup {
     * Output: (doc_id, anchor_id, hamming), doc != anchor, distinct.
     */
   def simhashAnchorCandidates(docs: DataFrame, idCol: String, textCol: String,
-                              maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+                              maxHamming: Int = 3,
+                              bits: Int = DefaultSimhashBits): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val chunks = 4
     val chunkBits = bits / 4
@@ -516,13 +534,14 @@ object Dedup {
   /** [[simhashBucketRegistry]] extended with each anchor's signature —
     * the standing table an incremental ingest PERSISTS so new documents
     * can be routed ([[simhashRoute]]) without touching the day-1 corpus
-    * again. Still keyspace-bounded forever (1024 rows at the 32-bit
-    * default; 4·2^(bits/4) in general).
+    * again. Still keyspace-bounded forever (16384 rows at the 48-bit
+    * default, 1024 at the legacy 32; 4·2^(bits/4) in general).
     *
     * Output: (chunk, v, anchor_id, anchor_sig, n_docs).
     */
   def simhashBucketRegistrySigs(docs: DataFrame, idCol: String,
-                                textCol: String, bits: Int = 32): DataFrame = {
+                                textCol: String,
+                                bits: Int = DefaultSimhashBits): DataFrame = {
     val sigs = docs.select(col(idCol).as("anchor_id"),
       simhash(col(textCol), bits).as("anchor_sig"))
     simhashBucketRegistry(docs, idCol, textCol, bits)
@@ -600,7 +619,8 @@ object Dedup {
     * `maxHamming` (near-dup of known content) and the best such anchor
     * (smallest hamming, then smallest anchor id). The day-1 corpus is
     * never re-read: the whole decision is sign + explode + ONE broadcast
-    * equi-join against a ≤ 1024-row artifact + a doc-grain aggregate —
+    * equi-join against a keyspace-bounded artifact (≤ 16384 rows at the
+    * 48-bit default) + a doc-grain aggregate —
     * the O(new batch) daily cost that makes dedup incremental at 100 TB,
     * with the full batch pass as the periodic reconciler.
     *
@@ -609,7 +629,7 @@ object Dedup {
     */
   def simhashRoute(newDocs: DataFrame, idCol: String, textCol: String,
                    registry: DataFrame, maxHamming: Int = 3,
-                   bits: Int = 32): DataFrame = {
+                   bits: Int = DefaultSimhashBits): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val chunks = 4
     val chunkBits = bits / 4
@@ -786,7 +806,7 @@ object Dedup {
     * 56% of the round-1 bench. The kernel is the codegen'd inner loop; the
     * HOF form is retained as the executable spec for equivalence tests.
     */
-  def simhash(text: Column, bits: Int = 32): Column =
+  def simhash(text: Column, bits: Int = DefaultSimhashBits): Column =
     graft.functions.TextFunctions.simHash(text, bits)
 
   /** HOF reference form of [[simhash]] (kept for kernel equivalence tests).
@@ -796,7 +816,7 @@ object Dedup {
     * [[graft.functions.TextFunctions.simHash]] documents (bits ≤ 32 reads
     * only h, so bits 30-31 vote constant −1 in both forms).
     */
-  def simhashHof(text: Column, bits: Int = 32): Column = {
+  def simhashHof(text: Column, bits: Int = DefaultSimhashBits): Column = {
     require(bits <= 60, s"simhashHof supports at most 60 bits, got $bits")
     val wide = bits > 32
     val ws = TextAnalysis.words(text)
@@ -869,7 +889,8 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 100000,
-                        bits: Int = 32, docCount: Option[Long] = None): DataFrame = {
+                        bits: Int = DefaultSimhashBits,
+                        docCount: Option[Long] = None): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 equal chunks")
     // self-joined below: cache the (id, sig) projection so the scan+sign
     // pipeline runs once, not once per join side (round-1 q27 hot spot)
@@ -1209,7 +1230,8 @@ object Dedup {
     * naive emit-everywhere-then-distinct form: a pair whose first matching
     * chunk was capped away still emits from its next surviving matching
     * chunk. It is affordable because the (chunk, value) keyspace is FIXED
-    * at `chunks`·2^chunkBits buckets (1024 at the 8-bit default) — the
+    * at `chunks`·2^chunkBits buckets (16384 at the 12-bit default,
+    * 1024 at the legacy 8) — the
     * over-cap set is collected once (bounded by the keyspace, never by the
     * data, so this scales to any corpus) and inlined into both the bucket
     * filter and the first-match expression as literals. Pairs ONLY
@@ -1229,7 +1251,7 @@ object Dedup {
                                       sigCol: String = "simhash",
                                       maxHamming: Int = 3,
                                       maxBucket: Int = 100000,
-                                      chunkBits: Int = 8,
+                                      chunkBits: Int = DefaultSimhashBits / 4,
                                       collectCapKeys: Boolean = true): DataFrame = {
     require(chunkBits >= 4 && chunkBits <= 15, s"need 4 <= chunkBits <= 15")
     val withSig = sigs.select(col(idCol), col(sigCol).as("simhash"))
@@ -1320,8 +1342,9 @@ object Dedup {
     * standing-state form, and `streaming.DedupStream` maintains the same
     * registry live with bounded per-bucket state).
     *
-    * The keyspace is fixed — 4 chunks × 2^(bits/4) values, i.e. 1024 rows
-    * at the 32-bit default — so the aggregate reduces map-side to ~nothing
+    * The keyspace is fixed — 4 chunks × 2^(bits/4) values, i.e. 16384 rows
+    * at the 48-bit default (1024 at the legacy 32) — so the aggregate
+    * reduces map-side to ~nothing
     * and the registry is broadcastable forever. `bits` is the same
     * corpus-scale dial as [[simhashCandidatesFromSignatures]]' chunkBits:
     * a 48-bit signature gives 12-bit chunks → 16× the bucket keyspace, so
@@ -1331,7 +1354,8 @@ object Dedup {
     * Output: (chunk 0-3, v in [0, 2^(bits/4)), anchor_id = min id, n_docs).
     */
   def simhashBucketRegistry(docs: DataFrame, idCol: String,
-                            textCol: String, bits: Int = 32): DataFrame = {
+                            textCol: String,
+                            bits: Int = DefaultSimhashBits): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val chunks = 4
     val chunkBits = bits / 4

@@ -62,6 +62,41 @@ object DedupState {
   val TokenizerVersion = 2
   private val TokVerFile = "_tokenizer_version"
 
+  /** Width (in bits) of the SimHash signatures a pre-r16 state was built
+    * with — before r16 the library default was 32 and no width was
+    * recorded, so a state dir without a `_sig_bits` file reads as 32.
+    */
+  val LegacySigBits = 32
+  private val SigBitsFile = "_sig_bits"
+
+  /** The SimHash signature width recorded by the CURRENT committed
+    * generation. Unlike the tokenizer version, the width lives INSIDE the
+    * generation directory and is written BEFORE the commit marker, so the
+    * marker rename publishes tables and width atomically — a root-level
+    * file written after the marker would fail OPEN: a crash in the gap
+    * leaves a committed 48-bit generation whose absent width file reads as
+    * legacy 32, and the next ingest would sign at 32 against a 48-bit
+    * registry (signatures match nothing, every duplicate silently kept).
+    * Pre-r16 generations (and the legacy flat gen 0) never recorded one
+    * and read as [[LegacySigBits]] — correct, every pre-r16 build signed
+    * at the then-default 32. `Cli dedup-ingest` signs and routes new
+    * batches at THIS width — signatures must match the standing registry's
+    * bit-for-bit — and warns when it is narrower than
+    * [[Dedup.DefaultSimhashBits]] (32-bit signatures saturate by birthday
+    * collision at corpus scale; the remedy is a dedup-build rebuild, which
+    * re-signs at the wide default).
+    */
+  def sigBits(spark: SparkSession, stateDir: String): Int = {
+    val hfs = fs(spark, stateDir)
+    currentGen(hfs, stateDir).filter(_ > 0)
+      .flatMap(g => readMarkerFile(hfs, new Path(genDir(stateDir, g), SigBitsFile)))
+      .map(s => scala.util.Try(s.trim.toInt).getOrElse(
+        sys.error(s"unreadable $SigBitsFile '${s.trim}' under $stateDir — " +
+          "refusing to guess a signature width; restore the file or rebuild " +
+          "with dedup-build")))
+      .getOrElse(LegacySigBits)
+  }
+
   /** Sentinel recorded instead of a version number when a commit was
     * admitted under SPARK_GRAFT_ACCEPT_TOKENIZER_MISMATCH: the state now
     * holds signatures from MORE THAN ONE tokenizer, which no single number
@@ -234,7 +269,8 @@ object DedupState {
              tables: Map[String, DataFrame],
              keep: Int = DefaultKeep,
              batchId: Option[String] = None,
-             mixedTokenizer: Boolean = false): Int = {
+             mixedTokenizer: Boolean = false,
+             sigBits: Int = Dedup.DefaultSimhashBits): Int = {
     require(keep >= 1, "need keep >= 1")
     require(tables.keySet == Tables.toSet,
       s"need exactly ${Tables.mkString("/")}, got ${tables.keySet}")
@@ -247,6 +283,13 @@ object DedupState {
     Tables.foreach { t =>
       tables(t).write.mode("overwrite").parquet(tablePath(stateDir, next, t))
     }
+    // the generation's signature WIDTH goes inside the generation dir,
+    // BEFORE the marker: the marker rename then publishes tables and width
+    // as one atomic unit (see [[sigBits]] for why a root-level,
+    // after-the-marker file would fail open to the legacy width). No
+    // tmp+rename needed here — nothing reads an unmarked generation.
+    val bw = hfs.create(new Path(dir, SigBitsFile), true)
+    try bw.write(sigBits.toString.getBytes("UTF-8")) finally bw.close()
     // The marker must become visible ATOMICALLY WITH ITS CONTENT: a bare
     // create() exposes a zero-length _COMMITTED before the fingerprint
     // bytes land, so a crash between create and close would publish the

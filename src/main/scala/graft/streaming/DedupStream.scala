@@ -13,8 +13,8 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * registry via `mapGroupsWithState`.
   *
   * Why this state is safe FOREVER: the bucket keyspace is fixed (4 chunks
-  * × 2^chunkBits values — 1024 groups at the 32-bit default, 16384 at the
-  * wide 48-bit setting) and each group's state is two longs — min doc id
+  * × 2^chunkBits values — 16384 groups at the wide 48-bit default, 1024 at
+  * the legacy 32-bit setting) and each group's state is two longs — min doc id
   * and count — no matter how many documents stream through. That is the whole point of registering ANCHORS rather than
   * members: a new document's candidate set is "the anchors of my 4
   * buckets" (then verify by true hamming against the anchor), so the
@@ -67,7 +67,7 @@ object DedupStream {
   }
 
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-                     bits: Int = 32): Dataset[BucketEntry] = {
+                     bits: Int = graft.ops.Dedup.DefaultSimhashBits): Dataset[BucketEntry] = {
     import docs.sparkSession.implicits._
     val span = 1L << (bits / 4)
     signedBuckets(docs, idCol, textCol, bits, keepSig = false)
@@ -118,7 +118,8 @@ object DedupStream {
     * lake's live-view/batch-repair split again.
     */
   def anchorCandidates(docs: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int = 3, bits: Int = 32): Dataset[Candidate] = {
+                       maxHamming: Int = 3,
+                       bits: Int = graft.ops.Dedup.DefaultSimhashBits): Dataset[Candidate] = {
     import docs.sparkSession.implicits._
     signedBuckets(docs, idCol, textCol, bits, keepSig = true)
       .as[SigRow]
@@ -160,7 +161,7 @@ object DedupStream {
     */
   def anchorCandidatesFinal(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int, queryName: String,
-                            bits: Int = 32): DataFrame =
+                            bits: Int = graft.ops.Dedup.DefaultSimhashBits): DataFrame =
     StreamRun.toCompletion(anchorCandidates(docs, idCol, textCol, maxHamming, bits),
       "update", queryName).distinct()
 
@@ -170,7 +171,8 @@ object DedupStream {
     * final entry per bucket is simply the max-count row.
     */
   def bucketsFinal(docs: DataFrame, idCol: String, textCol: String,
-                   queryName: String, bits: Int = 32): DataFrame = {
+                   queryName: String,
+                   bits: Int = graft.ops.Dedup.DefaultSimhashBits): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("chunk"), col("v"))
       .orderBy(col("n_docs").desc)

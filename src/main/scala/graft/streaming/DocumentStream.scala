@@ -34,7 +34,8 @@ object DocumentStream {
     * 12-bit chunks.
     */
   def cleaned(docs: DataFrame, watermark: String = "10 minutes",
-              minQuality: Double = 0.3, bits: Int = 32): DataFrame = {
+              minQuality: Double = 0.3,
+              bits: Int = Dedup.DefaultSimhashBits): DataFrame = {
     docs
       .withWatermark("ts", watermark)
       .withColumn("text_hash", md5(col("text")))

@@ -32,7 +32,8 @@ object GraftColumnBridge {
       (c: Seq[Expression]) => c.lift(1).map {
         case catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(s"bits must be an int literal, got $other")
-      }.fold(graft.functions.SimHash(c.head, 32))(b => graft.functions.SimHash(c.head, b)),
+      }.fold(graft.functions.SimHash(c.head, graft.ops.Dedup.DefaultSimhashBits))(
+        b => graft.functions.SimHash(c.head, b)),
       "scala_udf")
     reg.createOrReplaceTempFunction("graft_textstats",
       (c: Seq[Expression]) => graft.functions.TextStats(c.head), "scala_udf")

@@ -115,7 +115,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("wide bucket registry: bits=48 blocks on 12-bit chunks of the wide signature; default 32 unchanged") {
+  test("wide bucket registry: bits=48 blocks on 12-bit chunks of the wide signature; it IS the default (r16), legacy 32 by explicit arg") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/documents.parquet").exists())
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -131,12 +131,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }.toSeq.sortBy(t => (t._1, t._2))
     assert(reg48 === expected)
     assert(reg48.exists(_._2 > 255L), "12-bit chunk values must exceed the 8-bit span")
-    // default form unchanged: 32-bit registry == explicit bits=32
+    // the DEFAULT form is the wide 48-bit layout (r16) — and the legacy
+    // 32-bit form stays available by explicit argument, with the narrower
+    // chunk span it always had
     val a = Dedup.simhashBucketRegistry(docs, "doc_id", "text")
       .orderBy("chunk", "v").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a === reg48, "default registry must be the wide 48-bit layout")
     val b = Dedup.simhashBucketRegistry(docs, "doc_id", "text", bits = 32)
       .orderBy("chunk", "v").as[(Long, Long, Long, Long)].collect().toSeq
-    assert(a === b)
+    assert(b.forall(_._2 <= 255L), "legacy 32-bit chunk values keep the 8-bit span")
+    assert(a !== b)
   }
 
   test("MIH two-half blocking == chunk blocking == brute force at 48 bits (exact ≤3-hamming, both strategies)") {
@@ -338,6 +342,58 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val got = comp.orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(got.map(_._1).distinct.size === docs.count(), "every doc labeled exactly once")
     assert(got === expected)
+  }
+
+  test("sig-width migration: a pre-r16 32-bit state (no recorded width) keeps " +
+    "folding correctly at 32 bits with a rebuild warning; commits re-record " +
+    "the state's own width; dedup-build widens to the 48-bit default (r16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_width").toString
+    val state = s"$tmp/state"
+    val day1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "completely different content sits here now")).toDF("doc_id", "text")
+    day1.write.parquet(s"$tmp/day1")
+    // day-2 plants an exact duplicate of doc 1 — the fold MUST find it,
+    // which only happens if the ingest signs at the registry's width
+    Seq((10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "nothing matches this unique document text at all"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/day2")
+    // hand-build the state exactly as a PRE-r16 dedup-build did: 32-bit
+    // signatures, and no _sig_bits file in the committed generation
+    val reg = Dedup.simhashBucketRegistrySigs(day1, "doc_id", "text", bits = 32)
+      .localCheckpoint()
+    val anchors = reg.select(col("anchor_id").as("doc_id")).distinct()
+      .join(day1, "doc_id").select(col("doc_id"), col("text"))
+    val comps = Dedup.nearDupClusters(day1, "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id"), col("cluster_id"))
+    DedupState.commit(spark, state,
+      Map("registry" -> reg, "anchors" -> anchors, "components" -> comps),
+      sigBits = 32)
+    val hfs = DedupState.fs(spark, state)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$state/v1/_sig_bits"), false)
+    assert(DedupState.sigBits(spark, state) === DedupState.LegacySigBits,
+      "an unrecorded width must read as the pre-r16 default (32)")
+    // ingest with the r16 library (default now 48): signs/routes at the
+    // PERSISTED width and warns once about the narrow signatures
+    val buf = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Cli.run(spark, List("dedup-ingest", s"$tmp/day2", state))
+    }
+    assert(buf.toString("UTF-8").contains("32-bit simhash signatures"),
+      "narrow-state ingest must surface the rebuild warning")
+    val comp = DedupState.read(spark, state, "components")
+      .as[(Long, Long)].collect().toMap
+    assert(comp(10L) === comp(1L),
+      "the planted duplicate must fold into its day-1 cluster at the legacy width")
+    assert(comp(11L) !== comp(1L))
+    // the ingest's commit re-records the state's OWN width, not the
+    // library default — the state stays 32-bit until a rebuild
+    assert(DedupState.sigBits(spark, state) === 32)
+    // dedup-build re-signs the corpus at the wide default and records it
+    Cli.run(spark, List("dedup-build", s"$tmp/day1", state))
+    assert(DedupState.sigBits(spark, state)
+      === graft.ops.Dedup.DefaultSimhashBits)
   }
 
   test("verifyRoutedPairs: empty-shingle sides are dropped (no vacuous NaN pass), normal pairs verify") {

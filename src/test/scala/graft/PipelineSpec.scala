@@ -568,7 +568,9 @@ class PipelineSpec extends AnyFunSuite {
       "SELECT graft_dot(array(1.0D,2.0D), array(3.0D,4.0D)) AS d, " +
         "graft_polyhash('hello world abc') AS h, " +
         "size(graft_shingles('a b c d', 3)) AS s, " +
-        "graft_simhash('hello world abc', 32) AS sh, " +
+        // no bits arg: the SQL surface must share the Column API's wide
+        // default (r16), pinned by comparing against Dedup.simhash's default
+        "graft_simhash('hello world abc') AS sh, " +
         "graft_textstats('hello world abc').n_tokens AS nt, " +
         "graft_zorder(3L, 0L) AS z").head
     assert(r.getDouble(0) === 11.0)

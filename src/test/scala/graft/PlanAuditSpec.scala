@@ -176,7 +176,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q61_bloom_decontaminate" -> "benchmarkBloom's shingle-distinct: eval-suite-bounded, feeds BOTH the eager bloom-bit collect and the verify join (r14 — was recomputed twice)",
     "q62_contamination_rate" -> "benchmark shingle set: eval-suite-bounded, read by the overlap join and the bloom build",
     "q87_prefix_jaccard" -> "Dedup shingle projections (see q16)",
-    "q97_fuzzy_match" -> "fuzzyPairs (_id, _s, _len) projection: one narrow row per name, read by both join sides and the r15 router's count/entropy probes",
+    // q97_fuzzy_match dropped r16: the blocked route now UNPERSISTS its
+    // routing projection (the r15 ADVICE cache-lifecycle fix), so q97
+    // plans cache-free — the blocked self-join re-derives the narrow
+    // projection lazily on both sides.
+    "q18_simhash" -> "plan-identical to simhashCandidates' cached (id, 48-bit sig) projection — once an earlier-sorted query (q133) registers that cache, CacheManager substitutes it here; q18 itself caches nothing (r16 wide-default flip made the subtrees match)",
     "q133_simhash_wide_pairs" -> "Dedup wide-signature projection (see q17)",
     "q135_simhash_anchor_candidates" -> "Dedup signature projection feeding registry build + probe sides")
 

@@ -54,7 +54,8 @@ class StateBoundSpec extends AnyFunSuite {
       .start()
     try q.processAllAvailable() finally q.stop()
     val rows = stateRows(s"$dir/_ckpt")
-    assert(rows <= 1024L, s"bucket state $rows exceeds the 4x256 keyspace")
+    assert(rows <= 16384L,
+      s"bucket state $rows exceeds the 4x4096 keyspace (48-bit default)")
     // exact: one state row per TOUCHED bucket = the batch registry's rows
     val touched = graft.ops.Dedup
       .simhashBucketRegistry(docsDf, "doc_id", "text").count()
