@@ -266,13 +266,13 @@ object LakeReader {
   * and re-checks it immediately before launching the publish job, aborting
   * with [[ConcurrentWriteException]] when another commit landed in between —
   * shrinking the undetected window from the whole probe-merge-publish span
-  * to the publish job alone (>1000-cell batches fall back to the semi-join
-  * probe with SAMPLED detection — the first 1000 cell dirs are snapshotted
-  * and re-checked; conflicts landing only in unsampled cells publish
-  * undetected, logged as a WARN and spec-pinned; the cap note documents
-  * why full listing is not worth it). True prevention needs a
-  * transactional table format or an external per-cell lock — out of
-  * scope by design, not by omission.
+  * to the publish job alone. Detection is FULL — every touched cell
+  * snapshotted — for batches up to the 10⁴-cell listing budget (r16;
+  * >1000-cell batches still fall back to the SEMI-JOIN probe for pruning,
+  * but no longer to sampled detection); only past the budget does the
+  * snapshot degrade to a deterministic sample, WARN-disclosed and
+  * spec-pinned. True prevention needs a transactional table format or an
+  * external per-cell lock — out of scope by design, not by omission.
   */
 object LakeWriter {
 
@@ -306,13 +306,33 @@ private[lake] object UpsertCore {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  // cap on the collected touched-partition tuples (a daily/monthly batch
-  // touches a handful of cells; 1000 ≈ 80 symbols × 12 months); beyond it
-  // the probe falls back to the semi-join form, and the same-cell conflict
-  // detection below runs on a bounded SAMPLE of the cells (listing EVERY
-  // cell twice costs more than the violations it would catch are worth;
-  // sampling keeps the contract enforced at the literal path's cost)
+  // cap on the touched-partition tuples inlined as a literal pruning
+  // predicate (a daily/monthly batch touches a handful of cells; 1000 ≈
+  // 80 symbols × 12 months); beyond it the probe falls back to the
+  // semi-join form. Conflict DETECTION is a separate, larger budget —
+  // see [[SnapshotBudgetCells]].
   private val MaxTouchedPartitions = 1000
+
+  // listing budget for the same-cell conflict-detection snapshot (r16;
+  // was: detection sampled at MaxTouchedPartitions past the literal
+  // probe). Detection stays FULL — every touched cell snapshotted before
+  // the merge and re-checked before the publish — up to this many cells:
+  // 2 × 10⁴ listStatus calls, parallelized 32-wide, is seconds even on an
+  // object store, against a write job that rewrites those same 10⁴
+  // partitions. Only past the budget does detection degrade to a
+  // deterministic SAMPLE (first budget dirs by path order), disclosed by
+  // the WARN — at that batch shape the listing time would rival the write.
+  private val SnapshotBudgetCells = 10000
+
+  /** True when any expression anywhere in the frame's analyzed plan is
+    * non-deterministic (rand(), uuid(), shuffle(), a UDF marked
+    * asNondeterministic, …). Expression.deterministic already recurses
+    * into children, so scanning each plan node's top-level expressions
+    * covers the whole tree.
+    */
+  private[lake] def hasNonDeterministicExpr(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .find(p => p.expressions.exists(e => !e.deterministic)).isDefined
 
   /** (file name, length, mtime) per data file in each touched cell dir —
     * the cheapest observable that changes on EVERY commit into the cell
@@ -321,7 +341,7 @@ private[lake] object UpsertCore {
     */
   private def cellSnapshot(spark: SparkSession, dirs: Seq[String]): Map[String, Seq[(String, Long, Long)]] = {
     val conf = spark.sessionState.newHadoopConf()
-    dirs.map { d =>
+    def one(d: String): (String, Seq[(String, Long, Long)]) = {
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(conf)
       val files =
@@ -330,7 +350,21 @@ private[lake] object UpsertCore {
           .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
           .sortBy(_._1)
       d -> files
-    }.toMap
+    }
+    // full detection snapshots up to SnapshotBudgetCells dirs (r16) — at
+    // object-store listing latency a sequential loop would take minutes,
+    // so fan the listStatus calls over a bounded pool; order-independent
+    // (result is a map) and Hadoop FileSystem instances are thread-safe
+    if (dirs.size <= 64) dirs.map(one).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      try dirs.map(d => pool.submit(
+          new java.util.concurrent.Callable[(String, Seq[(String, Long, Long)])] {
+            def call(): (String, Seq[(String, Long, Long)]) = one(d)
+          }))
+        .map(_.get()).toMap
+      finally pool.shutdown()
+    }
   }
 
   /** `beforePublish` is a test seam (defaults to a no-op): it runs between
@@ -341,25 +375,46 @@ private[lake] object UpsertCore {
     * the spec pinning the fallback's sampled-detection contract doesn't
     * have to write 1001 partition cells).
     *
-    * REQUIREMENT: `batch` must be DETERMINISTIC under re-evaluation (r15
-    * ADVICE). The touched-cell probe and the write job evaluate the batch
-    * lineage separately; a non-deterministic batch (rand()/sampling/
-    * now()-derived partition values upstream) can touch cells at write
-    * time that the probe never listed — the dynamic overwrite would then
-    * replace a cell whose old rows were never unioned into the merge
-    * (silent row loss), and the conflict snapshot never covered it.
-    * Every engine-internal caller (upsert, repair, aggregate refresh,
-    * levels) is deterministic; a caller ingesting a sampled/generated
-    * batch must `localCheckpoint()` (eager) or persist it first. Not
-    * checkpointed here: pinning every upsert with an eager materialization
-    * job costs ~2 s per lake chain at bench shape (the r12/r14 lazy-
-    * checkpoint work exists to avoid exactly that) to defend against a
-    * caller contract no internal flow violates.
+    * REQUIREMENT (ENFORCED since r16; was prose): `batch` must be
+    * DETERMINISTIC under re-evaluation. The touched-cell probe, the merge
+    * plan, and the write job evaluate the batch lineage separately; a
+    * non-deterministic batch (rand()/uuid()-derived partition values
+    * upstream) can touch cells at write time that the probe never listed —
+    * the dynamic overwrite would then replace a cell whose old rows were
+    * never unioned into the merge (silent row loss), and the conflict
+    * snapshot never covered it. mergeWrite now SCANS the batch's analyzed
+    * plan for non-deterministic expressions and eagerly localCheckpoints
+    * offending batches, so the probe, merge, and write all see ONE
+    * evaluation. Deterministic batches — every engine-internal caller
+    * (upsert, repair, aggregate refresh, levels) — pay nothing: the r12/
+    * r14 lazy-checkpoint cost model is preserved, and the ~2 s eager
+    * materialization lands only on the callers that actually need it.
+    * Residual (documented, not detected): operators whose output depends
+    * on physical partitioning rather than an expression flag — e.g.
+    * `df.sample(seed)` under a changed upstream layout — remain the
+    * caller's contract.
+    *
+    * `snapshotBudget` bounds the conflict-detection listing (r16): every
+    * touched cell is snapshotted and re-checked — FULL detection — up to
+    * this many cells; past it, detection degrades to the first
+    * `snapshotBudget` dirs by path order (sampled, WARN-disclosed).
     */
   def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
                  partCols: Seq[String], key: Seq[String], sortCol: String,
                  beforePublish: () => Unit = () => (),
-                 maxTouched: Int = MaxTouchedPartitions): Unit = {
+                 maxTouched: Int = MaxTouchedPartitions,
+                 snapshotBudget: Int = SnapshotBudgetCells): Unit = {
+    // deterministic-batch enforcement (r16): see the REQUIREMENT note
+    val batchPinned =
+      if (hasNonDeterministicExpr(batch)) {
+        log.warn("mergeWrite batch lineage contains non-deterministic " +
+          "expressions — eagerly materializing it (localCheckpoint) so the " +
+          "touched-cell probe, the merge, and the write job see ONE " +
+          "evaluation; without this, write-time rows could land in cells " +
+          "the probe never listed and the dynamic overwrite would drop " +
+          "those cells' pre-existing rows")
+        batch.localCheckpoint()
+      } else batch
     // Touched-cell probe — computed from the BATCH alone, so it runs
     // BEFORE the tree is listed: the conflict-detection snapshot below
     // must precede every read of the existing files, or a commit landing
@@ -384,9 +439,14 @@ private[lake] object UpsertCore {
     // (measured: running it unconditionally added ~2 s to q124's chain of
     // first-writes at the bench shape).
     val treeExists = LakeFs.exists(spark, path)
-    val distinctTouched = batch.select(partCols.map(col): _*).distinct()
+    val distinctTouched = batchPinned.select(partCols.map(col): _*).distinct()
+    // ONE probe job serves both decisions: literal-vs-semi-join pruning
+    // (cutoff maxTouched) and full-vs-sampled conflict detection (cutoff
+    // snapshotBudget) — collecting up to snapshotBudget+1 narrow tuples is
+    // a few MB driver-side at the 10⁴ default, cheaper than a second pass
     val touched =
-      if (treeExists) distinctTouched.limit(maxTouched + 1).collect()
+      if (treeExists)
+        distinctTouched.limit(math.max(maxTouched, snapshotBudget) + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
     val literalProbe = treeExists && touched.nonEmpty && touched.length <= maxTouched
     def cellDir(row: org.apache.spark.sql.Row): String =
@@ -403,21 +463,19 @@ private[lake] object UpsertCore {
       }.mkString("/")
     val touchedDirs: Seq[String] =
       if (!literalProbe) Nil else touched.toSeq.map(cellDir)
-    // conflict-detection snapshot scope: the literal path snapshots EVERY
-    // touched cell; the >maxTouched fallback snapshots a BOUNDED
-    // DETERMINISTIC SAMPLE — the first maxTouched cell dirs by path order
-    // out of the maxTouched+1 the cap probe already collected (r15; was: no
-    // detection at all). Sampled detection is partial by construction
-    // (a conflict landing only in an unsampled cell still publishes —
-    // the WARN says so), but it keeps the single-writer contract enforced
-    // with the same bounded listing cost as the literal path: 2×maxTouched
-    // listStatus calls against a write job that itself rewrites more
-    // partitions than that.
+    // conflict-detection snapshot scope (r16): EVERY touched cell is
+    // snapshotted — on the literal path trivially, and on the >maxTouched
+    // fallback too, up to `snapshotBudget` cells (the r15 version sampled
+    // at maxTouched, so a conflict in cell #1001 of a 2000-cell batch
+    // published undetected). Only a batch touching MORE than the budget
+    // degrades to the deterministic sample — first `snapshotBudget` dirs
+    // by path order — and the WARN below says so.
     val snapshotDirs: Seq[String] =
       if (literalProbe) touchedDirs
       else if (treeExists && touched.nonEmpty)
-        touched.toSeq.map(cellDir).sorted.take(maxTouched)
+        touched.toSeq.map(cellDir).sorted.take(snapshotBudget)
       else Nil
+    val detectionSampled = !literalProbe && touched.length > snapshotBudget
     // snapshot FIRST (see above); on a first write the dirs don't exist
     // yet and the snapshots are empty — two racing first-writers into one
     // cell then trip the re-check, which is the correct outcome
@@ -435,19 +493,20 @@ private[lake] object UpsertCore {
         cur.join(broadcast(distinctTouched), partCols, "left_semi")
       else if (touched.isEmpty) cur.where(lit(false))
       else if (!literalProbe) {
-        // a batch touching >1000 partition cells: fall back to the
-        // semi-join rather than build a kilometer-long predicate.
-        // Conflict detection on this path is SAMPLED (r15): the first
-        // maxTouched cell dirs (path order) are snapshotted and re-checked
-        // like the literal path — a concurrent commit into a sampled cell
-        // aborts; one landing ONLY in unsampled cells still publishes
-        // undetected (full detection would list every cell twice, which is
-        // the cost the cap exists to avoid). Say so at runtime so
-        // large-batch operators know the contract is enforced on a sample.
+        // a batch touching >maxTouched partition cells: fall back to the
+        // semi-join rather than build a kilometer-long predicate. Conflict
+        // detection stays FULL up to the snapshot budget (r16; r15 sampled
+        // at maxTouched); only past the budget does it degrade to the
+        // deterministic sample — say which at runtime.
         log.warn(s"upsert touches >$maxTouched partition cells — " +
           "falling back to the semi-join probe; same-cell concurrent-write " +
-          s"detection is SAMPLED ($maxTouched of the touched cells) for " +
-          "this run")
+          (if (detectionSampled)
+            s"detection is SAMPLED (first $snapshotBudget of >$snapshotBudget " +
+              "touched cells by path order) for this run — a conflict landing " +
+              "only in an unsampled cell publishes undetected"
+          else
+            s"detection stays FULL (${touched.length} cells snapshotted and " +
+              "re-checked)"))
         cur.join(broadcast(distinctTouched), partCols, "left_semi")
       } else {
         cur.where(touched.map { row =>
@@ -457,7 +516,7 @@ private[lake] object UpsertCore {
       }
     }
 
-    val tagged = batch.withColumn("_prec", lit(1))
+    val tagged = batchPinned.withColumn("_prec", lit(1))
     val merged = existing match {
       case Some(old) => old.withColumn("_prec", lit(0)).unionByName(tagged, allowMissingColumns = true)
       case None => tagged

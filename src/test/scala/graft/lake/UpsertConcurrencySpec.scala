@@ -153,13 +153,13 @@ class UpsertConcurrencySpec extends AnyFunSuite {
       .head.getAs[Double]("close") === 777.0, "B's commit must survive the abort+retry")
   }
 
-  test("the >maxTouched fallback still MISSES a conflict landing only in an unsampled cell (pinned partial contract)") {
-    // Sampled detection is partial by construction: a concurrent commit
-    // into a cell OUTSIDE the first-maxTouched sample (February here)
-    // publishes undetected and is lost — the residual hole the WARN
-    // message discloses. Full detection = list every cell twice, which
-    // the cap exists to avoid; if this test starts detecting, the
-    // contract improved — update the docs.
+  test("the >maxTouched fallback DETECTS a conflict in EVERY touched cell " +
+    "within the snapshot budget — the r15 sampled hole is closed (r16)") {
+    // r15 sampled detection at maxTouched: with maxTouched = 1 the
+    // February cell was unsampled and a concurrent commit there published
+    // undetected (the test that stood here pinned the miss). r16 snapshots
+    // every touched cell up to the snapshot budget, so the same
+    // interleaving now aborts.
     val root = Files.createTempDirectory("lake_fallback2").toString
     val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
     val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
@@ -168,14 +168,52 @@ class UpsertConcurrencySpec extends AnyFunSuite {
     val patchA = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
       .unionByName(feb.where(col("ts") === lit("2025-02-10 10:00:00")))
       .withColumn("close", lit(111.0))
-    // writer B lands in the UNSAMPLED (February) cell: not detected
+    // writer B lands in the cell BEYOND maxTouched (February): detected now
+    val patchB = feb.where(col("ts") === lit("2025-02-10 09:00:00"))
+      .withColumn("close", lit(777.0))
+    intercept[ConcurrentWriteException] {
+      UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root),
+        LakeFs.withUtcYearMonth(CandleSchema.enforce(patchA)),
+        LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts",
+        beforePublish = () => LakeWriter.upsert(spark, root, patchB),
+        maxTouched = 1)
+    }
+    // B's commit survived the abort; A's re-run merges both (the repair)
+    UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root),
+      LakeFs.withUtcYearMonth(CandleSchema.enforce(patchA)),
+      LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts",
+      maxTouched = 1)
+    val after = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(after.count() === 2880)
+    assert(after.where(col("ts") === lit("2025-02-10 10:00:00"))
+      .head.getAs[Double]("close") === 111.0)
+    assert(after.where(col("ts") === lit("2025-02-10 09:00:00"))
+      .head.getAs[Double]("close") === 777.0,
+      "a conflict past maxTouched but within the snapshot budget must abort, not lose B")
+  }
+
+  test("past the SNAPSHOT BUDGET detection degrades to the deterministic " +
+    "sample — the residual miss is pinned and disclosed") {
+    // With snapshotBudget = 1 the sample is the January cell (path order),
+    // so a concurrent commit landing ONLY in February publishes undetected
+    // and is lost — the WARN-disclosed residual for batches touching more
+    // cells than the listing budget. If this starts detecting, the
+    // contract improved: update the docs.
+    val root = Files.createTempDirectory("lake_fallback3").toString
+    val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
+    val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
+    LakeWriter.upsert(spark, root, jan)
+    LakeWriter.upsert(spark, root, feb)
+    val patchA = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .unionByName(feb.where(col("ts") === lit("2025-02-10 10:00:00")))
+      .withColumn("close", lit(111.0))
     val patchB = feb.where(col("ts") === lit("2025-02-10 09:00:00"))
       .withColumn("close", lit(777.0))
     UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root),
       LakeFs.withUtcYearMonth(CandleSchema.enforce(patchA)),
       LakeLayout.partitionCols, Seq("source", "symbol", "timeframe", "ts"), "ts",
       beforePublish = () => LakeWriter.upsert(spark, root, patchB),
-      maxTouched = 1)
+      maxTouched = 1, snapshotBudget = 1)
     val after = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
     assert(after.count() === 2880)
     assert(after.where(col("ts") === lit("2025-02-10 10:00:00"))
@@ -184,8 +222,44 @@ class UpsertConcurrencySpec extends AnyFunSuite {
       .head.getAs[Double]("close")
     assert(after.where(col("ts") === lit("2025-02-10 09:00:00"))
       .head.getAs[Double]("close") === origB,
-      "unsampled-cell conflict is documented to be lost — if preserved, " +
-      "the contract improved: update the docs")
+      "beyond-budget unsampled-cell conflict is documented to be lost — " +
+      "if preserved, the contract improved: update the docs")
+  }
+
+  test("a NON-DETERMINISTIC batch is pinned to one evaluation — rand()-derived " +
+    "partition values can no longer drop pre-existing rows (r16, enforced)") {
+    // Before r16 the deterministic-batch requirement was prose: the probe,
+    // merge, and write evaluated the batch lineage separately, so a batch
+    // whose ts (hence year/month partition values) depended on rand() could
+    // write into a cell the probe never listed, and dynamic overwrite
+    // replaced that cell WITHOUT its old rows in the merge — silent loss.
+    // Now mergeWrite scans the plan and eagerly localCheckpoints such
+    // batches, so all three consumers see one evaluation.
+    val root = Files.createTempDirectory("lake_nondet").toString
+    val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
+    val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
+    LakeWriter.upsert(spark, root, jan)
+    LakeWriter.upsert(spark, root, feb)
+    // 60 update rows whose MONTH flips on rand(): each row keys to an
+    // existing bar in January or February depending on the coin
+    val wild = jan.where(col("ts") >= lit("2025-01-10 10:00:00") &&
+        col("ts") < lit("2025-01-10 11:00:00"))
+      .withColumn("ts",
+        when(rand() < 0.5, col("ts"))
+          .otherwise(col("ts") + expr("INTERVAL 31 DAYS")))
+      .withColumn("close", lit(999.0))
+    assert(UpsertCore.hasNonDeterministicExpr(wild),
+      "the rand()-bearing plan must be classified non-deterministic")
+    assert(!UpsertCore.hasNonDeterministicExpr(jan),
+      "a deterministic batch must not be reclassified (no eager pin cost)")
+    LakeWriter.upsert(spark, root, wild)
+    val after = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    // single-evaluation invariant: no pre-existing row lost (2880 keys) and
+    // exactly the batch's 60 rows carry the update, wherever the coin put
+    // them — divergent evaluations could drop a cell's old rows entirely
+    assert(after.count() === 2880,
+      "a rand()-bearing batch must not drop pre-existing rows")
+    assert(after.where(col("close") === 999.0).count() === 60)
   }
 
   test("a write job CRASHING mid-publish leaves every old cell readable; a re-run heals") {
