@@ -940,6 +940,41 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Third lossless lane through the SAME sniffing stage (r16): BMP, PNG,
+    // and GIF (palette-based, hand-rolled GifCodec encoder — the literal-
+    // code LZW recipe) mixed by id%3, all decoded by ImageIO with no
+    // format branch in the oracle's sums. A palette mixup, an LZW bit-order
+    // bug, or a color-table misread in ANY of the three lanes fails the
+    // hash. JPEG stays determinism-band-only by nature (ImageIoCodecSpec).
+    "q143_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 1 + (id % 8).toInt
+            val h = 1 + (id % 4).toInt
+            val pixel = (x: Int, y: Int) => (
+              ((id * 31 + x * 7 + y * 3) % 256).toInt,
+              ((id * 11 + x * 17 + y * 13) % 256).toInt,
+              ((id * 47 + x * 9 + y * 21) % 256).toInt)
+            val bytes = (id % 3) match {
+              case 0 => Multimodal.BmpCodec.encode(w, h, pixel)
+              case 1 => Multimodal.PngCodec.encode(w, h, pixel)
+              case _ => Multimodal.GifCodec.encode(w, h, pixel)
+            }
+            (id, bytes)
+          }
+        }.toDF("id", "media")
+      Multimodal.extractImageFeatures(media).toDF()
+        .withColumn("format",
+          when(col("id") % 3 === 0, lit("bmp"))
+            .when(col("id") % 3 === 1, lit("png"))
+            .otherwise(lit("gif")))
+        .select(col("id"), col("format"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy(col("id"))
+    }),
+
     // multimodal plumbing: stubbed decode over binary media columns
     // (rows-only check: the codec stub's outputs are pinned by unit tests)
     "q23_multimodal_features" -> ((s, dir) => {
@@ -3252,6 +3287,26 @@ object SparkEntry {
           |        sum((1 + x + y*w) * ((doc_id*19 + x*5 + y*23) % 256)) AS bs
           |       FROM px GROUP BY 1,2,3)
           |SELECT doc_id AS id, CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+          | w::INT AS width, h::INT AS height,
+          | (rs % 1000000007)::BIGINT AS r_sum,
+          | (gs % 1000000007)::BIGINT AS g_sum,
+          | (bs % 1000000007)::BIGINT AS b_sum
+          |FROM s ORDER BY id""".stripMargin,
+      // three-lane sniffing gate (r16): the oracle still has NO format
+      // branch in the sums — BMP, PNG, and the hand-rolled GIF encoder's
+      // palette+LZW round trip must all agree with the pixel arithmetic
+      "q143_gif_decode" ->
+        """WITH d AS (SELECT doc_id, 1 + doc_id % 8 AS w, 1 + doc_id % 4 AS h FROM documents),
+          | xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w-1)) AS x FROM d),
+          | px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h-1)) AS y FROM xs),
+          | s AS (SELECT doc_id, w, h,
+          |        sum((1 + x + y*w) * ((doc_id*31 + x*7 + y*3) % 256)) AS rs,
+          |        sum((1 + x + y*w) * ((doc_id*11 + x*17 + y*13) % 256)) AS gs,
+          |        sum((1 + x + y*w) * ((doc_id*47 + x*9 + y*21) % 256)) AS bs
+          |       FROM px GROUP BY 1,2,3)
+          |SELECT doc_id AS id,
+          | CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+          |      WHEN doc_id % 3 = 1 THEN 'png' ELSE 'gif' END AS format,
           | w::INT AS width, h::INT AS height,
           | (rs % 1000000007)::BIGINT AS r_sum,
           | (gs % 1000000007)::BIGINT AS g_sum,

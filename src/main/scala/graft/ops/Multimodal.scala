@@ -364,6 +364,112 @@ object Multimodal {
     }
   }
 
+  /** GIF89a fixture ENCODER (reference: the public GIF89a specification).
+    * Palette-based and LOSSLESS for images with ≤ 256 distinct colors —
+    * which makes it the third lossless lane for the format-sniffing gate
+    * (q143): the decode side is deliberately NOT hand-rolled; GIF blobs go
+    * through [[ImageIoCodec]] like any crawled image, and the oracle pins
+    * the JDK reader's pixels against the pixel arithmetic.
+    *
+    * LZW: the uncompressed-style stream (every index emitted as a literal
+    * code, with a CLEAR before the dictionary could force a code-width
+    * increase — the classic patent-era recipe, long public). Deterministic
+    * byte-for-byte, tiny for fixture-sized images, and decodable by every
+    * conformant reader precisely because the decoder's dictionary never
+    * leaves its initial width.
+    */
+  object GifCodec {
+
+    private final class BitWriterLsb {
+      private val buf = new java.io.ByteArrayOutputStream()
+      private var cur = 0
+      private var nbits = 0
+      def put(v: Int, w: Int): Unit = {
+        cur |= v << nbits
+        nbits += w
+        while (nbits >= 8) { buf.write(cur & 0xff); cur >>>= 8; nbits -= 8 }
+      }
+      def toBytes: Array[Byte] = {
+        if (nbits > 0) { buf.write(cur & 0xff); cur = 0; nbits = 0 }
+        buf.toByteArray
+      }
+    }
+
+    def encode(width: Int, height: Int,
+               pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+        s"need 1..65535 dimensions, got ${width}x$height")
+      // palette in first-occurrence scan order; index stream alongside
+      val palette = scala.collection.mutable.LinkedHashMap[Int, Int]()
+      val indices = new Array[Int](width * height)
+      var i = 0
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(x, y)
+          val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+          indices(i) = palette.getOrElseUpdate(rgb, palette.size)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      require(palette.size <= 256,
+        s"GIF is palette-based: need <= 256 distinct colors, got ${palette.size}")
+      // global color table = 2^gctBits entries (spec: power of two, >= 2)
+      var gctBits = 1
+      while ((1 << gctBits) < palette.size) gctBits += 1
+      val mcs = math.max(2, gctBits) // LZW minimum code size (spec floor 2)
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      u16(width); u16(height)
+      // packed: GCT present | color resolution (gctBits-1) | unsorted | size N
+      // where table = 2^(N+1)
+      out.write(0x80 | (((gctBits - 1) & 7) << 4) | ((gctBits - 1) & 7))
+      out.write(0) // background color index
+      out.write(0) // pixel aspect ratio: unspecified
+      val colors = palette.keys.toArray
+      var c = 0
+      while (c < (1 << gctBits)) {
+        val rgb = if (c < colors.length) colors(c) else 0
+        out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff); out.write(rgb & 0xff)
+        c += 1
+      }
+      // image descriptor: full-frame, no local color table, not interlaced
+      out.write(0x2c); u16(0); u16(0); u16(width); u16(height); out.write(0)
+      // table-based image data: literal-only LZW at fixed width mcs+1.
+      // After a CLEAR the decoder's table holds 2^mcs+2 codes and grows by
+      // one per literal after the first; it widens codes when the table
+      // reaches 2^(mcs+1) — so at most (2^mcs - 2) literals sit between
+      // CLEARs, keeping every code exactly mcs+1 bits wide.
+      out.write(mcs)
+      val clear = 1 << mcs
+      val endOfInfo = clear + 1
+      val codeW = mcs + 1
+      val groupMax = (1 << mcs) - 2
+      val bits = new BitWriterLsb
+      bits.put(clear, codeW)
+      var inGroup = 0
+      var k = 0
+      while (k < indices.length) {
+        if (inGroup == groupMax) { bits.put(clear, codeW); inGroup = 0 }
+        bits.put(indices(k), codeW)
+        inGroup += 1; k += 1
+      }
+      bits.put(endOfInfo, codeW)
+      val data = bits.toBytes
+      var off = 0
+      while (off < data.length) { // sub-blocks, <= 255 bytes each
+        val len = math.min(255, data.length - off)
+        out.write(len); out.write(data, off, len); off += len
+      }
+      out.write(0) // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+  }
+
   /** General-purpose image decode through the JDK's OWN codecs
     * (`javax.imageio` — JPEG, PNG, BMP, GIF, TIFF; still zero external
     * dependencies, and headless-safe): the format-sniffing stage a real
