@@ -36,13 +36,32 @@ object StateStores {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   val ChangelogKey =
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+  val MinBatchesToRetainKey = "spark.sql.streaming.minBatchesToRetain"
+
+  /** Checkpoint RETENTION, the knob that bounds changelog-checkpoint
+    * FOOTPRINT (r16, measured by `graft.RetentionProbe` on the worst
+    * changelog shape — a kmv face whose every batch touches every key):
+    * steady-state checkpoint bytes ≈ retained versions × per-commit
+    * changelog + kept snapshots, and the Spark default (100) let the r15
+    * StreamScaleProbe read 1.3→8 MB of monotone "growth" that was really
+    * unvacuumed backlog. At 120 batches: default 197 MB and still
+    * climbing vs 51 MB settled at 20 — flat from 60 to 120 batches, the
+    * bound. 20 recoverable versions is a generous restart window (restart
+    * uses the LATEST committed batch; older versions serve forensics
+    * only), and `minDeltasForSnapshot` stays at Spark's default 10 — the
+    * sweep's 20-delta cadence settles ~8% smaller but doubles the
+    * changelogs a recovery replays (RecoveryProbe r13: ~1-2 s at 10) and
+    * carries a 1.8× in-run backlog peak.
+    */
+  val MinBatchesToRetain = 20
 
   /** The recommended deployment config as conf pairs (exposed so callers —
     * and the spec — can set/restore them individually).
     */
   val Recommended: Seq[(String, String)] = Seq(
     ProviderKey -> RocksDbProvider,
-    ChangelogKey -> "true")
+    ChangelogKey -> "true",
+    MinBatchesToRetainKey -> MinBatchesToRetain.toString)
 
   /** Switch the session's streaming state store to RocksDB with changelog
     * checkpointing — call once before starting the faces' queries.

@@ -36,7 +36,7 @@ class StateBoundSpec extends AnyFunSuite {
     }
   }
 
-  test("DedupStream.simhashBuckets state ≤ fixed keyspace (1024 at 32 bits) and == touched buckets") {
+  test("DedupStream.simhashBuckets state ≤ fixed keyspace (16384 at the wide 48-bit default) and == touched buckets") {
     assume(new java.io.File(sf).isDirectory)
     implicit val sql = spark.sqlContext
     import spark.implicits._
@@ -60,6 +60,80 @@ class StateBoundSpec extends AnyFunSuite {
     val touched = graft.ops.Dedup
       .simhashBucketRegistry(docsDf, "doc_id", "text").count()
     assert(rows === touched)
+  }
+
+  test("changelog checkpoint FOOTPRINT is bounded by retention, not by batch " +
+    "count — the pinned MinBatchesToRetain vacuums old versions (r16)") {
+    // The r15 scale probe read monotone checkpoint growth on the kmv face
+    // at FLAT state: unvacuumed backlog, not a leak — every commit writes
+    // an O(touched-keys) changelog and Spark's default retention (100)
+    // never triggered inside a short probe. RetentionProbe (PLANS.md r16)
+    // measured the steady state and StateStores.Recommended now pins
+    // minBatchesToRetain = 20; this spec pins the INVARIANT at spec scale:
+    // after maintenance settles, changelog files per partition track the
+    // retention knob, not the number of batches ever run.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // the maintenance task is a JVM SINGLETON whose interval is captured
+    // when the first stateful store of the JVM loads — an earlier suite's
+    // query pins it at the 60 s default and this test's 1 s conf would
+    // never apply (the vacuum then misses the 30 s settle window). Unload
+    // all providers and stop the task; the next store load restarts it
+    // with THIS test's interval. Suites run sequentially, so no live query
+    // is affected.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    val retain = 6
+    val batches = 72
+    withStateStoreConf(graft.streaming.StateStores.Recommended ++ Seq(
+      graft.streaming.StateStores.MinBatchesToRetainKey -> retain.toString,
+      // fast maintenance so the vacuum lands within the spec's seconds —
+      // production keeps the 60 s default (cadence, not bound)
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "1s")) {
+      val in = MemoryStream[(String, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_retain").toString
+      val q = graft.streaming.SketchStream
+        .kmvDistinct(in.toDF().toDF("g", "v"), "g", "v", k = 16).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$ckpt/_ckpt")
+        .format("noop").start()
+      try {
+        (0 until batches).foreach { b =>
+          in.addData((0 until 200).map(i =>
+            (s"g${(b * 200 + i) % 100}", (b * 200 + i).toLong * 2654435761L)))
+          q.processAllAvailable()
+        }
+        def changelogs(): Seq[Int] = {
+          val stateRoot = new java.io.File(s"$ckpt/_ckpt/state/0")
+          Option(stateRoot.listFiles()).getOrElse(Array.empty).toSeq
+            .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+            .map(p => Option(p.listFiles()).getOrElse(Array.empty)
+              .count(f => f.getName.endsWith(".changelog")))
+        }
+        val parts = changelogs()
+        assert(parts.nonEmpty, "no state partition dirs found")
+        // poll: the vacuum is async — give maintenance up to 30 s to settle.
+        // The settled floor is (latest − last UPLOADED snapshot) + retention:
+        // changelogs are replayable only from a snapshot, snapshots upload
+        // every minDeltasForSnapshot (10) commits on the async maintenance
+        // thread, and the final upload can lag one full cadence when the
+        // stream goes idle — so the bound is retention + 2×minDeltas + slack
+        // (measured: 17/partition at 36 batches = versions since the v20
+        // snapshot), still far below the unvacuumed batch count.
+        val bound = retain + 2 * 10 + 5
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var current = parts
+        while (current.exists(_ > bound) && System.nanoTime() < deadline) {
+          Thread.sleep(1000); current = changelogs()
+        }
+        assert(current.forall(_ <= bound),
+          s"changelog files per partition $current exceed retention bound " +
+            s"$bound after settling — ran $batches batches, retention $retain; " +
+            "unbounded backlog means the footprint grows with batch count")
+        // and the settled count is far below the batch count — the vacuum
+        // actually ran (without it every partition would hold ~36 files)
+        assert(current.forall(_ < batches / 2))  // 31 < 36: vacuum ran
+      } finally q.stop()
+    }
   }
 
   /** Restart scenario 1 (mapGroupsWithState fold): stop, resume from the
