@@ -975,6 +975,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // IVF-PQ ANN (r16): the composed IVFADC architecture — q34's IVF cell
+    // routing over q94's PQ-encoded code table, exact re-rank of only the
+    // k survivors. The ADC scan side carries (cell, 4 codes) and never
+    // vectors; the cell equi-join prunes it 16x per query
+    // (graft.ops.Similarity.ivfPqTopK).
+    "q144_ivfpq_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.where(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10, nCentroids = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // multimodal plumbing: stubbed decode over binary media columns
     // (rows-only check: the codec stub's outputs are pinned by unit tests)
     "q23_multimodal_features" -> ((s, dir) => {
@@ -3312,6 +3324,50 @@ object SparkEntry {
           | (gs % 1000000007)::BIGINT AS g_sum,
           | (bs % 1000000007)::BIGINT AS b_sum
           |FROM s ORDER BY id""".stripMargin,
+      // IVF-PQ (r16): q34's cell assignment restricting q94's ADC chain to
+      // cell-equal pairs, exact l2 re-ranked only for the k survivors
+      "q144_ivfpq_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+          | dist AS (SELECT e.vec_id, c.cent_id,
+          |    list_dot_product(e.v,c.cv)/(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(c.cv,c.cv))) AS d
+          |   FROM e CROSS JOIN cents c),
+          | asg AS (SELECT vec_id, cent_id AS cell FROM (
+          |    SELECT vec_id, cent_id,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS rn FROM dist) t
+          |   WHERE rn = 1),
+          | vs AS (SELECT vec_id, t.mi, list_slice(v, t.mi*16+1, t.mi*16+16) AS sv
+          |        FROM e, range(0,4) t(mi)),
+          | cb0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
+          | cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM cb0),
+          | cbn AS (SELECT c, t.mi, list_slice(v, t.mi*16+1, t.mi*16+16) AS cv
+          |         FROM cb, range(0,4) t(mi)),
+          | ds AS (SELECT vs.vec_id, vs.mi, cbn.c,
+          |         list_dot_product(vs.sv, vs.sv) - 2*list_dot_product(vs.sv, cbn.cv)
+          |           + list_dot_product(cbn.cv, cbn.cv) AS d
+          |        FROM vs JOIN cbn ON vs.mi = cbn.mi),
+          | code AS (SELECT vec_id, mi, c FROM (
+          |           SELECT vec_id, mi, c,
+          |            row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, c) AS rn
+          |           FROM ds) WHERE rn = 1),
+          | ad AS (SELECT qd.vec_id AS query_id, cx.vec_id AS neighbor_id,
+          |         list_reduce(list_prepend(0.0, list(qd.d ORDER BY qd.mi)), (a,b) -> a + b) AS adr
+          |        FROM code cx
+          |        JOIN asg ca ON ca.vec_id = cx.vec_id
+          |        JOIN asg qa ON qa.cell = ca.cell AND qa.vec_id < 5
+          |        JOIN ds qd ON qd.vec_id = qa.vec_id AND qd.mi = cx.mi AND qd.c = cx.c
+          |        WHERE qd.vec_id <> cx.vec_id
+          |        GROUP BY 1, 2),
+          | r AS (SELECT query_id, neighbor_id, round(adr, 6) AS adist,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY round(adr, 6), neighbor_id) AS rank
+          |       FROM ad),
+          | tk AS (SELECT * FROM r WHERE rank <= 10)
+          |SELECT t.query_id, t.rank::BIGINT AS rank, t.neighbor_id, t.adist,
+          | round(list_dot_product(a.v,a.v) - 2*list_dot_product(a.v,b.v)
+          |   + list_dot_product(b.v,b.v), 6) AS exact_d2
+          |FROM tk t JOIN e a ON a.vec_id = t.query_id JOIN e b ON b.vec_id = t.neighbor_id
+          |ORDER BY query_id, rank""".stripMargin,
       "q131_sample_quantile_sketch" ->
         """WITH e AS (SELECT event_type, event_id,
           |        ((event_id % 1000000007 + 1000000007) % 1000000007 * 2654435761 + 11) % 1000000007 AS hv,

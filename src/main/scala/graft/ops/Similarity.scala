@@ -190,27 +190,45 @@ object Similarity {
     * O(n / nCentroids) with the usual IVF recall trade-off (nprobe=1 here;
     * widen by unioning the next-nearest cells).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int = 16): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+  /** The deterministic IVF coarse quantizer shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: the `nCentroids` corpus vectors with the smallest ids
+    * (a k-means seeding stand-in), carried with pre-computed norms so cell
+    * assignment costs one dot per (row, centroid).
+    */
+  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                           nCentroids: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("_cent"),
         normNative(col(vecCol)).as("_centn"))
-    // zero-norm-GUARDED assignment (pairCosine, one dot per pair): an
-    // unguarded cosine against a dead centroid (a zero-norm vector among
-    // the smallest-id seeds) is NaN, which sorts FIRST under desc — one
-    // dead seed would capture the ENTIRE corpus into its cell and turn the
-    // cell equi-join into the full cross product this operator exists to
-    // avoid. NULL instead: desc puts nulls last, so dead centroids never
-    // win an assignment (and a dead QUERY vector falls to the id tiebreak).
-    def assign(df: DataFrame, vec: String): DataFrame =
-      df.withColumn("_vn0", normNative(col(vec)))
-        .crossJoin(broadcast(cents))
-        .withColumn("_d", pairCosine(vec, "_vn0", "_cent", "_centn"))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cent_id"))))
-        .where(col("_rn") === 1)
-        .drop("_d", "_rn", "_cent", "_centn", "_vn0")
-    val q = assign(queries.select(col(idCol), col(vecCol)), vecCol)
+
+  /** Zero-norm-GUARDED cell assignment (pairCosine, one dot per pair): an
+    * unguarded cosine against a dead centroid (a zero-norm vector among
+    * the smallest-id seeds) is NaN, which sorts FIRST under desc — one
+    * dead seed would capture the ENTIRE corpus into its cell and turn the
+    * cell equi-join into the full cross product IVF exists to avoid. NULL
+    * instead: desc puts nulls last, so dead centroids never win an
+    * assignment (and a dead INPUT vector falls to the id tiebreak).
+    */
+  /** `keep > 1` retains the `keep` nearest cells per row (IVF's nprobe
+    * recall knob, queries only — corpus rows always live in exactly one
+    * cell, so multi-probe never duplicates a candidate pair).
+    */
+  private def ivfAssign(df: DataFrame, idCol: String, vec: String,
+                        cents: DataFrame, keep: Int = 1): DataFrame =
+    df.withColumn("_vn0", normNative(col(vec)))
+      .crossJoin(broadcast(cents))
+      .withColumn("_d", pairCosine(vec, "_vn0", "_cent", "_centn"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cent_id"))))
+      .where(col("_rn") <= keep)
+      .drop("_d", "_rn", "_cent", "_centn", "_vn0")
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int = 16, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCentroids, s"nprobe $nprobe out of range")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    def assign(df: DataFrame, vec: String): DataFrame = ivfAssign(df, idCol, vec, cents)
+    val q = ivfAssign(queries.select(col(idCol), col(vecCol)), idCol, vecCol, cents, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         normNative(col(vecCol)).as("_qn"), col("cent_id").as("cell"))
     val c = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
@@ -556,9 +574,38 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id, adist, exact_d2) top-k by
     * (adist, neighbor_id) per query.
     */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-             vecCol: String, k: Int, m: Int = 4, codes: Int = 16,
-             dim: Int = 64): DataFrame = {
+  /** Fitted PQ codebooks shared by [[pqTopK]] and [[ivfPqTopK]]: id-seeded
+    * sub-slice centroids (k-means refines) with pre-folded norms, and the
+    * column builders for the encode (argmin code per subspace) and ADC
+    * (codes-entry distance table per subspace) sides. Every fold is the
+    * same sequential IEEE chain DuckDB's `list_dot_product` computes, so
+    * the approximate distances stay hash-gated.
+    */
+  private final case class PqModel(m: Int, codes: Int, sub: Int,
+      cb: Array[Array[Array[Double]]], cbNorm: Array[Array[Double]]) {
+    def subSlice(vec: String, mi: Int): Column = slice(col(vec), mi * sub + 1, sub)
+    def d2(vs: Column, mi: Int, c: Int): Column =
+      dotNative(vs, vs) - lit(2.0) * dotNative(vs, array(cb(mi)(c).map(lit): _*)) +
+        lit(cbNorm(mi)(c))
+    /** m argmin codes per corpus row (least over (d, c) structs). */
+    def encodeCols(vec: String): Seq[Column] = (0 until m).map { mi =>
+      val vs = subSlice(vec, mi)
+      least((0 until codes).map(c =>
+        struct(d2(vs, mi, c).as("d"), lit(c).as("c"))): _*)
+        .getField("c").as(s"_code$mi")
+    }
+    /** codes-entry ADC distance table per subspace, per query row. */
+    def adcTableCols(vec: String): Seq[Column] = (0 until m).map { mi =>
+      val qs = subSlice(vec, mi)
+      array((0 until codes).map(c => d2(qs, mi, c)): _*).as(s"_dt$mi")
+    }
+    /** ADC distance of a joined (query-table, corpus-code) row. */
+    def adcLookup: Column = (0 until m).map(mi =>
+      element_at(col(s"_dt$mi"), col(s"_code$mi") + 1)).reduce(_ + _)
+  }
+
+  private def fitPq(corpus: DataFrame, idCol: String, vecCol: String,
+                    m: Int, codes: Int, dim: Int): PqModel = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m
     // bounded collect: codes vectors (codes × dim doubles), the codebook.
@@ -578,27 +625,18 @@ object Similarity {
       while (i < sub) { acc += cb(mi)(c)(i) * cb(mi)(c)(i); i += 1 }
       acc
     }
-    def subSlice(vec: String, mi: Int): Column = slice(col(vec), mi * sub + 1, sub)
-    def d2(vs: Column, mi: Int, c: Int): Column =
-      dotNative(vs, vs) - lit(2.0) * dotNative(vs, array(cb(mi)(c).map(lit): _*)) +
-        lit(cbNorm(mi)(c))
-    // corpus side: m argmin codes per row
-    val enc = (0 until m).map { mi =>
-      val vs = subSlice("_cv", mi)
-      least((0 until codes).map(c =>
-        struct(d2(vs, mi, c).as("d"), lit(c).as("c"))): _*)
-        .getField("c").as(s"_code$mi")
-    }
+    PqModel(m, codes, sub, cb, cbNorm)
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, codes: Int = 16,
+             dim: Int = 64): DataFrame = {
+    val pq = fitPq(corpus, idCol, vecCol, m, codes, dim)
     val c0 = corpus.select((col(idCol).as("neighbor_id") +: col(vecCol).as("_cv") +: Nil): _*)
-    val encoded = c0.select((col("neighbor_id") +: col("_cv") +: enc): _*)
-    // query side: k-entry ADC table per subspace
-    val dts = (0 until m).map { mi =>
-      val qs = subSlice("_qv", mi)
-      array((0 until codes).map(c => d2(qs, mi, c)): _*).as(s"_dt$mi")
-    }
-    val q0 = queries.select((col(idCol).as("query_id") +: col(vecCol).as("_qv") +: dts): _*)
-    val adist = (0 until m).map(mi =>
-      element_at(col(s"_dt$mi"), col(s"_code$mi") + 1)).reduce(_ + _)
+    val encoded = c0.select((col("neighbor_id") +: col("_cv") +: pq.encodeCols("_cv")): _*)
+    val q0 = queries.select((col(idCol).as("query_id") +: col(vecCol).as("_qv") +:
+      pq.adcTableCols("_qv")): _*)
+    val adist = pq.adcLookup
     val exact = dotNative(col("_qv"), col("_qv")) -
       lit(2.0) * dotNative(col("_qv"), col("_cv")) + dotNative(col("_cv"), col("_cv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
@@ -607,6 +645,65 @@ object Similarity {
       .withColumn("exact_d2", round(exact, 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"),
+        col("exact_d2"))
+  }
+
+  /** IVF-PQ ANN (IVFADC, Jégou/Douze/Schmid TPAMI 2011 §V) — the composed
+    * billion-scale architecture: IVF coarse routing ([[ivfTopK]]'s cell
+    * assignment) over a PQ-ENCODED inverted file ([[pqTopK]]'s encoder),
+    * then exact re-ranking of only the top-k survivors.
+    *
+    * Why this is THE 100 TB shape: the ADC scan side carries
+    * `(neighbor_id, cell, m codes)` — at m=4/dim=64 float that is 64×
+    * smaller than the corpus — and the cell equi-join prunes it a further
+    * nCentroids× per query, so per-query probe cost is
+    * O(n·m / nCentroids) byte-cheap code lookups instead of O(n·d) vector
+    * dots. Full vectors are touched exactly twice: once at encode time and
+    * once for the k surviving rows per query (the re-rank join, k·|queries|
+    * rows broadcast against the corpus). Codes are encoded against the
+    * GLOBAL codebooks (FAISS `by_residual=false`); residual encoding is the
+    * recall refinement, not a different plan shape.
+    *
+    * nprobe=1 here (the query's own cell); widen recall by unioning the
+    * next-nearest cells. Approximate AND exact distances both round-6 and
+    * hash-gated (q144's oracle replays the same CTE chain in DuckDB).
+    *
+    * Output: (query_id, rank, neighbor_id, adist, exact_d2) top-k by
+    * (adist, neighbor_id) per query, ranked WITHIN the probed cell.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCentroids: Int = 16, m: Int = 4,
+                codes: Int = 16, dim: Int = 64, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCentroids, s"nprobe $nprobe out of range")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    val pq = fitPq(corpus, idCol, vecCol, m, codes, dim)
+    // the inverted file: cell + m codes per corpus row — vectors DROPPED
+    val codeTable = ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .select((col(idCol).as("neighbor_id") +: col("cent_id").as("cell") +:
+        pq.encodeCols(vecCol)): _*)
+    // query side: cell + codes-entry ADC table per subspace (broadcast —
+    // queries are a small batch by contract, as in pqTopK); nprobe > 1
+    // probes the query's nprobe nearest cells (recall knob, scan cost
+    // nprobe/nCentroids of the code table per query)
+    val q0 = ivfAssign(queries.select(col(idCol), col(vecCol)), idCol, vecCol, cents, nprobe)
+      .select((col(idCol).as("query_id") +: col("cent_id").as("cell") +:
+        pq.adcTableCols(vecCol)): _*)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    val topk = broadcast(q0).join(codeTable, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(pq.adcLookup, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+    // exact re-rank ride-along: k·|queries| surviving rows (tiny) broadcast
+    // against the corpus vectors — the ONLY post-encode touch of full vectors
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    broadcast(topk.join(broadcast(qv), "query_id")).join(cv, "neighbor_id")
+      .withColumn("exact_d2", round(
+        dotNative(col("_qv"), col("_qv")) - lit(2.0) * dotNative(col("_qv"), col("_cv")) +
+          dotNative(col("_cv"), col("_cv")), 6))
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"),
         col("exact_d2"))
   }

@@ -101,6 +101,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q94_pq_topk",     // the ADC scan: code table x broadcast(5 query rows
                        // + their bounded distance tables) — PQ's whole point
                        // is that this is the ONLY per-query pass
+    "q144_ivfpq_topk", // IVF-PQ: the two centroid assignments are rows x
+                       // broadcast(<=16 centroids) as in q34; the ADC scan
+                       // itself is a cell EQUI-join (tighter than q94)
     "q102_perplexity_filter", // LM normalizers: vocab rows (then token rows)
                        // x broadcast(1-row N/V totals); the LM itself joins
                        // as a broadcast HASH join on the word

@@ -237,6 +237,72 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("ivfPqTopK == independent cell-restricted ADC reference on real embeddings (r16)") {
+    // the composed IVFADC face must equal a from-scratch reference built
+    // from (a) a LOCAL argmax-cosine cell assignment over collected
+    // vectors and (b) pqTopK's own global ADC distances (PQ codes are
+    // cell-independent by construction, so any disagreement isolates the
+    // routing or the re-rank join)
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
+    val got = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "rank", "neighbor_id", "adist", "exact_d2")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cents = all.take(16)
+    def cellOf(v: Seq[Double]): Long = {
+      val n = math.sqrt(dot(v, v))
+      cents.map { case (cid, cv) =>
+        val cn = math.sqrt(dot(cv, cv))
+        val c = if (n > 0 && cn > 0) dot(v, cv) / (n * cn) else Double.NegativeInfinity
+        (-c, cid)
+      }.min._2
+    }
+    val cell = all.map { case (id, v) => id -> cellOf(v) }.toMap
+    val pqAll = Similarity.pqTopK(q, emb, "vec_id", "embedding", k = all.length)
+      .select("query_id", "neighbor_id", "adist", "exact_d2")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val expected = (0L until 5L).flatMap { qid =>
+      all.map(_._1).filter(n => n != qid && cell(n) == cell(qid))
+        .map(n => (pqAll((qid, n))._1, n)).sorted.take(10)
+        .zipWithIndex.map { case ((ad, n), i) =>
+          (qid, (i + 1).toLong, n, ad, pqAll((qid, n))._2) }
+    }.toSeq
+    assert(expected.size === 50, s"5 queries x top-10 expected, got ${expected.size}")
+    assert(got === expected)
+  }
+
+  test("ivfPqTopK nprobe=2 candidates superset nprobe=1; common adist identical (r16)") {
+    // the recall knob must only WIDEN the probed candidate set — ADC
+    // distances are cell-independent, so every nprobe=1 pair reappears
+    // with the identical distance
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 3)
+    val n = emb.count().toInt
+    def pairs(np: Int): Map[(Long, Long), Double] =
+      Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = n, nprobe = np)
+        .select("query_id", "neighbor_id", "adist")
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val p1 = pairs(1); val p2 = pairs(2)
+    assert(p1.keySet.subsetOf(p2.keySet))
+    assert(p2.size > p1.size, "a second probed cell must add candidates")
+    p1.foreach { case (pair, ad) => assert(p2(pair) === ad, s"adist drifted at $pair") }
+  }
+
   test("DotProduct: dimension mismatch throws, never truncates to the shared prefix") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
