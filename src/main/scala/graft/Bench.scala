@@ -253,7 +253,7 @@ object Bench {
       "q13_segment_revenue" -> 1.6, "q131_sample_quantile_sketch" -> 1.6,
       "q06_or_levels" -> 1.6, "q109_bm25_topk" -> 1.6,
       "q61_bloom_decontaminate" -> 1.5, "q87_prefix_jaccard" -> 2.4,
-      "q138_incremental_clusters" -> 2.6)
+      "q138_incremental_clusters" -> 2.6, "q145_ann_index" -> 4.3)
     val queries = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (-costHint.getOrElse(n, 0.75), n) }

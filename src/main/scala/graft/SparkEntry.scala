@@ -987,6 +987,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ index persistence E2E (r16): BUILD on the first ids, APPEND
+    // the rest against the frozen quantizers, QUERY through the real files.
+    // Identical by construction to q144's inline form — the id-seeded
+    // quantizers come from the smallest ids, which live in the build half —
+    // so the SAME oracle hash gates the whole build/append/query protocol
+    // (graft.ops.AnnIndex; meta-last commit, codes-only inverted file).
+    "q145_ann_index" -> ((s, dir) => {
+      val root = scratchRoot(s, "q145_ann", dir)
+      val emb = tbl(s, dir, "embeddings")
+      AnnIndex.build(emb.where(col("vec_id") < 100), "vec_id", "embedding", root)
+      AnnIndex.append(emb.where(col("vec_id") >= 100), "vec_id", "embedding", root)
+      AnnIndex.query(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
+          root, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // multimodal plumbing: stubbed decode over binary media columns
     // (rows-only check: the codec stub's outputs are pinned by unit tests)
     "q23_multimodal_features" -> ((s, dir) => {
@@ -2286,7 +2302,7 @@ object SparkEntry {
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          | doc_id = cluster_id AS is_canonical
          |FROM comp""".stripMargin
-    Map(
+    val base = Map(
       // BM25: tokenize exactly as q43, probe-term postings only, per-term
       // contributions rounded-6 and DECIMAL-summed; the score expression is
       // generated from the same k1/b doubles the Spark plan uses
@@ -4407,5 +4423,8 @@ object SparkEntry {
           |WHERE symbol = 'U1' AND ts_sec >= 1704412800 AND ts_sec < 1706140800
           |ORDER BY ts_sec""".stripMargin,
     )
+    // q145 (index build/append/query E2E) is identical-by-construction to
+    // q144's inline operator — same oracle SQL, one source of truth
+    base + ("q145_ann_index" -> base("q144_ivfpq_topk"))
   }
 }

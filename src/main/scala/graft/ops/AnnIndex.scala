@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: build once / append incrementally / query many —
+  * the deployment shape of [[Similarity.ivfPqTopK]] at corpus scale, where
+  * re-assigning and re-encoding the whole corpus per query batch is not an
+  * option (at 100 TB the encode pass alone dominates any single query).
+  *
+  * Layout under `dir` (all Spark parquet datasets):
+  *   - `centroids.parquet` (cent_id, vec, norm): the frozen IVF coarse
+  *     quantizer — ≤ nCentroids rows, broadcast at query time;
+  *   - `codebook.parquet`  (c, vec): the frozen PQ seed vectors — `codes`
+  *     rows, array<double> (exact for float corpora);
+  *   - `codes.parquet`     (neighbor_id, cell, _code0.._code{m-1}): the
+  *     inverted file — the ONLY data-sized table, m small ints per row
+  *     (64× smaller than the vectors at m=4/dim=64 float);
+  *   - `meta.parquet`      (n_centroids, m, codes, dim): written LAST —
+  *     the commit marker, same convention as DedupState's generation
+  *     marker — so a crashed build leaves no readable index (query/append
+  *     fail loudly on missing meta instead of serving partial codes).
+  *
+  * [[append]] encodes a new batch against the FROZEN centroids + codebooks
+  * and appends its code rows: O(batch) work regardless of standing corpus
+  * size — the IVF index's incremental property (new vectors land in
+  * existing cells; a periodic rebuild refreshes the quantizers, exactly
+  * like the dedup registry's full-pass reconciler). Caller contract:
+  * appended ids are fresh (the index does not dedupe neighbor_id).
+  *
+  * [[query]] reproduces [[Similarity.ivfPqTopK]] BIT-FOR-BIT (spec-pinned):
+  * same assignment, same ADC scan, same exact re-rank. The re-rank reads
+  * vectors from the caller's `corpus` — the index stores codes, never
+  * vectors, so the exact pass goes to the original store (as IVFADC
+  * deployments do) and touches only the k·|queries| surviving rows.
+  */
+object AnnIndex {
+
+  def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+            nCentroids: Int = 16, m: Int = 4, codes: Int = 16,
+            dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    cents.select(col("cent_id"), col("_cent").as("vec"), col("_centn").as("norm"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    val seeds = Similarity.collectPqSeeds(corpus, idCol, vecCol, codes)
+    seeds.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("c", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    val pq = Similarity.pqFromSeeds(seeds, m, codes, dim)
+    Similarity.ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .select((col(idCol).as("neighbor_id") +: col("cent_id").as("cell") +:
+        pq.encodeCols(vecCol)): _*)
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    Seq((nCentroids, m, codes, dim)).toDF("n_centroids", "m", "codes", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  private def meta(spark: SparkSession, dir: String): (Int, Int, Int, Int) = {
+    require(new java.io.File(s"$dir/meta.parquet").isDirectory,
+      s"no index meta at $dir — build incomplete or missing")
+    val r = spark.read.parquet(s"$dir/meta.parquet").head()
+    (r.getAs[Int]("n_centroids"), r.getAs[Int]("m"),
+      r.getAs[Int]("codes"), r.getAs[Int]("dim"))
+  }
+
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids.parquet")
+      .select(col("cent_id"), col("vec").as("_cent"), col("norm").as("_centn"))
+
+  private def pqModel(spark: SparkSession, dir: String, m: Int, codes: Int,
+                      dim: Int): Similarity.PqModel = {
+    val seeds = spark.read.parquet(s"$dir/codebook.parquet")
+      .orderBy(col("c")).select(col("vec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Similarity.pqFromSeeds(seeds, m, codes, dim)
+  }
+
+  def append(batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val (_, m, codes, dim) = meta(spark, dir)
+    val cents = centroids(spark, dir)
+    val pq = pqModel(spark, dir, m, codes, dim)
+    Similarity.ivfAssign(batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .select((col(idCol).as("neighbor_id") +: col("cent_id").as("cell") +:
+        pq.encodeCols(vecCol)): _*)
+      .write.mode("append").parquet(s"$dir/codes.parquet")
+  }
+
+  def query(queries: DataFrame, corpus: DataFrame, idCol: String,
+            vecCol: String, dir: String, k: Int, nprobe: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val (nc, m, codes, dim) = meta(spark, dir)
+    require(nprobe >= 1 && nprobe <= nc, s"nprobe $nprobe out of range")
+    val cents = centroids(spark, dir)
+    val pq = pqModel(spark, dir, m, codes, dim)
+    val codeTable = spark.read.parquet(s"$dir/codes.parquet")
+    val q0 = Similarity.ivfAssign(queries.select(col(idCol), col(vecCol)),
+        idCol, vecCol, cents, nprobe)
+      .select((col(idCol).as("query_id") +: col("cent_id").as("cell") +:
+        pq.adcTableCols(vecCol)): _*)
+    Similarity.ivfPqScan(q0, codeTable, pq, queries, corpus, idCol, vecCol, k)
+  }
+}

@@ -195,7 +195,7 @@ object Similarity {
     * (a k-means seeding stand-in), carried with pre-computed norms so cell
     * assignment costs one dot per (row, centroid).
     */
-  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+  private[ops] def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                            nCentroids: Int): DataFrame =
     corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("_cent"),
@@ -213,7 +213,7 @@ object Similarity {
     * recall knob, queries only — corpus rows always live in exactly one
     * cell, so multi-probe never duplicates a candidate pair).
     */
-  private def ivfAssign(df: DataFrame, idCol: String, vec: String,
+  private[ops] def ivfAssign(df: DataFrame, idCol: String, vec: String,
                         cents: DataFrame, keep: Int = 1): DataFrame =
     df.withColumn("_vn0", normNative(col(vec)))
       .crossJoin(broadcast(cents))
@@ -581,7 +581,7 @@ object Similarity {
     * same sequential IEEE chain DuckDB's `list_dot_product` computes, so
     * the approximate distances stay hash-gated.
     */
-  private final case class PqModel(m: Int, codes: Int, sub: Int,
+  private[ops] final case class PqModel(m: Int, codes: Int, sub: Int,
       cb: Array[Array[Array[Double]]], cbNorm: Array[Array[Double]]) {
     def subSlice(vec: String, mi: Int): Column = slice(col(vec), mi * sub + 1, sub)
     def d2(vs: Column, mi: Int, c: Int): Column =
@@ -604,19 +604,27 @@ object Similarity {
       element_at(col(s"_dt$mi"), col(s"_code$mi") + 1)).reduce(_ + _)
   }
 
-  private def fitPq(corpus: DataFrame, idCol: String, vecCol: String,
-                    m: Int, codes: Int, dim: Int): PqModel = {
-    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
-    val sub = dim / m
-    // bounded collect: codes vectors (codes × dim doubles), the codebook.
-    // Cast to array<double> first: every other op here accepts float OR
-    // double embeddings (DotProduct handles both), and a bare
-    // getSeq[Float] crashed on double-typed columns; float -> double is
-    // exact, so float corpora are unchanged.
+  /** The id-seeded PQ seed vectors as doubles — the persistable codebook
+    * form ([[AnnIndex]] stores exactly these rows). Bounded collect:
+    * codes × dim doubles. Cast to array<double> first: every other op here
+    * accepts float OR double embeddings (DotProduct handles both), and a
+    * bare getSeq[Float] crashed on double-typed columns; float -> double
+    * is exact, so float corpora are unchanged.
+    */
+  private[ops] def collectPqSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                                  codes: Int): Array[Array[Double]] = {
     val seeds: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(codes)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(seeds.length == codes, s"corpus has < $codes vectors")
+    seeds
+  }
+
+  private[ops] def pqFromSeeds(seeds: Array[Array[Double]], m: Int, codes: Int,
+                               dim: Int): PqModel = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    require(seeds.length == codes, s"codebook has ${seeds.length} rows, want $codes")
+    val sub = dim / m
     // cb(mi)(c) = centroid sub-vector; norms via the same sequential fold
     // DuckDB's list_dot_product uses
     val cb = Array.tabulate(m, codes)((mi, c) => seeds(c).slice(mi * sub, (mi + 1) * sub))
@@ -627,6 +635,10 @@ object Similarity {
     }
     PqModel(m, codes, sub, cb, cbNorm)
   }
+
+  private[ops] def fitPq(corpus: DataFrame, idCol: String, vecCol: String,
+                    m: Int, codes: Int, dim: Int): PqModel =
+    pqFromSeeds(collectPqSeeds(corpus, idCol, vecCol, codes), m, codes, dim)
 
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 4, codes: Int = 16,
@@ -689,6 +701,17 @@ object Similarity {
     val q0 = ivfAssign(queries.select(col(idCol), col(vecCol)), idCol, vecCol, cents, nprobe)
       .select((col(idCol).as("query_id") +: col("cent_id").as("cell") +:
         pq.adcTableCols(vecCol)): _*)
+    ivfPqScan(q0, codeTable, pq, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** The ADC probe + exact-re-rank tail shared by [[ivfPqTopK]] and
+    * [[AnnIndex.query]]: `q0` = (query_id, cell, ADC tables), `codeTable` =
+    * (neighbor_id, cell, codes). The re-rank touches `corpus` vectors for
+    * only the k·|queries| surviving rows.
+    */
+  private[ops] def ivfPqScan(q0: DataFrame, codeTable: DataFrame, pq: PqModel,
+                             queries: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     val topk = broadcast(q0).join(codeTable, "cell")
       .where(col("query_id") =!= col("neighbor_id"))

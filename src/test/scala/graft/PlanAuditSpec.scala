@@ -104,6 +104,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q144_ivfpq_topk", // IVF-PQ: the two centroid assignments are rows x
                        // broadcast(<=16 centroids) as in q34; the ADC scan
                        // itself is a cell EQUI-join (tighter than q94)
+    "q145_ann_index",  // the same shapes as q144, through the persisted
+                       // index files (query-side assignment + ADC scan)
     "q102_perplexity_filter", // LM normalizers: vocab rows (then token rows)
                        // x broadcast(1-row N/V totals); the LM itself joins
                        // as a broadcast HASH join on the word
