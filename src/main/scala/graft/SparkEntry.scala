@@ -997,7 +997,8 @@ object SparkEntry {
       val root = scratchRoot(s, "q145_ann", dir)
       val emb = tbl(s, dir, "embeddings")
       AnnIndex.build(emb.where(col("vec_id") < 100), "vec_id", "embedding", root)
-      AnnIndex.append(emb.where(col("vec_id") >= 100), "vec_id", "embedding", root)
+      AnnIndex.append(emb.where(col("vec_id") >= 100), "vec_id", "embedding",
+        root, batchId = "day2")
       AnnIndex.query(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
           root, k = 10)
         .orderBy(col("query_id"), col("rank"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,33 +15,50 @@ import org.apache.spark.sql.functions._
   *   - `codebook.parquet`  (c, vec): the frozen PQ seed vectors — `codes`
   *     rows, array<double> (exact for float corpora);
   *   - `codes.parquet`     (neighbor_id, cell, _code0.._code{m-1}): the
-  *     inverted file — the ONLY data-sized table, m small ints per row
-  *     (64× smaller than the vectors at m=4/dim=64 float);
-  *   - `meta.parquet`      (n_centroids, m, codes, dim): written LAST —
-  *     the commit marker, same convention as DedupState's generation
-  *     marker — so a crashed build leaves no readable index (query/append
-  *     fail loudly on missing meta instead of serving partial codes).
+  *     base inverted file — m small ints per row (64× smaller than the
+  *     vectors at m=4/dim=64 float);
+  *   - `append/<batchId>/codes.parquet` + `append/<batchId>/_COMMITTED`:
+  *     one dataset per appended batch, published by a tmp+rename marker
+  *     (the DedupState commit convention) — an append that crashes before
+  *     its marker is INVISIBLE to queries, and retrying the same batchId
+  *     is idempotent (committed → no-op; uncommitted → clean rewrite);
+  *   - `meta.parquet`      (n_centroids, m, codes, dim): written LAST at
+  *     build time — the build's commit marker. [[build]] deletes the WHOLE
+  *     index dir first (meta included), so a crash mid-REBUILD cannot
+  *     leave the old meta pointing at mixed old/new artifacts; stale
+  *     append batches die with it (a rebuild re-encodes everything).
   *
-  * [[append]] encodes a new batch against the FROZEN centroids + codebooks
-  * and appends its code rows: O(batch) work regardless of standing corpus
-  * size — the IVF index's incremental property (new vectors land in
-  * existing cells; a periodic rebuild refreshes the quantizers, exactly
-  * like the dedup registry's full-pass reconciler). Caller contract:
-  * appended ids are fresh (the index does not dedupe neighbor_id).
+  * [[append]] encodes a new batch against the FROZEN centroids + codebooks:
+  * O(batch) work regardless of standing corpus size — the IVF index's
+  * incremental property (new vectors land in existing cells; a periodic
+  * rebuild refreshes the quantizers, exactly like the dedup registry's
+  * full-pass reconciler). Caller contract: batch ids are fresh and batchId
+  * names one logical batch (retries reuse it).
   *
-  * [[query]] reproduces [[Similarity.ivfPqTopK]] BIT-FOR-BIT (spec-pinned):
-  * same assignment, same ADC scan, same exact re-rank. The re-rank reads
-  * vectors from the caller's `corpus` — the index stores codes, never
-  * vectors, so the exact pass goes to the original store (as IVFADC
-  * deployments do) and touches only the k·|queries| surviving rows.
+  * [[query]] reproduces [[Similarity.ivfPqTopK]] BIT-FOR-BIT over the base
+  * + committed appends (spec-pinned): same assignment, same ADC scan, same
+  * exact re-rank. The re-rank reads vectors from the caller's `corpus` —
+  * the index stores codes, never vectors, so the exact pass goes to the
+  * original store (as IVFADC deployments do) and touches only the
+  * k·|queries| surviving rows.
   */
 object AnnIndex {
+  private val Marker = "_COMMITTED"
+
+  private def hfs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
             nCentroids: Int = 16, m: Int = 4, codes: Int = 16,
             dim: Int = 64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // REBUILD INVALIDATION: drop the whole index — meta included — BEFORE
+    // any write. Overwriting artifacts under a live meta would let a crash
+    // mid-rebuild leave the OLD meta readable over MIXED old/new files;
+    // with the delete-first order every crash window leaves either the
+    // intact old index gone (loud: no meta) or nothing, never a lie.
+    hfs(spark, dir).delete(new Path(dir), true)
     val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nCentroids)
     cents.select(col("cent_id"), col("_cent").as("vec"), col("_centn").as("norm"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
@@ -77,15 +95,46 @@ object AnnIndex {
     Similarity.pqFromSeeds(seeds, m, codes, dim)
   }
 
-  def append(batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+  /** Append `batch` as logical batch `batchId`. Committed batchId → no-op
+    * (idempotent retry); uncommitted leftovers from a crashed attempt are
+    * deleted and rewritten. The marker rename is the atomic publish.
+    */
+  def append(batch: DataFrame, idCol: String, vecCol: String, dir: String,
+             batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId.matches("[A-Za-z0-9._-]+"),
+      s"batchId '$batchId' must be a safe path segment")
     val spark = batch.sparkSession
     val (_, m, codes, dim) = meta(spark, dir)
+    val fs = hfs(spark, dir)
+    val bdir = new Path(s"$dir/append/$batchId")
+    if (fs.exists(new Path(bdir, Marker))) return // committed: retry no-op
+    fs.delete(bdir, true) // crashed-attempt leftovers: invisible, start clean
     val cents = centroids(spark, dir)
     val pq = pqModel(spark, dir, m, codes, dim)
     Similarity.ivfAssign(batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
       .select((col(idCol).as("neighbor_id") +: col("cent_id").as("cell") +:
         pq.encodeCols(vecCol)): _*)
-      .write.mode("append").parquet(s"$dir/codes.parquet")
+      .write.mode("overwrite").parquet(new Path(bdir, "codes.parquet").toString)
+    val tmp = new Path(bdir, Marker + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(bdir, Marker)))
+      sys.error(s"append marker rename failed for batch $batchId")
+  }
+
+  /** Base codes + every COMMITTED append batch, oldest-name first. The
+    * listing is bounded by the number of appends, not data size.
+    */
+  private def codePaths(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = hfs(spark, dir)
+    val root = new Path(s"$dir/append")
+    val appended =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .filter(st => fs.exists(new Path(st.getPath, Marker)))
+        .sortBy(_.getPath.getName)
+        .map(st => new Path(st.getPath, "codes.parquet").toString)
+    s"$dir/codes.parquet" +: appended
   }
 
   def query(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -95,7 +144,7 @@ object AnnIndex {
     require(nprobe >= 1 && nprobe <= nc, s"nprobe $nprobe out of range")
     val cents = centroids(spark, dir)
     val pq = pqModel(spark, dir, m, codes, dim)
-    val codeTable = spark.read.parquet(s"$dir/codes.parquet")
+    val codeTable = spark.read.parquet(codePaths(spark, dir): _*)
     val q0 = Similarity.ivfAssign(queries.select(col(idCol), col(vecCol)),
         idCol, vecCol, cents, nprobe)
       .select((col(idCol).as("query_id") +: col("cent_id").as("cell") +:

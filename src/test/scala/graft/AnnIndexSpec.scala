@@ -51,8 +51,9 @@ class AnnIndexSpec extends AnyFunSuite {
     // standing corpus having grown since build
     val twin = emb.where(col("vec_id") === 7L)
       .select(lit(900000L).as("vec_id"), col("embedding"))
-    AnnIndex.append(twin, "vec_id", "embedding", dir)
-    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    AnnIndex.append(twin, "vec_id", "embedding", dir, batchId = "b1")
+    val codes = spark.read.parquet(s"$dir/codes.parquet",
+      s"$dir/append/b1/codes.parquet")
     val orig = codes.where(col("neighbor_id") === 7L).drop("neighbor_id").collect()
     val appd = codes.where(col("neighbor_id") === 900000L).drop("neighbor_id").collect()
     assert(orig.length === 1 && appd.length === 1)
@@ -66,6 +67,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.length === 1, "appended twin must be probe-visible")
   }
 
+  test("append protocol: uncommitted batch invisible; committed retry no-op; rebuild clears appends") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = tmpDir()
+    AnnIndex.build(emb.where(col("vec_id") < 100), "vec_id", "embedding", dir)
+    val batch = emb.where(col("vec_id") >= 100 && col("vec_id") < 120)
+    // probe with the 16 centroid vectors themselves: each assigns to its
+    // own cell (self-cosine 1.0), so the 16 queries cover EVERY cell and
+    // each committed appended row is visible exactly once
+    def twinCount(): Long =
+      AnnIndex.query(emb.where(col("vec_id") < 16), emb, "vec_id", "embedding",
+          dir, k = 100000)
+        .where(col("neighbor_id") >= 100).select("neighbor_id").distinct().count()
+    AnnIndex.append(batch, "vec_id", "embedding", dir, batchId = "b1")
+    val visible = twinCount()
+    assert(visible === batch.count(), "every committed appended row must be probe-visible")
+    // crash simulation: a batch whose marker never landed must be INVISIBLE
+    val marker = new java.io.File(s"$dir/append/b1/_COMMITTED")
+    assert(marker.isFile)
+    assert(marker.delete())
+    assert(twinCount() === 0L, "uncommitted append rows leaked into a query")
+    // retry the same batchId: clean rewrite + commit, visible exactly once
+    AnnIndex.append(batch, "vec_id", "embedding", dir, batchId = "b1")
+    assert(twinCount() === visible)
+    // second retry with the marker present: no-op, still no duplicates
+    AnnIndex.append(batch, "vec_id", "embedding", dir, batchId = "b1")
+    assert(twinCount() === visible)
+    assert(spark.read.parquet(s"$dir/append/b1/codes.parquet").count() ===
+      batch.count())
+    // REBUILD drops stale appends: old meta must not survive over new files
+    AnnIndex.build(emb.where(col("vec_id") < 100), "vec_id", "embedding", dir)
+    assert(!new java.io.File(s"$dir/append").exists())
+    assert(twinCount() === 0L)
+  }
+
   test("query and append refuse an index without meta (meta-last commit)") {
     import spark.implicits._
     val dir = tmpDir()
@@ -75,7 +114,7 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(eq.getMessage.contains("meta"))
     val ea = intercept[IllegalArgumentException] {
-      AnnIndex.append(df, "id", "v", dir)
+      AnnIndex.append(df, "id", "v", dir, batchId = "b1")
     }
     assert(ea.getMessage.contains("meta"))
   }
