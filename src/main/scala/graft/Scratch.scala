@@ -238,6 +238,45 @@ object Scratch {
             f"pairs=${exact.size} recall=$recall%.4f falsePos=${banded.diff(exact).size}")
         }
 
+      case "jobs" :: name :: rest =>
+        // per-JOB wall-clock breakdown of one SparkEntry query (the lake/
+        // state chains run many physical jobs — probe collects, writes,
+        // checkpoint materializations; this shows where the seconds go).
+        // Repeats 3x so one-time costs (codegen, committer class-load) are
+        // distinguishable from steady state.
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+        val jobEnd = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.put(j.jobId, (j.time,
+              Option(j.properties).map(_.getProperty("spark.job.description", "")).getOrElse(""),
+              j.stageInfos.size))
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            jobEnd.put(j.jobId, j.time)
+        }
+        for (i <- 1 to 3) {
+          spark.catalog.clearCache()
+          jobs.clear(); jobEnd.clear()
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500) // listener bus drain
+          spark.sparkContext.removeSparkListener(l)
+          import scala.jdk.CollectionConverters._
+          val rows = jobs.asScala.toSeq.sortBy(_._1)
+          println(f"== $name pass $i: wall=$wall%.2f s, ${rows.size} jobs ==")
+          var covered = 0.0
+          rows.foreach { case (id, (st, desc, nst)) =>
+            val en = jobEnd.getOrDefault(id, st)
+            val d = (en - st) / 1e3
+            covered += d
+            println(f"  job $id%3d ${d}%7.3f s  stages=$nst%2d  ${desc.take(90)}")
+          }
+          println(f"  [sum of job walls = $covered%.2f s; gaps = driver-side work]")
+        }
+
       case "profile" :: name :: rest =>
         // split a query's cost into plan-build / analysis+optimization /
         // execution, repeated so JIT warmup is visible

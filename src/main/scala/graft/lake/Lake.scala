@@ -286,7 +286,10 @@ object LakeWriter {
     // duplicate to keep-last over.
     UpsertCore.mergeWrite(spark, LakeLayout.dataRoot(root), enforced,
       LakeLayout.partitionCols,
-      Seq("source", "market", "symbol", "timeframe", "ts"), "ts")
+      Seq("source", "market", "symbol", "timeframe", "ts"), "ts",
+      // year/month = f(ts), every other partition column ∈ key — the
+      // exchange-fusion precondition (see mergeWrite)
+      partColsDeterminedByKey = true)
   }
 }
 
@@ -403,7 +406,8 @@ private[lake] object UpsertCore {
                  partCols: Seq[String], key: Seq[String], sortCol: String,
                  beforePublish: () => Unit = () => (),
                  maxTouched: Int = MaxTouchedPartitions,
-                 snapshotBudget: Int = SnapshotBudgetCells): Unit = {
+                 snapshotBudget: Int = SnapshotBudgetCells,
+                 partColsDeterminedByKey: Boolean = false): Unit = {
     // deterministic-batch enforcement (r16): see the REQUIREMENT note
     val batchPinned =
       if (hasNonDeterministicExpr(batch)) {
@@ -445,9 +449,12 @@ private[lake] object UpsertCore {
     // snapshotBudget) — collecting up to snapshotBudget+1 narrow tuples is
     // a few MB driver-side at the 10⁴ default, cheaper than a second pass
     val touched =
-      if (treeExists)
-        distinctTouched.limit(math.max(maxTouched, snapshotBudget) + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
+      if (treeExists) {
+        // label the probe job (guide §1.5) so UI/job profiles attribute it
+        spark.sparkContext.setJobDescription(s"mergeWrite:probe $path")
+        try distinctTouched.limit(math.max(maxTouched, snapshotBudget) + 1).collect()
+        finally spark.sparkContext.setJobDescription(null)
+      } else Array.empty[org.apache.spark.sql.Row]
     val literalProbe = treeExists && touched.nonEmpty && touched.length <= maxTouched
     def cellDir(row: org.apache.spark.sql.Row): String =
       // build each cell dir EXACTLY as the parquet writer will: Spark
@@ -527,7 +534,25 @@ private[lake] object UpsertCore {
     // land a different survivor — violating O8 idempotence. Well-formed
     // batches have unique keys and never reach the tiebreak.
     val valueCols = merged.columns.filterNot(c => key.contains(c) || c == "_prec")
-    val w = Window.partitionBy(key.map(col): _*)
+    // Exchange fusion (r16, guide §2.4 "two operations keyed the same way
+    // can share one exchange"): when the caller asserts every partition
+    // column is functionally determined by the dedupe key (data/aggregates
+    // trees: year/month = f(ts), every other partCol ∈ key), repartition
+    // by partCols FIRST and extend the window's partitionBy with the
+    // partCols. The dedupe groups are identical (the extra columns are
+    // constant within a key group), HashPartitioning(partCols) satisfies
+    // the window's ClusteredDistribution (partCols ⊆ window keys), and the
+    // publish plan carries ONE data-sized exchange instead of two
+    // (window-key shuffle + layout repartition) — at 100 TB that is one
+    // full network pass of existing ∪ batch saved per upsert. Levels keeps
+    // the two-exchange form: its `market` partCol is NOT determined by its
+    // (session_date, symbol) key, so fusing would split dedupe groups.
+    val (preparted, windowKeys) =
+      if (partColsDeterminedByKey)
+        (merged.repartition(partCols.map(col): _*),
+          (key ++ partCols.filterNot(key.contains)).map(col))
+      else (merged, key.map(col))
+    val w = Window.partitionBy(windowKeys: _*)
       .orderBy(col("_prec").desc, struct(valueCols.map(col): _*).desc)
     // Break the lineage BEFORE the overwrite: the batch's lineage may read
     // the very files the dynamic overwrite replaces (e.g. repair flows that
@@ -543,7 +568,7 @@ private[lake] object UpsertCore {
     // (the data volume is trivial; the job count is not). On a cluster, a
     // staging-dir write + swap (or a transactional table format) is the
     // equivalent.
-    val deduped = merged.withColumn("_rn", row_number().over(w))
+    val deduped = preparted.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn", "_prec")
       .localCheckpoint(eager = false)
 
@@ -566,8 +591,14 @@ private[lake] object UpsertCore {
             s"since this upsert's probe (first: ${changed.head}) — " +
             "single-writer-per-cell contract violated; re-run the upsert")
     }
-    deduped
-      .repartition(partCols.map(col): _*)
+    spark.sparkContext.setJobDescription(s"mergeWrite:publish $path")
+    // fused mode already hash-clustered by partCols before the window (and
+    // the window preserves its child's partitioning), so each cell is
+    // wholly inside one task — a second repartition would be a pure extra
+    // shuffle of the same bytes
+    val laidOut = if (partColsDeterminedByKey) deduped
+      else deduped.repartition(partCols.map(col): _*)
+    try laidOut
       .sortWithinPartitions(col(sortCol)) // ordered within files (reference O6)
       .write.mode("overwrite")
       .partitionBy(partCols: _*)
@@ -577,6 +608,7 @@ private[lake] object UpsertCore {
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "zstd") // reference: config.py:12 ZSTD
       .parquet(path)
+    finally spark.sparkContext.setJobDescription(null)
     // the session caches the file listing for this path; the overwrite just
     // replaced those files, so readers in the same session must re-list
     spark.catalog.refreshByPath(path)
