@@ -23,6 +23,23 @@ object Scratch {
         val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         println(s"== $name @ $sfDir ==")
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      case "explain-many" :: outDir :: names =>
+        // batch plan dump: one JVM, one formatted-plan file per query —
+        // the plans/r16 evidence generator (single-query `explain` pays
+        // ~30 s of JVM+sbt per plan)
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        for (name <- names) {
+          val plan = try SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          catch { case e: Throwable => s"FAILED: $e" }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outDir/$name.txt"),
+            (s"== $name @ $sfDir ==\n" + plan).getBytes("UTF-8"))
+          println(s"[explain-many] wrote $outDir/$name.txt")
+        }
+
       case "rows" :: name :: rest =>
         // output cardinality of a SparkEntry query at a given sf dir —
         // distinguishes true-result growth from plan cost in scale probes
@@ -250,7 +267,13 @@ object Scratch {
         val l = new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
             jobs.put(j.jobId, (j.time,
-              Option(j.properties).map(_.getProperty("spark.job.description", "")).getOrElse(""),
+              // last stage's callSite (the action: collect at Lake.scala:455,
+              // parquet at ..., isEmpty at ...) + the job description — the
+              // attribution for jobs the description alone misses
+              j.stageInfos.lastOption.map(_.name.take(44)).getOrElse("").padTo(45, ' ') +
+                Option(j.properties)
+                  .flatMap(p => Option(p.getProperty("spark.job.description")))
+                  .getOrElse(""),
               j.stageInfos.size))
           override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
             jobEnd.put(j.jobId, j.time)

@@ -412,12 +412,19 @@ private[lake] object UpsertCore {
     val batchPinned =
       if (hasNonDeterministicExpr(batch)) {
         log.warn("mergeWrite batch lineage contains non-deterministic " +
-          "expressions — eagerly materializing it (localCheckpoint) so the " +
+          "expressions — materializing it (localCheckpoint) so the " +
           "touched-cell probe, the merge, and the write job see ONE " +
           "evaluation; without this, write-time rows could land in cells " +
           "the probe never listed and the dynamic overwrite would drop " +
           "those cells' pre-existing rows")
-        batch.localCheckpoint()
+        // LAZY checkpoint (r16 optimization): the one-evaluation guarantee
+        // is per PARTITION — each partition materializes exactly once, on
+        // its first computation — and the first consumer is the probe's
+        // shuffle MAP stage (or, on a bootstrap write, the publish job),
+        // which computes EVERY batch partition. eager=true bought nothing
+        // beyond an extra full evaluation job up front (measured ~0.4 s on
+        // q76's repair batch).
+        batch.localCheckpoint(eager = false)
       } else batch
     // Touched-cell probe — computed from the BATCH alone, so it runs
     // BEFORE the tree is listed: the conflict-detection snapshot below
@@ -452,8 +459,24 @@ private[lake] object UpsertCore {
       if (treeExists) {
         // label the probe job (guide §1.5) so UI/job profiles attribute it
         spark.sparkContext.setJobDescription(s"mergeWrite:probe $path")
+        // single-wave take (r16): CollectLimit's executeTake starts at
+        // spark.sql.limit.initialNumPartitions (default 1) and scales up
+        // 4x per wave — but a real batch touches FAR fewer cells than the
+        // cap, so the escalation never stops early and the probe burned
+        // 2-3 jobs scanning everything anyway. Scanning all partitions in
+        // wave 1 makes the probe exactly one job. Scoped + restored: only
+        // this collect's waves are affected.
+        val key = "spark.sql.limit.initialNumPartitions"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, Int.MaxValue.toString)
         try distinctTouched.limit(math.max(maxTouched, snapshotBudget) + 1).collect()
-        finally spark.sparkContext.setJobDescription(null)
+        finally {
+          prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+          spark.sparkContext.setJobDescription(null)
+        }
       } else Array.empty[org.apache.spark.sql.Row]
     val literalProbe = treeExists && touched.nonEmpty && touched.length <= maxTouched
     def cellDir(row: org.apache.spark.sql.Row): String =

@@ -1064,9 +1064,14 @@ object Dedup {
                           idCol: String = "id", srcCol: String = "src",
                           dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
     // materialize the edge list ONCE: in nearDupClusters its lineage is the
-    // whole LSH+verify pipeline, which must not re-run every round
+    // whole LSH+verify pipeline, which must not re-run every round.
+    // PRE-PARTITIONED on the probe key (r16, guide §2.4): every round joins
+    // sym on _b, and a checkpointed Dataset keeps its outputPartitioning —
+    // so the (at scale, data-sized) edge table is shuffled ONCE here instead
+    // of once per round; each round's join shuffles only the labels side.
     val sym = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
       .unionByName(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
+      .repartition(col("_b"))
       .localCheckpoint()
     var labels = nodes.select(col(idCol).as("_id"))
       .distinct().withColumn("_comp", col("_id")).localCheckpoint()
@@ -1075,14 +1080,17 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nb = sym.join(labels.select(col("_id").as("_b"), col("_comp").as("_nc")), "_b")
         .groupBy(col("_a").as("_id")).agg(min(col("_nc")).as("_nbmin"))
-      // checkpoint the round WITH both labels, so the convergence probe
-      // reads the already-materialized result instead of re-running the
-      // round's joins a second time
+      // LAZY checkpoint + count (r16): the convergence probe and the
+      // round's materialization share ONE job — count() over the filtered
+      // view computes (and pins) every partition of the round result, so
+      // the next round reads the materialized RDD and the old
+      // eager-checkpoint-then-isEmpty pair (two jobs per round) collapses
+      // to one.
       val updated = labels.join(nb, Seq("_id"), "left")
         .withColumn("_new", least(col("_comp"), coalesce(col("_nbmin"), col("_comp"))))
         .select(col("_id"), col("_comp"), col("_new"))
-        .localCheckpoint()
-      converged = updated.where(col("_new") =!= col("_comp")).isEmpty
+        .localCheckpoint(eager = false)
+      converged = updated.where(col("_new") =!= col("_comp")).count() == 0L
       labels = updated.select(col("_id"), col("_new").as("_comp"))
       i += 1
     }

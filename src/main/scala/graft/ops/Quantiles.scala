@@ -301,16 +301,41 @@ object Quantiles {
         rightVals.map(c => col(s"_nsr.$c")): _*)
   }
 
+  /** Row-count gate for force-broadcasting pinned (localCheckpointed)
+    * group-grain tables: a checkpointed leaf carries no size statistics,
+    * so without the hint the planner demotes the join to sort-merge and
+    * shuffles the DATA side against a groups-sized table. 1M rows ≈ tens
+    * of MB framed — comfortably inside broadcast budgets; genuinely
+    * data-sized group domains stay un-hinted.
+    */
+  private val PinBroadcastRows = 1000000L
+
+  /** Pin a groups-sized derived table: eager localCheckpoint (its lineage
+    * is a multi-pass quantile pipeline every downstream consumer would
+    * otherwise re-run in full) + the size-gated broadcast hint.
+    */
+  private def pinSmall(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    if (ck.count() <= PinBroadcastRows) broadcast(ck) else ck
+  }
+
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Double = 3.0): DataFrame = {
     val g = groupCols.map(col)
     val c = k * 1.4826
-    val med = exactInterpolated(df, groupCols, valueCol, Seq(0.5 -> "_med"))
+    // r16 (guide §1.2, §3.1): med and mad are GROUP-GRAIN (one row per
+    // group) but their lineages are full chunked-quantile pipelines — and
+    // `dev` (df ⋈ med) is itself the input of the second quantile pass, so
+    // without pinning, every internal consumer of the second pass re-ran
+    // the whole FIRST pipeline (the composed plan re-evaluated the raw
+    // scan many times over), and the un-hinted joins planned as
+    // SortMergeJoin, shuffling the data side against a handful of rows.
+    val med = pinSmall(exactInterpolated(df, groupCols, valueCol, Seq(0.5 -> "_med")))
     val dev = nullSafeJoin(
       df.select((g :+ col(valueCol)): _*).where(col(valueCol).isNotNull),
       med, groupCols)
       .withColumn("_absdev", abs(col(valueCol) - col("_med")))
-    val mad = exactInterpolated(dev, groupCols, "_absdev", Seq(0.5 -> "_mad"))
+    val mad = pinSmall(exactInterpolated(dev, groupCols, "_absdev", Seq(0.5 -> "_mad")))
     nullSafeJoin(dev, mad, groupCols)
       .withColumn("_medr", round(col("_med"), 4))
       .withColumn("_madr", round(col("_mad"), 4))
