@@ -84,6 +84,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // skip _SUCCESS marker files (r16, guide §6): nothing in the engine
+      // or its readers consumes them, and the lake/state pipeline queries
+      // commit dozens of small datasets per run — one fewer driver-side
+      // create+close per commit, on any filesystem (object stores included)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // WindowExec logs "No Partition Defined" at WARN for the bounded carry

@@ -16,6 +16,7 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false") // no _SUCCESS consumers (see Bench)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.toList match {

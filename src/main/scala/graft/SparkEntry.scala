@@ -1110,6 +1110,12 @@ object SparkEntry {
     // collect-all-values ObjectAggregate; same numbers as DuckDB
     // quantile_cont, see Quantiles scaladoc)
     "q28_quantiles" -> ((s, dir) => {
+      // NOT stacked (r16 A/B): folding both metrics into one exploded
+      // (metric, value) quantile pass — the q127 shape — measured WORSE
+      // here (2.36 -> 3.21 s at sf0.1): explode doubles the rows through
+      // every pass of the shared pipeline and adds a struct per row, which
+      // costs more than the second pipeline it saves on lineitem's narrow
+      // numeric columns. Two independent single-metric passes it stays.
       val li = tbl(s, dir, "lineitem")
       val price = Quantiles.exactInterpolated(li, Seq("l_returnflag"),
         "l_extendedprice", Seq(0.5 -> "p50", 0.9 -> "p90"))
@@ -1989,7 +1995,12 @@ object SparkEntry {
         .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
       val m1 = EventOps.candles(ev, 60L, Seq("symbol"))
         .select(col("symbol"), col("ts"), col("close").as("m1_close"))
+      // both directed joins probe the SAME M5 series — pin it lazily (r16)
+      // so the events-table candle aggregation runs once, not once per
+      // join side (the pin is candle-grain, the first join materializes it)
       val m5 = EventOps.candles(ev, 300L, Seq("symbol"))
+        .select(col("symbol"), col("ts"), col("close"))
+        .localCheckpoint(eager = false)
       val near = AsofJoin.directed(m1,
         m5.select(col("symbol"), col("ts"), col("close").as("close_near")),
         partitionCols = Seq("symbol"), direction = "nearest", tolerance = Some(120L))

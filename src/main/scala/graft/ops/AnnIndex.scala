@@ -60,17 +60,34 @@ object AnnIndex {
     // intact old index gone (loud: no meta) or nothing, never a lie.
     hfs(spark, dir).delete(new Path(dir), true)
     val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nCentroids)
-    cents.select(col("cent_id"), col("_cent").as("vec"), col("_centn").as("norm"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     val seeds = Similarity.collectPqSeeds(corpus, idCol, vecCol, codes)
-    seeds.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
-      .toDF("c", "vec").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
     val pq = Similarity.pqFromSeeds(seeds, m, codes, dim)
-    Similarity.ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
-      .select((col(idCol).as("neighbor_id") +: col("cent_id").as("cell") +:
-        pq.encodeCols(vecCol)): _*)
-      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    // the three artifact writes are mutually independent (codes needs only
+    // the already-derived cents/pq, both driver-resident) — overlap them
+    // (guide §2.6); only meta, the build's commit marker, must come LAST,
+    // after every artifact is fully published
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(
+        scala.concurrent.Future {
+          cents.select(col("cent_id"), col("_cent").as("vec"), col("_centn").as("norm"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+        },
+        scala.concurrent.Future {
+          seeds.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+            .toDF("c", "vec").coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+        },
+        scala.concurrent.Future {
+          Similarity.ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+            .select((col(idCol).as("neighbor_id") +: col("cent_id").as("cell") +:
+              pq.encodeCols(vecCol)): _*)
+            .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+        })),
+      scala.concurrent.duration.Duration.Inf): Unit
+    finally pool.shutdown()
     Seq((nCentroids, m, codes, dim)).toDF("n_centroids", "m", "codes", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }

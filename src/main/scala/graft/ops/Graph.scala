@@ -73,16 +73,26 @@ object Graph {
       "weight would truncate (scale to integers upstream)")
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
       col(weightCol).cast("long").as("_w")).localCheckpoint()
+    // nodes / outW / trans are loop INVARIANTS — checkpoint them once
+    // (r16, guide §1.2): each is consumed every round (dangling anti-join,
+    // contribution join, rank restore), and un-pinned they re-ran their
+    // edge-table aggregations once per iteration — at scale that is
+    // `iters` extra passes over an edge-sized table for identical results.
+    // trans is additionally pre-partitioned on _src (guide §2.4): the
+    // contribution join shuffles only the round's rank vector against it.
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node")))
-      .distinct()
-    val nrow = nodes.agg(count(lit(1)).as("_n"))
+      .distinct().localCheckpoint()
+    val nrow = nodes.agg(count(lit(1)).as("_n")).localCheckpoint()
     // transition probability per edge: integer out-weight sum (exact), one
     // double division — the row count stays |edges|
     val outW = e.groupBy(col("_src")).agg(sum(col("_w")).as("_ow"))
+      .localCheckpoint()
     val trans = e.join(outW, "_src")
       .select(col("_src"), col("_dst"),
         (col("_w").cast("double") / col("_ow").cast("double")).as("_p"))
+      .repartition(col("_src"))
+      .localCheckpoint()
     val dec12 = "decimal(38,12)"
     var ranks = nodes.crossJoin(broadcast(nrow))
       .select(col("node"), round(lit(1.0) / col("_n"), 12).as("rank"))
@@ -90,11 +100,13 @@ object Graph {
       // Each round references the previous rank vector TWICE (dangling mass
       // + contributions), so an un-truncated lineage doubles per iteration —
       // 2^iters plan copies stall Catalyst long before execution. The rank
-      // vector is node-keyed (never data-sized), so an eager localCheckpoint
-      // per round — the same per-round truncation Dedup.clusterNearDups
-      // uses — keeps the plan constant-size at the cost of one tiny
-      // materialization per iteration.
-      ranks = ranks.localCheckpoint()
+      // vector is node-keyed (never data-sized), so a localCheckpoint per
+      // round — the same per-round truncation Dedup.clusterNearDups uses —
+      // keeps the plan constant-size. LAZY (r16): the round's first
+      // consumer (the dangling-mass aggregate) materializes every partition
+      // anyway, so the separate eager materialization job per round was
+      // pure overhead.
+      ranks = ranks.localCheckpoint(eager = false)
       // rank mass on dangling nodes (no out-edges), one bounded aggregate
       val dm = ranks.join(outW, ranks("node") === outW("_src"), "left_anti")
         .agg(coalesce(sum(round(col("rank"), 12).cast(dec12)),

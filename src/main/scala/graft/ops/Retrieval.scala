@@ -53,22 +53,35 @@ object Retrieval {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     // doc length from the SAME tokenization (sum of term frequencies), so
-    // empty/degenerate documents are measured exactly as they were indexed
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    // empty/degenerate documents are measured exactly as they were indexed.
+    // CARRIED as a doc-partitioned window column on the tf table itself
+    // (r16, guide §1.2/§2.4): the old separate doc-grain `dl` table cost a
+    // full tokenize+aggregate re-evaluation AND a doc-keyed join onto the
+    // contributions — the window shares tf's pipeline and rides into the
+    // postings for free (frame = one doc's terms, never data-sized).
+    val tfdl = tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy(col(idCol))))
     // N and avgdl as a one-row broadcast; the long sum is exact, the single
-    // division is the only float born here
-    val nrow = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // division is the only float born here (doc grain restored via the
+    // distinct (id, dl) projection — same rows the old dl table held)
+    val nrow = tfdl.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
       .toDF("query_id", "term")
-    // inverted-index probe: only postings of query terms survive this join
-    val post = tf.join(broadcast(qdf.select(col("term")).distinct()), "term")
+    // inverted-index probe: only postings of query terms survive this join.
+    // Lazily pinned (r16): dfreq and the contribution join both consume it,
+    // and each would otherwise re-run the whole tokenize pipeline; the pin
+    // is query-term-sized (postings of the probe terms only), and the first
+    // consumer materializes it — no extra job. Four full tokenize passes
+    // (dl, nrow, dfreq, contrib) become two (postings, nrow).
+    val post = tfdl.join(broadcast(qdf.select(col("term")).distinct()), "term")
+      .localCheckpoint(eager = false)
     // document frequency per probe term — over the FULL corpus (post is
     // filtered by term only), but the result is query-term-sized
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = broadcast(qdf).join(post, "term")
       .join(broadcast(dfreq), "term")
-      .join(dl, idCol)
       .crossJoin(broadcast(nrow))
       .withColumn("contrib", round(
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
