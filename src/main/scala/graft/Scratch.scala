@@ -41,6 +41,22 @@ object Scratch {
           println(s"[explain-many] wrote $outDir/$name.txt")
         }
 
+      case "pq-debug" :: rest =>
+        // stage-isolated timing of q94's pieces: encode-only vs adc-tables
+        // vs the full query — locates the slow expression (min-of-3 each)
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        def t(mk: => org.apache.spark.sql.DataFrame): Double = (1 to 3).map { _ =>
+          val s = System.nanoTime(); mk.queryExecution.toRdd.count()
+          (System.nanoTime() - s) / 1e9
+        }.min
+        val enc = t(graft.ops.Similarity.pqDebugEncode(emb, "vec_id", "embedding"))
+        val adc = t(graft.ops.Similarity.pqDebugAdc(emb,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding"))
+        val full = t(graft.ops.Similarity.pqTopK(
+          emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 10))
+        println(f"[pq-debug] encode=$enc%.2f adcTables=$adc%.2f full=$full%.2f")
+
       case "rows" :: name :: rest =>
         // output cardinality of a SparkEntry query at a given sf dir —
         // distinguishes true-result growth from plan cost in scale probes

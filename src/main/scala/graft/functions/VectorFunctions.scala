@@ -180,6 +180,147 @@ case class BandedLshKeys(child: Expression, bands: Int, planesPerBand: Int,
     copy(child = newChild)
 }
 
+/** One PQ subspace's argmin code as a compiled kernel (r16, guide step 4).
+  *
+  * Why not the composed Catalyst form (`least` over `codes` structs of
+  * `dot(vs,vs) − 2·dot(vs,cb_c) + ‖cb_c‖²` with literal-array codebook
+  * entries): at m=4/codes=16 that builds ~64 struct constructions and ~80
+  * dot/slice expression trees PER ROW-EXPRESSION, and the generated
+  * projection is large enough that compiling it dominates the stage
+  * (measured 0.73 s min-of-3 to encode 2,000 rows; the arithmetic itself is
+  * ~4k flops/row). Same reasoning as [[BandedLshKeys]], which exists
+  * because the composed band form blew the 64 KB method limit.
+  *
+  * Bit-exactness contract (the q94/q144/q145 oracles hash these): per
+  * codebook entry c the distance is the SAME IEEE chain the composed form
+  * evaluated — `(vv − (2.0 · dot)) + norm` with `vv`/`dot` sequential
+  * left-to-right folds (the [[DotProduct]] order), null elements read as
+  * 0.0 (the DotProduct contract), and the argmin replicates
+  * `least(struct(d, c))`'s double ordering: strict compareDoubles-<, ties
+  * keep the earlier (smaller) c, NaN greatest.
+  *
+  * `offset`/`sub` select the subspace inside the full vector — no slice
+  * allocation at all; `dimTotal` enforces the fail-loud dimension contract
+  * the sliced DotProduct form had (a short vector used to throw a
+  * dimension mismatch inside the dot).
+  */
+case class PqEncodeCode(child: Expression, offset: Int, sub: Int, dimTotal: Int,
+                        cb: Array[Array[Double]], cbNorm: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"PqEncodeCode requires array<float>/array<double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def elem(v: ArrayData, i: Int): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+
+  def compute(v: ArrayData): Int = {
+    if (v.numElements() < dimTotal)
+      throw new IllegalArgumentException(
+        s"PqEncodeCode: dimension mismatch (vector ${v.numElements()} vs $dimTotal)")
+    var vv = 0.0
+    var j = 0
+    while (j < sub) { val x = elem(v, offset + j); vv += x * x; j += 1 }
+    var bestD = 0.0
+    var bestC = 0
+    var c = 0
+    while (c < cb.length) {
+      val plane = cb(c)
+      var dot = 0.0
+      var k = 0
+      while (k < sub) { dot += elem(v, offset + k) * plane(k); k += 1 }
+      val d = (vv - (2.0 * dot)) + cbNorm(c)
+      // least(struct(d, c)) ordering: strictly smaller d wins (NaN sorts
+      // greatest; -0.0 == 0.0), ties keep the earlier (smaller) c
+      if (c == 0 || d < bestD || (d == d && bestD != bestD)) {
+        bestD = d; bestC = c
+      }
+      c += 1
+    }
+    bestC
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeCode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One PQ subspace's `codes`-entry ADC distance table — the query-side twin
+  * of [[PqEncodeCode]], same bit-exactness contract, one array out instead
+  * of an argmin. Element type matches the composed `array(d2...)` form
+  * (nullable elements in the declared type; values are never null).
+  */
+case class PqAdcTable(child: Expression, offset: Int, sub: Int, dimTotal: Int,
+                      cb: Array[Array[Double]], cbNorm: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"PqAdcTable requires array<float>/array<double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def elem(v: ArrayData, i: Int): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+
+  def compute(v: ArrayData): ArrayData = {
+    if (v.numElements() < dimTotal)
+      throw new IllegalArgumentException(
+        s"PqAdcTable: dimension mismatch (vector ${v.numElements()} vs $dimTotal)")
+    var vv = 0.0
+    var j = 0
+    while (j < sub) { val x = elem(v, offset + j); vv += x * x; j += 1 }
+    val out = new Array[Any](cb.length)
+    var c = 0
+    while (c < cb.length) {
+      val plane = cb(c)
+      var dot = 0.0
+      var k = 0
+      while (k < sub) { dot += elem(v, offset + k) * plane(k); k += 1 }
+      out(c) = (vv - (2.0 * dot)) + cbNorm(c)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared scalar kernels for vector hashing. */
 object VectorKernels {
   /** Deterministic hyperplane component: splitmix64 finalizer over
@@ -216,4 +357,14 @@ object VectorFunctions {
   def bandedLshKeys(vec: Column, bands: Int, planesPerBand: Int, dim: Int,
                     seed: Long = 42L): Column =
     GraftColumnBridge.toColumn(BandedLshKeys(expr(vec), bands, planesPerBand, dim, seed))
+
+  /** One PQ subspace's argmin code (see [[PqEncodeCode]]). */
+  def pqEncodeCode(vec: Column, offset: Int, sub: Int, dimTotal: Int,
+                   cb: Array[Array[Double]], cbNorm: Array[Double]): Column =
+    GraftColumnBridge.toColumn(PqEncodeCode(expr(vec), offset, sub, dimTotal, cb, cbNorm))
+
+  /** One PQ subspace's ADC distance table (see [[PqAdcTable]]). */
+  def pqAdcTable(vec: Column, offset: Int, sub: Int, dimTotal: Int,
+                 cb: Array[Array[Double]], cbNorm: Array[Double]): Column =
+    GraftColumnBridge.toColumn(PqAdcTable(expr(vec), offset, sub, dimTotal, cb, cbNorm))
 }

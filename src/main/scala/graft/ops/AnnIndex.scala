@@ -81,9 +81,9 @@ object AnnIndex {
             .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
         },
         scala.concurrent.Future {
-          Similarity.ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
-            .select((col(idCol).as("neighbor_id") +: col("cent_id").as("cell") +:
-              pq.encodeCols(vecCol)): _*)
+          pq.withCodes(
+              Similarity.ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
+              vecCol, Seq(col(idCol).as("neighbor_id"), col("cent_id").as("cell")))
             .write.mode("overwrite").parquet(s"$dir/codes.parquet")
         })),
       scala.concurrent.duration.Duration.Inf): Unit
@@ -128,9 +128,9 @@ object AnnIndex {
     fs.delete(bdir, true) // crashed-attempt leftovers: invisible, start clean
     val cents = centroids(spark, dir)
     val pq = pqModel(spark, dir, m, codes, dim)
-    Similarity.ivfAssign(batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
-      .select((col(idCol).as("neighbor_id") +: col("cent_id").as("cell") +:
-        pq.encodeCols(vecCol)): _*)
+    pq.withCodes(
+        Similarity.ivfAssign(batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
+        vecCol, Seq(col(idCol).as("neighbor_id"), col("cent_id").as("cell")))
       .write.mode("overwrite").parquet(new Path(bdir, "codes.parquet").toString)
     val tmp = new Path(bdir, Marker + ".tmp")
     val out = fs.create(tmp, true)
@@ -162,10 +162,10 @@ object AnnIndex {
     val cents = centroids(spark, dir)
     val pq = pqModel(spark, dir, m, codes, dim)
     val codeTable = spark.read.parquet(codePaths(spark, dir): _*)
-    val q0 = Similarity.ivfAssign(queries.select(col(idCol), col(vecCol)),
-        idCol, vecCol, cents, nprobe)
-      .select((col(idCol).as("query_id") +: col("cent_id").as("cell") +:
-        pq.adcTableCols(vecCol)): _*)
+    val q0 = pq.withAdcTables(
+      Similarity.ivfAssign(queries.select(col(idCol), col(vecCol)),
+        idCol, vecCol, cents, nprobe),
+      vecCol, Seq(col(idCol).as("query_id"), col("cent_id").as("cell")))
     Similarity.ivfPqScan(q0, codeTable, pq, queries, corpus, idCol, vecCol, k)
   }
 }

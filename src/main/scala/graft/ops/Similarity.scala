@@ -583,22 +583,25 @@ object Similarity {
     */
   private[ops] final case class PqModel(m: Int, codes: Int, sub: Int,
       cb: Array[Array[Array[Double]]], cbNorm: Array[Array[Double]]) {
-    def subSlice(vec: String, mi: Int): Column = slice(col(vec), mi * sub + 1, sub)
-    def d2(vs: Column, mi: Int, c: Int): Column =
-      dotNative(vs, vs) - lit(2.0) * dotNative(vs, array(cb(mi)(c).map(lit): _*)) +
-        lit(cbNorm(mi)(c))
-    /** m argmin codes per corpus row (least over (d, c) structs). */
-    def encodeCols(vec: String): Seq[Column] = (0 until m).map { mi =>
-      val vs = subSlice(vec, mi)
-      least((0 until codes).map(c =>
-        struct(d2(vs, mi, c).as("d"), lit(c).as("c"))): _*)
-        .getField("c").as(s"_code$mi")
-    }
-    /** codes-entry ADC distance table per subspace, per query row. */
-    def adcTableCols(vec: String): Seq[Column] = (0 until m).map { mi =>
-      val qs = subSlice(vec, mi)
-      array((0 until codes).map(c => d2(qs, mi, c)): _*).as(s"_dt$mi")
-    }
+    /** keep ++ the m argmin codes per row — one compiled kernel per
+      * subspace (r16, guide step 4: the composed least-over-structs form
+      * with literal codebook arrays generated projections so large that
+      * codegen handling dominated the stage; see
+      * [[graft.functions.PqEncodeCode]] for the bit-exactness contract).
+      */
+    def withCodes(df: DataFrame, vec: String, keep: Seq[Column]): DataFrame =
+      df.select(keep ++ (0 until m).map { mi =>
+        graft.functions.VectorFunctions.pqEncodeCode(
+          col(vec), mi * sub, sub, m * sub, cb(mi), cbNorm(mi)).as(s"_code$mi")
+      }: _*)
+    /** keep ++ the codes-entry ADC distance table per subspace, per row
+      * (the query-side kernel, [[graft.functions.PqAdcTable]]).
+      */
+    def withAdcTables(df: DataFrame, vec: String, keep: Seq[Column]): DataFrame =
+      df.select(keep ++ (0 until m).map { mi =>
+        graft.functions.VectorFunctions.pqAdcTable(
+          col(vec), mi * sub, sub, m * sub, cb(mi), cbNorm(mi)).as(s"_dt$mi")
+      }: _*)
     /** ADC distance of a joined (query-table, corpus-code) row. */
     def adcLookup: Column = (0 until m).map(mi =>
       element_at(col(s"_dt$mi"), col(s"_code$mi") + 1)).reduce(_ + _)
@@ -640,14 +643,26 @@ object Similarity {
                     m: Int, codes: Int, dim: Int): PqModel =
     pqFromSeeds(collectPqSeeds(corpus, idCol, vecCol, codes), m, codes, dim)
 
+  /** Dev probes for Scratch pq-debug: encode-only / adc-tables-only. */
+  private[graft] def pqDebugEncode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val pq = fitPq(corpus, idCol, vecCol, 4, 16, 64)
+    pq.withCodes(corpus.select(col(idCol), col(vecCol)), vecCol, Seq(col(idCol)))
+  }
+  private[graft] def pqDebugAdc(corpus: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String): DataFrame = {
+    val pq = fitPq(corpus, idCol, vecCol, 4, 16, 64)
+    pq.withAdcTables(queries.select(col(idCol), col(vecCol)), vecCol, Seq(col(idCol)))
+  }
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 4, codes: Int = 16,
              dim: Int = 64): DataFrame = {
     val pq = fitPq(corpus, idCol, vecCol, m, codes, dim)
     val c0 = corpus.select((col(idCol).as("neighbor_id") +: col(vecCol).as("_cv") +: Nil): _*)
-    val encoded = c0.select((col("neighbor_id") +: col("_cv") +: pq.encodeCols("_cv")): _*)
-    val q0 = queries.select((col(idCol).as("query_id") +: col(vecCol).as("_qv") +:
-      pq.adcTableCols("_qv")): _*)
+    val encoded = pq.withCodes(c0, "_cv", Seq(col("neighbor_id"), col("_cv")))
+    val q0 = pq.withAdcTables(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+      "_qv", Seq(col("query_id"), col("_qv")))
     val adist = pq.adcLookup
     val exact = dotNative(col("_qv"), col("_qv")) -
       lit(2.0) * dotNative(col("_qv"), col("_cv")) + dotNative(col("_cv"), col("_cv"))
@@ -691,16 +706,16 @@ object Similarity {
     val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids)
     val pq = fitPq(corpus, idCol, vecCol, m, codes, dim)
     // the inverted file: cell + m codes per corpus row — vectors DROPPED
-    val codeTable = ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
-      .select((col(idCol).as("neighbor_id") +: col("cent_id").as("cell") +:
-        pq.encodeCols(vecCol)): _*)
+    val codeTable = pq.withCodes(
+      ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
+      vecCol, Seq(col(idCol).as("neighbor_id"), col("cent_id").as("cell")))
     // query side: cell + codes-entry ADC table per subspace (broadcast —
     // queries are a small batch by contract, as in pqTopK); nprobe > 1
     // probes the query's nprobe nearest cells (recall knob, scan cost
     // nprobe/nCentroids of the code table per query)
-    val q0 = ivfAssign(queries.select(col(idCol), col(vecCol)), idCol, vecCol, cents, nprobe)
-      .select((col(idCol).as("query_id") +: col("cent_id").as("cell") +:
-        pq.adcTableCols(vecCol)): _*)
+    val q0 = pq.withAdcTables(
+      ivfAssign(queries.select(col(idCol), col(vecCol)), idCol, vecCol, cents, nprobe),
+      vecCol, Seq(col(idCol).as("query_id"), col("cent_id").as("cell")))
     ivfPqScan(q0, codeTable, pq, queries, corpus, idCol, vecCol, k)
   }
 
