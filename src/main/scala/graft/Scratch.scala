@@ -57,6 +57,45 @@ object Scratch {
           emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 10))
         println(f"[pq-debug] encode=$enc%.2f adcTables=$adc%.2f full=$full%.2f")
 
+      case "candle-ab" :: rest =>
+        // does a repartition-after-read parallelize the candle partial agg
+        // enough to beat the extra exchange? (single-row-group testdata
+        // files scan as ONE task — guide §2.5 "unsplittable input")
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val ev0 = SparkEntry.loadEventsFor(spark, sfDir)
+          .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+        def t(mk: => org.apache.spark.sql.DataFrame): Double = (1 to 3).map { _ =>
+          val s = System.nanoTime(); mk.queryExecution.toRdd.count()
+          (System.nanoTime() - s) / 1e9
+        }.min
+        val base = t(graft.ops.EventOps.candles(ev0, 300L, Seq("symbol")))
+        val rep = t(graft.ops.EventOps.candles(ev0.repartition(8), 300L, Seq("symbol")))
+        val scanOnly = t(ev0.select(col("symbol"), col("value"), col("ts")))
+        println(f"[candle-ab] base=$base%.2f repartitioned=$rep%.2f scanOnly=$scanOnly%.2f")
+
+      case "enrich-ab" :: rest =>
+        // per-indicator cost split of q72's enrich over the SAME candle
+        // input (lazily pinned so the agg isn't re-timed), min-of-3 each
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val ev0 = SparkEntry.loadEventsFor(spark, sfDir)
+          .withColumn("symbol", concat(lit("U"), (col("user_id") % 3).cast("string")))
+        val cd = graft.ops.EventOps.candles(ev0, 300L, Seq("symbol")).localCheckpoint()
+        val keys = Seq("symbol")
+        def t(mk: => org.apache.spark.sql.DataFrame): Double = (1 to 3).map { _ =>
+          val s = System.nanoTime(); mk.queryExecution.toRdd.count()
+          (System.nanoTime() - s) / 1e9
+        }.min
+        import graft.ops.Indicators
+        val c = col("close")
+        println(f"[enrich-ab] none=${t(cd)}%.2f " +
+          f"sma=${t(cd.withColumn("x", Indicators.smaCols(keys, "ts", c, 10)))}%.2f " +
+          f"ema=${t(cd.withColumn("x", Indicators.emaCols(keys, "ts", c, 10)))}%.2f " +
+          f"rsi=${t(cd.withColumn("x", Indicators.rsiCols(keys, "ts", c, 14)))}%.2f " +
+          f"atr=${t(cd.withColumn("x", Indicators.atrCols(keys, "ts", col("high"), col("low"), c, 14)))}%.2f " +
+          f"stoch=${t(cd.withColumn("x", Indicators.stochKCols(keys, "ts", col("high"), col("low"), c, 14)))}%.2f " +
+          f"vwap=${t(cd.withColumn("x", Indicators.vwapDayCols(keys, "ts", c, col("volume"))))}%.2f " +
+          f"full=${t(Indicators.enrich(cd, keys))}%.2f")
+
       case "rows" :: name :: rest =>
         // output cardinality of a SparkEntry query at a given sf dir —
         // distinguishes true-result growth from plan cost in scale probes
