@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default 16g (r16): local-mode driver+executors share one heap; an A/B
+  // on the heavy bench subset measured the 8g default costing ~3-8% GC drag
+  // (q139 3.81->3.52, q72 3.57->3.24 at 24g, calib-flat). Parameterized —
+  // CI/driver hosts with less RAM set SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
