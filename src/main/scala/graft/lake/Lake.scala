@@ -370,6 +370,60 @@ private[lake] object UpsertCore {
     }
   }
 
+  /** Distinct values of `cols`, collected in ONE job with no shuffle
+    * (r17, guide §1.2/§2.4): the old `select(cols).distinct().limit(cap+1)
+    * .collect()` form cost a partial-agg stage + exchange + final stage —
+    * two AQE jobs — and needed a session-global
+    * `spark.sql.limit.initialNumPartitions` mutation (plus restore) to
+    * avoid executeTake's 1→4→16 wave escalation, a set/restore that was
+    * one refactor away from racing the engine's concurrent writes (r16
+    * verdict item 2). This form dedupes per partition inside a single
+    * `toRdd` job and finishes the dedupe on the driver as task results
+    * arrive — no limit, no conf mutation, nothing session-global.
+    *
+    * Memory bounds: each task returns at most `cap` distinct narrow tuples
+    * (partition columns only — strings and ints); the driver keeps at most
+    * `cap` merged plus one in-flight task result. Every task consumes its
+    * WHOLE partition even after hitting the cap — when the input is a lazy
+    * localCheckpoint this materializes every partition exactly once, which
+    * is what lets the publish job reuse the probe's evaluation.
+    *
+    * Returns up to `cap` distinct rows; `result.length == cap` means the
+    * true count MAY exceed it (callers pass cap = budget + 1 and treat a
+    * full result as over-budget, exactly the old limit(cap) contract).
+    */
+  private def collectDistinctCapped(spark: SparkSession, batch: DataFrame,
+                                    cols: Seq[String], cap: Int,
+                                    jobDesc: String): Array[org.apache.spark.sql.Row] = {
+    val proj = batch.select(cols.map(col): _*)
+    val schema = proj.schema
+    val rdd = proj.queryExecution.toRdd
+    val merged = new java.util.LinkedHashSet[org.apache.spark.sql.catalyst.InternalRow]()
+    spark.sparkContext.setJobDescription(jobDesc)
+    try spark.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        // normalize to UnsafeRow before hashing: only UnsafeRow has
+        // value-based equals/hashCode (bytes); a GenericInternalRow from an
+        // exotic scan would dedupe by identity and silently overflow the cap
+        val unsafe = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(schema)
+        val seen = new java.util.LinkedHashSet[org.apache.spark.sql.catalyst.InternalRow]()
+        while (it.hasNext) { // full consumption — see the materialization note
+          val r = unsafe(it.next())
+          if (seen.size < cap && !seen.contains(r)) seen.add(r.copy())
+        }
+        seen.toArray(Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+      },
+      (_: Int, part: Array[org.apache.spark.sql.catalyst.InternalRow]) =>
+        part.foreach(r => if (merged.size < cap) merged.add(r)))
+    finally spark.sparkContext.setJobDescription(null)
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    import scala.jdk.CollectionConverters._
+    merged.iterator().asScala
+      .map(r => toScala(r).asInstanceOf[org.apache.spark.sql.Row]).toArray
+  }
+
   /** `beforePublish` is a test seam (defaults to a no-op): it runs between
     * the merge-plan construction and the conflict re-check, where a
     * concurrent committer would land — specs use it to interleave a
@@ -408,7 +462,24 @@ private[lake] object UpsertCore {
                  maxTouched: Int = MaxTouchedPartitions,
                  snapshotBudget: Int = SnapshotBudgetCells,
                  partColsDeterminedByKey: Boolean = false): Unit = {
-    // deterministic-batch enforcement (r16): see the REQUIREMENT note
+    // Tree-existence gate FIRST (one getFileStatus, no listing): a brand-new
+    // tree has nothing to conflict with or merge against, so the probe —
+    // which costs one evaluation of the batch lineage — is skipped
+    // entirely on the bootstrap write, exactly the pre-r14 cost model
+    // (measured: running it unconditionally added ~2 s to q124's chain of
+    // first-writes at the bench shape).
+    val treeExists = LakeFs.exists(spark, path)
+    // Batch pinning (lazy localCheckpoint — materializes per partition, on
+    // first computation, inside whatever job computes it first):
+    //  - non-deterministic lineage: REQUIRED (r16) — see the note above;
+    //  - tree exists (r17, guide §1.2): the probe and the publish both
+    //    evaluate the batch; un-pinned, that is two full evaluations of the
+    //    batch lineage (for an aggregate-refresh batch, two scans of the
+    //    touched base months + two resamples). The pin makes the probe's
+    //    full scan THE materialization and the publish a checkpoint read —
+    //    one evaluation total, at the cost of buffering one BATCH (ingest-
+    //    grain, never tree-sized) in local block storage.
+    //    Bootstrap writes (no probe) stay un-pinned: single consumer.
     val batchPinned =
       if (hasNonDeterministicExpr(batch)) {
         log.warn("mergeWrite batch lineage contains non-deterministic " +
@@ -417,15 +488,9 @@ private[lake] object UpsertCore {
           "evaluation; without this, write-time rows could land in cells " +
           "the probe never listed and the dynamic overwrite would drop " +
           "those cells' pre-existing rows")
-        // LAZY checkpoint (r16 optimization): the one-evaluation guarantee
-        // is per PARTITION — each partition materializes exactly once, on
-        // its first computation — and the first consumer is the probe's
-        // shuffle MAP stage (or, on a bootstrap write, the publish job),
-        // which computes EVERY batch partition. eager=true bought nothing
-        // beyond an extra full evaluation job up front (measured ~0.4 s on
-        // q76's repair batch).
         batch.localCheckpoint(eager = false)
-      } else batch
+      } else if (treeExists) batch.localCheckpoint(eager = false)
+      else batch
     // Touched-cell probe — computed from the BATCH alone, so it runs
     // BEFORE the tree is listed: the conflict-detection snapshot below
     // must precede every read of the existing files, or a commit landing
@@ -443,41 +508,16 @@ private[lake] object UpsertCore {
     // concurrent writers to different months safe (LakeSpec's contract):
     // this job never opens files a different-month writer's commit is
     // about to replace.
-    // Tree-existence gate FIRST (one getFileStatus, no listing): a brand-new
-    // tree has nothing to conflict with or merge against, so the probe —
-    // which costs one extra evaluation of the batch lineage — is skipped
-    // entirely on the bootstrap write, exactly the pre-r14 cost model
-    // (measured: running it unconditionally added ~2 s to q124's chain of
-    // first-writes at the bench shape).
-    val treeExists = LakeFs.exists(spark, path)
     val distinctTouched = batchPinned.select(partCols.map(col): _*).distinct()
     // ONE probe job serves both decisions: literal-vs-semi-join pruning
     // (cutoff maxTouched) and full-vs-sampled conflict detection (cutoff
     // snapshotBudget) — collecting up to snapshotBudget+1 narrow tuples is
     // a few MB driver-side at the 10⁴ default, cheaper than a second pass
     val touched =
-      if (treeExists) {
-        // label the probe job (guide §1.5) so UI/job profiles attribute it
-        spark.sparkContext.setJobDescription(s"mergeWrite:probe $path")
-        // single-wave take (r16): CollectLimit's executeTake starts at
-        // spark.sql.limit.initialNumPartitions (default 1) and scales up
-        // 4x per wave — but a real batch touches FAR fewer cells than the
-        // cap, so the escalation never stops early and the probe burned
-        // 2-3 jobs scanning everything anyway. Scanning all partitions in
-        // wave 1 makes the probe exactly one job. Scoped + restored: only
-        // this collect's waves are affected.
-        val key = "spark.sql.limit.initialNumPartitions"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, Int.MaxValue.toString)
-        try distinctTouched.limit(math.max(maxTouched, snapshotBudget) + 1).collect()
-        finally {
-          prev match {
-            case Some(v) => spark.conf.set(key, v)
-            case None => spark.conf.unset(key)
-          }
-          spark.sparkContext.setJobDescription(null)
-        }
-      } else Array.empty[org.apache.spark.sql.Row]
+      if (treeExists)
+        collectDistinctCapped(spark, batchPinned, partCols,
+          math.max(maxTouched, snapshotBudget) + 1, s"mergeWrite:probe $path")
+      else Array.empty[org.apache.spark.sql.Row]
     val literalProbe = treeExists && touched.nonEmpty && touched.length <= maxTouched
     def cellDir(row: org.apache.spark.sql.Row): String =
       // build each cell dir EXACTLY as the parquet writer will: Spark
