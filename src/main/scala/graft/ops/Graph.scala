@@ -47,7 +47,7 @@ object Graph {
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int = 10, damping: Double = 0.85,
-               outScale: Int = 12): DataFrame = {
+               outScale: Int = 12, maxLocalEdges: Int = 100000): DataFrame = {
     require(iters >= 1 && iters <= 100, "iters must be in [1, 100]")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     // Eagerly truncate the EDGE lineage too, not just the rank vector's:
@@ -73,6 +73,30 @@ object Graph {
       "weight would truncate (scale to integers upstream)")
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
       col(weightCol).cast("long").as("_w")).localCheckpoint()
+    // SIZE-GATED DRIVER-LOCAL FOLD (r17, guide §1.2): each power-iteration
+    // round is driver-SYNCHRONOUS — a dangling-mass aggregate, a
+    // contribution join, and a rank rebuild, ~3 jobs/round of scheduling
+    // latency regardless of data size. Edge lists reaching this operator
+    // are aggregate-grain by contract (scaladoc above), so when the edge
+    // table provably fits on the driver (≤ maxLocalEdges rows, no nulls),
+    // fold the iteration locally with the IDENTICAL arithmetic chain —
+    // java.math.BigDecimal.valueOf(x).setScale(12, HALF_UP) is bit-for-bit
+    // Catalyst's round()/cast-to-DECIMAL(38,12) on doubles, decimal sums
+    // are exact and order-free, and every double op is the same IEEE op in
+    // the same order (PagerankLocalSpec pins distributed == local on
+    // non-trivial graphs). Above the gate — or on any null src/dst/weight,
+    // whose join/sum semantics the local fold does not replicate — the
+    // distributed path runs unchanged. maxLocalEdges = 0 forces it.
+    if (maxLocalEdges > 0) {
+      val head = e.take(maxLocalEdges + 1)
+      if (head.length <= maxLocalEdges &&
+          head.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))) {
+        val nodeField = e.select(col("_src").as("node"))
+          .union(e.select(col("_dst"))).schema("node")
+        return pagerankLocal(edges.sparkSession, head, nodeField,
+          iters, damping, outScale)
+      }
+    }
     // nodes / outW / trans are loop INVARIANTS — checkpoint them once
     // (r16, guide §1.2): each is consumed every round (dangling anti-join,
     // contribution join, rank restore), and un-pinned they re-ran their
@@ -125,6 +149,69 @@ object Graph {
               col("_dm") / col("_n")), 12).as("rank"))
     }
     ranks.select(col("node"), round(col("rank"), outScale).as("rank"))
+  }
+
+  /** Driver-local replica of the distributed iteration — called only under
+    * [[pagerank]]'s size gate. Bit-exactness contract, term by term against
+    * the DataFrame chain it replaces:
+    *  - `round(x, 12)` on a double = java.math.BigDecimal.valueOf(x)
+    *    .setScale(12, HALF_UP).doubleValue (Catalyst RoundBase evaluates
+    *    BigDecimal(double) — Scala's decimal(d), i.e. valueOf — then
+    *    setScale(scale, HALF_UP).toDouble); NaN/Infinity pass through
+    *    unchanged, replicated by the guard;
+    *  - `cast(double AS DECIMAL(38,12))` = the same valueOf(x).setScale(12,
+    *    HALF_UP) (Cast goes Decimal(BigDecimal(d)) → changePrecision, which
+    *    HALF_UP-rounds to scale 12; precision 38 never binds for rank mass);
+    *  - decimal sums are exact, so driver fold order is irrelevant;
+    *  - `cast(DECIMAL AS DOUBLE)` = BigDecimal.doubleValue;
+    *  - long→double promotions (`/ col("_n")`, `_w / _ow`) are the same
+    *    IEEE divisions on the same operands.
+    */
+  private def pagerankLocal(spark: org.apache.spark.sql.SparkSession,
+                            edgeRows: Array[org.apache.spark.sql.Row],
+                            nodeField: org.apache.spark.sql.types.StructField,
+                            iters: Int, damping: Double,
+                            outScale: Int): DataFrame = {
+    def rnd(x: Double, s: Int): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dec(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    val edges = edgeRows.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    // node order: only the OUTPUT frame's row order could differ from the
+    // distributed path's (callers sort; q110 orders by node) — values are
+    // per-node and order-free
+    val nodes: Seq[Any] = (edges.map(_._1) ++ edges.map(_._2)).distinct.toSeq
+    val n = nodes.size
+    val outW: Map[Any, Long] =
+      edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val trans: Array[(Any, Any, Double)] =
+      edges.map { case (s, d, w) => (s, d, w.toDouble / outW(s).toDouble) }
+    val dangling: Seq[Any] = nodes.filterNot(outW.contains)
+    var rank: Map[Any, Double] =
+      nodes.map(v => v -> rnd(1.0 / n.toDouble, 12)).toMap
+    for (_ <- 1 to iters) {
+      val dm =
+        if (dangling.isEmpty) 0.0
+        else dangling.map(v => dec(rnd(rank(v), 12))).reduce(_.add(_)).doubleValue()
+      val contribs: Map[Any, Double] = trans.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, p) => dec(rnd(rank(s) * p, 12)) }
+          .reduce(_.add(_)).doubleValue()
+      }
+      rank = nodes.map { v =>
+        v -> rnd((1.0 - damping) / n.toDouble +
+          damping * (contribs.getOrElse(v, 0.0) + dm / n.toDouble), 12)
+      }.toMap
+    }
+    import scala.jdk.CollectionConverters._
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      nodes.map(v => org.apache.spark.sql.Row(v, rnd(rank(v), outScale))).asJava
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      nodeField.copy(name = "node"),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType))))
   }
 
   /** Unrolled-CTE DuckDB SQL mirroring [[pagerank]] bit-for-bit, generated
