@@ -62,9 +62,17 @@ object Retrieval {
     val tfdl = tf.withColumn("dl",
       sum(col("tf")).over(Window.partitionBy(col(idCol))))
     // N and avgdl as a one-row broadcast; the long sum is exact, the single
-    // division is the only float born here (doc grain restored via the
-    // distinct (id, dl) projection — same rows the old dl table held)
-    val nrow = tfdl.select(col(idCol), col("dl")).distinct()
+    // division is the only float born here. Computed from a direct per-doc
+    // token count (r17, guide §1.2): per-doc dl = count of exploded terms =
+    // sum of that doc's tf values, bit-identically — so this branch skips
+    // the old (id, term) groupBy + doc-partitioned window + distinct chain
+    // (three exchanges and a sort) for one map-side-combined groupBy(id).
+    // Still the same TWO tokenize passes (postings + stats): pinning the
+    // corpus-sized tf table to make it one pass is a data-sized
+    // materialization, deliberately avoided.
+    val nrow = docs
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
