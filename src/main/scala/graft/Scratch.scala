@@ -338,6 +338,7 @@ object Scratch {
           spark.catalog.clearCache()
           jobs.clear(); jobEnd.clear()
           spark.sparkContext.addSparkListener(l)
+          val wall0 = System.currentTimeMillis()
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
           val wall = (System.nanoTime() - t0) / 1e9
@@ -346,14 +347,37 @@ object Scratch {
           import scala.jdk.CollectionConverters._
           val rows = jobs.asScala.toSeq.sortBy(_._1)
           println(f"== $name pass $i: wall=$wall%.2f s, ${rows.size} jobs ==")
+          // overlap attribution (r17, verdict item 7): print each job's
+          // [start → end] offset from the query's t0 so CONCURRENT spans
+          // (inParallel writes, overlapped artifact builds) are visible as
+          // overlapping intervals instead of being inferred from wall-clock
+          // deltas; `concurrency` = job-wall-seconds / timeline-seconds
+          // actually covered by ≥1 running job
           var covered = 0.0
-          rows.foreach { case (id, (st, desc, nst)) =>
+          val spans = rows.map { case (id, (st, desc, nst)) =>
             val en = jobEnd.getOrDefault(id, st)
+            (id, st, en, desc, nst)
+          }
+          spans.foreach { case (id, st, en, desc, nst) =>
             val d = (en - st) / 1e3
             covered += d
-            println(f"  job $id%3d ${d}%7.3f s  stages=$nst%2d  ${desc.take(90)}")
+            val s0 = (st - wall0) / 1e3
+            val e0 = (en - wall0) / 1e3
+            println(f"  job $id%3d [$s0%6.2f -> $e0%6.2f] ${d}%7.3f s  stages=$nst%2d  ${desc.take(84)}")
           }
-          println(f"  [sum of job walls = $covered%.2f s; gaps = driver-side work]")
+          // union of job intervals — time with at least one job running
+          val busy = {
+            val iv = spans.map(s => (s._2, s._3)).sortBy(_._1)
+            var total = 0L; var curS = Long.MinValue; var curE = Long.MinValue
+            iv.foreach { case (s, e) =>
+              if (s > curE) { total += math.max(0L, curE - curS); curS = s; curE = e }
+              else curE = math.max(curE, e)
+            }
+            (total + math.max(0L, curE - curS)) / 1e3
+          }
+          println(f"  [sum of job walls = $covered%.2f s over $busy%.2f s busy " +
+            f"(concurrency ${if (busy > 0) covered / busy else 0.0}%.2f); " +
+            f"idle driver gaps = ${math.max(0.0, wall - busy)}%.2f s]")
         }
 
       case "profile" :: name :: rest =>
