@@ -1062,7 +1062,40 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String = "id", srcCol: String = "src",
-                          dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
+                          dstCol: String = "dst", maxIter: Int = 50,
+                          maxLocalNodes: Int = 200000): DataFrame = {
+    // SIZE-GATED DRIVER-LOCAL FOLD (r17, guide §1.2 — the pagerank
+    // precedent): each propagation round is a driver-synchronous
+    // join+aggregate+probe (~3 jobs/round of scheduling latency at any data
+    // size), and the dedup pipelines' cluster graphs are pair-grain, not
+    // corpus-grain. When nodes AND edges provably fit on the driver
+    // (≤ maxLocalNodes rows each, integral ids of one identical type, no
+    // nulls), run union-find locally: the converged min-label fixpoint IS
+    // the component minimum, integers carry no rounding, and an edge
+    // propagates labels exactly when BOTH endpoints are in the node set
+    // (the distributed join's semantics, replicated below). Types outside
+    // integral (e.g. strings, whose UTF8-byte `least` ordering this fold
+    // does not replicate), nulls, or size over the gate fall through to the
+    // distributed loop unchanged; maxLocalNodes = 0 forces that. The gate
+    // probes with take(cap+1) — on an over-cap graph that wastes one
+    // partial scan wave, against iters×3 jobs saved whenever it fits.
+    if (maxLocalNodes > 0) {
+      val integral = Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      val idT = nodes.schema(idCol).dataType
+      if (integral.contains(idT) && edges.schema(srcCol).dataType == idT &&
+          edges.schema(dstCol).dataType == idT) {
+        val nh = nodes.select(col(idCol)).take(maxLocalNodes + 1)
+        if (nh.length <= maxLocalNodes && nh.forall(!_.isNullAt(0))) {
+          val eh = edges.select(col(srcCol), col(dstCol)).take(maxLocalNodes + 1)
+          if (eh.length <= maxLocalNodes &&
+              eh.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+            return componentsLocal(nodes.sparkSession, nh, eh, idCol, idT)
+          }
+        }
+      }
+    }
     // materialize the edge list ONCE: in nearDupClusters its lineage is the
     // whole LSH+verify pipeline, which must not re-run every round.
     // PRE-PARTITIONED on the probe key (r16, guide §2.4): every round joins
@@ -1096,6 +1129,67 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("_id").as(idCol), col("_comp").as("component"))
+  }
+
+  /** Driver-local union-find — called only under [[connectedComponents]]'s
+    * size gate, integral single-type ids, no nulls. Component label = the
+    * MINIMUM member id (the propagation fixpoint); an edge links its
+    * endpoints only when BOTH are in the node set (a neighbor outside
+    * `labels` never contributes a label in the distributed join, and a
+    * non-node source never receives one).
+    */
+  private def componentsLocal(spark: org.apache.spark.sql.SparkSession,
+                              nodeRows: Array[org.apache.spark.sql.Row],
+                              edgeRows: Array[org.apache.spark.sql.Row],
+                              idCol: String,
+                              idT: org.apache.spark.sql.types.DataType): DataFrame = {
+    def asLong(v: Any): Long = v match {
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalStateException(s"non-integral id $other")
+    }
+    val ids: Array[Long] = nodeRows.map(r => asLong(r.get(0))).distinct
+    val idx = new java.util.HashMap[Long, Int](ids.length * 2)
+    ids.zipWithIndex.foreach { case (v, i) => idx.put(v, i) }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeRows.foreach { r =>
+      val a = asLong(r.get(0))
+      val b = asLong(r.get(1))
+      if (idx.containsKey(a) && idx.containsKey(b)) {
+        val ra = find(idx.get(a))
+        val rb = find(idx.get(b))
+        if (ra != rb) parent(ra) = rb
+      }
+    }
+    // component label = min member id
+    val minOfRoot = new java.util.HashMap[Int, Long]()
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOfRoot.get(r)
+      if (!minOfRoot.containsKey(r) || ids(i) < cur) minOfRoot.put(r, ids(i))
+    }
+    def box(v: Long): Any = idT match {
+      case org.apache.spark.sql.types.LongType => v
+      case org.apache.spark.sql.types.IntegerType => v.toInt
+      case org.apache.spark.sql.types.ShortType => v.toShort
+      case org.apache.spark.sql.types.ByteType => v.toByte
+    }
+    import scala.jdk.CollectionConverters._
+    val out: java.util.List[org.apache.spark.sql.Row] = ids.indices.map { i =>
+      org.apache.spark.sql.Row(box(ids(i)), box(minOfRoot.get(find(i))))
+    }.asJava
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idT),
+      org.apache.spark.sql.types.StructField("component", idT))))
   }
 
   /** The full dedup endgame: LSH candidates -> exact-verified pairs ->
