@@ -121,6 +121,27 @@ object SparkEntry {
     root
   }
 
+  /** Spread an under-parallel scan across the session's cores (optimization
+    * guide §2.5 "input skew: one huge unsplittable file — repartition
+    * immediately after the read"): parquet row groups are the split floor,
+    * so a file with fewer row groups than the session has cores scans as
+    * that many tasks and everything fused above the scan (here: the
+    * per-row decimal rounding the dsum determinism contract requires,
+    * ~µs/row) serializes behind it. Gated on the ACTUAL scan parallelism —
+    * when the scan already yields at least half the session's cores (any
+    * healthy multi-row-group layout, i.e. every at-scale input), this is
+    * the identity and no exchange is added. Callers pass the NARROW
+    * projection so the exchange moves only the aggregated columns (§2.3).
+    * Keyless round-robin repartition: deterministic under Spark's
+    * sort-before-repartition default, and every consumer below is an
+    * order-insensitive aggregate (decimal sums / counts / min-max).
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions * 2 >= cores) df
+    else df.repartition(cores)
+  }
+
   /** Run INDEPENDENT physical-write stages of a pipeline query concurrently
     * (optimization guide §2.6 "overlap independent jobs"): Spark's scheduler
     * runs several jobs at once inside one application — stages that touch
@@ -652,7 +673,9 @@ object SparkEntry {
 
     // A1/A7-style pricing summary (scan + hash agg; partial agg map-side)
     "q01_pricing_summary" -> ((s, dir) => {
-      tbl(s, dir, "lineitem")
+      spread(s, tbl(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -1057,7 +1080,9 @@ object SparkEntry {
     // (decimal addition is associative, so the two-phase sum is
     // bit-identical to the one-phase rollup; the double cast happens last).
     "q24_rollup_revenue" -> ((s, dir) => {
-      val base = tbl(s, dir, "lineitem")
+      val base = spread(s, tbl(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_extendedprice"), col("l_discount")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .cast(DecimalType(28, 4))).as("_rev"),
