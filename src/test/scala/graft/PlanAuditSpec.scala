@@ -114,8 +114,9 @@ class PlanAuditSpec extends AnyFunSuite {
                        // and token rows x broadcast(1-row N_r/N_t/V totals)
     "q107_pmi_pairs",  // pair rows x broadcast(1-row N/P normalizers)
     "q109_bm25_topk",  // probe-term postings x broadcast(1-row N/avgdl)
-    "q110_pagerank",   // node-sized rank rows x broadcast(1-row N + 1-row
-                       // dangling mass), twice per power iteration
+    // q110_pagerank dropped r17: the size-gated driver-local fold returns a
+    // LocalTableScan at bench scale — no BNLJ planned (the distributed
+    // path's bounded rank x broadcast(1-row) crosses only fire over-gate)
     "q112_vocab_coverage", // LIMIT-bounded top-vocab rows x broadcast(1-row
                        // occurrence total)
     "q113_kl_drift",   // dense slice x vocab grid: DISTINCT slices x
