@@ -48,15 +48,7 @@ object Retrieval {
     require(queries.nonEmpty, "need at least one query")
     val spark = docs.sparkSession
     import spark.implicits._
-    // spread the corpus projection before the tokenize (r17, guide §2.5):
-    // the tokenize+explode is FUSED above the scan, so a corpus laid out in
-    // fewer row groups than the session has cores tokenizes at file
-    // parallelism (sf10 spot: 8 files capped both passes at 8 tasks on 32
-    // cores). Identity when the scan already feeds the cores; and since
-    // both passes consume the SAME spread frame, AQE exchange reuse runs
-    // the scan+projection once for the two of them.
-    val d = Spread(docs.select(col(idCol), col(textCol)))
-    val tf = d
+    val tf = docs
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -78,7 +70,7 @@ object Retrieval {
     // Still the same TWO tokenize passes (postings + stats): pinning the
     // corpus-sized tf table to make it one pass is a data-sized
     // materialization, deliberately avoided.
-    val nrow = d
+    val nrow = docs
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
