@@ -112,6 +112,41 @@ class UpsertConcurrencySpec extends AnyFunSuite {
       .head.getAs[Double]("close") === 222222.0)
   }
 
+  test("two TRULY concurrent different-cell mergeWrites both publish; " +
+      "the probe leaves no session conf behind (r17)") {
+    // r16's probe mutated spark.sql.limit.initialNumPartitions (set +
+    // restore-in-finally, session-global) — racy once writes run
+    // concurrently on one session. r17's single-job runJob probe has no
+    // conf to mutate; this pins BOTH the behavior (concurrent
+    // different-cell writers each probe, merge and publish correctly) and
+    // the absence of any leaked/raced session conf.
+    val root = Files.createTempDirectory("lake_parprobe").toString
+    val jan = SynthSource.m1(spark, "BTC-USD", "2025-01-10", "2025-01-10")
+    val feb = SynthSource.m1(spark, "BTC-USD", "2025-02-10", "2025-02-10")
+    LakeWriter.upsert(spark, root, jan)
+    LakeWriter.upsert(spark, root, feb) // both trees exist: probes WILL run
+    val patchJan = jan.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .withColumn("close", lit(333333.0))
+    val patchFeb = feb.where(col("ts") === lit("2025-02-10 10:00:00"))
+      .withColumn("close", lit(444444.0))
+    val confKey = "spark.sql.limit.initialNumPartitions"
+    val before = spark.conf.getOption(confKey)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    Await.result(Future.sequence(Seq(
+      Future(LakeWriter.upsert(spark, root, patchJan)),
+      Future(LakeWriter.upsert(spark, root, patchFeb)))), 120.seconds)
+    assert(spark.conf.getOption(confKey) === before,
+      "the upsert probe must not touch session confs")
+    val all = LakeReader.readRange(spark, root, "synth", "BTC-USD", "M1", None, None)
+    assert(all.count() === 2880)
+    assert(all.where(col("ts") === lit("2025-01-10 10:00:00"))
+      .head.getAs[Double]("close") === 333333.0)
+    assert(all.where(col("ts") === lit("2025-02-10 10:00:00"))
+      .head.getAs[Double]("close") === 444444.0)
+  }
+
   test("the >maxTouched fallback DETECTS a conflict landing in a sampled cell (r15)") {
     // r15 upgrades the fallback from no-detection to SAMPLED detection:
     // the first maxTouched cell dirs (path order) are snapshotted and
