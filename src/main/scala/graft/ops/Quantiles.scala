@@ -315,7 +315,11 @@ object Quantiles {
     * otherwise re-run in full) + the size-gated broadcast hint.
     */
   private def pinSmall(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+    // LAZY checkpoint + count (r17 — the CC-loop fusion, guide §1.2): the
+    // gate's count() computes and pins every partition in ONE job; the old
+    // eager-checkpoint-then-count pair paid a separate materialization job
+    // per pin (two pins per madOutliers call).
+    val ck = df.localCheckpoint(eager = false)
     if (ck.count() <= PinBroadcastRows) broadcast(ck) else ck
   }
 
